@@ -1,0 +1,54 @@
+"""Text primitives as native Catalyst expressions.
+
+Covers the reference's string ops (whitespace tokenize/count at
+``000-get_data.py:217-228``, concat at ``001-get_embeddings.py:195-198``,
+truncate at ``000-get_data.py:144``) plus the shingling/n-gram
+primitives the dedup/fingerprint operators build on.
+
+All functions return Columns built from ``pyspark.sql.functions`` —
+JVM-side, codegen-friendly, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization, reference semantics: Python
+    ``str.split()`` (no empty tokens, any-width whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """``len(text.split())`` (``000-get_data.py:217-218``); empty or
+    all-whitespace text counts 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokenize(c)))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as ``array<string>`` — the MinHash
+    unit. Built with a ``transform`` over token positions (JVM-side),
+    then ``array_distinct``."""
+    toks = tokenize(col)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 4) -> Column:
+    """Distinct character n-grams (lowercased) as ``array<string>``."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    count = F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(F.sequence(F.lit(1), count), lambda i: c.substr(i, F.lit(n)))
+    return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )

@@ -1,0 +1,117 @@
+"""Table loaders + canonical derived tables.
+
+The driver's synthetic tables (TESTDATA.md) are Parquet; the reference
+ingests JSONL/TSV/NPZ (SURVEY.md §2.1 S1-S8) — those readers live in
+``sources/``. This module is the engine-facing catalog.
+
+Derived tables: the testdata has no ``queries``/``qrels`` tables, so
+the engine derives them deterministically from ``embeddings``
+(FIXTURES.md §3-4). The SAME derivation is expressed in the DuckDB
+oracle SQL (registry.py), so every IR-metric query stays fully
+hash-matched.
+
+Derivation contract (any scale factor):
+- query vectors  = embeddings rows with ``vec_id < 20``
+- qrels          = (q.vec_id, d.vec_id, relevance) for every query q
+  and doc d where ``d.label = q.label`` and ``d.vec_id % 5 = 3`` and
+  ``d.vec_id <> q.vec_id`` and ``q.vec_id % 7 <> 0``.
+  relevance grade = ``1 + d.vec_id % 2`` (graded, like MS MARCO's
+  0/1/2 — ``000-get_data.py:121-128``).
+  Queries with ``vec_id % 7 = 0`` get NO qrels rows, exercising the
+  reference's recall skip rule (``utils.py:37-38``) and MRR zero-fill
+  (``utils.py:107-108``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+N_QUERY_VECTORS = 20
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan. Column pruning + predicate pushdown come free as
+    long as callers select/filter on this lazily (they do)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query set: first N_QUERY_VECTORS embedding rows (the
+    reference takes the first N corpus items / first N queries as its
+    working set — ``002-brute_force_similarity.py:133-141``).
+    Returns (query_id BIGINT, embedding ARRAY<FLOAT>, label INT)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+            F.col("label"),
+        )
+    )
+
+
+def qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived graded relevance judgments (see module docstring).
+    Returns (query_id BIGINT, doc_id BIGINT, relevance INT)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter((F.col("vec_id") < N_QUERY_VECTORS) & (F.col("vec_id") % 7 != 0))
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+    )
+    d = emb.filter(F.col("vec_id") % 5 == 3).select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("d_label")
+    )
+    return (
+        F.broadcast(q)  # ≤20 rows at any scale — broadcast, never shuffle
+        .join(d, F.col("q_label") == F.col("d_label"))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("relevance"),
+        )
+    )
+
+
+# The qrels derivation as DuckDB-compatible ANSI SQL, parameterized
+# nowhere — used verbatim inside oracle queries via a WITH clause.
+QRELS_SQL = f"""
+    SELECT q.vec_id AS query_id,
+           d.vec_id AS doc_id,
+           CAST(1 + d.vec_id % 2 AS INT) AS relevance
+    FROM embeddings q
+    JOIN embeddings d ON d.label = q.label
+    WHERE q.vec_id < {N_QUERY_VECTORS}
+      AND q.vec_id % 7 <> 0
+      AND d.vec_id % 5 = 3
+      AND d.vec_id <> q.vec_id
+"""
+
+QUERY_VECTORS_SQL = f"""
+    SELECT vec_id AS query_id, embedding, label
+    FROM embeddings
+    WHERE vec_id < {N_QUERY_VECTORS}
+"""

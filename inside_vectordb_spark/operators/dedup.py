@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference extension suite (BASELINE.json north star). All
+hashes are PORTABLE (md5 / pure arithmetic) so every stage is
+oracle-checkable against DuckDB, and — more importantly at 100 TB —
+deterministic across engines, partitionings, and reruns.
+
+Scale design notes:
+- Exact dedup: hash-groupBy, one shuffle on the content hash. The
+  md5 is computed map-side; only (hash, id) pairs shuffle, never text.
+- MinHash LSH: shingle → K minhashes → B bands; candidate generation
+  is a self-join on (band_idx, band_key) — i.e. a shuffle keyed on
+  tiny band signatures, NOT an O(N²) comparison. Verification
+  (exact Jaccard) runs only on candidates. This is the standard
+  web-scale near-dup recipe (the GPL MinHashLSH in Spark MLlib uses
+  the same bucket-join shape).
+- SimHash: one pass, no joins, 16-bit weighted-majority signature;
+  near-dup candidates = equal signature (or banded halves).
+- Embedding near-dup: cosine over a blocking key (label here; at
+  scale an LSH/IVF bucket) — never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark.functions.text import tokenize, word_shingles
+from inside_vectordb_spark.functions.vector import cosine_similarity
+
+MINHASH_K = 12  # signature length
+MINHASH_BANDS = 4  # → rows-per-band = 3; s-curve threshold ≈ (1/4)^(1/3) ≈ 0.63
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content-hash groupBy.
+
+    Returns (text_hash, n_dups, keeper_id) for hash groups with >1 doc;
+    keeper is the smallest id (deterministic survivor policy)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _minhash_cols(shingle_col: str = "sh", k: int = MINHASH_K) -> list[Column]:
+    """One min-aggregate per hash function i: min over shingles of
+    md5('{i}#' || shingle). Lexicographic min over hex strings is a
+    valid uniform minhash (md5 output is uniform)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col(shingle_col)))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) MinHash signature from distinct word
+    n-gram shingles. Docs with < n words yield no signature (no
+    shingles), mirroring MinHashLSH's non-empty-set requirement."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    return sh.groupBy("doc_id").agg(*_minhash_cols("sh", k))
+
+
+def minhash_band_keys(
+    signatures: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """(doc_id, band_idx, band_key): band_key concatenates the band's
+    row hashes — the LSH bucket id."""
+    rows_per_band = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band — the
+    candidate set for near-dup verification. The self-join shuffles
+    on (band_idx, band_key); bucket skew (a giant bucket of identical
+    docs) is handled by AQE skew-join at scale."""
+    keys = minhash_band_keys(
+        minhash_signatures(docs, id_col, text_col, shingle_n, k), bands, k
+    )
+    a = keys.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    b = keys.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-shingle sets for given
+    (doc_a, doc_b) pairs: |A∩B| / |A∪B|. Shingle arrays are joined
+    in (broadcast when small); set math runs JVM-side."""
+    sets_ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, shingle_n).alias("shset"),
+    )
+    out = (
+        pairs.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shset", "sh_a"), "doc_a")
+        .join(sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shset", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union), 6
+        ).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥
+    threshold. Returns (doc_a, doc_b, jaccard)."""
+    pairs = minhash_candidate_pairs(docs, id_col, text_col, shingle_n)
+    j = ngram_jaccard(docs, pairs, id_col, text_col, shingle_n)
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+SIMHASH_BITS = 16
+
+
+def _hex15_to_long(hexcol: Column) -> Column:
+    """First 15 hex chars of an md5 → BIGINT (60 bits, positive).
+    Portable: DuckDB `('0x' || substr(md5(x),1,15))::BIGINT`."""
+    return F.conv(F.substring(hexcol, 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_id, simhash): weighted-majority bit signature over token
+    hashes — token multiplicity IS the weight (classic Charikar
+    simhash). One explode + one groupBy; no joins."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(text_col)).alias("tok"),
+    )
+    h = _hex15_to_long(F.md5(F.col("tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key.
+
+    Blocking keeps this linear-ish: pairs are only formed inside a
+    block (here the synthetic ``label``; in production an LSH/IVF
+    bucket from operators/ann.py). Returns (id_a, id_b, cos_sim)."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "blk")
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("v_a", "v_b"), round_to).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

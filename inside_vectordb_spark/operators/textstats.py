@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference extension suite: language ID (stopword-overlap
+heuristic), quality scoring, token counting (whitespace + regex
+"BPE-ish" pre-tokenizer), document fingerprinting. All native
+Catalyst expressions — portable, oracle-checkable, no Python row
+path, embarrassingly parallel (per-row map, zero shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark.functions.text import tokenize, token_count
+
+# Tiny per-language stopword marker sets. The heuristic is the point
+# (n-gram/stopword overlap scoring), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+}
+
+# A BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
+# symbols — the usual GPT-2-style pre-split shape, kept regex-portable.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _marker_hits(toks: Column, lang: str) -> Column:
+    """Occurrence count (with multiplicity) of lang markers."""
+    markers = list(LANG_MARKERS[lang])
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds score_<lang> columns: marker-hit ratio per language."""
+    toks = tokenize(text_col)
+    n = token_count(text_col)
+    out = docs
+    for lang in LANG_MARKERS:
+        out = out.withColumn(
+            f"score_{lang}",
+            F.round(
+                F.when(n == 0, F.lit(0.0)).otherwise(
+                    _marker_hits(toks, lang).cast("double") / n
+                ),
+                6,
+            ),
+        )
+    return out
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, score_en, score_de, score_fr, pred_lang): argmax of
+    marker ratios, ties broken by language code order (en<de<fr by
+    priority: earlier wins ties — deterministic)."""
+    scored = lang_scores(docs, text_col)
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            F.lit("en"),
+        )
+        .when(F.col("score_de") >= F.col("score_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select(
+        F.col(id_col).alias("doc_id"),
+        "score_en",
+        "score_de",
+        "score_fr",
+        pred.alias("pred_lang"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace tokens and
+    BPE-ish regex pre-tokens (``regexp_extract_all`` — JVM regex)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, avg_word_len, stopword_ratio, alpha_ratio,
+    quality): length/stopword/alpha heuristics combined into one
+    [0,1] score — the standard cheap quality gate before expensive
+    pipeline stages."""
+    toks = tokenize(text_col)
+    n = token_count(text_col).cast("double")
+    text = F.col(text_col)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_nonspace = F.length(F.regexp_replace(text, "\\s", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to", "is"))
+    ).cast("double")
+    avg_wl = F.when(n == 0, F.lit(0.0)).otherwise(n_nonspace / n)
+    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(stop_hits / n)
+    alpha_ratio = F.when(n_nonspace == 0, F.lit(0.0)).otherwise(
+        n_alpha.cast("double") / n_nonspace
+    )
+    # in-range word count [3..13 avg len], some-but-not-too-many
+    # stopwords, mostly alphabetic ⇒ high quality
+    length_ok = F.when((n >= 5) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wl_ok = F.when((avg_wl >= 2.0) & (avg_wl <= 13.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = F.round(
+        0.25 * length_ok
+        + 0.25 * wl_ok
+        + 0.25 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.25 * alpha_ratio,
+        6,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("int").alias("n_words"),
+        F.round(avg_wl, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fingerprint): order-insensitive content fingerprint —
+    md5 over the sorted distinct token set. Survives token reordering
+    and duplication; the cheap 'same bag of words' key."""
+    toks = F.array_sort(F.array_distinct(tokenize(text_col)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
+    )

@@ -1,0 +1,176 @@
+"""Exact cosine top-k similarity search (the flagship operator).
+
+Reference semantics: ``002-brute_force_similarity.py:170-228`` — for
+each query, cosine against every corpus vector, full sort descending,
+keep top-k. That loop is O(Q·N) python-sequential; here it is one
+declarative plan (or one GEMM kernel) over all queries at once — the
+fix for the reference's missed optimization O11 (SURVEY.md §4).
+
+Two physical strategies, same semantics:
+
+1. ``exact_cosine_topk`` — pure DataFrame: broadcast the (small) query
+   side, crossJoin against the corpus, score with native Catalyst
+   vector expressions, rank with a window. Fully oracle-checkable.
+   At scale: the corpus side never shuffles for scoring (broadcast
+   nested loop join streams it), and the window's shuffle moves only
+   Q·N score rows — but Q·N rows is the real cost, so use strategy 2
+   when Q·N is large.
+
+2. ``exact_cosine_topk_gemm`` — Arrow-batched ``mapInPandas``: the
+   query matrix is broadcast to executors as one NumPy array; each
+   corpus partition does ONE BLAS GEMM (Q×d · d×B) and emits only its
+   per-partition top-k per query (k·Q rows per partition, not B·Q);
+   a final window reduces partials to the global top-k. This is the
+   100 TB path: corpus never shuffles, network traffic is
+   O(partitions·Q·k), and the kernel is vectorized end-to-end.
+
+Tie-breaking is declared deterministic: (score DESC, id ASC) —
+FIXTURES.md §6; the reference's argsort tie order is unspecified.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from inside_vectordb_spark.functions.vector import dot_product, l2_normalize
+
+
+def exact_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Declarative exact search: normalize once, dot-product score
+    (the reference's O6 trick, ``004-faiss_demo.py:184-196``),
+    window top-k.
+
+    Returns (query_id, doc_id, score, rank) with rank 1..k per query.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        l2_normalize(query_vec).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        l2_normalize(corpus_vec).alias("__cv"),
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "doc_id",
+        dot_product("__qv", "__cv").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out.select("query_id", "doc_id", "score", "rank")
+
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def exact_cosine_topk_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """GEMM-batched exact search (scale path, SURVEY.md §7 risk 1).
+
+    Queries are collected to the driver (they are the small side by
+    contract — hundreds/thousands of rows) and shipped to executors
+    inside the serialized UDF closure; Spark broadcasts task binaries,
+    so each executor deserializes the Q×d matrix once per task batch.
+    Each corpus partition computes scores with one matmul and
+    argpartition-selects its local top-k (the reference's missed O10:
+    heap/partition selection instead of full argsort).
+    """
+    qrows = (
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("v"))
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("empty query set")
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    qmat /= qn
+
+    c = corpus.select(F.col(corpus_id).alias("doc_id"), F.col(corpus_vec).alias("v"))
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["v"].to_numpy()), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            mat /= nrm
+            sims = qmat @ mat.T  # (Q, B) — one GEMM per Arrow batch
+            kk = min(k, sims.shape[1])
+            # argpartition: O(B) selection, not O(B log B) sort
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(sims.shape[0]), kk)
+            cols = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[rows],
+                    "doc_id": ids[cols],
+                    "score": sims[rows, cols],
+                }
+            )
+
+    partials = c.mapInPandas(score_partition, schema=_PARTIAL_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out.select("query_id", "doc_id", "score", "rank")
+
+
+def ranked_result_lists(topk: DataFrame) -> DataFrame:
+    """T2: per-query ordered result list — ``(query_id, doc_ids ARRAY)``
+    with doc ids in rank order (``002:200-228`` result dict shape)."""
+    return (
+        topk.groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "doc_id"))),
+                lambda s: s["doc_id"],
+            ).alias("doc_ids")
+        )
+    )

@@ -1,0 +1,281 @@
+"""Training-data pipeline registry: dedup + text analysis.
+
+Every stage of the MinHash pipeline (signatures → band keys →
+candidate pairs → verified near-dups) is independently registered and
+oracle-checked — the oracle re-states the same portable-hash math in
+DuckDB SQL, so this isn't a rows-only rubber stamp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark import io as eio
+from inside_vectordb_spark.operators import dedup as dd
+from inside_vectordb_spark.operators import textstats as ts
+from inside_vectordb_spark.registry import register
+
+# ---- shared DuckDB fragments -------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_SHINGLES = f"""
+    list_distinct(list_transform(
+        range(1, greatest(len({_TOKS}) - 2, 0) + 1),
+        i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))
+"""
+
+_SH_CTE = f"""
+    shs AS (SELECT doc_id, {_SHINGLES} AS shset FROM documents),
+    sh AS (SELECT doc_id, unnest(shset) AS sh FROM shs)
+"""
+
+_K = dd.MINHASH_K
+_BANDS = dd.MINHASH_BANDS
+_RPB = _K // _BANDS
+
+_SIG_SELECT = ", ".join(
+    f"min(md5('{i}#' || sh)) AS mh{i}" for i in range(_K)
+)
+
+_SIG_CTE = f"""
+    {_SH_CTE},
+    sig AS (SELECT doc_id, {_SIG_SELECT} FROM sh GROUP BY doc_id)
+"""
+
+_BANDS_CTE = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band_idx,
+            concat_ws('|', {', '.join(f'mh{b * _RPB + r}' for r in range(_RPB))}) AS band_key
+            FROM sig"""
+        for b in range(_BANDS)
+    )
+    + ")"
+)
+
+_PAIRS_CTE = f"""
+    {_BANDS_CTE},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)
+"""
+
+_JACCARD = """
+    CASE WHEN len(list_distinct(sa.shset || sb.shset)) = 0 THEN 0.0
+         ELSE len(list_intersect(sa.shset, sb.shset)) * 1.0
+              / len(list_distinct(sa.shset || sb.shset)) END
+"""
+
+
+# ---- dedup ---------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups via content-hash groupBy."""
+    return dd.exact_duplicates(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"WITH {_SIG_CTE} SELECT * FROM sig",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (K=12) from word 3-shingles."""
+    return dd.minhash_signatures(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_candidate_pairs",
+    oracle=f"WITH {_SIG_CTE}, {_PAIRS_CTE} SELECT doc_a, doc_b FROM pairs",
+)
+def minhash_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket candidate pairs (4 bands × 3 rows)."""
+    return dd.minhash_candidate_pairs(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_near_duplicates",
+    oracle=f"""
+    WITH {_SIG_CTE}, {_PAIRS_CTE}
+    SELECT p.doc_a, p.doc_b, round({_JACCARD}, 6) AS jaccard
+    FROM pairs p
+    JOIN shs sa ON sa.doc_id = p.doc_a
+    JOIN shs sb ON sb.doc_id = p.doc_b
+    WHERE round({_JACCARD}, 6) >= 0.2
+    """,
+)
+def minhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: candidates verified by exact Jaccard."""
+    return dd.minhash_near_duplicates(
+        eio.load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register(
+    "ngram_jaccard_neighbors",
+    oracle=f"""
+    WITH shs AS (SELECT doc_id, {_SHINGLES} AS shset FROM documents)
+    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, round({_JACCARD}, 6) AS jaccard
+    FROM shs sa JOIN shs sb ON sb.doc_id = sa.doc_id + 1
+    """,
+)
+def ngram_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard exercised densely: similarity of each doc with
+    its id-successor (deterministic linear pair set, no LSH gate)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("doc_a")).join(
+        docs.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b")),
+        "doc_a",
+    )
+    return dd.ngram_jaccard(docs, pairs)
+
+
+@register(
+    "simhash_signatures",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    bits AS (SELECT doc_id,
+        {', '.join(f'sum(((h >> {j}) & 1) * 2 - 1) AS s{j}' for j in range(dd.SIMHASH_BITS))}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id,
+      CAST({' + '.join(f'CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END' for j in range(dd.SIMHASH_BITS))} AS BIGINT) AS simhash
+    FROM bits
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar SimHash (16-bit) over token hashes."""
+    return dd.simhash(eio.load_table(spark, sf_dir, "documents"))
+
+
+_COS_AB = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    "  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "embedding_near_duplicates",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_AB}, 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_COS_AB}, 6) >= 0.8
+    """,
+)
+def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups within a blocking key (label)."""
+    return dd.embedding_near_duplicates(
+        eio.load_table(spark, sf_dir, "embeddings"), threshold=0.8
+    )
+
+
+# ---- text analysis -------------------------------------------------------
+
+_MARKERS_SQL = {
+    lang: "(" + ", ".join(f"'{m}'" for m in ms) + ")"
+    for lang, ms in ts.LANG_MARKERS.items()
+}
+
+
+def _ratio_sql(lang: str) -> str:
+    return f"""
+    round(CASE WHEN trim(text) = '' THEN 0.0
+          ELSE len(list_filter({_TOKS}, t -> t IN {_MARKERS_SQL[lang]})) * 1.0
+               / len({_TOKS}) END, 6)
+    """
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_ratio_sql('en')} AS score_en,
+             {_ratio_sql('de')} AS score_de,
+             {_ratio_sql('fr')} AS score_fr
+      FROM documents)
+    SELECT doc_id, score_en, score_de, score_fr,
+           CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language-ID heuristic."""
+    return ts.lang_id(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{ts.BPE_ISH_PATTERN}')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return ts.token_counts(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0.0 ELSE len({_TOKS}) * 1.0 END AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 AS n_alpha,
+             length(regexp_replace(text, '\\s', '', 'g')) * 1.0 AS n_nonspace,
+             CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE len(list_filter({_TOKS},
+                       t -> t IN ('the','a','and','of','to','is'))) * 1.0 END AS stop_hits
+      FROM documents),
+    r AS (
+      SELECT doc_id, n,
+             CASE WHEN n = 0 THEN 0.0 ELSE n_nonspace / n END AS avg_wl,
+             CASE WHEN n = 0 THEN 0.0 ELSE stop_hits / n END AS stop_ratio,
+             CASE WHEN n_nonspace = 0 THEN 0.0 ELSE n_alpha / n_nonspace END AS alpha_ratio
+      FROM t)
+    SELECT doc_id, CAST(n AS INT) AS n_words,
+           round(avg_wl, 6) AS avg_word_len,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(0.25 * (CASE WHEN n >= 5 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
+               + 0.25 * (CASE WHEN avg_wl >= 2.0 AND avg_wl <= 13.0 THEN 1.0 ELSE 0.0 END)
+               + 0.25 * least(stop_ratio * 5, 1.0)
+               + 0.25 * alpha_ratio, 6) AS quality
+    FROM r
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality gate."""
+    return ts.quality_scores(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint."""
+    return ts.doc_fingerprints(eio.load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,521 @@
+"""Generic relational registry: projections, sampling, aggregations,
+sorts, set ops, scalar functions (SURVEY.md §2.2-2.7), exercised on
+the driver's TPC-H-ish tables exactly as §2's "absent from reference
+but required for the oracle checks" note prescribes.
+
+All pure DataFrame API → Catalyst handles pushdown/pruning/broadcast.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark import io as eio
+from inside_vectordb_spark.functions.text import token_count
+from inside_vectordb_spark.io import QRELS_SQL
+from inside_vectordb_spark.registry import register
+
+
+@register(
+    "head_n_docs",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 10
+    """,
+)
+def head_n_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: deterministic head-N (reference takes the first N corpus
+    rows, ``002:133-141``; we order explicitly — limit without order
+    is nondeterministic on a cluster)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    return docs.orderBy("doc_id").select("doc_id", "n_chars").limit(10)
+
+
+@register(
+    "seeded_sample",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/O1: deterministic pseudo-random ~1/8 sample via a portable
+    hash (md5), replacing the reference's ``random.seed(42)`` +
+    ``random.sample`` (``000:308``) with a cluster-stable, rerun-stable
+    predicate. (``F.rand(seed)`` is partition-layout-dependent; a
+    content hash is not.)"""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("doc_id")
+
+
+@register(
+    "corpus_subset",
+    oracle=f"""
+    WITH qrels AS ({QRELS_SQL}),
+    rel AS (SELECT DISTINCT doc_id FROM qrels),
+    sampled AS (
+      SELECT vec_id AS doc_id FROM embeddings
+      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+    )
+    SELECT doc_id FROM rel UNION SELECT doc_id FROM sampled
+    """,
+)
+def corpus_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/J6/SET1: the reference's semantics-preserving subset — ALL
+    judged docs ∪ deterministic sample (``000-get_data.py:291-365``)."""
+    rel = eio.qrels(spark, sf_dir).select("doc_id").distinct()
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    sampled = emb.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) == "0"
+    ).select(F.col("vec_id").alias("doc_id"))
+    return rel.unionByName(sampled).distinct()
+
+
+@register(
+    "ids_intersect",
+    oracle="""
+    SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+    INTERSECT
+    SELECT vec_id AS doc_id FROM embeddings WHERE vec_id % 2 = 0
+    """,
+)
+def ids_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET3: set intersection (coverage check shape, ``000:442-445``)."""
+    a = (
+        eio.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    b = (
+        eio.load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 2 == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return a.intersect(b)
+
+
+@register(
+    "ids_except",
+    oracle="""
+    SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+    EXCEPT
+    SELECT vec_id AS doc_id FROM embeddings WHERE vec_id % 2 = 0
+    """,
+)
+def ids_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET2: set difference (``000-get_data.py:329``)."""
+    a = (
+        eio.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    b = (
+        eio.load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 2 == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "table_counts",
+    oracle=f"""
+    SELECT (SELECT count(*) FROM documents) AS n_documents,
+           (SELECT count(*) FROM embeddings) AS n_embeddings,
+           (SELECT count(*) FROM ({QRELS_SQL}) q) AS n_qrels
+    """,
+)
+def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: dataset statistics (``000-get_data.py:206-210``)."""
+    docs = eio.load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_documents")
+    )
+    emb = eio.load_table(spark, sf_dir, "embeddings").agg(
+        F.count("*").alias("n_embeddings")
+    )
+    qr = eio.qrels(spark, sf_dir).agg(F.count("*").alias("n_qrels"))
+    return docs.crossJoin(emb).crossJoin(qr)
+
+
+@register(
+    "avg_relevant_per_query",
+    oracle=f"""
+    WITH qrels AS ({QRELS_SQL}),
+    per_q AS (SELECT query_id, count(*) AS n FROM qrels GROUP BY query_id)
+    SELECT round(avg(n), 6) AS avg_relevant FROM per_q
+    """,
+)
+def avg_relevant_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: mean judged docs per query (``000-get_data.py:213-214``)."""
+    per_q = eio.qrels(spark, sf_dir).groupBy("query_id").agg(F.count("*").alias("n"))
+    return per_q.agg(F.round(F.avg("n"), 6).alias("avg_relevant"))
+
+
+@register(
+    "word_stats",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+      FROM documents)
+    SELECT min(n_words) AS min_words, max(n_words) AS max_words,
+           round(avg(n_words), 6) AS avg_words
+    FROM t
+    """,
+)
+def word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/F2: corpus word-length stats (``000-get_data.py:217-228``)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    t = docs.select(token_count("text").alias("n_words"))
+    return t.agg(
+        F.min("n_words").alias("min_words"),
+        F.max("n_words").alias("max_words"),
+        F.round(F.avg("n_words"), 6).alias("avg_words"),
+    )
+
+
+@register(
+    "relevance_histogram",
+    oracle=f"""
+    WITH qrels AS ({QRELS_SQL})
+    SELECT relevance, count(*) AS n FROM qrels GROUP BY relevance ORDER BY relevance
+    """,
+)
+def relevance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: relevance grade distribution (``000-get_data.py:249-251``)."""
+    return (
+        eio.qrels(spark, sf_dir)
+        .groupBy("relevance")
+        .agg(F.count("*").alias("n"))
+        .orderBy("relevance")
+    )
+
+
+# mL = 1/ln(M) with M=32 — the reference's HNSW layer constant
+# (006-layer_assignment.py:45-69; M at 003-hnswlib_demo.py:33).
+_HNSW_M = 32
+_ML = 1.0 / math.log(_HNSW_M)
+
+
+@register(
+    "layer_histogram",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id,
+             ((vec_id * 2654435761) % 1000003 + 1) / 1000004.0 AS u
+      FROM embeddings)
+    SELECT CAST(floor(-ln(u) * {_ML!r}) AS INT) AS layer, count(*) AS n
+    FROM u GROUP BY layer ORDER BY layer
+    """,
+)
+def layer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/A8: HNSW layer assignment ``floor(-ln(U)·mL)`` and its
+    distribution (``006-layer_assignment.py:45-95``). U comes from a
+    deterministic Knuth-hash of the id (portable across engines) in
+    the oracle-checked variant; the seeded-``F.rand`` variant is
+    statistically identical but engine-local."""
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    u = ((F.col("vec_id") * 2654435761) % 1000003 + 1) / 1000004.0
+    return (
+        emb.select(
+            F.floor(-F.log(u) * F.lit(_ML)).cast("int").alias("layer")
+        )
+        .groupBy("layer")
+        .agg(F.count("*").alias("n"))
+        .orderBy("layer")
+    )
+
+
+@register(
+    "top_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 20
+    """,
+)
+def top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 (global form): ORDER BY + LIMIT — Catalyst plans this as
+    TakeOrderedAndProject (heap top-k, no full sort — the fix for the
+    reference's O10 full-argsort)."""
+    li = eio.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "doc_concat",
+    oracle="""
+    SELECT doc_id, concat_ws(' ', lang, text) AS full_text
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def doc_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/P2: field concatenation before encoding
+    (``001-get_embeddings.py:195-198`` does title‖text; synthetic
+    docs have no title → lang‖text)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.concat_ws(" ", "lang", "text").alias("full_text")
+    )
+
+
+@register(
+    "doc_truncate",
+    oracle="""
+    SELECT doc_id, substr(text, 1, 200) AS preview FROM documents WHERE doc_id < 50
+    """,
+)
+def doc_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: display truncation ``text[:200]`` (``000:144``)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.substring("text", 1, 200).alias("preview")
+    )
+
+
+@register(
+    "doc_json",
+    oracle="""
+    SELECT doc_id, to_json({'doc_id': doc_id, 'lang': lang, 'n_chars': n_chars}) AS js
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: per-row JSON serialization (``000:394-402``)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("js")
+    )
+
+
+@register(
+    "order_date_format",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def order_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: timestamp formatting (``utils.py:127`` report stamps)."""
+    o = eio.load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("od")
+    )
+
+
+# ---- TPC-H-style analytical queries (generic engine coverage; these
+# are also the relational half of bench.py's headline set) -------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation. Partial
+    (map-side) aggregation + a 4-group shuffle — the canonical
+    'aggregate 100 TB down to a screenful' plan."""
+    li = eio.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                6,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → grouped
+    top-k. customer is broadcast (small side); lineitem never
+    shuffles for the join at scale."""
+    c = eio.load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = eio.load_table(spark, sf_dir, "orders")
+    li = eio.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star-join through region→nation→supplier into
+    the fact table; every dim side broadcasts."""
+    r = eio.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = eio.load_table(spark, sf_dir, "nation")
+    s = eio.load_table(spark, sf_dir, "supplier")
+    li = eio.load_table(spark, sf_dir, "lineitem")
+    dims = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table (batch form;
+    the Structured Streaming twin lives in ``streaming/events.py``
+    and shares this exact aggregation logic)."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sessionized",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM w)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(ts) AS session_start
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via lag + running sum (30-min inactivity gap) —
+    the batch twin of streaming session windows. Pure window
+    functions; one shuffle on user_id."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = marked.withColumn("session_id", F.sum("new_session").over(ws))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,74 @@
+"""Oracle parity: every registered (query, oracle) pair must return
+identical rows — the local twin of the driver's CORRECTNESS gate
+(row count + column names + order-insensitive value comparison).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from inside_vectordb_spark.registry import ORACLES, QUERIES
+from tests.conftest import SF_DIR
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].round(6)
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None)
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    )
+    a = _normalize(spark_pdf)
+    b = _normalize(oracle_pdf)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) and isinstance(y, float):
+                ok = (math.isnan(x) and math.isnan(y)) or abs(x - y) < 1e-9
+            else:
+                ok = (x == y) or (pd.isna(x) and pd.isna(y))
+            assert ok, f"{name}: col {c} row {i}: {x!r} != {y!r}"
+
+
+ORACLE_KEYS = sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_parity(spark, duck, name):
+    res = QUERIES[name](spark, SF_DIR).toPandas()
+    exp = duck.sql(ORACLES[name]).df()
+    assert_frames_match(res, exp, name)
+
+
+def test_all_queries_run(spark):
+    """Rows-only queries (no oracle) must still execute and return a
+    stable schema."""
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"query_id", "doc_id", "score", "rank"}
+    assert set(e.oracle_sql()) <= set(e.queries())
