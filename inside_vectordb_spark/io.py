@@ -49,7 +49,22 @@ N_QUERY_VECTORS = 20
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan. Column pruning + predicate pushdown come free as
-    long as callers select/filter on this lazily (they do)."""
+    long as callers select/filter on this lazily (they do).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects by default (PARQUET_TYPE_ILLEGAL). We
+    read it as a raw long (``nanosAsLong`` — set at runtime so it works
+    under any caller's session) and floor-divide to microseconds, which
+    is exactly DuckDB's nanos→TIMESTAMP truncation, keeping oracle
+    parity. The conversion is a per-row projection — scan pruning and
+    pushdown on the other columns are unaffected.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -501,12 +501,16 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions; one shuffle on user_id."""
     ev = eio.load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # full microsecond precision: second-truncated casts would flip
+    # session assignment for gaps within 1s of the 30-min boundary
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     marked = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
     )
     ws = (
         Window.partitionBy("user_id")
