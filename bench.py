@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §2.9, B1-B6 core).
+
+Times the engine's headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``
+and prints ONE JSON line::
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"flagship_topk": sec, ...}, "sf": 0.1}
+
+Timing methodology (reference analogue: ``utils.py:193-207``
+BenchmarkTimer, ``002:244-248`` latency/QPS):
+
+- each query is materialized through Spark's ``noop`` sink, which
+  executes the full physical plan (shuffles, UDFs, aggregations)
+  without driver-side collection — wall-clock measures the engine,
+  not result transfer;
+- one tiny warm-up action first so JVM/codegen startup isn't charged
+  to the first query;
+- per-query wall-clock seconds via ``time.perf_counter``.
+
+A richer per-query report (latency + QPS in the reference's report
+shape, ``utils.py:113-135``) is written to ``reports/bench_*.json``
+unless ``SPARK_GRAFT_NO_REPORT`` is set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from inside_vectordb_spark import io as eio
+from inside_vectordb_spark.registry import QUERIES
+from inside_vectordb_spark.session import get_spark
+
+# The headline set: flagship exact search (declarative + GEMM twins),
+# both ANN tiers, the heaviest dedup pipeline, and three TPC-H-style
+# relational plans — the queries whose plans must survive a 100×
+# scale-up (VERDICT round 1).
+HEADLINE = [
+    "flagship_topk",
+    "topk_gemm",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "minhash_near_duplicates",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+]
+
+
+def _materialize(df) -> None:
+    """Run the full plan without collecting rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_bench(sf_dir: str) -> dict:
+    spark = get_spark(app_name="inside-vectordb-bench")
+    try:
+        # Warm-up: JVM + parquet footer reads, not charged to queries.
+        eio.load_table(spark, sf_dir, "embeddings").limit(1).count()
+
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
+    finally:
+        spark.stop()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    return {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+
+
+def write_report(result: dict) -> None:
+    """Reference-shaped per-method report (``utils.py:113-135``):
+    latency + QPS per query, timestamped filename."""
+    os.makedirs("reports", exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    report = {
+        "benchmark": "spark_headline",
+        "sf": result["sf"],
+        "total_sec": result["value"],
+        "performance": {
+            name: {"latency_sec": sec, "qps": round(1.0 / sec, 4) if sec else None}
+            for name, sec in result["queries"].items()
+        },
+    }
+    with open(os.path.join("reports", f"spark_headline_{stamp}.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    result = run_bench(sf_dir)
+    if not os.environ.get("SPARK_GRAFT_NO_REPORT"):
+        try:
+            write_report(result)
+        except OSError as exc:  # report is best-effort; the JSON line is the contract
+            print(f"[bench] report write failed: {exc}", file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
