@@ -137,12 +137,30 @@ def ann_lsh_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     round_to: int | None = 6,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """ANN top-k via multi-table hyperplane LSH + exact re-rank.
     Raising n_tables (or lowering n_bits) raises recall at more
-    candidate cost — the ef_search analogue."""
+    candidate cost — the ef_search analogue.
+
+    ``max_bucket_size`` bounds candidate generation: each (table,
+    bucket) keeps at most that many corpus entries (deterministically,
+    lowest ids), so one hot bucket — e.g. a near-duplicate-heavy
+    corpus hashing many docs to the same signature — cannot degenerate
+    the bucket join toward all-pairs. Work per bucket is O(cap·Q_b)
+    instead of unbounded; recall on truncated buckets is recovered by
+    the other L-1 tables. The cap shuffle shares the join's
+    (table_idx, bucket) key, so at scale it rides the same exchange.
+    """
     qb = lsh_bucket_ids(queries, query_id, query_vec, dim, n_tables, n_bits, seed)
     cb = lsh_bucket_ids(corpus, corpus_id, corpus_vec, dim, n_tables, n_bits, seed)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("table_idx", "bucket").orderBy("id")
+        cb = (
+            cb.withColumn("__bpos", F.row_number().over(wb))
+            .filter(F.col("__bpos") <= max_bucket_size)
+            .drop("__bpos")
+        )
     cand = (
         F.broadcast(qb.select(F.col("id").alias("query_id"), "table_idx", "bucket"))
         .join(cb.select(F.col("id").alias("doc_id"), "table_idx", "bucket"),
@@ -167,16 +185,23 @@ def kmeans_centroids(
     seed: int = 42,
     max_iter: int = 10,
     sample_limit: int = 20000,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Coarse quantizer trained on a deterministic sample (ordered
-    head — cheap and reproducible; quantizer quality only needs a
-    representative sample, not the full 100 TB). L2-normalized so
-    euclidean k-means ≈ spherical k-means for cosine."""
+    """Coarse quantizer trained on a deterministic id-ordered sample
+    (``orderBy(id).limit(n)`` plans as TakeOrderedAndProject — a
+    per-partition heap, no full sort shuffle; a bare ``limit`` without
+    a sort would be partition-order-dependent on a real cluster).
+    Quantizer quality only needs a representative sample, not the full
+    100 TB. L2-normalized so euclidean k-means ≈ spherical k-means for
+    cosine."""
     rows = (
-        corpus.select(l2_normalize(vec_col).alias("v"))
+        corpus.select(F.col(id_col).alias("__id"), l2_normalize(vec_col).alias("v"))
+        .orderBy("__id")
         .limit(sample_limit)
         .collect()
     )
+    if not rows:
+        raise ValueError("kmeans_centroids: empty corpus")
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
@@ -229,7 +254,7 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """IVF ANN: probe the n_probe nearest centroids per query, exact
     re-rank within the probed inverted lists. n_probe = ef knob."""
-    cents = kmeans_centroids(corpus, corpus_vec, n_centroids, seed)
+    cents = kmeans_centroids(corpus, corpus_vec, n_centroids, seed, id_col=corpus_id)
     assignments = ivf_assign(corpus, corpus_id, corpus_vec, cents)
 
     # query → its n_probe nearest centroids (tiny: done driver-side)

@@ -141,6 +141,21 @@ def exact_cosine_topk_gemm(
             kk = min(k, sims.shape[1])
             # argpartition: O(B) selection, not O(B log B) sort
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # Tie-aware repair: argpartition keeps an ARBITRARY member
+            # of score-tied candidates at the kk boundary, which could
+            # drop a tied doc with a lower id before the global
+            # (score DESC, doc_id ASC) window sees it. For the (rare)
+            # rows where ties cross the boundary, re-select the local
+            # top-kk under the declared total order.
+            nq = sims.shape[0]
+            sel_scores = sims[np.arange(nq)[:, None], part]
+            kth = sel_scores.min(axis=1)
+            n_at_kth_total = (sims == kth[:, None]).sum(axis=1)
+            n_at_kth_sel = (sel_scores == kth[:, None]).sum(axis=1)
+            for i in np.nonzero(n_at_kth_total > n_at_kth_sel)[0]:
+                cand = np.nonzero(sims[i] >= kth[i])[0]
+                order = np.lexsort((ids[cand], -sims[i, cand]))
+                part[i] = cand[order[:kk]]
             rows = np.repeat(np.arange(sims.shape[0]), kk)
             cols = part.ravel()
             yield pd.DataFrame(

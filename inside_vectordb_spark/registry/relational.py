@@ -107,7 +107,12 @@ def ids_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ids_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SET2: set difference (``000-get_data.py:329``)."""
+    """SET2: set difference (``000-get_data.py:329``).
+
+    ``subtract`` = EXCEPT DISTINCT, matching the oracle even when the
+    left side holds duplicates of a value present on the right
+    (``exceptAll().distinct()`` would leave a survivor in that case).
+    """
     a = (
         eio.load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 0)
@@ -118,7 +123,7 @@ def ids_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") % 2 == 0)
         .select(F.col("vec_id").alias("doc_id"))
     )
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)
 
 
 @register(

@@ -1,0 +1,213 @@
+"""ANN quality gates: recall-retention vs the exact engine, the
+ef-analogue knob sweep, quantizer determinism, and the hot-bucket
+candidate bound.
+
+Mirrors the reference's own acceptance style — ANN methods are judged
+as a fraction of brute-force recall (``005-compare_benchmarks.py:
+469-487`` reports 91.8% / 94.9% retention) and the ef sweep
+(``003-hnswlib_demo.py:408-458``) shows the monotone recall/cost
+trade. The driver cannot oracle-check ANN (not SQL-expressible), so
+these assertions ARE the correctness story for T3/T4/X1-X3.
+
+Two data regimes, deliberately:
+
+- the driver's synthetic embeddings are near-uniform random (top-10
+  neighbor cosine ≈ 0.3): no ANN scheme can be both sublinear and
+  high-recall there, so those tests pin the retention floor at the
+  registry's knob settings;
+- a clustered corpus (generated in-test, seeded) is the regime real
+  embedding data lives in: there the SAME code must reach high recall
+  while scanning a small candidate fraction — this is the assertion
+  that the index actually exploits structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from inside_vectordb_spark import io as eio
+from inside_vectordb_spark.operators.ann import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    kmeans_centroids,
+)
+from inside_vectordb_spark.operators.topk import exact_cosine_topk
+from tests.conftest import SF_DIR_MED
+
+K = 10
+EMB_DIM = 64
+
+
+def _topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.select("query_id", "doc_id").collect():
+        out.setdefault(r["query_id"], set()).add(r["doc_id"])
+    return out
+
+
+def _recall_vs_exact(ann_df, exact_sets: dict[int, set[int]]) -> float:
+    """Mean over queries of |ann top-k ∩ exact top-k| / |exact top-k|."""
+    ann_sets = _topk_sets(ann_df)
+    vals = [
+        len(ann_sets.get(qid, set()) & docs) / len(docs)
+        for qid, docs in exact_sets.items()
+    ]
+    return float(np.mean(vals))
+
+
+@pytest.fixture(scope="module")
+def exact_sets(spark):
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    return _topk_sets(exact_cosine_topk(q, c, k=K))
+
+
+def test_lsh_recall_retention(spark, exact_sets):
+    """Registry knobs (16 tables × 4 bits) on driver data: ≥ 0.7."""
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    ann = ann_lsh_topk(q, c, dim=EMB_DIM, k=K, n_tables=16, n_bits=4)
+    recall = _recall_vs_exact(ann, exact_sets)
+    assert recall >= 0.7, f"LSH recall@{K} retention {recall:.3f} < 0.7"
+
+
+def test_ivf_recall_retention(spark, exact_sets):
+    """Registry knobs (16 centroids, probe 8) on driver data: ≥ 0.7."""
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    ann = ann_ivf_topk(q, c, k=K, n_centroids=16, n_probe=8)
+    recall = _recall_vs_exact(ann, exact_sets)
+    assert recall >= 0.7, f"IVF recall@{K} retention {recall:.3f} < 0.7"
+
+
+def test_lsh_table_sweep_monotone(spark, exact_sets):
+    """X3/B3 analogue: more tables ⇒ more candidates ⇒ recall rises
+    end-to-end across the sweep (the reference's ef sweep shape)."""
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    recalls = {
+        n: _recall_vs_exact(
+            ann_lsh_topk(q, c, dim=EMB_DIM, k=K, n_tables=n, n_bits=4), exact_sets
+        )
+        for n in (2, 8, 16)
+    }
+    assert recalls[16] >= recalls[2], f"sweep not monotone end-to-end: {recalls}"
+    assert recalls[16] >= 0.8, f"16-table recall too low: {recalls}"
+
+
+def test_ivf_probe_sweep_monotone(spark, exact_sets):
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    recalls = {
+        p: _recall_vs_exact(
+            ann_ivf_topk(q, c, k=K, n_centroids=16, n_probe=p), exact_sets
+        )
+        for p in (1, 4, 16)
+    }
+    # probing ALL centroids is exhaustive ⇒ exact recall
+    assert recalls[16] == pytest.approx(1.0)
+    assert recalls[1] <= recalls[4] <= recalls[16], f"not monotone: {recalls}"
+
+
+# ---------------------------------------------------------------------------
+# Structured (clustered) corpus: the regime real embeddings are in.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """1000 unit vectors in 10 tight clusters (within-cluster cosine
+    ≈ 0.93), as Spark DataFrames (corpus, queries)."""
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(10, EMB_DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    m = np.repeat(centers, 100, axis=0) + rng.normal(
+        scale=0.05, size=(1000, EMB_DIM)
+    )
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(1000, dtype=np.int64),
+            "embedding": [v.astype(np.float32).tolist() for v in m],
+        }
+    )
+    corpus = spark.createDataFrame(pdf).cache()
+    queries = corpus.filter("vec_id % 100 < 2").select(
+        corpus["vec_id"].alias("query_id"), "embedding"
+    )
+    return corpus, queries
+
+
+def test_lsh_exploits_structure(spark, clustered):
+    """On clustered data, modest LSH knobs (8×8 — per-table bucket
+    count far above corpus size) must reach high recall: near
+    neighbors share sign signatures."""
+    corpus, queries = clustered
+    exact = _topk_sets(
+        exact_cosine_topk(queries, corpus, k=K, query_id="query_id")
+    )
+    ann = ann_lsh_topk(queries, corpus, dim=EMB_DIM, k=K, n_tables=8, n_bits=8)
+    recall = _recall_vs_exact(ann, exact)
+    assert recall >= 0.8, f"LSH on clustered data: {recall:.3f} < 0.8"
+
+
+def test_ivf_exploits_structure(spark, clustered):
+    """IVF probing 2 of 10 centroids (≈20% of the corpus) must be
+    near-exact when the data actually clusters."""
+    corpus, queries = clustered
+    exact = _topk_sets(
+        exact_cosine_topk(queries, corpus, k=K, query_id="query_id")
+    )
+    ann = ann_ivf_topk(queries, corpus, k=K, n_centroids=10, n_probe=2)
+    recall = _recall_vs_exact(ann, exact)
+    assert recall >= 0.95, f"IVF on clustered data: {recall:.3f} < 0.95"
+
+
+# ---------------------------------------------------------------------------
+# Determinism + bounds
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_centroids_deterministic(spark):
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    a = kmeans_centroids(c, "embedding", n_centroids=8, seed=42)
+    b = kmeans_centroids(c, "embedding", n_centroids=8, seed=42)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_kmeans_empty_corpus_raises(spark):
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings").filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_centroids(c, "embedding", n_centroids=8)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """Adversarial hot bucket: hundreds of near-identical vectors hash
+    to one signature; the per-bucket cap bounds candidate generation
+    (no quadratic blowup) while results remain top-k shaped."""
+    n = 400
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=EMB_DIM)
+    vecs = [
+        (base + rng.normal(scale=1e-4, size=EMB_DIM)).astype(np.float32).tolist()
+        for _ in range(n)
+    ]
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": vecs})
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.filter("vec_id < 2").select(
+        corpus["vec_id"].alias("query_id"), "embedding"
+    )
+    cap = 50
+    out = ann_lsh_topk(
+        queries, corpus, dim=EMB_DIM, k=K,
+        n_tables=2, n_bits=8, max_bucket_size=cap,
+    ).collect()
+    assert out, "cap removed all candidates"
+    # every returned doc comes from a capped bucket prefix (lowest ids)
+    assert all(r["doc_id"] < cap for r in out)
+    per_q: dict[int, int] = {}
+    for r in out:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(v <= K for v in per_q.values())
