@@ -1,0 +1,141 @@
+"""Embedding-generation registry (F4 + the encode→search pipeline).
+
+Because the hash encoder's math is portable md5 arithmetic
+(``operators/embed.py``), BOTH queries here carry full DuckDB
+oracles — the mapInPandas batch plumbing is hash-match verified,
+not just rows-only. Embedding components are exact integers, so the
+only float math is the e2e cosine, which follows the engine's
+proven round-6 convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark import io as eio
+from inside_vectordb_spark.functions.vector import dot_product
+from inside_vectordb_spark.operators.embed import DEFAULT_DIM, encode_documents
+from inside_vectordb_spark.registry import register
+
+_DIM = DEFAULT_DIM
+
+# The hash encoder restated in DuckDB SQL: token → 60-bit md5 prefix
+# h; bucket = h % dim; sign from the next bit; dense vector =
+# zero-filled signed counts ordered by bucket.
+_DENSE_CTE = f"""
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    signed AS (
+      SELECT doc_id, CAST(h % {_DIM} AS INT) AS bucket,
+             CASE WHEN (h // {_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM hashed
+    ),
+    sums AS (
+      SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS v
+      FROM signed GROUP BY doc_id, bucket
+    ),
+    grid AS (
+      SELECT d.doc_id, g.bucket
+      FROM documents d
+      CROSS JOIN (SELECT CAST(unnest(range({_DIM})) AS INT) AS bucket) g
+    ),
+    dense AS (
+      SELECT grid.doc_id, grid.bucket, COALESCE(s.v, 0) AS v
+      FROM grid LEFT JOIN sums s
+        ON s.doc_id = grid.doc_id AND s.bucket = grid.bucket
+    ),
+    tokc AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT)
+               AS n_tokens
+      FROM documents
+    )
+"""
+
+
+@register(
+    "text_embeddings",
+    oracle=f"""
+    WITH {_DENSE_CTE}
+    SELECT d.doc_id, t.n_tokens,
+           array_to_string(list(d.v ORDER BY d.bucket), ',') AS embedding_csv
+    FROM dense d JOIN tokc t ON t.doc_id = d.doc_id
+    GROUP BY d.doc_id, t.n_tokens
+    """,
+)
+def text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: mapInPandas batch encoding of ``documents.text``
+    (``001-get_embeddings.py:178-209``), hash-projection encoder.
+    Components serialized to CSV for stable cross-engine hashing."""
+    enc = encode_documents(eio.load_table(spark, sf_dir, "documents"), dim=_DIM)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(
+            ",", F.transform("embedding", lambda x: x.cast("bigint").cast("string"))
+        ).alias("embedding_csv"),
+    )
+
+
+@register(
+    "text_search_e2e",
+    oracle=f"""
+    WITH {_DENSE_CTE},
+    emb AS (
+      SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY bucket) AS e,
+             list_dot_product(list(CAST(v AS DOUBLE) ORDER BY bucket),
+                              list(CAST(v AS DOUBLE) ORDER BY bucket)) AS sq
+      FROM dense GROUP BY doc_id
+    ),
+    q AS (SELECT * FROM emb WHERE doc_id < 5 AND sq > 0),
+    c AS (SELECT * FROM emb WHERE sq > 0),
+    scored AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+             list_dot_product(q.e, c.e) / (sqrt(q.sq) * sqrt(c.sq)) AS score
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def text_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end raw-text pipeline: encode (F4) → exact cosine top-5
+    (J5/T1) — the reference's 001→002 pipeline as one lazy DAG, with
+    the first 5 docs playing the query role. Zero-vector docs are
+    excluded (cosine undefined)."""
+    enc = encode_documents(eio.load_table(spark, sf_dir, "documents"), dim=_DIM)
+    nonzero = enc.filter(dot_product("embedding", "embedding") > 0)
+    q = nonzero.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = nonzero.select(F.col("doc_id"), F.col("embedding").alias("cv"))
+    # Integer-component vectors: the dot is exact, so normalize inside
+    # the score (not pre-normalized) to mirror the oracle's arithmetic
+    # order bit-for-bit.
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "doc_id",
+        (
+            dot_product("qv", "cv")
+            / (F.sqrt(dot_product("qv", "qv")) * F.sqrt(dot_product("cv", "cv")))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", F.round("score", 6).alias("score"), "rank")
+    )
