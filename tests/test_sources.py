@@ -1,0 +1,30 @@
+"""Report sink/scan (S11/S12) — the only sources not covered by the
+oracle round-trip queries (timestamps/mtime aren't SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from inside_vectordb_spark.sources import load_latest_reports, save_metrics_report
+
+
+def test_report_roundtrip_and_latest(tmp_path):
+    d = str(tmp_path)
+    p1 = save_metrics_report("brute_force", {"recall@10": 0.81}, d, stamp="20250101_000000")
+    # ensure distinct mtimes even on coarse filesystems
+    time.sleep(0.05)
+    os.utime(p1, (time.time() - 60, time.time() - 60))
+    p2 = save_metrics_report("brute_force", {"recall@10": 0.83}, d, stamp="20250102_000000")
+    save_metrics_report("hnswlib", {"recall@10": 0.74}, d, stamp="20250101_000000")
+
+    assert os.path.basename(p2) == "brute_force_20250102_000000.json"
+    latest = load_latest_reports(d)
+    assert set(latest) == {"brute_force", "hnswlib"}
+    assert latest["brute_force"]["metrics"]["recall@10"] == 0.83
+    assert latest["hnswlib"]["method"] == "hnswlib"
+
+
+def test_load_latest_reports_empty(tmp_path):
+    assert load_latest_reports(str(tmp_path)) == {}
