@@ -7,11 +7,26 @@ mirroring the reference's own acceptance style (SURVEY.md §5).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from inside_vectordb_spark import io as eio
 from inside_vectordb_spark.operators.ann import ann_ivf_topk, ann_lsh_topk
+from inside_vectordb_spark.operators.ann_index import (
+    ann_ivf_topk_indexed,
+    ann_lsh_topk_indexed,
+    ensure_ivf_index,
+    ensure_lsh_index,
+)
 from inside_vectordb_spark.registry import register
+
+_ART = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".artifacts")
+
+
+def _idx_path(kind: str, sf_dir: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return os.path.join(_ART, "index", f"{kind}_{sf}")
 
 EMB_DIM = 64  # driver testdata embedding dimension
 
@@ -47,4 +62,34 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_centroids=16,
         n_probe=8,
+    )
+
+
+@register("ann_lsh_topk_indexed")
+def ann_lsh_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+T3: LSH search against a PERSISTED bucket table (built on
+    first call, reloaded afterwards — the reference's index cache,
+    ``003:234-257``). Same params as ann_lsh_topk, so results match
+    it exactly (asserted in tests/test_ann_index.py)."""
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    path = _idx_path("lsh", sf_dir)
+    ensure_lsh_index(
+        corpus, path, dim=EMB_DIM, n_tables=16, n_bits=4, seed=42,
+        max_bucket_size=2000,
+    )
+    return ann_lsh_topk_indexed(
+        eio.query_vectors(spark, sf_dir), corpus, path, k=10
+    )
+
+
+@register("ann_ivf_topk_indexed")
+def ann_ivf_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10+T4: IVF search against PERSISTED centroids + partitioned
+    inverted lists; probing prunes unread list partitions at the
+    parquet scan."""
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    path = _idx_path("ivf", sf_dir)
+    ensure_ivf_index(corpus, path, n_centroids=16, seed=42)
+    return ann_ivf_topk_indexed(
+        eio.query_vectors(spark, sf_dir), corpus, path, k=10, n_probe=8
     )

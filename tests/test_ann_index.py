@@ -1,0 +1,98 @@
+"""S9/S10 persisted-index tests: stored-index search must equal the
+in-memory build exactly, rebuilds must be skipped when the artifact
+is complete and params match, and IVF probing must prune unprobed
+inverted-list partitions at the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from inside_vectordb_spark import io as eio
+from inside_vectordb_spark.operators.ann import ann_ivf_topk, ann_lsh_topk
+from inside_vectordb_spark.operators.ann_index import (
+    ann_ivf_topk_indexed,
+    ann_lsh_topk_indexed,
+    build_ivf_index,
+    ensure_ivf_index,
+    ensure_lsh_index,
+    load_ivf_centroids,
+)
+from tests.conftest import SF_DIR
+
+EMB_DIM = 64
+LSH = dict(dim=EMB_DIM, n_tables=16, n_bits=4, seed=42, max_bucket_size=2000)
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return eio.load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return eio.query_vectors(spark, SF_DIR)
+
+
+def test_lsh_indexed_matches_inmemory(spark, corpus, queries, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lsh_idx"))
+    ensure_lsh_index(corpus, path, **LSH)
+    fresh = ann_lsh_topk(
+        queries, corpus, dim=EMB_DIM, k=10, n_tables=16, n_bits=4, seed=42
+    )
+    stored = ann_lsh_topk_indexed(queries, corpus, path, k=10)
+    assert _rows(stored) == _rows(fresh)
+
+
+def test_ivf_indexed_matches_inmemory(spark, corpus, queries, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf_idx"))
+    ensure_ivf_index(corpus, path, n_centroids=16, seed=42)
+    fresh = ann_ivf_topk(queries, corpus, k=10, n_centroids=16, n_probe=8, seed=42)
+    stored = ann_ivf_topk_indexed(queries, corpus, path, k=10, n_probe=8)
+    assert _rows(stored) == _rows(fresh)
+
+
+def test_ensure_skips_rebuild_when_complete(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lsh_cache"))
+    ensure_lsh_index(corpus, path, **LSH)
+    meta = os.path.join(path, "meta.json")
+    mtime = os.path.getmtime(meta)
+    ensure_lsh_index(corpus, path, **LSH)  # cache hit: no rewrite
+    assert os.path.getmtime(meta) == mtime
+    # param change ⇒ rebuild
+    ensure_lsh_index(corpus, path, **{**LSH, "n_tables": 2})
+    assert os.path.getmtime(meta) > mtime
+
+
+def test_incomplete_index_rejected(spark, corpus, queries, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("broken"))
+    os.makedirs(os.path.join(path, "buckets"), exist_ok=True)  # no meta.json
+    with pytest.raises(FileNotFoundError, match="no complete LSH index"):
+        ann_lsh_topk_indexed(queries, corpus, path, k=10)
+
+
+def test_ivf_centroids_roundtrip(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf_cent"))
+    build_ivf_index(corpus, path, n_centroids=8, seed=42)
+    cents = load_ivf_centroids(spark, path)
+    assert cents.shape == (8, EMB_DIM)
+
+
+def test_ivf_probe_prunes_partitions(spark, corpus, tmp_path_factory):
+    """The probed scan must carry a partition filter on centroid_id —
+    unprobed inverted lists are pruned, never read."""
+    path = str(tmp_path_factory.mktemp("ivf_prune"))
+    build_ivf_index(corpus, path, n_centroids=16, seed=42)
+    scan = spark.read.parquet(os.path.join(path, "assignments")).filter(
+        "centroid_id IN (1, 3)"
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
