@@ -1,0 +1,145 @@
+"""Multi-method comparison pipeline (SURVEY.md §2.9 B4-B6, §2.4 A9-A10).
+
+The reference's ``005-compare_benchmarks.py``: load the newest report
+per method (S12), normalize the different report shapes (B4,
+``005:100-123``), build the method × metric comparison table (B5,
+``005:87-157``), derive speedups / recall retention vs the
+brute-force baseline (A10, ``005:469-487``) and the per-metric
+extrema (A9, ``005:493-503``), and format the text summary (B6,
+``005:430-520``).
+
+Comparison inputs are tiny (a handful of methods × a dozen metrics),
+so the pivot/extrema math is a driver-scale DataFrame job; the
+expensive part — producing each method's ranked results — is the
+engine's search operators, which is where the 100 TB design lives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+METRIC_COLS = ("recall_at_10", "precision_at_10", "mrr")
+
+
+def normalize_report(raw: dict) -> dict[str, float]:
+    """B4: flatten any of the reference's report shapes into one
+    ``{metric: value}`` dict. The three shapes in the wild
+    (``005:100-123``): metrics nested under ``performance``, flat
+    ``search_latency*`` keys, and our own ``{"metrics": {...}}``
+    wrapper (``sources/reports.py``)."""
+    out: dict[str, float] = {}
+    body = raw.get("metrics", raw)
+    perf = body.get("performance", {})
+    for src_ in (body, perf):
+        for key, val in src_.items():
+            if isinstance(val, (int, float)):
+                out[key] = float(val)
+    # alias the latency variants to one canonical name
+    for alias in ("search_latency", "search_latency_cpu", "avg_latency_ms"):
+        if alias in out and "latency" not in out:
+            out["latency"] = out[alias]
+    return out
+
+
+def method_comparison(per_method: dict[str, DataFrame]) -> DataFrame:
+    """B5: union long-form ``(metric, k, value)`` evaluation reports
+    (``operators/metrics.py:evaluation_report``) tagged by method →
+    one wide row per method. Fixed conditional aggregation instead of
+    ``pivot`` — the column set is the contract, not data-driven."""
+    tagged = None
+    for method, rep in per_method.items():
+        t = rep.select(F.lit(method).alias("method"), "metric", "k", "value")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    assert tagged is not None, "no methods to compare"
+
+    def pick(metric: str, k: int | None):
+        cond = F.col("metric") == metric
+        cond = cond & F.col("k").isNull() if k is None else cond & (F.col("k") == k)
+        return F.max(F.when(cond, F.col("value")))
+
+    return tagged.groupBy("method").agg(
+        pick("recall", 10).alias("recall_at_10"),
+        pick("precision", 10).alias("precision_at_10"),
+        pick("mrr", None).alias("mrr"),
+    )
+
+
+def recall_retention(cmp: DataFrame, baseline: str = "exact", round_to: int = 6) -> DataFrame:
+    """A10 (quality half): each method's recall@10 as a fraction of
+    the exact baseline's — the reference's headline ANN acceptance
+    number (91.8% / 94.9%, ``005:469-487``)."""
+    base = cmp.filter(F.col("method") == baseline).select(
+        F.col("recall_at_10").alias("__base_recall")
+    )
+    return cmp.crossJoin(F.broadcast(base)).select(
+        "method",
+        *METRIC_COLS,
+        F.round(
+            F.when(F.col("__base_recall") > 0, F.col("recall_at_10") / F.col("__base_recall"))
+            .otherwise(F.lit(None)),
+            round_to,
+        ).alias("recall_retention"),
+    )
+
+
+def speedup_ratios(perf: DataFrame, baseline: str = "exact", round_to: int = 4) -> DataFrame:
+    """A10 (speed half): baseline latency / method latency
+    (``005:469-487``). ``perf`` = (method, latency_sec)."""
+    base = perf.filter(F.col("method") == baseline).select(
+        F.col("latency_sec").alias("__base_lat")
+    )
+    return perf.crossJoin(F.broadcast(base)).select(
+        "method",
+        "latency_sec",
+        F.round(F.lit(1.0) / F.col("latency_sec"), round_to).alias("qps"),
+        F.round(F.col("__base_lat") / F.col("latency_sec"), round_to).alias(
+            "speedup_vs_baseline"
+        ),
+    )
+
+
+def summary_extrema(cmp: DataFrame) -> DataFrame:
+    """A9: per-metric argmax rows — (stat, method, value), ties broken
+    by method name for determinism (``005:493-503`` computes the same
+    best-of table)."""
+    pieces = []
+    for col in METRIC_COLS:
+        pieces.append(
+            cmp.orderBy(F.desc(col), F.asc("method"))
+            .limit(1)
+            .select(
+                F.lit(f"max_{col}").alias("stat"),
+                "method",
+                F.col(col).alias("value"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def summary_text(cmp_rows: list, perf_rows: list | None = None) -> str:
+    """B6: the formatted comparison summary (``005:430-520``), built
+    driver-side from collected comparison rows."""
+    lines = ["METHOD COMPARISON", "=" * 17, ""]
+    header = f"{'method':<12} {'recall@10':>10} {'prec@10':>10} {'mrr':>8} {'retention':>10}"
+    lines.append(header)
+    lines.append("-" * len(header))
+    for r in sorted(cmp_rows, key=lambda r: r["method"]):
+        ret = r["recall_retention"]
+        lines.append(
+            f"{r['method']:<12} {r['recall_at_10']:>10.4f} {r['precision_at_10']:>10.4f} "
+            f"{r['mrr']:>8.4f} {(f'{ret:.1%}' if ret is not None else 'n/a'):>10}"
+        )
+    if perf_rows:
+        lines += ["", f"{'method':<12} {'latency_s':>10} {'qps':>10} {'speedup':>10}"]
+        for r in sorted(perf_rows, key=lambda r: r["method"]):
+            lines.append(
+                f"{r['method']:<12} {r['latency_sec']:>10.3f} {r['qps']:>10.2f} "
+                f"{r['speedup_vs_baseline']:>10.2f}x"
+            )
+    best = max(cmp_rows, key=lambda r: (r["recall_at_10"], r["method"]))
+    lines += ["", f"KEY FINDING: best recall@10 = {best['recall_at_10']:.4f} ({best['method']})"]
+    return "\n".join(lines)

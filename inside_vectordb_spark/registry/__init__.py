@@ -42,5 +42,6 @@ from inside_vectordb_spark.registry import pipeline  # noqa: E402,F401
 from inside_vectordb_spark.registry import ann  # noqa: E402,F401
 from inside_vectordb_spark.registry import embed  # noqa: E402,F401
 from inside_vectordb_spark.registry import sources  # noqa: E402,F401
+from inside_vectordb_spark.registry import compare  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,111 @@
+"""Comparison pipeline (B4-B6, A9-A10): unit math on synthetic
+inputs + end-to-end value assertions on the driver data (the
+reference's own acceptance style, ``005:469-503``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from inside_vectordb_spark.operators.compare import (
+    method_comparison,
+    normalize_report,
+    recall_retention,
+    speedup_ratios,
+    summary_extrema,
+    summary_text,
+)
+from inside_vectordb_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _long_report(spark, rows):
+    return spark.createDataFrame(rows, "metric string, k int, value double")
+
+
+@pytest.fixture(scope="module")
+def cmp_df(spark):
+    reports = {
+        "exact": _long_report(
+            spark, [("recall", 10, 0.8), ("precision", 10, 0.4), ("mrr", None, 0.6)]
+        ),
+        "lsh": _long_report(
+            spark, [("recall", 10, 0.6), ("precision", 10, 0.3), ("mrr", None, 0.5)]
+        ),
+    }
+    return recall_retention(method_comparison(reports), baseline="exact")
+
+
+# ---- B4 normalization ----------------------------------------------------
+
+
+def test_normalize_report_shapes():
+    nested = {"performance": {"search_latency": 0.7, "qps": 1.4}, "recall@10": 0.81}
+    flat = {"search_latency_cpu": 0.5, "mrr": 0.6}
+    ours = {"method": "x", "metrics": {"recall@10": 0.74}}
+    a, b, c = normalize_report(nested), normalize_report(flat), normalize_report(ours)
+    assert a["latency"] == 0.7 and a["recall@10"] == 0.81 and a["qps"] == 1.4
+    assert b["latency"] == 0.5 and b["mrr"] == 0.6
+    assert c["recall@10"] == 0.74 and "method" not in c
+
+
+# ---- B5 / A10 ------------------------------------------------------------
+
+
+def test_method_comparison_pivot(cmp_df):
+    rows = {r["method"]: r for r in cmp_df.collect()}
+    assert rows["exact"]["recall_at_10"] == 0.8
+    assert rows["exact"]["recall_retention"] == 1.0
+    assert rows["lsh"]["recall_retention"] == pytest.approx(0.75)
+    assert rows["lsh"]["mrr"] == 0.5
+
+
+def test_speedup_ratios(spark):
+    perf = spark.createDataFrame(
+        [("exact", 2.0), ("lsh", 0.5)], "method string, latency_sec double"
+    )
+    rows = {r["method"]: r for r in speedup_ratios(perf, "exact").collect()}
+    assert rows["exact"]["speedup_vs_baseline"] == 1.0
+    assert rows["lsh"]["speedup_vs_baseline"] == 4.0
+    assert rows["lsh"]["qps"] == 2.0
+
+
+# ---- A9 ------------------------------------------------------------------
+
+
+def test_summary_extrema(cmp_df):
+    rows = {r["stat"]: r for r in summary_extrema(cmp_df).collect()}
+    assert rows["max_recall_at_10"]["method"] == "exact"
+    assert rows["max_recall_at_10"]["value"] == 0.8
+    assert set(rows) == {"max_recall_at_10", "max_precision_at_10", "max_mrr"}
+
+
+# ---- B6 ------------------------------------------------------------------
+
+
+def test_summary_text(cmp_df):
+    txt = summary_text(cmp_df.collect())
+    assert "METHOD COMPARISON" in txt
+    assert "exact" in txt and "lsh" in txt
+    assert "KEY FINDING: best recall@10 = 0.8000 (exact)" in txt
+
+
+# ---- end-to-end on driver data -------------------------------------------
+
+
+def test_registry_comparison_values(spark):
+    rows = {r["method"]: r for r in QUERIES["method_comparison"](spark, SF_DIR).collect()}
+    assert set(rows) == {"exact", "lsh", "ivf"}
+    assert rows["exact"]["recall_retention"] == pytest.approx(1.0)
+    for m in ("lsh", "ivf"):
+        # exact is the quality ceiling; ANN must retain >= 0.7 of it
+        assert rows[m]["recall_at_10"] <= rows["exact"]["recall_at_10"] + 1e-9
+        assert rows[m]["recall_retention"] >= 0.7
+
+
+def test_registry_speedups_shape(spark):
+    rows = QUERIES["method_speedups"](spark, SF_DIR).collect()
+    assert {r["method"] for r in rows} == {"exact", "lsh", "ivf"}
+    assert all(r["latency_sec"] > 0 and r["qps"] > 0 for r in rows)
+    exact = [r for r in rows if r["method"] == "exact"][0]
+    assert exact["speedup_vs_baseline"] == pytest.approx(1.0)
