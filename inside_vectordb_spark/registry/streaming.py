@@ -1,0 +1,65 @@
+"""Streaming registry: each query RUNS a Structured Streaming plan
+(AvailableNow drain → memory sink) and returns the batch result, so
+the driver's DuckDB gate oracle-checks the streaming execution path
+itself — watermarking, incremental state, and window assignment
+included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark.registry import register
+from inside_vectordb_spark.streaming import (
+    hourly_stream,
+    read_events_stream,
+    run_to_memory,
+    sessionized_stream,
+)
+
+
+@register(
+    "events_hourly_stream",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts drained over the static
+    events files — must equal the batch ``events_hourly`` exactly."""
+    out = run_to_memory(hourly_stream(read_events_stream(spark, sf_dir)))
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "events_sessionized_stream",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM w)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start
+    """,
+)
+def events_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based ``session_window`` sessions. The oracle uses
+    the ``>=`` boundary (session_window semantics: a gap EQUAL to the
+    duration starts a new session, unlike the batch twin's strict
+    ``>``)."""
+    out = run_to_memory(sessionized_stream(read_events_stream(spark, sf_dir)))
+    return out.orderBy("user_id", "session_start")

@@ -1,0 +1,21 @@
+"""Structured Streaming twins of the batch event analytics.
+
+Out-of-reference extension (SURVEY.md §2.10: the reference is
+strictly batch); the streaming layer re-expresses the events
+aggregations as incremental queries with watermarks, so the same
+engine covers the continuous-ingest half of a production pipeline.
+"""
+
+from inside_vectordb_spark.streaming.events import (
+    hourly_stream,
+    read_events_stream,
+    run_to_memory,
+    sessionized_stream,
+)
+
+__all__ = [
+    "hourly_stream",
+    "read_events_stream",
+    "run_to_memory",
+    "sessionized_stream",
+]

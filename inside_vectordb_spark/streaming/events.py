@@ -1,0 +1,128 @@
+"""Structured Streaming over the events table.
+
+The batch twins live in ``registry/relational.py``
+(``events_hourly`` / ``events_sessionized``); these streaming
+versions produce the SAME results when drained over the same files
+(asserted in ``tests/test_streaming.py``, oracle-checked via the
+registered ``*_stream`` queries).
+
+Semantics:
+
+- hourly: tumbling ``window(ts, '1 hour')`` + watermark — late rows
+  beyond the watermark are dropped in a live run; draining a static
+  directory with ``Trigger.AvailableNow`` processes everything, so
+  batch parity holds.
+- sessions: native ``session_window(ts, '30 min')`` gap windows.
+  Boundary note: ``session_window`` starts a new session when the
+  gap is ≥ the duration, the batch lag-based twin when it is
+  strictly >; the two differ only for a gap equal to the boundary
+  at microsecond precision.
+
+Scale notes: state is keyed by (window/session, group keys) and
+expired by the watermark, so executor state stays bounded by the
+number of OPEN windows, not history; the file source feeds
+``maxFilesPerTrigger``-sized micro-batches for backpressure.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet. The nanos
+    timestamp is read as a raw long (``nanosAsLong``, as in
+    ``io.load_table``) and floor-divided to microseconds — identical
+    truncation to the batch reader, keeping parity."""
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # The file stream source requires a DIRECTORY (its basePath); the
+    # testdata lays tables out as single files, so stage a directory
+    # containing a link to the file. In production the ingest
+    # directory is already the landing zone new files arrive in.
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "stream_src",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    os.makedirs(stage, exist_ok=True)
+    staged = os.path.join(stage, "events.parquet")
+    if not os.path.exists(staged):
+        try:
+            os.symlink(path, staged)
+        except OSError:
+            shutil.copyfile(path, staged)
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stage)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``events_hourly``: tumbling 1-hour windows
+    per event_type; same output schema as the batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``events_sessionized`` via native gap-based
+    ``session_window``; emits (user_id, session_start, n_events)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    streaming_df: DataFrame, output_mode: str = "complete", timeout_sec: int = 300
+) -> DataFrame:
+    """Drain a streaming aggregation with Trigger.AvailableNow into a
+    memory sink; returns the result as a BATCH DataFrame. This is the
+    bridge that lets the driver's (batch) correctness gate
+    oracle-check the streaming plans."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return streaming_df.sparkSession.table(name)

@@ -1,0 +1,42 @@
+"""Streaming/batch parity: draining the streaming plans over the
+static events files must reproduce the batch twins. (Oracle parity
+for the streaming queries themselves runs in test_parity.py — they
+carry full DuckDB oracles.)
+"""
+
+from __future__ import annotations
+
+from inside_vectordb_spark.registry import QUERIES
+from inside_vectordb_spark.streaming import (
+    hourly_stream,
+    read_events_stream,
+    run_to_memory,
+    sessionized_stream,
+)
+from tests.conftest import SF_DIR
+
+
+def test_hourly_stream_equals_batch(spark):
+    stream = run_to_memory(hourly_stream(read_events_stream(spark, SF_DIR)))
+    batch = QUERIES["events_hourly"](spark, SF_DIR)
+    a = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b
+
+
+def test_sessionized_stream_matches_batch_sessions(spark):
+    """session_window sessions must agree with the lag-based batch
+    sessionization on (user_id, session_start, n_events) — the
+    testdata has no gap exactly at the 30-min boundary, so the >= /
+    > semantic difference is invisible here."""
+    stream = run_to_memory(sessionized_stream(read_events_stream(spark, SF_DIR)))
+    batch = QUERIES["events_sessionized"](spark, SF_DIR)
+    a = {(r["user_id"], r["session_start"], r["n_events"]) for r in stream.collect()}
+    b = {(r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()}
+    assert a == b
+
+
+def test_stream_is_incremental(spark):
+    """The plan really is a streaming plan (not a batch rewrite)."""
+    s = hourly_stream(read_events_stream(spark, SF_DIR))
+    assert s.isStreaming
