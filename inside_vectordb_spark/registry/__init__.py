@@ -44,5 +44,6 @@ from inside_vectordb_spark.registry import embed  # noqa: E402,F401
 from inside_vectordb_spark.registry import sources  # noqa: E402,F401
 from inside_vectordb_spark.registry import compare  # noqa: E402,F401
 from inside_vectordb_spark.registry import streaming  # noqa: E402,F401
+from inside_vectordb_spark.registry import multimodal  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
