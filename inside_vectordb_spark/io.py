@@ -47,9 +47,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_QUERY_VECTORS = 20
 
 
+# Tables whose downstream work is CPU-heavy per row (shingling, UDF
+# encode/GEMM): worth an explicit split when the source arrives as one
+# unsplittable row group (the testdata writes single-row-group files,
+# so file-split configs cannot create parallelism).
+_SPLIT_TABLES = frozenset({"documents", "embeddings"})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan. Column pruning + predicate pushdown come free as
-    long as callers select/filter on this lazily (they do).
+    long as callers select/filter on this lazily (they do) — both are
+    pushed through the repartition exchange below, so the split does
+    not cost pushdown.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects by default (PARQUET_TYPE_ILLEGAL). We
@@ -58,6 +67,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is exactly DuckDB's nanos→TIMESTAMP truncation, keeping oracle
     parity. The conversion is a per-row projection — scan pruning and
     pushdown on the other columns are unaffected.
+
+    ``documents``/``embeddings`` are repartitioned to the session's
+    parallelism when the scan yields fewer partitions (single-row-group
+    testdata): shingling/encoding/GEMM on one core of 32 is the local
+    bottleneck otherwise. At 100 TB the scan has far more splits than
+    cores and the branch never triggers.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -65,7 +80,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in _SPLIT_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

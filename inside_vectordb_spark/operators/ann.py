@@ -184,7 +184,7 @@ def kmeans_centroids(
     n_centroids: int,
     seed: int = 42,
     max_iter: int = 10,
-    sample_limit: int = 20000,
+    sample_limit: int = 8192,
     id_col: str = "vec_id",
 ) -> np.ndarray:
     """Coarse quantizer trained on a deterministic id-ordered sample

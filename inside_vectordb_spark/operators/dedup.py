@@ -45,14 +45,27 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def _minhash_cols(shingle_col: str = "sh", k: int = MINHASH_K) -> list[Column]:
-    """One min-aggregate per hash function i: min over shingles of
-    md5('{i}#' || shingle). Lexicographic min over hex strings is a
-    valid uniform minhash (md5 output is uniform)."""
+# One multiply-add hash family per signature slot, derived from ONE
+# md5 per shingle: base b (60 bits) splits into two 30-bit halves
+# (b1, b2); h_i = (a_i·b1 + c_i·b2 + d_i) mod P. Products stay < 2^47
+# so the arithmetic is exact (and identical) in any 64-bit engine —
+# no overflow, fully portable to the DuckDB oracle. Constants are
+# fixed odd 16-bit values (seeded once, frozen here).
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+_HALF = 1 << 30
+
+
+def _minhash_params(k: int = MINHASH_K) -> list[tuple[int, int, int]]:
+    import numpy as _np
+
+    rng = _np.random.RandomState(7)
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col(shingle_col)))).alias(f"mh{i}")
-        for i in range(k)
+        (int(a) | 1, int(c) | 1, int(d))
+        for a, c, d in rng.randint(1, 1 << 16, size=(k, 3))
     ]
+
+
+MINHASH_PARAMS = _minhash_params()
 
 
 def minhash_signatures(
@@ -62,14 +75,33 @@ def minhash_signatures(
     shingle_n: int = 3,
     k: int = MINHASH_K,
 ) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}) MinHash signature from distinct word
-    n-gram shingles. Docs with < n words yield no signature (no
-    shingles), mirroring MinHashLSH's non-empty-set requirement."""
+    """(doc_id, mh0..mh{k-1} BIGINT) MinHash signature from distinct
+    word n-gram shingles.
+
+    Plan shape: explode shingles → ONE md5 per (doc, shingle) row →
+    k multiply-add minima as partial aggregates. The partial (map-side)
+    aggregation means only ~n_docs × k longs reach the shuffle, never
+    the shingle rows; the md5 count is 1/k of a hash-per-slot scheme —
+    at sf0.1 that is 7.5M md5s instead of 90M. Docs with < n words
+    yield no signature (no shingles), mirroring MinHashLSH's
+    non-empty-set requirement."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
     )
-    return sh.groupBy("doc_id").agg(*_minhash_cols("sh", k))
+    b = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
+    based = sh.select(
+        "doc_id", (b % _HALF).alias("b1"), F.shiftright(b, 30).alias("b2")
+    )
+    return based.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("b1") * F.lit(a) + F.col("b2") * F.lit(c) + F.lit(d))
+                % F.lit(MINHASH_PRIME)
+            ).alias(f"mh{i}")
+            for i, (a, c, d) in enumerate(MINHASH_PARAMS[:k])
+        ]
+    )
 
 
 def minhash_band_keys(

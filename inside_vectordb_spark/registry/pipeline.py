@@ -35,13 +35,21 @@ _K = dd.MINHASH_K
 _BANDS = dd.MINHASH_BANDS
 _RPB = _K // _BANDS
 
+# Same one-md5 + multiply-add family as operators/dedup.py: exact
+# 64-bit integer arithmetic, identical in both engines.
 _SIG_SELECT = ", ".join(
-    f"min(md5('{i}#' || sh)) AS mh{i}" for i in range(_K)
+    f"min((b1 * {a} + b2 * {c} + {d}) % {dd.MINHASH_PRIME}) AS mh{i}"
+    for i, (a, c, d) in enumerate(dd.MINHASH_PARAMS[:_K])
 )
 
 _SIG_CTE = f"""
     {_SH_CTE},
-    sig AS (SELECT doc_id, {_SIG_SELECT} FROM sh GROUP BY doc_id)
+    based AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS b1,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT // 1073741824 AS b2
+      FROM sh),
+    sig AS (SELECT doc_id, {_SIG_SELECT} FROM based GROUP BY doc_id)
 """
 
 _BANDS_CTE = (

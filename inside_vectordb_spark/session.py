@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # The testdata lays each table out as ONE small parquet file;
+        # the default 128 MB split size would put entire expensive
+        # scans (shingling, UDF encode) on a single core. 4 MB splits
+        # restore scan parallelism locally; at 100 TB inputs arrive as
+        # many files/row-groups and this knob is irrelevant.
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
