@@ -75,7 +75,9 @@ def recall_at_k(
         .groupBy("query_id", "k")
         .agg(F.count("*").alias("n_hits"))
     )
-    per_query = universe.join(hit_counts, ["query_id", "k"], "left").select(
+    # hit_counts is bounded by Q·K rows by construction — broadcast so
+    # the outer join never falls back to sort-merge
+    per_query = universe.join(F.broadcast(hit_counts), ["query_id", "k"], "left").select(
         "k",
         (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_relevant")).alias("r"),
     )
@@ -109,8 +111,8 @@ def precision_at_k(
     )
     universe = _searched(topk).crossJoin(F.broadcast(kd))
     per_query = (
-        universe.join(retrieved, ["query_id", "k"], "left")
-        .join(hit_counts, ["query_id", "k"], "left")
+        universe.join(F.broadcast(retrieved), ["query_id", "k"], "left")
+        .join(F.broadcast(hit_counts), ["query_id", "k"], "left")
         .select(
             "k",
             F.when(F.coalesce(F.col("n_retrieved"), F.lit(0)) == 0, F.lit(0.0))
@@ -136,7 +138,7 @@ def mrr(
         .groupBy("query_id")
         .agg(F.min("rank").alias("first_rank"))
     )
-    per_query = _searched(topk).join(first_hit, "query_id", "left").select(
+    per_query = _searched(topk).join(F.broadcast(first_hit), "query_id", "left").select(
         F.coalesce(F.lit(1.0) / F.col("first_rank"), F.lit(0.0)).alias("rr")
     )
     out = per_query.agg(F.avg("rr").alias("mrr"))

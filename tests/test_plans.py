@@ -1,0 +1,70 @@
+"""Plan-shape regression tests: the properties that make these
+queries survive a 100× scale-up, pinned as assertions.
+
+If one of these breaks, the query still returns correct rows — but
+its plan has regressed into something that won't scale (lost
+pushdown, a shuffle join where a broadcast belongs, a full-agg where
+a partial belongs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark import io as eio
+from inside_vectordb_spark.plans import (
+    assert_in_plan,
+    assert_not_in_plan,
+    count_in_plan,
+)
+from inside_vectordb_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    # the date filter reaches the parquet scan
+    assert_in_plan(df, "LessThanOrEqual(l_shipdate")
+    # map-side partial aggregation before the group-key shuffle
+    assert count_in_plan(df, "HashAggregate") >= 2
+
+
+def test_q5_broadcasts_all_dims(spark):
+    df = QUERIES["q5_region_revenue"](spark, SF_DIR)
+    # every dim join is a broadcast — lineitem never shuffles for joins
+    assert count_in_plan(df, "BroadcastHashJoin") >= 3
+    assert_not_in_plan(df, "SortMergeJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_flagship_broadcasts_queries(spark):
+    df = QUERIES["flagship_topk"](spark, SF_DIR)
+    # the query side rides a broadcast nested-loop (scored stream),
+    # never a materialized cartesian product
+    assert_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+    # corpus scan still prunes columns + pushes the id filter
+    assert_in_plan(df, "LessThan(vec_id,20)")
+
+
+def test_minhash_partial_aggregation(spark):
+    df = QUERIES["minhash_signatures"](spark, SF_DIR)
+    # all 12 minima aggregate map-side; only (doc_id, 12 longs) shuffle
+    assert count_in_plan(df, "partial_min") == 12
+
+
+def test_pushdown_survives_split_repartition(spark):
+    """The load_table parallelism repartition must not cost pushdown
+    (the property verified when the split was added)."""
+    df = eio.load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 20
+    ).select("vec_id")
+    assert_in_plan(df, "LessThan(vec_id,20)")
+    assert_in_plan(df, "ReadSchema: struct<vec_id:bigint>")
+
+
+def test_metrics_broadcast_qrels(spark):
+    df = QUERIES["recall_at_k"](spark, SF_DIR)
+    # qrels/k-dim sides broadcast; no sort-merge join in the metric path
+    assert count_in_plan(df, "BroadcastHashJoin") >= 1
+    assert_not_in_plan(df, "SortMergeJoin")
