@@ -237,6 +237,60 @@ def simhash(
     return bit_sums.select("doc_id", sig.cast("bigint").alias("simhash"))
 
 
+def embedding_near_duplicates_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.8,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by LSH buckets — the
+    production form of ``embedding_near_duplicates`` (no label column
+    needed): candidate pairs share a hyperplane-LSH bucket in ≥1 of
+    ``n_tables`` tables, then exact cosine verifies. Same capped
+    bucket-join shape as ``ann_lsh_topk`` — never a cross product;
+    high-threshold near-dups collide with high probability (cosine
+    ≥ 0.8 ⇒ sign-agreement per plane ≈ 1 - θ/π ≈ 0.8)."""
+    from pyspark.sql import Window as _W
+
+    from inside_vectordb_spark.operators.ann import lsh_bucket_ids
+
+    b = lsh_bucket_ids(embeddings, id_col, vec_col, dim, n_tables, n_bits, seed)
+    if max_bucket_size is not None:
+        w = _W.partitionBy("table_idx", "bucket").orderBy("id")
+        b = (
+            b.withColumn("__bpos", F.row_number().over(w))
+            .filter(F.col("__bpos") <= max_bucket_size)
+            .drop("__bpos")
+        )
+    pairs = (
+        b.select(F.col("id").alias("id_a"), "table_idx", "bucket")
+        .join(
+            b.select(F.col("id").alias("id_b"), "table_idx", "bucket"),
+            ["table_idx", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    out = (
+        pairs.join(e.withColumnRenamed("__id", "id_a").withColumnRenamed("__v", "v_a"), "id_a")
+        .join(e.withColumnRenamed("__id", "id_b").withColumnRenamed("__v", "v_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("v_a", "v_b"), round_to).alias("cos_sim"),
+        )
+    )
+    return out.filter(F.col("cos_sim") >= threshold)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.8,

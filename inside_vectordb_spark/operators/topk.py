@@ -107,12 +107,13 @@ def exact_cosine_topk_gemm(
     """GEMM-batched exact search (scale path, SURVEY.md §7 risk 1).
 
     Queries are collected to the driver (they are the small side by
-    contract — hundreds/thousands of rows) and shipped to executors
-    inside the serialized UDF closure; Spark broadcasts task binaries,
-    so each executor deserializes the Q×d matrix once per task batch.
-    Each corpus partition computes scores with one matmul and
-    argpartition-selects its local top-k (the reference's missed O10:
-    heap/partition selection instead of full argsort).
+    contract — hundreds/thousands of rows) and shipped via an
+    explicit ``sc.broadcast``: one torrent transfer per executor,
+    cached across tasks — closure capture would re-pickle the Q×d
+    matrix into every task binary instead. Each corpus partition
+    computes scores with one matmul and argpartition-selects its
+    local top-k (the reference's missed O10: heap/partition selection
+    instead of full argsort).
     """
     qrows = (
         queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("v"))
@@ -120,15 +121,17 @@ def exact_cosine_topk_gemm(
     )
     if not qrows:
         raise ValueError("empty query set")
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
-    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids_l = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat_l = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat_l, axis=1, keepdims=True)
     qn[qn == 0.0] = 1.0
-    qmat /= qn
+    qmat_l /= qn
+    bc = queries.sparkSession.sparkContext.broadcast((qids_l, qmat_l))
 
     c = corpus.select(F.col(corpus_id).alias("doc_id"), F.col(corpus_vec).alias("v"))
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qmat = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -65,6 +65,57 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_knob_sweep")
+def ann_knob_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/X3: the ef-analogue sensitivity sweep as one result table —
+    recall retention vs exact for LSH n_tables ∈ {2,4,8,16} and IVF
+    n_probe ∈ {1,4,8} (the reference's ``003:408-458``/``004:392-446``
+    sweep, reporting recall@10 per knob setting). Deterministic given
+    the data; monotonicity is asserted in tests/test_ann.py."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+
+    q = eio.query_vectors(spark, sf_dir)
+    c = eio.load_table(spark, sf_dir, "embeddings")
+    k = 10
+    exact = exact_cosine_topk(q, c, k=k).select("query_id", "doc_id")
+
+    def retention(ann_df) -> DataFrame:
+        hits = ann_df.select("query_id", "doc_id").join(
+            exact, ["query_id", "doc_id"]
+        )
+        return hits.agg(
+            (F.count("*") / F.lit(1.0)).alias("n_hits")
+        ).crossJoin(exact.agg(F.count("*").alias("n_exact"))).select(
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall_retention")
+        )
+
+    pieces = []
+    for n_tables in (2, 4, 8, 16):
+        r = retention(
+            ann_lsh_topk(q, c, dim=EMB_DIM, k=k, n_tables=n_tables, n_bits=4)
+        ).select(
+            F.lit("lsh").alias("method"),
+            F.lit(n_tables).alias("knob"),
+            "recall_retention",
+        )
+        pieces.append(r)
+    for n_probe in (1, 4, 8):
+        r = retention(
+            ann_ivf_topk(q, c, k=k, n_centroids=16, n_probe=n_probe)
+        ).select(
+            F.lit("ivf").alias("method"),
+            F.lit(n_probe).alias("knob"),
+            "recall_retention",
+        )
+        pieces.append(r)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method", "knob")
+
+
 @register("ann_lsh_topk_indexed")
 def ann_lsh_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9+T3: LSH search against a PERSISTED bucket table (built on

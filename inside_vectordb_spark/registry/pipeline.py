@@ -191,6 +191,16 @@ def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_near_duplicates_lsh")
+def embedding_near_duplicates_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production blocking: LSH buckets instead of a label column
+    (rows-only — hyperplanes are not SQL-expressible; recall behavior
+    is asserted in tests/test_ann.py on a clustered corpus)."""
+    return dd.embedding_near_duplicates_lsh(
+        eio.load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.8
+    )
+
+
 # ---- text analysis -------------------------------------------------------
 
 _MARKERS_SQL = {

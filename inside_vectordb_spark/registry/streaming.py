@@ -7,7 +7,7 @@ included.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inside_vectordb_spark.registry import register
@@ -15,6 +15,7 @@ from inside_vectordb_spark.streaming import (
     hourly_stream,
     read_events_stream,
     run_to_memory,
+    running_user_totals,
     sessionized_stream,
 )
 
@@ -63,3 +64,35 @@ def events_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``>``)."""
     out = run_to_memory(sessionized_stream(read_events_stream(spark, sf_dir)))
     return out.orderBy("user_id", "session_start")
+
+
+@register(
+    "events_user_totals_stream",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): running
+    per-user totals. Draining the static directory in one AvailableNow
+    batch makes the last update per user equal the batch aggregate —
+    the oracle checks the arbitrary-state path end to end."""
+    out = run_to_memory(
+        running_user_totals(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    # update mode may emit a row per (user, micro-batch): keep the
+    # final (max n_events) row per user for the stable batch view
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    return (
+        out.withColumn("__rn", w)
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", "n_events", F.round("total_value", 6).alias("total_value")
+        )
+        .orderBy("user_id")
+    )

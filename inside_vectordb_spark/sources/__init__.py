@@ -15,6 +15,7 @@ from inside_vectordb_spark.sources.files import (
     CORPUS_SCHEMA,
     QRELS_SCHEMA,
     QUERIES_SCHEMA,
+    load_beir_data,
     read_corpus_jsonl,
     read_embeddings_parquet,
     read_qrels_tsv,
@@ -32,6 +33,7 @@ __all__ = [
     "CORPUS_SCHEMA",
     "QRELS_SCHEMA",
     "QUERIES_SCHEMA",
+    "load_beir_data",
     "read_corpus_jsonl",
     "read_embeddings_parquet",
     "read_qrels_tsv",

@@ -60,6 +60,22 @@ QRELS_SCHEMA = StructType(
 )
 
 
+def load_beir_data(
+    spark: SparkSession, root: str, split: str = "dev"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """S2: the composite BEIR loader (``000-get_data.py:91-107``) —
+    one call returning (corpus, queries, qrels) from the standard
+    BEIR layout ``{root}/corpus.jsonl``, ``{root}/queries.jsonl``,
+    ``{root}/qrels/{split}.tsv``."""
+    import os
+
+    return (
+        read_corpus_jsonl(spark, os.path.join(root, "corpus.jsonl")),
+        read_queries_jsonl(spark, os.path.join(root, "queries.jsonl")),
+        read_qrels_tsv(spark, os.path.join(root, "qrels", f"{split}.tsv")),
+    )
+
+
 def read_corpus_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """S3: corpus JSONL → (doc_id, title, text, metadata)."""
     return (

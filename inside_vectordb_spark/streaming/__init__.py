@@ -12,10 +12,12 @@ from inside_vectordb_spark.streaming.events import (
     run_to_memory,
     sessionized_stream,
 )
+from inside_vectordb_spark.streaming.stateful import running_user_totals
 
 __all__ = [
     "hourly_stream",
     "read_events_stream",
     "run_to_memory",
+    "running_user_totals",
     "sessionized_stream",
 ]

@@ -183,6 +183,38 @@ def test_kmeans_empty_corpus_raises(spark):
         kmeans_centroids(c, "embedding", n_centroids=8)
 
 
+def test_embedding_near_dup_lsh_finds_planted_dups(spark, clustered):
+    """LSH-blocked near-dup must surface the planted near-identical
+    pairs without a label column or cross product."""
+    from inside_vectordb_spark.operators.dedup import (
+        embedding_near_duplicates_lsh,
+    )
+
+    corpus, _ = clustered
+    # plant 5 exact duplicate pairs (ids 2000+i duplicates id i*100)
+    import pandas as pd
+
+    dup_rows = corpus.filter("vec_id % 100 = 0").limit(5).collect()
+    dups = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [2000 + i for i in range(len(dup_rows))],
+                "embedding": [r["embedding"] for r in dup_rows],
+            }
+        )
+    )
+    full = corpus.select("vec_id", "embedding").unionByName(dups)
+    found = embedding_near_duplicates_lsh(
+        full, dim=EMB_DIM, threshold=0.99, n_tables=8, n_bits=8
+    ).collect()
+    found_pairs = {(r["id_a"], r["id_b"]) for r in found}
+    expected = {
+        (r["vec_id"], 2000 + i) for i, r in enumerate(dup_rows)
+    }
+    assert expected <= found_pairs, f"missing planted dups: {expected - found_pairs}"
+    assert all(r["cos_sim"] >= 0.99 for r in found)
+
+
 def test_lsh_hot_bucket_cap(spark):
     """Adversarial hot bucket: hundreds of near-identical vectors hash
     to one signature; the per-bucket cap bounds candidate generation
