@@ -36,15 +36,21 @@ from inside_vectordb_spark.registry import QUERIES
 from inside_vectordb_spark.session import get_spark
 
 # The headline set: flagship exact search (declarative + GEMM twins),
-# both ANN tiers, the heaviest dedup pipeline, and three TPC-H-style
-# relational plans — the queries whose plans must survive a 100×
-# scale-up (VERDICT round 1).
+# both ANN tiers (rebuild + stored-index reuse), the heaviest dedup
+# pipeline, embedding generation, the binary decode pipeline, the
+# streaming drain, and three TPC-H-style relational plans — the
+# queries whose plans must survive a 100× scale-up.
 HEADLINE = [
     "flagship_topk",
     "topk_gemm",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_lsh_topk_indexed",
     "minhash_near_duplicates",
+    "text_embeddings",
+    "image_features",
+    "events_hourly",
+    "events_hourly_stream",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
