@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis): the IR metrics against an
+independent pure-Python re-implementation of the REFERENCE semantics
+(``utils.py:15-110``) on randomized inputs — catches semantic drift
+the fixed-fixture parity tests can't (skip rule, zero-fill,
+retrieved-denominator, grade-agnostic relevance).
+
+Plus the salted-join equivalence property: salting must never change
+join results, only the plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from inside_vectordb_spark.operators.metrics import mrr, precision_at_k, recall_at_k
+from inside_vectordb_spark.operators.skew import salted_equi_join
+
+# ranked results: per query a permutation-free list of doc ids
+results_strategy = st.dictionaries(
+    st.integers(0, 5),  # query_id
+    st.lists(st.integers(0, 30), min_size=1, max_size=12, unique=True),
+    min_size=1,
+    max_size=5,
+)
+qrels_strategy = st.dictionaries(
+    st.integers(0, 5),
+    st.dictionaries(st.integers(0, 30), st.integers(0, 2), min_size=0, max_size=8),
+    min_size=0,
+    max_size=6,
+)
+
+
+def _ref_recall(results, qrels, k):
+    """utils.py:15-46: skip queries with zero relevant; grade-agnostic."""
+    vals = []
+    for qid, ranked in results.items():
+        relevant = set(qrels.get(qid, {}))
+        if not relevant:
+            continue
+        vals.append(len(set(ranked[:k]) & relevant) / len(relevant))
+    return sum(vals) / len(vals) if vals else 0.0
+
+
+def _ref_precision(results, qrels, k):
+    """utils.py:49-82: denominator = |retrieved@k|; empty retrieval → 0."""
+    vals = []
+    for qid, ranked in results.items():
+        retrieved = ranked[:k]
+        relevant = set(qrels.get(qid, {}))
+        vals.append(
+            len(set(retrieved) & relevant) / len(retrieved) if retrieved else 0.0
+        )
+    return sum(vals) / len(vals) if vals else 0.0
+
+
+def _ref_mrr(results, qrels):
+    """utils.py:85-110: 1/first-relevant-rank, 0 when none."""
+    vals = []
+    for qid, ranked in results.items():
+        relevant = set(qrels.get(qid, {}))
+        rr = 0.0
+        for pos, did in enumerate(ranked, start=1):
+            if did in relevant:
+                rr = 1.0 / pos
+                break
+        vals.append(rr)
+    return sum(vals) / len(vals)
+
+
+def _to_dfs(spark, results, qrels):
+    topk_rows = [
+        (qid, did, float(len(ranked) - i), i + 1)
+        for qid, ranked in results.items()
+        for i, did in enumerate(ranked)
+    ]
+    qrel_rows = [
+        (qid, did, rel)
+        for qid, docs in qrels.items()
+        for did, rel in docs.items()
+    ]
+    topk = spark.createDataFrame(
+        topk_rows, "query_id long, doc_id long, score double, rank int"
+    )
+    qr = spark.createDataFrame(
+        qrel_rows or [(-(10**6), -(10**6), 0)],
+        "query_id long, doc_id long, relevance int",
+    )
+    if not qrel_rows:
+        qr = qr.filter("query_id >= 0")
+    return topk, qr
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(results=results_strategy, qrels=qrels_strategy)
+def test_metrics_match_reference_semantics(spark, results, qrels):
+    topk, qr = _to_dfs(spark, results, qrels)
+    k = 5
+    got_r = {r["k"]: r["recall"] for r in recall_at_k(topk, qr, (k,), round_to=None).collect()}
+    got_p = {r["k"]: r["precision"] for r in precision_at_k(topk, qr, (k,), round_to=None).collect()}
+    got_m = mrr(topk, qr, round_to=None).collect()[0]["mrr"]
+    assert math.isclose(got_r.get(k, 0.0), _ref_recall(results, qrels, k), abs_tol=1e-9)
+    assert math.isclose(got_p[k], _ref_precision(results, qrels, k), abs_tol=1e-9)
+    assert math.isclose(got_m, _ref_mrr(results, qrels), abs_tol=1e-9)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(0, 3), min_size=1, max_size=40),
+    dim=st.dictionaries(st.integers(0, 3), st.text("abc", min_size=1, max_size=3), min_size=1, max_size=4),
+)
+def test_salted_join_equals_plain_join(spark, keys, dim):
+    skewed = spark.createDataFrame(
+        pd.DataFrame({"k": keys, "row_id": range(len(keys))}).astype({"k": "int64"})
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": list(dim), "v": list(dim.values())}).astype({"k": "int64"})
+    )
+    plain = {(r["row_id"], r["v"]) for r in skewed.join(small, "k").collect()}
+    salted = {
+        (r["row_id"], r["v"])
+        for r in salted_equi_join(skewed, small, key="k", row_col="row_id", n_salts=4).collect()
+    }
+    assert salted == plain
+
+
+def test_metric_recall_skip_rule_explicit(spark):
+    """A query with NO qrels entries must be skipped from recall but
+    counted (as zero) in precision and MRR — the exact reference
+    asymmetry."""
+    results = {1: [10, 11], 2: [20]}
+    qrels = {1: {10: 2}}  # query 2 unjudged
+    topk, qr = _to_dfs(spark, results, qrels)
+    r = recall_at_k(topk, qr, (2,), round_to=None).collect()[0]["recall"]
+    p = precision_at_k(topk, qr, (2,), round_to=None).collect()[0]["precision"]
+    m = mrr(topk, qr, round_to=None).collect()[0]["mrr"]
+    assert r == pytest.approx(1.0)      # only query 1 counts
+    assert p == pytest.approx(0.25)     # (1/2 + 0/1) / 2
+    assert m == pytest.approx(0.5)      # (1.0 + 0.0) / 2

@@ -28,3 +28,17 @@ def test_report_roundtrip_and_latest(tmp_path):
 
 def test_load_latest_reports_empty(tmp_path):
     assert load_latest_reports(str(tmp_path)) == {}
+
+
+def test_beir_download_url_and_cache(tmp_path):
+    """S1: URL construction + already-downloaded short-circuit (the
+    network fetch itself is an environment concern)."""
+    from inside_vectordb_spark.sources.beir import (
+        beir_dataset_url,
+        download_beir_dataset,
+    )
+
+    assert beir_dataset_url("msmarco").endswith("/BEIR/datasets/msmarco.zip")
+    cached = tmp_path / "msmarco"
+    cached.mkdir()
+    assert download_beir_dataset("msmarco", str(tmp_path)) == str(cached)
