@@ -12,8 +12,10 @@ from pyspark.sql import functions as F
 
 from inside_vectordb_spark.registry import register
 from inside_vectordb_spark.streaming import (
+    distinct_content_stream,
     hourly_stream,
     read_events_stream,
+    read_table_stream,
     run_to_memory,
     running_user_totals,
     sessionized_stream,
@@ -96,3 +98,16 @@ def events_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "dedup_exact_stream",
+    oracle="SELECT DISTINCT md5(text) AS text_hash FROM documents",
+)
+def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (stateful dropDuplicates): draining the
+    static corpus must emit exactly the distinct content hashes —
+    the streaming twin of dedup_exact's hash universe."""
+    docs = read_table_stream(spark, sf_dir, "documents")
+    out = run_to_memory(distinct_content_stream(docs), output_mode="append")
+    return out.orderBy("text_hash")

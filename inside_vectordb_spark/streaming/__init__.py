@@ -7,16 +7,20 @@ engine covers the continuous-ingest half of a production pipeline.
 """
 
 from inside_vectordb_spark.streaming.events import (
+    distinct_content_stream,
     hourly_stream,
     read_events_stream,
+    read_table_stream,
     run_to_memory,
     sessionized_stream,
 )
 from inside_vectordb_spark.streaming.stateful import running_user_totals
 
 __all__ = [
+    "distinct_content_stream",
     "hourly_stream",
     "read_events_stream",
+    "read_table_stream",
     "run_to_memory",
     "running_user_totals",
     "sessionized_stream",

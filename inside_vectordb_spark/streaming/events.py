@@ -32,44 +32,62 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over the events parquet. The nanos
-    timestamp is read as a raw long (``nanosAsLong``, as in
-    ``io.load_table``) and floor-divided to microseconds — identical
-    truncation to the batch reader, keeping parity."""
+    """File-source stream over one testdata parquet table. The file
+    stream source requires a DIRECTORY (its basePath); the testdata
+    lays tables out as single files, so stage a directory containing
+    a link to the file. In production the ingest directory is already
+    the landing zone new files arrive in."""
     import os
     import shutil
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     raw_schema = spark.read.parquet(path).schema
-    # The file stream source requires a DIRECTORY (its basePath); the
-    # testdata lays tables out as single files, so stage a directory
-    # containing a link to the file. In production the ingest
-    # directory is already the landing zone new files arrive in.
     stage = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".artifacts",
         "stream_src",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
+        f"{name}_{os.path.basename(sf_dir.rstrip('/')) or 'default'}",
     )
     os.makedirs(stage, exist_ok=True)
-    staged = os.path.join(stage, "events.parquet")
+    staged = os.path.join(stage, f"{name}.parquet")
     if not os.path.exists(staged):
         try:
             os.symlink(path, staged)
         except OSError:
             shutil.copyfile(path, staged)
-    df = (
+    return (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage)
     )
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Events stream; the nanos timestamp is read as a raw long
+    (``nanosAsLong``, as in ``io.load_table``) and floor-divided to
+    microseconds — identical truncation to the batch reader, keeping
+    parity."""
+    df = read_table_stream(spark, sf_dir, "events", max_files_per_trigger)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def distinct_content_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: emit each content hash the FIRST time
+    it is seen (``dropDuplicates`` keeps per-key state across
+    micro-batches). A live deployment adds ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` to bound state; draining a
+    static directory keeps exact semantics."""
+    return docs.select(F.md5(F.col(text_col)).alias("text_hash")).dropDuplicates(
+        ["text_hash"]
+    )
 
 
 def hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
