@@ -85,6 +85,32 @@ def text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_centroids",
+    oracle="""
+    WITH comp AS (
+      SELECT label, CAST(i.i AS INT) AS component,
+             avg(CAST(embedding[i.i + 1] AS DOUBLE)) AS m,
+             count(*) AS n
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) i
+      GROUP BY label, i.i)
+    SELECT label, component, round(m, 6) AS mean_value,
+           CAST(n AS BIGINT) AS n_vectors
+    FROM comp
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (``applyInPandas``): per-label embedding
+    centroid, long-form — the whole-group-in-pandas execution shape,
+    hash-match verified against columnwise SQL averages."""
+    from inside_vectordb_spark.operators.grouped import group_centroids
+
+    out = group_centroids(eio.load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "label", "component", F.round("mean_value", 6).alias("mean_value"), "n_vectors"
+    )
+
+
+@register(
     "text_search_e2e",
     oracle=f"""
     WITH {_DENSE_CTE},

@@ -30,6 +30,25 @@ def test_load_latest_reports_empty(tmp_path):
     assert load_latest_reports(str(tmp_path)) == {}
 
 
+def test_queries_jsonl_roundtrip(spark, tmp_path):
+    """S4: queries JSONL reader round-trip."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.sources import read_queries_jsonl
+
+    src_df = spark.createDataFrame(
+        pd.DataFrame({"_id": ["q1", "q2"], "text": ["what is spark", "how to join"]})
+    )
+    path = str(tmp_path / "queries.jsonl")
+    src_df.write.json(path)
+    back = read_queries_jsonl(spark, path)
+    assert {(r["query_id"], r["text"]) for r in back.collect()} == {
+        ("q1", "what is spark"),
+        ("q2", "how to join"),
+    }
+
+
 def test_beir_download_url_and_cache(tmp_path):
     """S1: URL construction + already-downloaded short-circuit (the
     network fetch itself is an environment concern)."""
