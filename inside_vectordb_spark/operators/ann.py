@@ -194,15 +194,18 @@ def kmeans_centroids(
     Quantizer quality only needs a representative sample, not the full
     100 TB. L2-normalized so euclidean k-means ≈ spherical k-means for
     cosine."""
-    rows = (
-        corpus.select(F.col(id_col).alias("__id"), l2_normalize(vec_col).alias("v"))
+    pdf = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("v"))
         .orderBy("__id")
         .limit(sample_limit)
-        .collect()
+        .toPandas()  # Arrow transfer; normalization in NumPy below
     )
-    if not rows:
+    if pdf.empty:
         raise ValueError("kmeans_centroids: empty corpus")
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat = np.array(list(pdf["v"]), dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    mat /= nrm
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
     for _ in range(max_iter):

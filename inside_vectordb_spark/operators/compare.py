@@ -120,6 +120,50 @@ def summary_extrema(cmp: DataFrame) -> DataFrame:
     return out
 
 
+def run_comparison_pipeline(
+    per_method: dict[str, DataFrame],
+    reports_dir: str,
+    baseline: str = "exact",
+) -> str:
+    """The full 005 loop, file boundaries included: persist one
+    timestamped report per method (S11), re-load the latest per
+    method (S12), normalize shapes (B4), pivot + retention (B5/A10),
+    and return the formatted summary (B6). ``per_method`` maps method
+    name → long-form evaluation report (metric, k, value)."""
+    from inside_vectordb_spark.sources.reports import (
+        load_latest_reports,
+        save_metrics_report,
+    )
+
+    spark = next(iter(per_method.values())).sparkSession
+    for method, rep in per_method.items():
+        metrics = {
+            (f"{r['metric']}@{r['k']}" if r["k"] is not None else r["metric"]): r["value"]
+            for r in rep.collect()
+        }
+        save_metrics_report(method, metrics, reports_dir)
+
+    loaded = load_latest_reports(reports_dir)
+    rows = []
+    for method, raw in loaded.items():
+        flat = normalize_report(raw)
+        for key, val in flat.items():
+            if key == "mrr":
+                rows.append((method, "mrr", None, val))
+            elif "@" in key:
+                metric, k = key.split("@", 1)
+                rows.append((method, metric, int(k), val))
+    long_df = spark.createDataFrame(
+        rows, "method string, metric string, k int, value double"
+    )
+    per_method_loaded = {
+        m: long_df.filter(F.col("method") == m).select("metric", "k", "value")
+        for m in loaded
+    }
+    cmp = recall_retention(method_comparison(per_method_loaded), baseline=baseline)
+    return summary_text(cmp.collect())
+
+
 def summary_text(cmp_rows: list, perf_rows: list | None = None) -> str:
     """B6: the formatted comparison summary (``005:430-520``), built
     driver-side from collected comparison rows."""

@@ -90,6 +90,25 @@ def test_summary_text(cmp_df):
     assert "KEY FINDING: best recall@10 = 0.8000 (exact)" in txt
 
 
+def test_run_comparison_pipeline_through_files(spark, tmp_path):
+    """B4/B5/B6 + S11/S12 composed: reports written to disk, re-read,
+    normalized, pivoted, summarized."""
+    from inside_vectordb_spark.operators.compare import run_comparison_pipeline
+
+    per_method = {
+        "exact": _long_report(
+            spark, [("recall", 10, 0.8), ("precision", 10, 0.4), ("mrr", None, 0.6)]
+        ),
+        "lsh": _long_report(
+            spark, [("recall", 10, 0.6), ("precision", 10, 0.3), ("mrr", None, 0.5)]
+        ),
+    }
+    txt = run_comparison_pipeline(per_method, str(tmp_path))
+    assert "exact" in txt and "lsh" in txt
+    assert "75.0%" in txt  # lsh retention from the file round-trip
+    assert (tmp_path / "exact").is_dir() and (tmp_path / "lsh").is_dir()
+
+
 # ---- end-to-end on driver data -------------------------------------------
 
 
