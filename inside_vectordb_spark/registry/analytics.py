@@ -1,0 +1,220 @@
+"""Event-analytics registry: temporal joins, rollups, window frames,
+percentiles, vocabulary, and sketches.
+
+Beyond-reference extensions (the reference has no time-series tier);
+every SQL-expressible query carries a DuckDB oracle. The as-of and
+banded-pair oracles use DuckDB's native ASOF/inequality joins, so
+they independently cross-check the Spark formulations (union+window
+and bin-bucketed equi-joins respectively) rather than restating them.
+
+Scale notes per query live on the operator docstrings
+(``operators/temporal.py``); the registry-level invariant is that
+none of these plans contains a theta join, a driver-side loop, or a
+Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark import io as eio
+from inside_vectordb_spark.operators.temporal import asof_join, banded_pairs
+from inside_vectordb_spark.registry import register
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, round(l.value, 6) AS click_value,
+           r.ts AS asof_ts, round(r.value, 6) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the same user's most
+    recent view event at-or-before it (NULL when none). The oracle is
+    DuckDB's native ASOF LEFT JOIN — an independent formulation of
+    the same semantics."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("click_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.round("value", 6).alias("value")
+    )
+    return asof_join(
+        clicks, views, key_col="user_id", ts_col="ts",
+        right_cols=["value"], prefix="asof_",
+    )
+
+
+@register(
+    "events_cooccurrence",
+    oracle="""
+    SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
+           round(CAST(epoch_us(b.ts) - epoch_us(a.ts) AS DOUBLE) / 1e6, 6)
+               AS gap_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 300 SECONDS
+    """,
+)
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal co-occurrence: ordered pairs of same-user events at
+    most 300 s apart. Spark side uses the banded (bin-bucketed)
+    self-equi-join; the oracle is the naive inequality join — fine
+    for DuckDB at sf0.01, exactly the plan the banded rewrite exists
+    to avoid at scale."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    return banded_pairs(ev, key_col="user_id", ts_col="ts", id_col="event_id", band_sec=300)
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+    SELECT CAST(GROUPING_ID(d, h) AS INT) AS grp,
+           d AS event_day, h AS event_hour,
+           count(*) AS n_events, round(sum(v), 6) AS total_value
+    FROM (SELECT strftime(ts, '%Y-%m-%d') AS d,
+                 CAST(extract(hour FROM ts) AS INT) AS h,
+                 value AS v
+          FROM events)
+    GROUP BY ROLLUP (d, h)
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: one pass producing
+    hour-level, day-level, and grand-total aggregates via ROLLUP
+    (grouping sets). At scale this is strictly cheaper than three
+    separate aggregations — Spark plans a single shuffle whose
+    partial aggregation is shared across levels."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+        F.hour("ts").alias("event_hour"),
+        "value",
+    )
+    return (
+        base.rollup("event_day", "event_hour")
+        .agg(
+            F.grouping_id().cast("int").alias("grp"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select("grp", "event_day", "event_hour", "n_events", "total_value")
+    )
+
+
+@register(
+    "events_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+               AS mov_avg3,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+    FROM events
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average (3-row frame) and running total —
+    ordered window frames over event time. One shuffle on user_id
+    serves both windows (same partitioning + ordering); (user_id, ts)
+    is unique so the frame contents are deterministic."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("mov_avg3"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("cum_value"),
+    )
+
+
+@register(
+    "doc_length_percentiles",
+    oracle="""
+    SELECT round(q[1], 6) AS p25, round(q[2], 6) AS p50,
+           round(q[3], 6) AS p75, round(q[4], 6) AS p95
+    FROM (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) AS q
+          FROM documents)
+    """,
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of document length
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``). Exact
+    percentile is a full-sort aggregate; the scale path is
+    ``percentile_approx`` (t-digest, mergeable map-side) — kept exact
+    here because the oracle must hash-match."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.expr(
+            "percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        ).alias("q")
+    )
+    return q.select(
+        *[
+            F.round(F.element_at("q", i + 1), 6).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ]
+    )
+
+
+@register(
+    "vocab_top_terms",
+    oracle="""
+    SELECT term, count(*) AS n_occurrences
+    FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+          FROM documents) t
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY n_occurrences DESC, term
+    LIMIT 50
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 terms by occurrence (the first step
+    of any tokenizer/BPE training run). explode + groupBy: partial
+    (map-side) counts shuffle only one row per distinct term per
+    partition, so network volume is O(vocab), not O(tokens)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "term")
+        .limit(50)
+    )
+
+
+@register("events_user_sketch")  # rows-only: HLL estimates have no ANSI-SQL twin
+def events_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via Apache
+    DataSketches HLL (``hll_sketch_agg``), plus an 'ALL' row computed
+    by MERGING the per-type sketches (``hll_union_agg``) — the
+    re-aggregation property that makes sketches the 100-TB answer to
+    COUNT(DISTINCT): partial sketches combine associatively, so a
+    rollup never rescans raw data. Accuracy bound asserted in
+    ``tests/test_analytics.py`` (vs exact distinct, ±5%)."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    typed = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").cast("long").alias("approx_users")
+    )
+    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+    )
+    return typed.unionByName(merged).orderBy("event_type")

@@ -1,0 +1,97 @@
+"""Edge-semantics tests for the temporal/analytics operators.
+
+Oracle parity at testdata scale is covered by ``test_parity.py``;
+these tests pin the boundary behaviors the synthetic data may never
+exercise: as-of inclusivity and NULL-fill, band-gap boundaries in
+the banded pair join, and the sketch accuracy bound.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark import io as eio
+from inside_vectordb_spark.operators.temporal import asof_join, banded_pairs
+from inside_vectordb_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _ts(sec: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0), "l0"), (1, _ts(10), "l10"), (1, _ts(20), "l20"), (2, _ts(5), "l5")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), "r10"), (1, _ts(15), "r15"), (3, _ts(0), "r0")],
+        "k int, ts timestamp, rv string",
+    )
+    out = {
+        r["lv"]: (r["asof_ts"], r["asof_rv"])
+        for r in asof_join(left, right, "k", "ts", ["rv"]).collect()
+    }
+    assert out["l0"] == (None, None)  # no right row at-or-before → NULL (left join)
+    assert out["l10"] == (_ts(10), "r10")  # equal ts is INCLUSIVE
+    assert out["l20"] == (_ts(15), "r15")  # latest prior wins
+    assert out["l5"] == (None, None)  # key with no right rows at all
+
+
+def test_asof_join_keeps_all_left_rows(spark):
+    res = QUERIES["events_asof_join"](spark, SF_DIR)
+    ev = eio.load_table(spark, SF_DIR, "events")
+    n_clicks = ev.filter(F.col("event_type") == "click").count()
+    assert res.count() == n_clicks
+    assert res.select("event_id").distinct().count() == n_clicks
+
+
+def test_banded_pairs_boundaries(spark):
+    band = 10
+    events = spark.createDataFrame(
+        [
+            (1, 100, _ts(0.0)),
+            (1, 101, _ts(10.0)),   # gap == band → included (inclusive)
+            (1, 102, _ts(20.5)),   # gap 10.5 from 101 → excluded
+            (2, 200, _ts(3.0)),
+            (2, 201, _ts(3.0)),    # equal ts → excluded (strictly later)
+        ],
+        "user_id int, event_id int, ts timestamp",
+    )
+    rows = banded_pairs(events, "user_id", "ts", "event_id", band_sec=band).collect()
+    pairs = {(r["event_id_a"], r["event_id_b"]): r["gap_sec"] for r in rows}
+    assert pairs == {(100, 101): 10.0}
+
+
+def test_banded_pairs_no_duplicates_across_branches(spark):
+    # Pairs straddling a bin boundary must appear exactly once.
+    events = spark.createDataFrame(
+        [(1, i, _ts(t)) for i, t in enumerate([9.5, 10.5, 19.5, 21.0])],
+        "user_id int, event_id int, ts timestamp",
+    )
+    rows = banded_pairs(events, "user_id", "ts", "event_id", band_sec=10).collect()
+    keys = [(r["event_id_a"], r["event_id_b"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert set(keys) == {(0, 1), (0, 2), (1, 2), (2, 3)}
+
+
+def test_user_sketch_within_tolerance(spark):
+    res = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["events_user_sketch"](spark, SF_DIR).collect()
+    }
+    ev = eio.load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(res) == set(exact)
+    for k, est in res.items():
+        assert est == pytest.approx(exact[k], rel=0.05), (k, est, exact[k])
