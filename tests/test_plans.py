@@ -68,3 +68,43 @@ def test_metrics_broadcast_qrels(spark):
     # qrels/k-dim sides broadcast; no sort-merge join in the metric path
     assert count_in_plan(df, "BroadcastHashJoin") >= 1
     assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_asof_join_single_exchange(spark):
+    """The as-of join must stay the union+window formulation: exactly
+    one hash exchange (the window partitioning on the key) and no
+    join operator at all — the inequality-join formulation would show
+    BroadcastNestedLoopJoin/CartesianProduct here."""
+    df = QUERIES["events_asof_join"](spark, SF_DIR)
+    assert count_in_plan(df, "Exchange hashpartitioning") == 1
+    assert_in_plan(df, "Window")
+    assert_not_in_plan(df, "Join")
+
+
+def test_banded_pairs_hash_joins_only(spark):
+    """The time-range self-join must be the banded equi-join: hash
+    joins on (key, bin), never a nested-loop theta join."""
+    df = QUERIES["events_cooccurrence"](spark, SF_DIR)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_rollup_single_shuffle(spark):
+    """ROLLUP computes all three grouping levels in ONE aggregation
+    pipeline (Expand + partial + final), not one shuffle per level."""
+    df = QUERIES["events_time_rollup"](spark, SF_DIR)
+    assert_in_plan(df, "Expand")
+    assert count_in_plan(df, "Exchange hashpartitioning") == 1
+
+
+def test_moving_avg_one_shuffle_for_both_windows(spark):
+    """Both window frames share the (user_id, ts) sort — one exchange."""
+    df = QUERIES["events_moving_avg"](spark, SF_DIR)
+    assert count_in_plan(df, "Exchange hashpartitioning") == 1
+
+
+def test_vocab_partial_aggregation(spark):
+    """Term counts combine map-side: network is O(vocab), not O(tokens)."""
+    df = QUERIES["vocab_top_terms"](spark, SF_DIR)
+    assert count_in_plan(df, "HashAggregate") >= 2
+    assert_in_plan(df, "TakeOrderedAndProject")
