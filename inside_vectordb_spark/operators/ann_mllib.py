@@ -1,0 +1,90 @@
+"""Spark-native ANN tier: MLlib BucketedRandomProjectionLSH.
+
+SURVEY.md §7 Phase 5(a): the stock-Spark ANN path — Euclidean-LSH
+over L2-normalized vectors, where ``d² = 2·(1 − cos)`` turns the
+euclidean approxSimilarityJoin into a cosine search. This tier
+complements the custom hyperplane-LSH / IVF re-expressions
+(``operators/ann.py``): same contract, zero custom hashing code,
+everything inside MLlib's maintained implementation.
+
+Reference analogue: the hnswlib/FAISS tiers (``003``/``004``) — like
+them, quality is asserted statistically (recall retention vs exact,
+``tests/test_ann.py``), not oracle-matched.
+
+Knobs (ef_search analogues): ``num_tables`` (more tables → more
+candidate overlap → higher recall), ``bucket_length`` (wider buckets
+→ more candidates per bucket), ``threshold`` (distance cutoff for
+the candidate join; 2.0 admits any cosine ≥ −1).
+
+Scale: MLlib's approxSimilarityJoin explodes each side to (table,
+hash-bucket) keys and equi-joins — the same banded join shape as our
+custom LSH, so no cross product appears at any size. The fitted
+model is a set of random unit vectors (O(dim·num_tables) bytes) and
+broadcasts implicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark.functions.vector import l2_normalize
+
+
+def ann_brp_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    num_tables: int = 3,
+    bucket_length: float = 1.0,
+    threshold: float = 2.0,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ANN top-k via MLlib BucketedRandomProjectionLSH.
+
+    Returns (query_id, doc_id, score, rank) — the same contract as
+    ``ann_lsh_topk`` / ``exact_cosine_topk`` so retention is directly
+    comparable. score = cosine, recovered exactly from the euclidean
+    distance on the unit sphere (``cos = 1 − d²/2``).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        array_to_vector(l2_normalize(corpus_vec).cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        array_to_vector(l2_normalize(query_vec).cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_tables,
+        bucketLength=bucket_length,
+        seed=seed,
+    )
+    model = brp.fit(c)
+    joined = model.approxSimilarityJoin(c, q, threshold, distCol="dist")
+    score = 1.0 - F.col("dist") * F.col("dist") / 2.0
+    scored = joined.select(
+        F.col("datasetB.qid").alias("query_id"),
+        F.col("datasetA.doc_id").alias("doc_id"),
+        (F.round(score, round_to) if round_to else score).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -144,3 +144,19 @@ def ann_ivf_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk_indexed(
         eio.query_vectors(spark, sf_dir), corpus, path, k=10, n_probe=8
     )
+
+
+@register("ann_brp_topk")
+def ann_brp_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native tier (SURVEY §7 Phase 5a): MLlib
+    BucketedRandomProjectionLSH cosine top-10 — stock-Spark ANN with
+    zero custom hashing; retention asserted in tests/test_ann.py."""
+    from inside_vectordb_spark.operators.ann_mllib import ann_brp_topk
+
+    return ann_brp_topk(
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        num_tables=6,
+        bucket_length=1.0,
+    )

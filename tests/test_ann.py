@@ -243,3 +243,28 @@ def test_lsh_hot_bucket_cap(spark):
     for r in out:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert all(v <= K for v in per_q.values())
+
+
+def test_brp_recall_retention(spark, exact_sets):
+    """The MLlib BRP-LSH tier meets the same retention floor as the
+    custom tiers on the unstructured driver embeddings."""
+    from inside_vectordb_spark.registry import QUERIES
+
+    res = QUERIES["ann_brp_topk"](spark, SF_DIR_MED)
+    assert _recall_vs_exact(res, exact_sets) >= 0.7
+
+
+def test_brp_table_sweep_monotone(spark, exact_sets):
+    """More hash tables → recall does not decrease (the ef-analogue
+    monotonicity, MLlib tier)."""
+    from inside_vectordb_spark.operators.ann_mllib import ann_brp_topk
+
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    recalls = [
+        _recall_vs_exact(
+            ann_brp_topk(q, c, k=K, num_tables=n, bucket_length=1.0), exact_sets
+        )
+        for n in (1, 3, 6)
+    ]
+    assert recalls == sorted(recalls), recalls
