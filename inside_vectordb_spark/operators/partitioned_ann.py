@@ -1,0 +1,150 @@
+"""Partitioned-HNSW ANN: a local graph index per corpus partition.
+
+SURVEY.md §7 Phase 5(b) — the direct Spark mapping of the
+reference's hnswlib tier (``003-hnswlib_demo.py:140-257``): each
+corpus partition builds an in-memory HNSW graph over ITS vectors,
+answers all (broadcast) queries locally with ``ef_search``, and the
+partition-local top-k rows merge through one global window — the
+scatter-gather architecture every distributed ANN system (Milvus,
+Vespa, Elasticsearch kNN) uses, expressed as ``mapInPandas`` + a
+window.
+
+The container has no hnswlib, so the local kernel is import-gated:
+
+- with hnswlib present: true HNSW build (M, ef_construction) +
+  ef_search queries per partition — approximate, sublinear per
+  partition;
+- without: exact GEMM over the partition (NumPy), which makes the
+  whole operator EXACT brute-force — identical results to
+  ``exact_cosine_topk``, which is what the DuckDB oracle for
+  ``ann_hnsw_partitioned`` checks in this environment. With hnswlib
+  installed the results become approximate and the oracle row would
+  drift to a retention check (documented here, asserted in
+  ``tests/test_ann.py`` either way).
+
+Scale: the corpus never shuffles — each partition's graph lives and
+dies inside one task; only Q×k rows per partition cross the network
+for the merge. Graph build cost is paid per partition per job; the
+persisted-index path (``operators/ann_index.py``) is the repeated-
+query answer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def _local_topk(
+    ids: np.ndarray,
+    mat: np.ndarray,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    k: int,
+    m: int,
+    ef_construction: int,
+    ef_search: int,
+) -> pd.DataFrame:
+    """Partition-local top-k: HNSW when available, exact GEMM kernel
+    otherwise. Inputs are L2-normalized, so inner product == cosine."""
+    kk = min(k, len(ids))
+    try:  # pragma: no cover - container has no hnswlib
+        import hnswlib
+
+        index = hnswlib.Index(space="ip", dim=mat.shape[1])
+        index.init_index(max_elements=len(ids), M=m, ef_construction=ef_construction)
+        index.add_items(mat, ids)
+        index.set_ef(max(ef_search, kk))
+        labels, dists = index.knn_query(qmat, k=kk)
+        rows = np.repeat(np.arange(len(qids)), kk)
+        return pd.DataFrame(
+            {
+                "query_id": qids[rows],
+                "doc_id": labels.ravel(),
+                "score": 1.0 - dists.ravel(),  # ip-space distance = 1 − cos
+            }
+        )
+    except ImportError:
+        sims = qmat @ mat.T
+        # exact selection under the declared (score DESC, doc_id ASC)
+        # total order — small partitions make a full lexsort affordable
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sims.shape[0]), kk)
+        cols = order.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": qids[rows],
+                "doc_id": ids[cols],
+                "score": sims[rows, cols],
+            }
+        )
+
+
+def ann_hnsw_partitioned_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 32,
+    ef_construction: int = 100,
+    ef_search: int = 50,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Scatter-gather ANN: per-partition (HNSW | exact) local top-k,
+    one global (score DESC, doc_id ASC) window merge. Same output
+    contract as ``exact_cosine_topk``. M/ef_construction/ef_search
+    mirror the reference's knobs (``003:156-160``)."""
+    qrows = (
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("v"))
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("empty query set")
+    qids_l = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat_l = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat_l, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    qmat_l /= qn
+    bc = queries.sparkSession.sparkContext.broadcast((qids_l, qmat_l))
+
+    c = corpus.select(F.col(corpus_id).alias("doc_id"), F.col(corpus_vec).alias("v"))
+
+    def search_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["v"].to_numpy()), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            mat /= nrm
+            yield _local_topk(
+                ids, mat, qids, qmat, k, m, ef_construction, ef_search
+            )
+
+    partials = c.mapInPandas(search_partition, schema=_PARTIAL_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out.select("query_id", "doc_id", "score", "rank")

@@ -99,6 +99,31 @@ def topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_hnsw_partitioned",
+    oracle=f"""
+    WITH {topk_ctes(10)}
+    SELECT query_id, doc_id, score, rank FROM topk
+    """,
+)
+def ann_hnsw_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/T3 scatter-gather architecture (SURVEY §7 Phase 5b): a local
+    index per corpus partition + global merge. In this container the
+    local kernel is the exact fallback (no hnswlib), so the operator
+    is exact and the brute-force oracle applies; with hnswlib
+    installed it becomes approximate and quality moves to the
+    retention tests (see operators/partitioned_ann.py docstring)."""
+    from inside_vectordb_spark.operators.partitioned_ann import (
+        ann_hnsw_partitioned_topk,
+    )
+
+    return ann_hnsw_partitioned_topk(
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+    )
+
+
+@register(
     "ranked_lists",
     oracle=f"""
     WITH {topk_ctes(10)}
