@@ -54,6 +54,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
+    "q12_priority_shipments",
+    "ann_brp_topk",
+    "events_asof_join",
+    "events_cooccurrence",
+    "vocab_top_terms",
 ]
 
 
