@@ -205,3 +205,138 @@ def chunk_binary(
     return blobs.select(
         F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload")
     ).mapInPandas(chunk, schema=_CHUNK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio (second modality: same plumbing, different container + features)
+# ---------------------------------------------------------------------------
+
+AUDIO_MAGIC = b"FAUD"
+
+
+def fake_audio_payload(doc_id: int) -> bytes:
+    """Deterministic fake audio container:
+    ``b"FAUD" | rate:uint16be | n_samples:uint32be | samples``
+    with ``rate = 8000 + (doc_id % 4) * 4000``,
+    ``n_samples = 800 + doc_id % 800``, samples = md5 digest repeated
+    — every derived feature is md5/id arithmetic, so SQL re-derives it."""
+    rate = 8000 + (doc_id % 4) * 4000
+    n = 800 + doc_id % 800
+    digest = hashlib.md5(str(doc_id).encode("utf-8")).digest()
+    samples = (digest * (n // 16 + 1))[:n]
+    return AUDIO_MAGIC + struct.pack(">HI", rate, n) + samples
+
+
+def with_audio_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the fake binary audio column (doc_id, modality, payload).
+    Narrow map, no shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "modality": "audio/fake",
+                    "payload": [fake_audio_payload(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        build, schema=_IMAGE_SCHEMA
+    )
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def decode_audio_features(audio: DataFrame) -> DataFrame:
+    """Parse the audio container and extract (rate, length, duration,
+    RMS amplitude) — the real decode is the struct/frombuffer parse;
+    only the codec is fake. Sum-of-squares accumulates in int64, so
+    the value is exact and engine-order-independent (oracle parity)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != AUDIO_MAGIC:
+                    raise ValueError(f"bad audio magic for doc {doc_id}: {buf[:4]!r}")
+                rate, n = struct.unpack(">HI", buf[4:10])
+                samples = np.frombuffer(buf[10:], dtype=np.uint8)
+                if len(samples) != n:
+                    raise ValueError(
+                        f"doc {doc_id}: expected {n} samples, got {len(samples)}"
+                    )
+                sq_sum = int((samples.astype(np.int64) ** 2).sum())
+                rows.append(
+                    (
+                        int(doc_id), int(rate), int(n),
+                        float(n) / float(rate),
+                        float(np.sqrt(sq_sum / n)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+    return audio.mapInPandas(decode, schema=_AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# frame sampling (video analogue: every stride-th fixed-size frame)
+# ---------------------------------------------------------------------------
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    blobs: DataFrame,
+    frame_size: int = 32,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling: treat a binary stream as fixed-size frames and
+    keep every ``stride``-th one (the video keyframe-sampling shape —
+    a real pipeline decodes containers with ffmpeg; the slicing,
+    batching, and fan-out here are the production plumbing). Emits
+    (doc_id, frame_idx, n_bytes, frame_md5); narrow map, row fan-out
+    bounded by len/(frame_size·stride)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_frames = max((len(buf) + frame_size - 1) // frame_size, 1)
+                for fi in range(0, n_frames, stride):
+                    piece = buf[fi * frame_size : (fi + 1) * frame_size]
+                    rows.append(
+                        (int(doc_id), fi, len(piece), hashlib.md5(piece).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+
+    return blobs.select(
+        F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload")
+    ).mapInPandas(sample, schema=_FRAME_SCHEMA)

@@ -117,3 +117,75 @@ def media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = eio.load_table(spark, sf_dir, "documents")
     blobs = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return chunk_binary(blobs, chunk_size=64)
+
+
+@register(
+    "audio_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+             CAST(800 + doc_id % 800 AS INT) AS n_samples
+      FROM documents),
+    bytes AS (
+      SELECT d.doc_id, i.i,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), i.i * 2 + 1, 2))::BIGINT AS b
+      FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS i) i),
+    agg AS (
+      SELECT doc_id, sum(b * b) AS sumsq16, list(b * b ORDER BY i) AS sql_
+      FROM bytes GROUP BY doc_id)
+    SELECT m.doc_id, m.sample_rate, m.n_samples,
+           round(CAST(m.n_samples AS DOUBLE) / m.sample_rate, 6) AS duration_sec,
+           round(sqrt((CAST(m.n_samples // 16 AS DOUBLE) * a.sumsq16
+                       + CASE WHEN m.n_samples % 16 = 0 THEN 0
+                              ELSE list_sum(a.sql_[1:(m.n_samples % 16)]) END)
+                      / m.n_samples), 6) AS rms
+    FROM dims m JOIN agg a USING (doc_id)
+    """,
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second modality through the same binary plumbing: build fake
+    audio containers, decode (header struct + sample buffer), extract
+    duration + RMS. Sum-of-squares is integer-exact in both engines,
+    so even sqrt/round hash-match."""
+    from inside_vectordb_spark.operators.multimodal import (
+        decode_audio_features,
+        with_audio_payloads,
+    )
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    feats = decode_audio_features(with_audio_payloads(docs))
+    return feats.select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+@register(
+    "video_frame_sample",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS len
+      FROM documents),
+    f AS (
+      SELECT doc_id, text, len,
+             unnest(range(0, CAST(ceil(greatest(len, 1) / 32.0) AS BIGINT), 4)) AS fi
+      FROM n)
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(least(32, len - fi * 32) AS INT) AS n_bytes,
+           md5(substr(text, CAST(fi * 32 + 1 AS INT), 32)) AS frame_md5
+    FROM f
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-style sampling: every 4th 32-byte frame of each
+    binary stream (the frame-decimation shape of a video ingest
+    pipeline; a real one swaps the byte slicer for an ffmpeg-gated
+    decoder, same mapInPandas contract). Oracle uses char offsets —
+    valid because the synthetic text is ASCII."""
+    from inside_vectordb_spark.operators.multimodal import sample_frames
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return sample_frames(blobs, frame_size=32, stride=4)
