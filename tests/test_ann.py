@@ -268,3 +268,13 @@ def test_brp_table_sweep_monotone(spark, exact_sets):
         for n in (1, 3, 6)
     ]
     assert recalls == sorted(recalls), recalls
+
+
+def test_partitioned_hnsw_retention(spark, exact_sets):
+    """The scatter-gather tier meets the retention floor regardless
+    of which local kernel is active (exact fallback → 1.0; hnswlib →
+    the same ≥0.7 floor as the other ANN tiers)."""
+    from inside_vectordb_spark.registry import QUERIES
+
+    res = QUERIES["ann_hnsw_partitioned"](spark, SF_DIR_MED)
+    assert _recall_vs_exact(res, exact_sets) >= 0.7
