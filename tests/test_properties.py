@@ -141,3 +141,65 @@ def test_metric_recall_skip_rule_explicit(spark):
     assert r == pytest.approx(1.0)      # only query 1 counts
     assert p == pytest.approx(0.25)     # (1/2 + 0/1) / 2
     assert m == pytest.approx(0.5)      # (1.0 + 0.0) / 2
+
+
+# ---------------------------------------------------------------------------
+# as-of join: Spark union+window formulation vs pandas merge_asof
+# ---------------------------------------------------------------------------
+
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),                 # key
+        st.integers(0, 1_000),             # ts (seconds, may collide across keys)
+        st.integers(-100, 100),            # value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(left=_asof_events, right=_asof_events)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """On random inputs (unique (key, ts) per side — the operator's
+    documented precondition), the union+window as-of join must equal
+    ``pd.merge_asof(direction="backward")`` per key."""
+    import datetime as dt
+
+    from inside_vectordb_spark.operators.temporal import asof_join
+
+    def dedupe(rows):
+        seen = {}
+        for k, t, v in rows:
+            seen[(k, t)] = v
+        return [
+            (k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t), v)
+            for (k, t), v in sorted(seen.items())
+        ]
+
+    lrows, rrows = dedupe(left), dedupe(right)
+    if not lrows:
+        return
+    ldf = spark.createDataFrame(lrows, "k int, ts timestamp, lv int")
+    rdf = spark.createDataFrame(
+        rrows or [(99, dt.datetime(2024, 1, 1), 0)], "k int, ts timestamp, rv int"
+    )
+    got = {
+        (r["k"], r["ts"]): (r["asof_ts"], r["asof_rv"])
+        for r in asof_join(ldf, rdf, "k", "ts", ["rv"]).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["k", "ts", "lv"]).sort_values("ts")
+    rpd = pd.DataFrame(
+        rrows or [(99, pd.Timestamp("2024-01-01"), 0)], columns=["k", "ts", "rv"]
+    ).sort_values("ts")
+    merged = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction="backward", suffixes=("", "_r")
+    )
+    assert len(got) == len(lpd)
+    for _, row in merged.iterrows():
+        g_ts, g_rv = got[(row["k"], row["ts"].to_pydatetime())]
+        if pd.isna(row["rv"]):
+            assert g_rv is None, (row["k"], row["ts"], g_rv)
+        else:
+            assert g_rv == int(row["rv"]), (row["k"], row["ts"], g_rv, row["rv"])
