@@ -218,3 +218,37 @@ def events_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
     )
     return typed.unionByName(merged).orderBy("event_type")
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(i * 15)
+               AS window_start,
+           event_type, count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: 1-hour windows every 15 minutes
+    (each event contributes to 4 overlapping windows). Spark's
+    ``window(ts, '1 hour', '15 minutes')`` expands rows BEFORE the
+    partial aggregation, so the shuffle carries per-(window, type)
+    partials, not the 4× event fan-out. The oracle derives the same
+    epoch-aligned window starts via time_bucket arithmetic."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
