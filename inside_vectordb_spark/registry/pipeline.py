@@ -79,6 +79,32 @@ _JACCARD = """
 """
 
 
+
+_QUALITY_CTE = f"""
+    qt AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0.0 ELSE len({_TOKS}) * 1.0 END AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 AS n_alpha,
+             length(regexp_replace(text, '\\s', '', 'g')) * 1.0 AS n_nonspace,
+             CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE len(list_filter({_TOKS},
+                       t -> t IN ('the','a','and','of','to','is'))) * 1.0 END AS stop_hits
+      FROM documents),
+    qr AS (
+      SELECT doc_id, n,
+             CASE WHEN n = 0 THEN 0.0 ELSE n_nonspace / n END AS avg_wl,
+             CASE WHEN n = 0 THEN 0.0 ELSE stop_hits / n END AS stop_ratio,
+             CASE WHEN n_nonspace = 0 THEN 0.0 ELSE n_alpha / n_nonspace END AS alpha_ratio
+      FROM qt),
+    qual AS (
+      SELECT doc_id,
+             round(0.25 * (CASE WHEN n >= 5 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (CASE WHEN avg_wl >= 2.0 AND avg_wl <= 13.0 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * least(stop_ratio * 5, 1.0)
+                 + 0.25 * alpha_ratio, 6) AS quality
+      FROM qr)
+"""
+
 # ---- dedup ---------------------------------------------------------------
 
 
@@ -297,3 +323,53 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive bag-of-words fingerprint."""
     return ts.doc_fingerprints(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH {_SIG_CTE}, {_PAIRS_CTE}, {_QUALITY_CTE},
+    nd AS (
+      SELECT DISTINCT p.doc_b FROM pairs p
+      JOIN shs sa ON sa.doc_id = p.doc_a
+      JOIN shs sb ON sb.doc_id = p.doc_b
+      WHERE round({_JACCARD}, 6) >= 0.2),
+    keepers AS (
+      SELECT md5(text) AS h, min(doc_id) AS k FROM documents GROUP BY 1)
+    SELECT d.doc_id, d.lang, d.n_chars, q.quality
+    FROM documents d
+    JOIN qual q USING (doc_id)
+    JOIN keepers ON md5(d.text) = keepers.h
+    WHERE q.quality >= 0.5
+      AND d.doc_id = keepers.k
+      AND d.doc_id NOT IN (SELECT doc_b FROM nd)
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation as ONE lazy DAG: quality
+    gate (heuristic score >= 0.5) ∧ exact-dedup survivor (lowest
+    doc_id per content hash) ∧ near-dup survivor (not the higher id
+    of any verified MinHash pair). All three predicates are computed
+    globally, so stage order cannot change the result — the form a
+    production curation run wants, since each filter is a separate
+    reusable column. Plan: the quality gate is pure Catalyst
+    expressions; the exact-dedup keeper is a window over the content
+    hash; near-dup drops arrive as a (small) broadcast anti-join
+    side. The documents scan is shared across all three via Spark's
+    ReusedExchange where partitioning allows."""
+    from pyspark.sql import Window
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    qual = ts.quality_scores(docs).select("doc_id", "quality")
+    drops = (
+        dd.minhash_near_duplicates(docs, threshold=0.2)
+        .select("doc_b").distinct()
+    )
+    w = Window.partitionBy(F.md5("text"))
+    survivors = (
+        docs.join(qual, "doc_id")
+        .withColumn("__keeper", F.min("doc_id").over(w))
+        .filter((F.col("quality") >= 0.5) & (F.col("doc_id") == F.col("__keeper")))
+        .join(drops, docs.doc_id == drops.doc_b, "left_anti")
+    )
+    return survivors.select("doc_id", "lang", "n_chars", "quality")
