@@ -59,6 +59,7 @@ HEADLINE = [
     "events_asof_join",
     "events_cooccurrence",
     "vocab_top_terms",
+    "corpus_curation",
 ]
 
 
