@@ -252,3 +252,43 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "total_value",
         )
     )
+
+
+@register("doc_length_percentiles_approx")  # rows-only: t-digest has no ANSI twin
+def doc_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB percentile path: ``percentile_approx`` (mergeable
+    t-digest-style sketch, map-side combinable — no full sort).
+    Accuracy vs the exact twin asserted in ``tests/test_analytics.py``
+    (±5% of the exact value at accuracy=1000)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.percentile_approx(
+            "n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)), 1000
+        ).alias("q")
+    )
+    return q.select(
+        *[
+            F.element_at("q", i + 1).cast("double").alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ]
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 2
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample via id-hash predicate — the
+    reproducible sampling a data pipeline needs (same rows on every
+    engine, every partitioning, every rerun; ``rand(seed)`` is
+    partitioning-dependent, which is why the engine samples by hash).
+    Pure Catalyst filter: pushes to the scan, zero shuffle, and the
+    sampling decision is joinable/auditable from the id alone."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    return docs.filter(bucket.cast("long") % 10 < 2).select("doc_id", "lang", "source")

@@ -95,3 +95,10 @@ def test_user_sketch_within_tolerance(spark):
     assert set(res) == set(exact)
     for k, est in res.items():
         assert est == pytest.approx(exact[k], rel=0.05), (k, est, exact[k])
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    approx = QUERIES["doc_length_percentiles_approx"](spark, SF_DIR).collect()[0]
+    exact = QUERIES["doc_length_percentiles"](spark, SF_DIR).collect()[0]
+    for name in ["p25", "p50", "p75", "p95"]:
+        assert approx[name] == pytest.approx(exact[name], rel=0.05), name

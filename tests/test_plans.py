@@ -108,3 +108,11 @@ def test_vocab_partial_aggregation(spark):
     df = QUERIES["vocab_top_terms"](spark, SF_DIR)
     assert count_in_plan(df, "HashAggregate") >= 2
     assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_curation_no_cartesian(spark):
+    """The composed curation DAG stays hash/broadcast joins end to
+    end — no nested-loop join sneaks in via the anti-join."""
+    df = QUERIES["corpus_curation"](spark, SF_DIR)
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
