@@ -153,10 +153,13 @@ def ann_brp_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero custom hashing; retention asserted in tests/test_ann.py."""
     from inside_vectordb_spark.operators.ann_mllib import ann_brp_topk
 
+    # bucket_length sets candidate volume (the ef knob with num_tables):
+    # unit-norm inputs project into [-1, 1], so 1.0 ≈ all-pairs; 0.3
+    # measured at the same recall (0.99 on sf0.01) at half the cost.
     return ann_brp_topk(
         eio.query_vectors(spark, sf_dir),
         eio.load_table(spark, sf_dir, "embeddings"),
         k=10,
         num_tables=6,
-        bucket_length=1.0,
+        bucket_length=0.3,
     )
