@@ -373,3 +373,85 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(drops, docs.doc_id == drops.doc_b, "left_anti")
     )
     return survivors.select("doc_id", "lang", "n_chars", "quality")
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS INT)
+                 AS n_ws_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_ws_tokens,
+             sum(n_ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(shard * 1000000 + (cum - n_ws_tokens) // 512 AS BIGINT) AS seq_id,
+           n_ws_tokens
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (the sample-packing step
+    before LLM training): docs are assigned to 512-token training
+    sequences by running token count, deterministically ordered by
+    doc_id WITHIN id-hash shards. Sharding keeps the window
+    partitioned — a global orderBy window would serialize on one
+    task at 100 TB; per-shard packing is what production packers do
+    (pack within a shard/file, never globally)."""
+    from pyspark.sql import Window
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    toks = ts.token_counts(docs).select("doc_id", "n_ws_tokens")
+    t = toks.withColumn("shard", (F.col("doc_id") % 8).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_ws_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "shard",
+        (F.col("shard") * 1000000
+         + F.floor((cum - F.col("n_ws_tokens")) / 512)).alias("seq_id"),
+        "n_ws_tokens",
+    )
+
+
+@register(
+    "mixture_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(20 + ('0x' || substr(md5(source), 1, 4))::BIGINT % 60 AS INT)
+                 AS rate_pct,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                 AS bucket
+      FROM documents)
+    SELECT doc_id, source, rate_pct FROM r WHERE bucket < rate_pct
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture sampling (dataset mixing for training
+    runs): each source gets a deterministic keep-rate in [20%, 80%)
+    derived from its name hash; rows are kept by id-hash bucket. Both
+    hashes are engine-portable md5 arithmetic, so the mixture is
+    reproducible anywhere and auditable per row — pure Catalyst
+    filter, zero shuffle, pushdown-friendly."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    rate = (
+        F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast("long") % 60 + 20
+    ).cast("int")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.withColumn("rate_pct", rate)
+        .filter(bucket < F.col("rate_pct"))
+        .select("doc_id", "source", "rate_pct")
+    )
