@@ -127,6 +127,141 @@ def quality_scores(
     )
 
 
+# PII patterns kept to syntax valid in both Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def pii_redact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, redacted_hash): counts of
+    email/phone/IPv4 matches and the md5 of the text with each class
+    replaced by a typed placeholder. The scrub every training corpus
+    runs before release — pure Catalyst ``regexp_replace`` chain, per
+    row, zero shuffle, so it composes with any scan at 100 TB. Order
+    of replacement is fixed (email → phone → ip) so the output is
+    deterministic even when patterns could overlap."""
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), F.lit(PII_IPV4), 0
+            )
+        ).alias("n_ips"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, dup_word_frac, top_bigram_frac): the
+    Gopher-style repetition signals — fraction of tokens that are
+    repeats of an earlier token, and the share of all word bigrams
+    taken by the single most frequent bigram. High values flag
+    boilerplate/spam for removal before training.
+
+    Scale shape: dup_word_frac is pure per-row array math (zero
+    shuffle). top_bigram_frac explodes bigrams and aggregates twice,
+    both keyed by doc_id — per-document cardinality, so partitions
+    stay bounded by document length, never by corpus size."""
+    from inside_vectordb_spark.functions.text import tokenize
+
+    toks = tokenize(text_col)
+    n = token_count(text_col)
+    dup_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(toks))).cast("double") / n
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_words"),
+        F.round(dup_frac, 6).alias("dup_word_frac"),
+    )
+    # bigrams WITH multiplicity (unlike word_shingles, which dedups)
+    count = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    per_bigram = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    top = per_bigram.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_shingles, n_overlap, contamination): training docs
+    whose word n-gram shingle sets overlap a held-out evaluation set
+    above ``threshold`` — benchmark decontamination, the audit every
+    LLM data pipeline runs so eval answers aren't in the training mix.
+
+    Scale shape: the eval side reduces to its DISTINCT shingle set
+    (benchmark suites are tiny next to a 100 TB corpus), which is
+    broadcast — the corpus explodes its shingles map-side and hits the
+    broadcast hash join with no corpus shuffle; the only shuffle is
+    the per-doc overlap count, keyed by doc_id."""
+    from pyspark.sql.functions import broadcast
+
+    from inside_vectordb_spark.functions.text import word_shingles
+
+    ev = (
+        eval_docs.select(F.explode(word_shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    tr = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shs")
+    )
+    hits = (
+        tr.select("doc_id", F.explode("shs").alias("sh"))
+        .join(broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_overlap"))
+    )
+    return (
+        tr.select("doc_id", F.size("shs").alias("n_shingles"))
+        .join(hits, "doc_id")
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_overlap").cast("double") / F.col("n_shingles"), 6),
+        )
+        .filter(F.col("contamination") >= threshold)
+    )
+
+
 def doc_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

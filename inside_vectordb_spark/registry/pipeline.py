@@ -326,6 +326,90 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{ts.PII_EMAIL}')) AS INT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '{ts.PII_PHONE}')) AS INT) AS n_phones,
+      CAST(len(regexp_extract_all(
+          regexp_replace(text, '{ts.PII_EMAIL}', '<EMAIL>', 'g'),
+          '{ts.PII_IPV4}')) AS INT) AS n_ips,
+      md5(regexp_replace(regexp_replace(regexp_replace(
+          text, '{ts.PII_EMAIL}', '<EMAIL>', 'g'),
+          '{ts.PII_PHONE}', '<PHONE>', 'g'),
+          '{ts.PII_IPV4}', '<IP>', 'g')) AS redacted_hash
+    FROM documents
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email/phone/IPv4 redaction with per-class counts
+    (patterns valid in both Java regex and RE2; planted-PII behavior
+    asserted in tests/test_textquality.py)."""
+    return ts.pii_redact(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n
+      FROM documents),
+    base AS (
+      SELECT doc_id, CAST(n AS INT) AS n_words,
+             round(CASE WHEN n = 0 THEN 0.0
+                   ELSE (n - len(list_distinct(toks))) * 1.0 / n END, 6)
+                 AS dup_word_frac
+      FROM t),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(n - 1, 0) + 1),
+               i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg
+      FROM t WHERE n >= 2),
+    per AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+    top AS (
+      SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+      FROM per GROUP BY doc_id)
+    SELECT b.doc_id, b.n_words, b.dup_word_frac,
+           coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction and
+    top-bigram share — the boilerplate/spam filter."""
+    return ts.repetition_stats(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "decontamination",
+    oracle=f"""
+    WITH shs AS (SELECT doc_id, {_SHINGLES} AS shset FROM documents),
+    ev AS (SELECT DISTINCT unnest(shset) AS sh FROM shs WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, shset FROM shs WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT e.doc_id, CAST(count(*) AS INT) AS n_overlap
+      FROM (SELECT doc_id, unnest(shset) AS sh FROM tr) e
+      JOIN ev USING (sh) GROUP BY e.doc_id)
+    SELECT t.doc_id, CAST(len(t.shset) AS INT) AS n_shingles, h.n_overlap,
+           round(h.n_overlap * 1.0 / len(t.shset), 6) AS contamination
+    FROM tr t JOIN hits h USING (doc_id)
+    WHERE round(h.n_overlap * 1.0 / len(t.shset), 6) >= 0.05
+    """,
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs whose 3-shingle sets
+    overlap the held-out slice (doc_id % 97 == 0 stands in for the
+    benchmark suite) above 5% — tuned to the synthetic corpus's
+    low-collision shingle distribution so the gate visibly fires.
+    Eval shingles are broadcast; the corpus never shuffles."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return ts.decontaminate(tr, ev, threshold=0.05)
+
+
+@register(
     "corpus_curation",
     oracle=f"""
     WITH {_SIG_CTE}, {_PAIRS_CTE}, {_QUALITY_CTE},

@@ -1,0 +1,79 @@
+"""Planted-behavior tests for the text-quality curation operators:
+oracle parity (tests/test_parity.py) proves engine agreement; these
+prove the operators actually catch what they claim to catch.
+"""
+
+from __future__ import annotations
+
+from inside_vectordb_spark.operators import textstats as ts
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_redact_planted(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "contact alice@example.com or bob@test.org today"),
+            (2, "call 555-123-4567 now"),
+            (3, "server at 192.168.0.1 and 10.0.0.255"),
+            (4, "clean text with no pii at all"),
+            (5, ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in ts.pii_redact(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 0
+    assert out[2]["n_phones"] == 1
+    assert out[3]["n_ips"] == 2
+    assert out[4]["n_emails"] == out[4]["n_phones"] == out[4]["n_ips"] == 0
+    # clean text hashes to itself: redaction is a no-op
+    import hashlib
+
+    assert out[4]["redacted_hash"] == hashlib.md5(
+        b"clean text with no pii at all"
+    ).hexdigest()
+
+
+def test_repetition_stats_planted(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),  # 1 distinct of 4, 1 bigram repeated
+            (2, "all words here are unique tokens"),
+            (3, "one"),
+            (4, ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in ts.repetition_stats(df).collect()}
+    assert abs(out[1]["dup_word_frac"] - 0.75) < 1e-9
+    assert abs(out[1]["top_bigram_frac"] - 1.0) < 1e-9
+    assert out[2]["dup_word_frac"] == 0.0
+    # 5 distinct bigrams of 5 total
+    assert abs(out[2]["top_bigram_frac"] - 0.2) < 1e-9
+    assert out[3]["top_bigram_frac"] == 0.0  # too short for bigrams
+    assert out[4]["n_words"] == 0 and out[4]["dup_word_frac"] == 0.0
+
+
+def test_decontaminate_planted(spark):
+    ev = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    tr = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact leak
+            (2, "quick brown fox jumps high"),  # partial overlap
+            (3, "completely different content about spark engines"),
+            (4, "xy"),  # too short for any shingle
+        ],
+    )
+    hits = {r["doc_id"]: r for r in ts.decontaminate(tr, ev, threshold=0.5).collect()}
+    assert 1 in hits and abs(hits[1]["contamination"] - 1.0) < 1e-9
+    # doc 2: shingles {qbf, bfj, fjh}; 2 of 3 in eval → 0.666 ≥ 0.5
+    assert 2 in hits and hits[2]["n_overlap"] == 2
+    assert 3 not in hits and 4 not in hits
+    # lowering the threshold is monotone: superset of docs
+    loose = {
+        r["doc_id"] for r in ts.decontaminate(tr, ev, threshold=0.1).collect()
+    }
+    assert set(hits) <= loose
