@@ -720,3 +720,85 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a join-side predicate
+    (the filter belongs in the ON clause — a WHERE would silently
+    drop zero-order customers), per-customer count including zeros,
+    then a distribution over the counts. Two shuffles: the outer
+    join/count on c_custkey, then a tiny groupBy on the count value.
+    (Adapted: synthetic orders has no comment column — the 'special
+    requests' exclusion becomes an order-priority predicate.)"""
+    c = eio.load_table(spark, sf_dir, "customer")
+    o = eio.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+           round(sum(c.c_acctbal), 6) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 450000.0)
+    GROUP BY c.c_nationkey ORDER BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (the positive-balance
+    mean) applied as a filter, NOT EXISTS decorrelated to a LEFT ANTI
+    join against a filtered orders side, grouped by country. The
+    scalar lands as a literal via a broadcast nested-loop join of a
+    1-row aggregate — no per-row recompute; the anti join hashes on
+    o_custkey only, and the totalprice predicate pushes to the orders
+    scan, shrinking the anti side before the shuffle. (Adapted:
+    synthetic customer has no phone — country code is c_nationkey;
+    'customers with no orders at all' is empty on the dense synthetic
+    data, so the missing-order predicate is 'no jumbo order'.)"""
+    c = eio.load_table(spark, sf_dir, "customer")
+    o = eio.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000.0
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
