@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_brp_topk",
     "events_asof_join",
     "events_cooccurrence",
+    "decontamination",
     "vocab_top_terms",
     "corpus_curation",
 ]

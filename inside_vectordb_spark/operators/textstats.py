@@ -231,9 +231,13 @@ def decontaminate(
 
     Scale shape: the eval side reduces to its DISTINCT shingle set
     (benchmark suites are tiny next to a 100 TB corpus), which is
-    broadcast — the corpus explodes its shingles map-side and hits the
-    broadcast hash join with no corpus shuffle; the only shuffle is
-    the per-doc overlap count, keyed by doc_id."""
+    broadcast — the corpus explodes its shingles map-side, LEFT-joins
+    the broadcast with a hit marker, and ONE doc_id aggregation
+    yields both the shingle count (shingles are distinct per doc, so
+    count(*) == set size) and the overlap count. The corpus is
+    scanned once and never shuffled except for that per-doc count —
+    a self-join formulation would evaluate the shingle transform per
+    branch and scan the corpus twice."""
     from pyspark.sql.functions import broadcast
 
     from inside_vectordb_spark.functions.text import word_shingles
@@ -241,24 +245,25 @@ def decontaminate(
     ev = (
         eval_docs.select(F.explode(word_shingles(text_col, n)).alias("sh"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    tr = docs.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shs")
-    )
-    hits = (
-        tr.select("doc_id", F.explode("shs").alias("sh"))
-        .join(broadcast(ev), "sh")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("int").alias("n_overlap"))
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, n)).alias("sh")
     )
     return (
-        tr.select("doc_id", F.size("shs").alias("n_shingles"))
-        .join(hits, "doc_id")
+        ex.join(broadcast(ev), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            F.count("__hit").cast("int").alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
         .withColumn(
             "contamination",
             F.round(F.col("n_overlap").cast("double") / F.col("n_shingles"), 6),
         )
         .filter(F.col("contamination") >= threshold)
+        .select("doc_id", "n_shingles", "n_overlap", "contamination")
     )
 
 
