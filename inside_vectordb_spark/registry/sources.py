@@ -80,6 +80,76 @@ def qrels_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "beir_roundtrip",
+    oracle=f"""
+    WITH qr AS ({eio.QRELS_SQL})
+    SELECT 'corpus' AS rel, doc_id AS id1, CAST(-1 AS BIGINT) AS id2,
+           text AS val
+    FROM documents WHERE doc_id % 10 = 5
+    UNION ALL
+    SELECT 'queries' AS rel, doc_id AS id1, CAST(-1 AS BIGINT) AS id2,
+           text AS val
+    FROM documents WHERE doc_id % 17 = 3
+    UNION ALL
+    SELECT 'qrels' AS rel, query_id AS id1, doc_id AS id2,
+           CAST(relevance AS VARCHAR) AS val
+    FROM qr
+    """,
+)
+def beir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end to end: land a full BEIR layout (corpus JSONL + queries
+    JSONL + qrels/dev.tsv) and read it back through the composite
+    ``load_beir_data`` loader (``000-get_data.py:91-107``). The result
+    unions a tagged projection of all three relations, so a green row
+    proves the whole layout — paths, schemas, escaping, casts —
+    round-trips losslessly in one driver check. ``-1`` stands in for
+    NULL in ``id2`` to keep both engines' pandas dtypes integral
+    (hash-stable)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 == 5).select(
+        "doc_id",
+        F.lit("").alias("title"),
+        "text",
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("metadata"),
+    )
+    queries_df = docs.filter(F.col("doc_id") % 17 == 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    root = _rt_path("beir", sf_dir)
+    src.write_corpus_jsonl(corpus, os.path.join(root, "corpus.jsonl"))
+    src.write_queries_jsonl(queries_df, os.path.join(root, "queries.jsonl"))
+    src.write_qrels_tsv(eio.qrels(spark, sf_dir), os.path.join(root, "qrels", "dev.tsv"))
+    c_back, q_back, r_back = src.load_beir_data(spark, root, split="dev")
+    neg1 = F.lit(-1).cast("bigint")
+    return (
+        c_back.select(
+            F.lit("corpus").alias("rel"),
+            F.col("doc_id").cast("bigint").alias("id1"),
+            neg1.alias("id2"),
+            F.col("text").alias("val"),
+        )
+        .unionAll(
+            q_back.select(
+                F.lit("queries").alias("rel"),
+                F.col("query_id").cast("bigint").alias("id1"),
+                neg1.alias("id2"),
+                F.col("text").alias("val"),
+            )
+        )
+        .unionAll(
+            r_back.select(
+                F.lit("qrels").alias("rel"),
+                F.col("query_id").cast("bigint").alias("id1"),
+                F.col("doc_id").cast("bigint").alias("id2"),
+                F.col("relevance").cast("string").alias("val"),
+            )
+        )
+    )
+
+
+@register(
     "embeddings_parquet_roundtrip",
     oracle="""
     SELECT vec_id, label,

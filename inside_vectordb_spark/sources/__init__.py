@@ -23,6 +23,7 @@ from inside_vectordb_spark.sources.files import (
     write_corpus_jsonl,
     write_embeddings_parquet,
     write_qrels_tsv,
+    write_queries_jsonl,
 )
 from inside_vectordb_spark.sources.reports import (
     load_latest_reports,
@@ -41,6 +42,7 @@ __all__ = [
     "write_corpus_jsonl",
     "write_embeddings_parquet",
     "write_qrels_tsv",
+    "write_queries_jsonl",
     "load_latest_reports",
     "save_metrics_report",
 ]

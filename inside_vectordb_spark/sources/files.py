@@ -130,6 +130,19 @@ def write_corpus_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> Non
     )
 
 
+def write_queries_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S4 inverse: (query_id, text) → queries JSONL
+    (``{"_id","text"}`` per line, ``001-get_embeddings.py:112-117``
+    shape) — the missing half that makes ``load_beir_data`` (S2)
+    round-trippable end to end."""
+    (
+        df.select(
+            F.col("query_id").cast("string").alias("_id"),
+            "text",
+        ).write.mode(mode).json(path)
+    )
+
+
 def write_qrels_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5 inverse: (query_id, doc_id, relevance) → BEIR TSV."""
     (

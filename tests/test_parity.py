@@ -26,10 +26,27 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    k = s.dtype.kind
+    return "i" if k in "iu" else k
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
     )
+    # The driver's value-hash serializes raw values, so an int64 vs
+    # float64 divergence (e.g. DuckDB HUGEINT from sum(CASE...) vs
+    # Spark BIGINT) hash-mismatches even when values agree. Pin dtype
+    # KIND equality pre-normalization so the local twin predicts it.
+    if len(spark_pdf) and len(oracle_pdf):
+        for c in sorted(spark_pdf.columns):
+            ks, ko = _dtype_kind(spark_pdf[c]), _dtype_kind(oracle_pdf[c])
+            assert ks == ko, (
+                f"{name}: col {c} dtype-kind {spark_pdf[c].dtype} (spark) vs "
+                f"{oracle_pdf[c].dtype} (oracle) — driver hash would mismatch; "
+                f"align with CAST in the oracle or .cast() in the query"
+            )
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
     )
