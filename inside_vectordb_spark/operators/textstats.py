@@ -86,13 +86,57 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def quality_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+# seq_id block size per shard: bigint holds 4096 shards × 1e12 blocks
+# with room to spare; 1e12 sequences/shard is unreachable even at
+# 100 TB (a 512-token budget × 1e12 sequences = 5e14 tokens/shard).
+_SEQS_PER_SHARD_BLOCK = 1_000_000_000_000
+
+
+def pack_sequences(
+    docs: DataFrame,
+    n_shards: int | None = None,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, n_words, avg_word_len, stopword_ratio, alpha_ratio,
-    quality): length/stopword/alpha heuristics combined into one
-    [0,1] score — the standard cheap quality gate before expensive
-    pipeline stages."""
+    """Greedy token-budget sequence packing (the sample-packing step
+    before LLM training): (doc_id, shard, seq_id, n_ws_tokens), docs
+    assigned to ``budget``-token training sequences by running token
+    count, deterministically ordered by id WITHIN id-hash shards.
+
+    ``n_shards`` bounds the packing window's parallelism — a global
+    orderBy window would serialize on one task at 100 TB; per-shard
+    packing is what production packers do (pack within a shard/file,
+    never globally). Defaults to 4× the cluster's default parallelism
+    so the running-sum stage always has more shards than cores; pass
+    an explicit value when the output layout (shard == output file)
+    matters."""
+    if n_shards is None:
+        n_shards = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import Window
+
+    toks = token_counts(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", "n_ws_tokens"
+    )
+    t = toks.withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_ws_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "shard",
+        (F.col("shard").cast("bigint") * _SEQS_PER_SHARD_BLOCK
+         + F.floor((cum - F.col("n_ws_tokens")) / budget)).alias("seq_id"),
+        "n_ws_tokens",
+    )
+
+
+def _quality_parts(text_col: str):
+    """The quality heuristic's component expressions:
+    (n, avg_wl, stop_ratio, alpha_ratio, quality)."""
     toks = tokenize(text_col)
     n = token_count(text_col).cast("double")
     text = F.col(text_col)
@@ -117,6 +161,24 @@ def quality_scores(
         + 0.25 * alpha_ratio,
         6,
     )
+    return n, avg_wl, stop_ratio, alpha_ratio, quality
+
+
+def quality_expr(text_col: str = "text") -> Column:
+    """The [0,1] quality score as a single reusable Catalyst
+    expression — lets pipelines gate on quality as a pure projection
+    (zero shuffle, no self-join against ``quality_scores``)."""
+    return _quality_parts(text_col)[4]
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, avg_word_len, stopword_ratio, alpha_ratio,
+    quality): length/stopword/alpha heuristics combined into one
+    [0,1] score — the standard cheap quality gate before expensive
+    pipeline stages."""
+    n, avg_wl, stop_ratio, alpha_ratio, quality = _quality_parts(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n.cast("int").alias("n_words"),

@@ -11,6 +11,7 @@ from inside_vectordb_spark.plans.audit import (
     assert_not_in_plan,
     count_in_plan,
     physical_plan,
+    shuffled_payloads,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "assert_not_in_plan",
     "count_in_plan",
     "physical_plan",
+    "shuffled_payloads",
 ]

@@ -19,6 +19,37 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def shuffled_payloads(df: DataFrame) -> list[tuple[str, list[str]]]:
+    """For every shuffle exchange in the physical plan, the
+    partitioning (as a string) and the column names that cross the
+    wire. The 100 TB audit primitive: a wide column (e.g. full
+    document text) in a hash-partitioned exchange is a network
+    scale-killer even when the query is correct.
+
+    RoundRobin repartitions are included — callers that only care
+    about data-moving-at-scale exchanges can filter on
+    ``part.startswith("hashpartitioning")`` (the round-robin splits
+    here come from ``io.load_table``'s single-row-group testdata
+    workaround, which never triggers on a real multi-split scan)."""
+
+    def _walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from _walk(ch.apply(i))
+        # AQE root keeps the EnsureRequirements-expanded tree aside
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            yield from _walk(node.initialPlan())
+
+    out: list[tuple[str, list[str]]] = []
+    for node in _walk(df._jdf.queryExecution().executedPlan()):
+        if node.getClass().getSimpleName() == "ShuffleExchangeExec":
+            attrs = node.child().output()
+            names = [attrs.apply(i).name() for i in range(attrs.size())]
+            out.append((node.outputPartitioning().toString(), names))
+    return out
+
+
 def count_in_plan(df: DataFrame, fragment: str) -> int:
     return physical_plan(df).count(fragment)
 

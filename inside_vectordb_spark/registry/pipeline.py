@@ -436,34 +436,41 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     of any verified MinHash pair). All three predicates are computed
     globally, so stage order cannot change the result — the form a
     production curation run wants, since each filter is a separate
-    reusable column. Plan: the quality gate is pure Catalyst
-    expressions; the exact-dedup keeper is a window over the content
-    hash; near-dup drops arrive as a (small) broadcast anti-join
-    side. The documents scan is shared across all three via Spark's
-    ReusedExchange where partitioning allows."""
-    from pyspark.sql import Window
-
+    reusable gate. Plan at 100 TB: the quality gate is a pure
+    Catalyst projection (zero shuffle — no self-join against
+    ``quality_scores``); the exact-dedup keeper shuffles only
+    ``(md5(text), doc_id)`` pairs with a map-side partial min (the
+    ``exact_duplicates`` shape), then rejoins by id — the full-text
+    rows never move over the network; near-dup drops arrive as a
+    (small) anti-join side."""
     docs = eio.load_table(spark, sf_dir, "documents")
-    qual = ts.quality_scores(docs).select("doc_id", "quality")
     drops = (
         dd.minhash_near_duplicates(docs, threshold=0.2)
         .select("doc_b").distinct()
     )
-    w = Window.partitionBy(F.md5("text"))
+    keepers = (
+        docs.select(F.md5("text").alias("__h"), "doc_id")
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    scored = docs.withColumn("quality", ts.quality_expr("text"))
     survivors = (
-        docs.join(qual, "doc_id")
-        .withColumn("__keeper", F.min("doc_id").over(w))
-        .filter((F.col("quality") >= 0.5) & (F.col("doc_id") == F.col("__keeper")))
-        .join(drops, docs.doc_id == drops.doc_b, "left_anti")
+        scored.filter(F.col("quality") >= 0.5)
+        .join(keepers, "doc_id", "left_semi")
+        .join(drops, scored.doc_id == drops.doc_b, "left_anti")
     )
     return survivors.select("doc_id", "lang", "n_chars", "quality")
+
+
+_PACK_SHARDS = 64  # registered variant: fixed so the oracle can mirror it
 
 
 @register(
     "sequence_packing",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, doc_id % 8 AS shard,
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
              CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS INT)
                  AS n_ws_tokens
       FROM documents),
@@ -473,37 +480,21 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
     SELECT doc_id, CAST(shard AS INT) AS shard,
-           CAST(shard * 1000000 + (cum - n_ws_tokens) // 512 AS BIGINT) AS seq_id,
+           CAST(shard * 1000000000000 + (cum - n_ws_tokens) // 512 AS BIGINT)
+               AS seq_id,
            n_ws_tokens
     FROM c
     """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy token-budget sequence packing (the sample-packing step
-    before LLM training): docs are assigned to 512-token training
-    sequences by running token count, deterministically ordered by
-    doc_id WITHIN id-hash shards. Sharding keeps the window
-    partitioned — a global orderBy window would serialize on one
-    task at 100 TB; per-shard packing is what production packers do
-    (pack within a shard/file, never globally)."""
-    from pyspark.sql import Window
-
+    """Greedy token-budget sequence packing via
+    ``operators.textstats.pack_sequences``. The registered variant
+    pins ``n_shards`` (so the DuckDB oracle can mirror the shard
+    arithmetic); the operator itself defaults to 4× cluster
+    parallelism — the shard count is the packing window's parallelism
+    and must scale with the cluster, not sit at a constant."""
     docs = eio.load_table(spark, sf_dir, "documents")
-    toks = ts.token_counts(docs).select("doc_id", "n_ws_tokens")
-    t = toks.withColumn("shard", (F.col("doc_id") % 8).cast("int"))
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("n_ws_tokens").over(w)
-    return t.select(
-        "doc_id",
-        "shard",
-        (F.col("shard") * 1000000
-         + F.floor((cum - F.col("n_ws_tokens")) / 512)).alias("seq_id"),
-        "n_ws_tokens",
-    )
+    return ts.pack_sequences(docs, n_shards=_PACK_SHARDS)
 
 
 @register(

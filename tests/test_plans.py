@@ -16,6 +16,7 @@ from inside_vectordb_spark.plans import (
     assert_in_plan,
     assert_not_in_plan,
     count_in_plan,
+    shuffled_payloads,
 )
 from inside_vectordb_spark.registry import QUERIES
 from tests.conftest import SF_DIR
@@ -116,3 +117,18 @@ def test_curation_no_cartesian(spark):
     df = QUERIES["corpus_curation"](spark, SF_DIR)
     assert_not_in_plan(df, "CartesianProduct")
     assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_curation_no_text_in_shuffle(spark):
+    """The exact-dedup keeper must shuffle only (md5(text), doc_id)
+    pairs — a window over md5(text) would move the full corpus text
+    over the network at 100 TB. Also pins: no Window node, and the
+    keeper aggregation combines map-side."""
+    df = QUERIES["corpus_curation"](spark, SF_DIR)
+    assert_not_in_plan(df, "Window")
+    assert_in_plan(df, "partial_min")
+    for part, cols in shuffled_payloads(df):
+        if part.startswith("hashpartitioning"):
+            assert "text" not in cols, (
+                f"full text crosses a hash exchange ({part}): {cols}"
+            )

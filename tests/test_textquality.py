@@ -77,3 +77,31 @@ def test_decontaminate_planted(spark):
         r["doc_id"] for r in ts.decontaminate(tr, ev, threshold=0.1).collect()
     }
     assert set(hits) <= loose
+
+
+def test_pack_sequences_shards_and_budget(spark):
+    # 6 docs of 300 ws-tokens each: with budget 512 and 2 shards,
+    # each shard packs its 3 docs as cum 0/300/600 → seq 0,0,1.
+    rows = [(i, " ".join(["tok"] * 300)) for i in range(6)]
+    out = {
+        r["doc_id"]: r
+        for r in ts.pack_sequences(_docs(spark, rows), n_shards=2).collect()
+    }
+    blk = ts._SEQS_PER_SHARD_BLOCK
+    for i in range(6):
+        assert out[i]["shard"] == i % 2
+        assert out[i]["n_ws_tokens"] == 300
+    # per-shard running sums are independent
+    assert out[0]["seq_id"] == 0 and out[2]["seq_id"] == 0
+    assert out[4]["seq_id"] == 1
+    assert out[1]["seq_id"] == blk and out[3]["seq_id"] == blk
+    assert out[5]["seq_id"] == blk + 1
+
+
+def test_pack_sequences_default_shards_scale_with_parallelism(spark):
+    # the default shard count must exceed cluster parallelism — the
+    # packing window's parallelism ceiling at 100 TB
+    rows = [(i, "a b c") for i in range(200)]
+    df = ts.pack_sequences(_docs(spark, rows))
+    n_shards = df.select("shard").distinct().count()
+    assert n_shards > spark.sparkContext.defaultParallelism
