@@ -63,6 +63,24 @@ def _write_meta(path: str, meta: dict[str, Any]) -> None:
         json.dump(meta, f, indent=2)
 
 
+def _corpus_fingerprint(corpus: DataFrame, id_col: str) -> dict[str, int]:
+    """Cheap corpus identity for the cache check: row count + id
+    range. A changed corpus at the same path must NOT silently reuse
+    the stale artifact (the reference's hnswlib cache check has this
+    gap — ``003:234-251`` keys on params only). Count+min/max is one
+    columnar scan of the id column (parquet answers it from
+    metadata/stats at rest), so the check stays far cheaper than the
+    rebuild it guards."""
+    row = corpus.agg(
+        F.count("*").alias("n"), F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    return {
+        "n": int(row["n"]),
+        "lo": int(row["lo"]) if row["lo"] is not None else None,
+        "hi": int(row["hi"]) if row["hi"] is not None else None,
+    }
+
+
 # ---------------------------------------------------------------------------
 # LSH
 # ---------------------------------------------------------------------------
@@ -103,16 +121,23 @@ def build_lsh_index(
         "n_bits": n_bits,
         "seed": seed,
         "max_bucket_size": max_bucket_size,
+        "corpus": _corpus_fingerprint(corpus, id_col),
     }
     _write_meta(path, meta)
     return meta
 
 
 def ensure_lsh_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, Any]:
-    """Build unless a complete index with identical params exists
-    (the reference's cache check, ``003:234-251``)."""
+    """Build unless a complete index with identical params AND the
+    same corpus fingerprint exists (the reference's cache check,
+    ``003:234-251``, keys on params only — a changed corpus at the
+    same path would silently serve stale buckets)."""
     meta = _read_meta(path)
-    want = {"kind": "lsh", **params}
+    want = {
+        "kind": "lsh",
+        **params,
+        "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
+    }
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
         return meta
     return build_lsh_index(corpus, path, **params)
@@ -193,14 +218,23 @@ def build_ivf_index(
         .partitionBy("centroid_id")
         .parquet(os.path.join(path, "assignments"))
     )
-    meta = {"kind": "ivf", "n_centroids": n_centroids, "seed": seed}
+    meta = {
+        "kind": "ivf",
+        "n_centroids": n_centroids,
+        "seed": seed,
+        "corpus": _corpus_fingerprint(corpus, id_col),
+    }
     _write_meta(path, meta)
     return meta
 
 
 def ensure_ivf_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, Any]:
     meta = _read_meta(path)
-    want = {"kind": "ivf", **params}
+    want = {
+        "kind": "ivf",
+        **params,
+        "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
+    }
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
         return meta
     return build_ivf_index(corpus, path, **params)

@@ -68,12 +68,30 @@ def _minhash_params(k: int = MINHASH_K) -> list[tuple[int, int, int]]:
 MINHASH_PARAMS = _minhash_params()
 
 
+def shingle_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, shset ARRAY<STRING>): each doc's distinct word-shingle
+    set — the shared input of signature generation AND Jaccard
+    verification. Compute once per pipeline run: shingling is the
+    CPU-heavy projection, and the full near-dup pipeline otherwise
+    re-derives it three times (signatures + both verify probes)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, shingle_n).alias("shset"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
     k: int = MINHASH_K,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, mh0..mh{k-1} BIGINT) MinHash signature from distinct
     word n-gram shingles.
@@ -84,11 +102,14 @@ def minhash_signatures(
     the shingle rows; the md5 count is 1/k of a hash-per-slot scheme —
     at sf0.1 that is 7.5M md5s instead of 90M. Docs with < n words
     yield no signature (no shingles), mirroring MinHashLSH's
-    non-empty-set requirement."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
-    )
+    non-empty-set requirement.
+
+    ``sets``: optionally a precomputed (possibly persisted)
+    ``shingle_sets`` relation to derive from instead of re-shingling
+    ``docs``."""
+    if sets is None:
+        sets = shingle_sets(docs, id_col, text_col, shingle_n)
+    sh = sets.select("doc_id", F.explode("shset").alias("sh"))
     b = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
     based = sh.select(
         "doc_id", (b % _HALF).alias("b1"), F.shiftright(b, 30).alias("b2")
@@ -134,13 +155,16 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band — the
     candidate set for near-dup verification. The self-join shuffles
     on (band_idx, band_key); bucket skew (a giant bucket of identical
     docs) is handled by AQE skew-join at scale."""
     keys = minhash_band_keys(
-        minhash_signatures(docs, id_col, text_col, shingle_n, k), bands, k
+        minhash_signatures(docs, id_col, text_col, shingle_n, k, sets=sets),
+        bands,
+        k,
     )
     a = keys.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
@@ -162,13 +186,15 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word-shingle sets for given
     (doc_a, doc_b) pairs: |A∩B| / |A∪B|. Shingle arrays are joined
     in (broadcast when small); set math runs JVM-side."""
-    sets_ = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(text_col, shingle_n).alias("shset"),
+    sets_ = (
+        sets
+        if sets is not None
+        else shingle_sets(docs, id_col, text_col, shingle_n)
     )
     out = (
         pairs.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shset", "sh_a"), "doc_a")
@@ -193,9 +219,20 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥
-    threshold. Returns (doc_a, doc_b, jaccard)."""
-    pairs = minhash_candidate_pairs(docs, id_col, text_col, shingle_n)
-    j = ngram_jaccard(docs, pairs, id_col, text_col, shingle_n)
+    threshold. Returns (doc_a, doc_b, jaccard).
+
+    The shingle-set relation is computed ONCE and persisted
+    (memory-and-disk) — signatures and both verify probes read the
+    materialized sets instead of re-shingling the corpus three times.
+    Spark evicts the blocks LRU (and the production path would
+    checkpoint them to storage between pipeline stages); correctness
+    never depends on the persist."""
+    sets = shingle_sets(docs, id_col, text_col, shingle_n)
+    from pyspark import StorageLevel
+
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = minhash_candidate_pairs(docs, id_col, text_col, shingle_n, sets=sets)
+    j = ngram_jaccard(docs, pairs, id_col, text_col, shingle_n, sets=sets)
     return j.filter(F.col("jaccard") >= threshold)
 
 

@@ -35,7 +35,20 @@ def salted_equi_join(
 
     ``row_col``: any column of ``skewed`` that varies per row (an id)
     — the deterministic salt source. Result columns = plain
-    ``skewed.join(small, key, how)``."""
+    ``skewed.join(small, key, how)``.
+
+    ``how`` is restricted to joins where replicating the small side
+    ``n_salts``× cannot surface in the output: inner/left keep exactly
+    the salted-side matches; semi/anti reduce to existence checks. A
+    right or full outer join would emit every UNMATCHED small-side row
+    ``n_salts`` times — reverse the operands instead."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_equi_join: how={how!r} unsupported — the small side is "
+            f"replicated {n_salts}x, so right/full outer joins would "
+            f"duplicate unmatched small-side rows; use one of {sorted(allowed)}"
+        )
     spark = skewed.sparkSession
     salts = spark.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
     salted = skewed.withColumn(

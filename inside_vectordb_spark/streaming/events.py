@@ -54,11 +54,22 @@ def read_table_stream(
     )
     os.makedirs(stage, exist_ok=True)
     staged = os.path.join(stage, f"{name}.parquet")
+    # Symlinks track source updates for free; a copy fallback must be
+    # refreshed when the source changes (mtime/size drift), or the
+    # stream silently replays stale data forever.
+    if os.path.islink(staged):
+        if os.path.realpath(staged) != os.path.realpath(path):
+            os.remove(staged)
+    elif os.path.exists(staged):
+        src_st, cp_st = os.stat(path), os.stat(staged)
+        if (src_st.st_mtime, src_st.st_size) != (cp_st.st_mtime, cp_st.st_size):
+            os.remove(staged)
     if not os.path.exists(staged):
         try:
             os.symlink(path, staged)
         except OSError:
             shutil.copyfile(path, staged)
+            shutil.copystat(path, staged)
     return (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -140,7 +151,11 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"stream drain exceeded {timeout_sec}s; refusing to return "
+                f"a partially-drained memory table ({name})"
+            )
     finally:
         q.stop()
     return streaming_df.sparkSession.table(name)

@@ -96,3 +96,20 @@ def test_ivf_probe_prunes_partitions(spark, corpus, tmp_path_factory):
     )
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ensure_rebuilds_on_corpus_change(spark, corpus, tmp_path_factory):
+    import time
+
+    path = str(tmp_path_factory.mktemp("lsh_corpus_fp"))
+    ensure_lsh_index(corpus, path, **LSH)
+    meta = os.path.join(path, "meta.json")
+    mtime = os.path.getmtime(meta)
+    # same params, same corpus: cache hit
+    ensure_lsh_index(corpus, path, **LSH)
+    assert os.path.getmtime(meta) == mtime
+    # same params, DIFFERENT corpus at the same path: must rebuild
+    time.sleep(0.01)
+    smaller = corpus.filter("vec_id % 2 = 0")
+    ensure_lsh_index(smaller, path, **LSH)
+    assert os.path.getmtime(meta) > mtime
