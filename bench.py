@@ -69,6 +69,45 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def curation_gate_counts(spark, sf_dir: str) -> dict:
+    """Rows processed/dropped per curation gate — the
+    log-what-was-dropped audit a production curation run publishes
+    alongside its timings. Each count is an independent aggregate
+    (counts only; nothing collects beyond one row per gate)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators import textstats as ts
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    quality_pass = docs.filter(ts.quality_expr("text") >= 0.5).count()
+    dup_groups = QUERIES["dedup_exact"](spark, sf_dir)
+    exact_dropped = int(
+        (dup_groups.agg(F.sum(F.col("n_dups") - 1)).collect()[0][0]) or 0
+    )
+    neardup_dropped = (
+        QUERIES["minhash_near_duplicates"](spark, sf_dir)
+        .select("doc_b").distinct().count()
+    )
+    pii_docs = (
+        QUERIES["pii_redaction"](spark, sf_dir)
+        .filter("n_emails + n_phones + n_ips > 0").count()
+    )
+    contaminated = QUERIES["decontamination"](spark, sf_dir).count()
+    survivors = QUERIES["corpus_curation"](spark, sf_dir).count()
+    return {
+        "documents_total": total,
+        "quality_pass": quality_pass,
+        "quality_dropped": total - quality_pass,
+        "exact_dup_dropped": exact_dropped,
+        "near_dup_dropped": neardup_dropped,
+        "pii_docs_redacted": pii_docs,
+        "decontamination_flagged": contaminated,
+        "curation_survivors": survivors,
+        "curation_dropped": total - survivors,
+    }
+
+
 def run_bench(sf_dir: str) -> dict:
     spark = get_spark(app_name="inside-vectordb-bench")
     try:
@@ -82,6 +121,13 @@ def run_bench(sf_dir: str) -> dict:
             _materialize(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+        try:
+            gates = curation_gate_counts(spark, sf_dir)
+            print(f"[bench] curation gates: {gates}", file=sys.stderr)
+        except Exception as exc:  # audit is best-effort; timings are the contract
+            print(f"[bench] gate count failed: {exc}", file=sys.stderr)
+            gates = {}
     finally:
         spark.stop()
 
@@ -96,6 +142,7 @@ def run_bench(sf_dir: str) -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "curation_gates": gates,
     }
 
 
@@ -112,6 +159,7 @@ def write_report(result: dict) -> None:
             name: {"latency_sec": sec, "qps": round(1.0 / sec, 4) if sec else None}
             for name, sec in result["queries"].items()
         },
+        "curation_gates": result.get("curation_gates", {}),
     }
     with open(os.path.join("reports", f"spark_headline_{stamp}.json"), "w") as f:
         json.dump(report, f, indent=2)
