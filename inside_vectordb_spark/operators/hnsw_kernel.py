@@ -1,0 +1,204 @@
+"""Vendored pure-NumPy HNSW kernel (hnswlib-compatible subset).
+
+The partitioned ANN tier (``operators/partitioned_ann.py``) mirrors
+the reference's hnswlib usage (``003-hnswlib_demo.py:140-257``) but
+this container has no hnswlib, so round 2 could only exercise the
+exact-GEMM fallback. This module is a small, from-scratch
+implementation of the HNSW algorithm (Malkov & Yashunin,
+"Efficient and robust approximate nearest neighbor search using
+Hierarchical Navigable Small World graphs", arXiv:1603.09320) so the
+APPROXIMATE branch — graph build, ef_search beam, recall/ef
+trade-off — runs and is test-pinned in-container.
+
+API mirrors the hnswlib subset the partitioned tier uses, in
+inner-product space over pre-normalized vectors (distance = 1 − ip):
+
+    index = HnswIndex(dim=64, m=16, ef_construction=100, seed=42)
+    index.add_items(mat, ids)
+    index.set_ef(64)
+    labels, dists = index.knn_query(qmat, k=10)
+
+Scope notes:
+- This is the CORRECTNESS twin, not the production kernel: on a real
+  cluster with hnswlib installed the partitioned tier uses the C++
+  build (``kernel='auto'``). The vendored kernel exists so the
+  scatter-gather plumbing and the recall-retention story are verified
+  end-to-end without optional native deps.
+- Determinism: level assignment draws from a seeded generator keyed by
+  (seed, insertion order), so the same (vectors, ids, params) always
+  build the same graph — required for the oracle-adjacent tests.
+- Algorithms implemented: insert (paper Alg. 1), greedy layer descent
+  (Alg. 2 with ef=1), beam search (Alg. 2), neighbor selection by
+  distance (Alg. 3; the Alg. 4 diversity heuristic is noted but not
+  needed at partition scale).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+__all__ = ["HnswIndex"]
+
+
+class HnswIndex:
+    """Hierarchical NSW graph over inner-product space.
+
+    Vectors are expected pre-normalized (the partitioned tier
+    normalizes per partition), so ``1 - dot`` is the cosine distance
+    ordering hnswlib's ``space='ip'`` reports.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        m: int = 16,
+        ef_construction: int = 100,
+        seed: int = 42,
+    ) -> None:
+        if m < 2:
+            raise ValueError("m must be >= 2")
+        self.dim = dim
+        self.m = m
+        self.m_max0 = 2 * m  # layer-0 degree bound (paper §4)
+        self.ef_construction = max(ef_construction, m)
+        self.ef = max(10, m)
+        self._ml = 1.0 / math.log(m)
+        self._rng = np.random.default_rng(seed)
+        self._vecs: np.ndarray | None = None  # (n, dim) float64
+        self._ids: list[int] = []
+        # _links[level][node] -> list[int] neighbor internal indexes
+        self._links: list[dict[int, list[int]]] = []
+        self._entry: int = -1
+        self._max_level: int = -1
+
+    # -- public API (hnswlib-compatible subset) --
+
+    def add_items(self, mat: np.ndarray, ids: np.ndarray) -> None:
+        mat = np.asarray(mat, dtype=np.float64)
+        if mat.ndim != 2 or mat.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) matrix, got {mat.shape}")
+        if len(ids) != len(mat):
+            raise ValueError("ids/matrix length mismatch")
+        base = 0 if self._vecs is None else len(self._vecs)
+        self._vecs = mat if self._vecs is None else np.vstack([self._vecs, mat])
+        self._ids.extend(int(i) for i in ids)
+        # Pre-draw levels for the whole batch from one seeded stream so
+        # the graph is a pure function of (vectors, ids, params, seed).
+        levels = (
+            -np.log(self._rng.uniform(1e-12, 1.0, size=len(mat))) * self._ml
+        ).astype(np.int64)
+        for off in range(len(mat)):
+            self._insert(base + off, int(levels[off]))
+
+    def set_ef(self, ef: int) -> None:
+        self.ef = max(int(ef), 1)
+
+    def knn_query(self, qmat: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Batch query: returns (labels, dists) shaped (nq, k), dists
+        ascending per row, distance = 1 − inner product."""
+        qmat = np.asarray(qmat, dtype=np.float64)
+        if qmat.ndim == 1:
+            qmat = qmat[None, :]
+        if self._entry < 0:
+            raise RuntimeError("empty index")
+        k = min(k, len(self._ids))
+        labels = np.empty((len(qmat), k), dtype=np.int64)
+        dists = np.empty((len(qmat), k), dtype=np.float64)
+        ids_arr = np.asarray(self._ids, dtype=np.int64)
+        for qi, q in enumerate(qmat):
+            ep = self._descend(q, self._entry, self._max_level, 0)
+            cand = self._search_layer(q, [ep], 0, max(self.ef, k))
+            # ascending distance, id ASC tie-break for determinism
+            cand.sort(key=lambda t: (t[0], ids_arr[t[1]]))
+            top = cand[:k]
+            labels[qi] = [ids_arr[ix] for _, ix in top]
+            dists[qi] = [d for d, _ in top]
+        return labels, dists
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+    # -- internals --
+
+    def _dist(self, q: np.ndarray, idx: int) -> float:
+        return 1.0 - float(q @ self._vecs[idx])
+
+    def _dists(self, q: np.ndarray, idxs: list[int]) -> np.ndarray:
+        return 1.0 - (self._vecs[idxs] @ q)
+
+    def _descend(self, q: np.ndarray, ep: int, from_level: int, to_level: int) -> int:
+        """Greedy ef=1 descent through the upper layers (Alg. 2 with
+        ef=1, per Alg. 5's search entry phase)."""
+        best = ep
+        best_d = self._dist(q, best)
+        for level in range(from_level, to_level, -1):
+            changed = True
+            while changed:
+                changed = False
+                for nb in self._links[level].get(best, ()):
+                    d = self._dist(q, nb)
+                    if d < best_d:
+                        best, best_d, changed = nb, d, True
+        return best
+
+    def _search_layer(
+        self, q: np.ndarray, eps: list[int], level: int, ef: int
+    ) -> list[tuple[float, int]]:
+        """Beam search at one layer (paper Alg. 2): returns up to ef
+        (distance, internal_idx) pairs, unsorted."""
+        visited = set(eps)
+        cand: list[tuple[float, int]] = []  # min-heap by distance
+        best: list[tuple[float, int]] = []  # max-heap via negated dist
+        for ep in eps:
+            d = self._dist(q, ep)
+            heapq.heappush(cand, (d, ep))
+            heapq.heappush(best, (-d, ep))
+        while cand:
+            d, node = heapq.heappop(cand)
+            if d > -best[0][0] and len(best) >= ef:
+                break
+            fresh = [nb for nb in self._links[level].get(node, ()) if nb not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            for nd, nb in zip(self._dists(q, fresh), fresh):
+                if len(best) < ef or nd < -best[0][0]:
+                    heapq.heappush(cand, (float(nd), nb))
+                    heapq.heappush(best, (-float(nd), nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return [(-nd, nb) for nd, nb in best]
+
+    def _insert(self, idx: int, level: int) -> None:
+        while len(self._links) <= level:
+            self._links.append({})
+        for lv in range(level + 1):
+            self._links[lv].setdefault(idx, [])
+        if self._entry < 0:
+            self._entry, self._max_level = idx, level
+            return
+        q = self._vecs[idx]
+        ep = self._entry
+        if self._max_level > level:
+            ep = self._descend(q, ep, self._max_level, level)
+        for lv in range(min(level, self._max_level), -1, -1):
+            found = self._search_layer(q, [ep], lv, self.ef_construction)
+            found.sort(key=lambda t: t[0])
+            m_max = self.m_max0 if lv == 0 else self.m
+            neighbors = [ix for _, ix in found[: self.m]]
+            self._links[lv][idx] = list(neighbors)
+            for nb in neighbors:
+                links = self._links[lv][nb]
+                links.append(idx)
+                if len(links) > m_max:
+                    # prune to the m_max closest of nb's neighbors
+                    ds = self._dists(self._vecs[nb], links)
+                    keep = np.argsort(ds, kind="stable")[:m_max]
+                    self._links[lv][nb] = [links[i] for i in keep]
+            if found:
+                ep = min(found, key=lambda t: t[0])[1]
+        if level > self._max_level:
+            self._entry, self._max_level = idx, level

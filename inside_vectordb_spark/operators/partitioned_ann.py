@@ -9,18 +9,21 @@ scatter-gather architecture every distributed ANN system (Milvus,
 Vespa, Elasticsearch kNN) uses, expressed as ``mapInPandas`` + a
 window.
 
-The container has no hnswlib, so the local kernel is import-gated:
+The local kernel is selectable (``kernel=``):
 
-- with hnswlib present: true HNSW build (M, ef_construction) +
-  ef_search queries per partition — approximate, sublinear per
-  partition;
-- without: exact GEMM over the partition (NumPy), which makes the
-  whole operator EXACT brute-force — identical results to
+- ``'auto'`` (default): hnswlib if importable, else the exact GEMM
+  fallback — exact brute-force, identical results to
   ``exact_cosine_topk``, which is what the DuckDB oracle for
   ``ann_hnsw_partitioned`` checks in this environment. With hnswlib
   installed the results become approximate and the oracle row would
   drift to a retention check (documented here, asserted in
   ``tests/test_ann.py`` either way).
+- ``'hnswlib'``: force the native kernel (raises if absent).
+- ``'vendored'``: the pure-NumPy HNSW in ``operators/hnsw_kernel.py``
+  — a real approximate graph search, so the non-exact branch (graph
+  build, ef beam, recall/ef trade-off) is exercised and test-pinned
+  in-container (``tests/test_ann.py``) even without hnswlib.
+- ``'exact'``: force the GEMM kernel.
 
 Scale: the corpus never shuffles — each partition's graph lives and
 dies inside one task; only Q×k rows per partition cross the network
@@ -57,15 +60,39 @@ def _local_topk(
     m: int,
     ef_construction: int,
     ef_search: int,
+    kernel: str = "auto",
 ) -> pd.DataFrame:
-    """Partition-local top-k: HNSW when available, exact GEMM kernel
-    otherwise. Inputs are L2-normalized, so inner product == cosine."""
+    """Partition-local top-k. Inputs are L2-normalized, so inner
+    product == cosine. ``kernel`` picks the engine (module docstring)."""
     kk = min(k, len(ids))
-    try:  # pragma: no cover - container has no hnswlib
-        import hnswlib
+    if kernel in ("auto", "hnswlib"):
+        try:  # pragma: no cover - container has no hnswlib
+            import hnswlib
 
-        index = hnswlib.Index(space="ip", dim=mat.shape[1])
-        index.init_index(max_elements=len(ids), M=m, ef_construction=ef_construction)
+            index = hnswlib.Index(space="ip", dim=mat.shape[1])
+            index.init_index(
+                max_elements=len(ids), M=m, ef_construction=ef_construction
+            )
+            index.add_items(mat, ids)
+            index.set_ef(max(ef_search, kk))
+            labels, dists = index.knn_query(qmat, k=kk)
+            rows = np.repeat(np.arange(len(qids)), kk)
+            return pd.DataFrame(
+                {
+                    "query_id": qids[rows],
+                    "doc_id": labels.ravel(),
+                    "score": 1.0 - dists.ravel(),  # ip distance = 1 − cos
+                }
+            )
+        except ImportError:
+            if kernel == "hnswlib":
+                raise
+    if kernel == "vendored":
+        from inside_vectordb_spark.operators.hnsw_kernel import HnswIndex
+
+        index = HnswIndex(
+            dim=mat.shape[1], m=m, ef_construction=ef_construction, seed=42
+        )
         index.add_items(mat, ids)
         index.set_ef(max(ef_search, kk))
         labels, dists = index.knn_query(qmat, k=kk)
@@ -74,23 +101,24 @@ def _local_topk(
             {
                 "query_id": qids[rows],
                 "doc_id": labels.ravel(),
-                "score": 1.0 - dists.ravel(),  # ip-space distance = 1 − cos
+                "score": 1.0 - dists.ravel(),
             }
         )
-    except ImportError:
-        sims = qmat @ mat.T
-        # exact selection under the declared (score DESC, doc_id ASC)
-        # total order — small partitions make a full lexsort affordable
-        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :kk]
-        rows = np.repeat(np.arange(sims.shape[0]), kk)
-        cols = order.ravel()
-        return pd.DataFrame(
-            {
-                "query_id": qids[rows],
-                "doc_id": ids[cols],
-                "score": sims[rows, cols],
-            }
-        )
+    if kernel not in ("auto", "exact"):
+        raise ValueError(f"unknown kernel: {kernel!r}")
+    sims = qmat @ mat.T
+    # exact selection under the declared (score DESC, doc_id ASC)
+    # total order — small partitions make a full lexsort affordable
+    order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :kk]
+    rows = np.repeat(np.arange(sims.shape[0]), kk)
+    cols = order.ravel()
+    return pd.DataFrame(
+        {
+            "query_id": qids[rows],
+            "doc_id": ids[cols],
+            "score": sims[rows, cols],
+        }
+    )
 
 
 def ann_hnsw_partitioned_topk(
@@ -105,11 +133,13 @@ def ann_hnsw_partitioned_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     round_to: int | None = 6,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Scatter-gather ANN: per-partition (HNSW | exact) local top-k,
     one global (score DESC, doc_id ASC) window merge. Same output
     contract as ``exact_cosine_topk``. M/ef_construction/ef_search
-    mirror the reference's knobs (``003:156-160``)."""
+    mirror the reference's knobs (``003:156-160``); ``kernel``
+    selects the partition-local engine (module docstring)."""
     qrows = (
         queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("v"))
         .collect()
@@ -136,7 +166,7 @@ def ann_hnsw_partitioned_topk(
             nrm[nrm == 0.0] = 1.0
             mat /= nrm
             yield _local_topk(
-                ids, mat, qids, qmat, k, m, ef_construction, ef_search
+                ids, mat, qids, qmat, k, m, ef_construction, ef_search, kernel
             )
 
     partials = c.mapInPandas(search_partition, schema=_PARTIAL_SCHEMA)

@@ -146,6 +146,28 @@ def ann_ivf_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_hnsw_vendored")
+def ann_hnsw_vendored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 with the vendored pure-NumPy HNSW kernel forced
+    (``operators/hnsw_kernel.py``) — the APPROXIMATE branch of the
+    partitioned scatter-gather tier, runnable without hnswlib.
+    Rows-only driver check; recall retention vs exact is pinned in
+    ``tests/test_ann.py``."""
+    from inside_vectordb_spark.operators.partitioned_ann import (
+        ann_hnsw_partitioned_topk,
+    )
+
+    return ann_hnsw_partitioned_topk(
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        m=16,
+        ef_construction=100,
+        ef_search=128,
+        kernel="vendored",
+    )
+
+
 @register("ann_brp_topk")
 def ann_brp_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native tier (SURVEY §7 Phase 5a): MLlib

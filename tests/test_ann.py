@@ -278,3 +278,31 @@ def test_partitioned_hnsw_retention(spark, exact_sets):
 
     res = QUERIES["ann_hnsw_partitioned"](spark, SF_DIR_MED)
     assert _recall_vs_exact(res, exact_sets) >= 0.7
+
+
+def test_partitioned_hnsw_vendored_retention(spark, exact_sets):
+    """The NON-EXACT branch of the scatter-gather tier (vendored
+    pure-NumPy HNSW kernel forced) meets the same retention floor —
+    the graph build + ef beam run end-to-end through mapInPandas,
+    not just the exact GEMM fallback (VERDICT r2 item 7)."""
+    from inside_vectordb_spark.registry import QUERIES
+
+    res = QUERIES["ann_hnsw_vendored"](spark, SF_DIR_MED)
+    assert _recall_vs_exact(res, exact_sets) >= 0.7
+
+
+def test_partitioned_vendored_output_contract(spark):
+    """Vendored-kernel output keeps the exact tier's contract: k rows
+    per query, rank 1..k, score descending within each query."""
+    from inside_vectordb_spark.registry import QUERIES
+
+    pdf = (
+        QUERIES["ann_hnsw_vendored"](spark, SF_DIR_MED)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    per_q = pdf.groupby("query_id")
+    assert (per_q.size() == K).all()
+    for _, g in per_q:
+        assert list(g["rank"]) == list(range(1, K + 1))
+        assert (g["score"].diff().dropna() <= 1e-9).all()

@@ -64,3 +64,73 @@ def test_unknown_encoder_rejected(spark):
     pdf = pd.DataFrame({"doc_id": [1], "text": ["a"]})
     with pytest.raises(ValueError, match="unknown encoder"):
         encode_documents(spark.createDataFrame(pdf), encoder="word2vec")
+
+
+def _install_fake_sentence_transformers(monkeypatch, load_counter):
+    """Register a sentence-transformers stand-in in sys.modules. The
+    fake model class is defined HERE (function scope) so cloudpickle
+    serializes it by value into the mapInPandas closure — executor
+    workers run the real model branch without the package installed."""
+    import sys
+    import types
+
+    class FakeSentenceTransformer:
+        def __init__(self, name):
+            load_counter.append(name)
+            self.name = name
+
+        def encode(self, texts, show_progress_bar=False):
+            # deterministic 2-d "embedding": (n_tokens, n_chars)
+            return np.array(
+                [[float(len(t.split())), float(len(t))] for t in texts],
+                dtype=np.float64,
+            )
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.SentenceTransformer = FakeSentenceTransformer
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+    return FakeSentenceTransformer
+
+
+def test_sentence_transformers_branch_end_to_end(spark, monkeypatch):
+    """VERDICT r2 item 7: run the REAL-model branch (F4, reference
+    ``001-get_embeddings.py:149-245``) end-to-end through mapInPandas
+    with a deterministic model double — batching, alignment, and
+    n_tokens fall out of the model path, not the hash path."""
+    from inside_vectordb_spark.operators import embed as embed_mod
+
+    loads: list[str] = []
+    _install_fake_sentence_transformers(monkeypatch, loads)
+    monkeypatch.setattr(embed_mod, "_ST_MODEL_CACHE", {})
+
+    texts = ["one", "two tokens", "three token text", ""]
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64), "text": texts}
+    )
+    out = (
+        encode_documents(
+            spark.createDataFrame(pdf), encoder="sentence-transformers",
+            model_name="fake/model",
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3]
+    for r, t in zip(out, texts):
+        assert r["embedding"] == [float(len(t.split())), float(len(t))]
+        assert r["n_tokens"] == len(t.split())
+
+
+def test_sentence_transformers_model_loads_once(monkeypatch):
+    """The per-process singleton: two encode calls construct the model
+    exactly once (the reference loads once, encodes many)."""
+    from inside_vectordb_spark.operators import embed as embed_mod
+
+    loads: list[str] = []
+    _install_fake_sentence_transformers(monkeypatch, loads)
+    monkeypatch.setattr(embed_mod, "_ST_MODEL_CACHE", {})
+
+    enc = embed_mod._sentence_transformer_encoder("fake/model")
+    enc(pd.Series(["a b", "c"]))
+    enc(pd.Series(["d e f"]))
+    assert loads == ["fake/model"]
