@@ -110,16 +110,31 @@ def curation_gate_counts(spark, sf_dir: str) -> dict:
 
 def run_bench(sf_dir: str) -> dict:
     spark = get_spark(app_name="inside-vectordb-bench")
+    # Steady-state timing: min of N runs per query (N =
+    # SPARK_GRAFT_BENCH_RUNS, default 2). Single-run numbers on a
+    # shared host carry ±2-4 s scheduler noise on UDF/streaming-heavy
+    # queries (observed run-to-run); the min is the standard
+    # steady-state estimator and matches how the reference benchmarks
+    # warm in-RAM searches (``005-compare.py`` loops queries, reports
+    # per-query latency after load).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     try:
-        # Warm-up: JVM + parquet footer reads, not charged to queries.
-        eio.load_table(spark, sf_dir, "embeddings").limit(1).count()
+        # Warm-up: JVM init + parquet footer/page-cache reads for every
+        # table, so no single query is charged the session-global cold
+        # costs (first touch of events.parquet alone is ~5 s at sf0.1).
+        for t in eio.TABLES:
+            eio.load_table(spark, sf_dir, t).limit(1).count()
 
         timings: dict[str, float] = {}
         for name in HEADLINE:
             fn = QUERIES[name]
-            t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                _materialize(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
             print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
 
         try:

@@ -1,0 +1,76 @@
+"""Replicate the round driver's CORRECTNESS gate locally.
+
+Runs every `queries()` entry inside the driver's checked prefix (the
+first WINDOW entries, default 50) at the driver's scale (sf0.01) and
+compares against `oracle_sql()` exactly the way the driver does:
+row count + sorted column names + order-insensitive values, plus the
+dtype-KIND pin that predicts the driver's value-hash serialization
+(see tests/test_parity.py).
+
+Usage:
+    python scripts/check_gate.py [--sf /root/testdata/sf0.01] [--all]
+
+--all checks every registered query, not just the driver window.
+Exit code 0 = every checked row green.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WINDOW = 50
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--all", action="store_true", help="check every query")
+    args = ap.parse_args()
+
+    import duckdb
+    import __spark_entry__ as e
+    from inside_vectordb_spark.io import TABLES
+    from inside_vectordb_spark.session import get_spark
+    from tests.test_parity import assert_frames_match
+
+    spark = get_spark(app_name="gate-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    queries = e.queries()
+    oracles = e.oracle_sql()
+    names = list(queries) if args.all else list(queries)[:WINDOW]
+    failures: list[str] = []
+    for i, name in enumerate(names):
+        t0 = time.perf_counter()
+        try:
+            res = queries[name](spark, args.sf).toPandas()
+            if name in oracles:
+                exp = con.execute(oracles[name]).df()
+                assert_frames_match(res, exp, name)
+                status = f"green ({len(res)} rows)"
+            else:
+                status = f"rows-only ({len(res)} rows)"
+        except Exception:
+            failures.append(name)
+            status = "FAIL"
+            traceback.print_exc()
+        print(f"[{i:3d}] {name:34s} {status:24s} {time.perf_counter()-t0:6.2f}s")
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILED: {failures}")
+        return 1
+    print(f"\nall {len(names)} checked queries green at {args.sf}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
