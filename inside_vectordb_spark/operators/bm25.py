@@ -1,0 +1,120 @@
+"""BM25 lexical retrieval over a document corpus.
+
+The reference engine ranks purely by embedding cosine
+(``002-exact-search.py``); production retrieval stacks pair that with
+a lexical BM25 arm (hybrid retrieval), and a training-data pipeline
+uses the same scorer for corpus search/filtering. This implements
+Okapi BM25 (the Lucene ``k1``/``b`` variant with the always-positive
+``ln(1 + (N - df + .5)/(df + .5))`` idf) as pure DataFrame algebra.
+
+Plan shape — an inverted index expressed relationally:
+- ``tf``: explode(tokens) → groupBy(doc, term) count. The explode and
+  the partial count are map-side; the shuffle carries (doc_id, term,
+  tf) postings, never document text.
+- The query vocabulary (tiny) is **broadcast** and applied to the
+  postings FIRST — the surviving postings list is |matching postings|,
+  not |corpus postings|. Everything downstream (df, idf, per-term
+  weights) works on that restricted list.
+- ``df``/``idf`` per query term and the 1-row corpus stats are
+  broadcast back; the only big-table shuffle after ``tf`` is the
+  doc-length join (keyed by doc_id) and the final (query, doc)
+  score aggregation, which is again partial-aggregated map-side.
+- Top-k per query: rank window over (query_id), k rows out per query.
+
+At 100 TB the dominant cost is the one explode+count over the corpus
+— the same single-pass index build any search engine pays — and it is
+embarrassingly parallel; per-query cost scales with posting-list
+sizes of the query's terms only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark.functions.text import token_count, tokenize
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    round_to: int = 6,
+) -> DataFrame:
+    """(query_id, doc_id, bm25) for every document sharing ≥1 term
+    with the query. Tokenization: lowercased whitespace split (the
+    engine's reference tokenizer, case-folded)."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
+    )
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.lower(F.col(qtext_col)).alias("__qt")
+    )
+    toks = d.select("doc_id", F.explode(tokenize(F.col("__t"))).alias("term"))
+    tf = (
+        toks.filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = q.select(
+        "query_id",
+        F.explode(F.array_distinct(tokenize(F.col("__qt")))).alias("term"),
+    ).filter(F.col("term") != "")
+    qvocab = qterms.select("term").distinct()
+    postings = tf.join(F.broadcast(qvocab), "term")
+    dft = postings.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = scored.select("query_id", "doc_id", (idf * tf_norm).alias("w"))
+    return per_term.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("w"), round_to).alias("bm25")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k BM25 hits per query: (query_id, doc_id, bm25, rank).
+    Ranking happens on the ROUNDED score with doc_id ascending as the
+    tie-break, so the result is engine-portable (same contract as the
+    cosine top-k operators)."""
+    agg = bm25_scores(
+        docs, queries, k1, b, id_col, text_col, qid_col, qtext_col, round_to
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -328,6 +328,104 @@ def embedding_near_duplicates_lsh(
     return out.filter(F.col("cos_sim") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup pairs into transitive clusters: (doc_id,
+    cluster_id) where cluster_id = the smallest id reachable through
+    the pair graph. This is the stage LSH pipelines need between
+    "verified pairs" and "one keeper per group" — pairs (a,b),(b,c)
+    must collapse to ONE cluster {a,b,c}, which no per-pair filter can
+    do (the reference stops at pairwise similarity; web-scale dedup —
+    e.g. the CCNet/Gopher pipelines — requires the component step).
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    (1) every node takes ``min(label(self), min(label(neighbors)))``
+    (one shuffle keyed by node id), then (2) path-halves:
+    ``label(v) := label(label(v))`` (one shuffle keyed by label).
+    Neighbor propagation alone converges in O(diameter) rounds — a
+    path graph would blow any fixed iteration budget — but the jump
+    step compresses label chains geometrically, giving the standard
+    O(log n) bound (the hash-to-min shape of Rastogi et al.; the
+    large-star/small-star contraction of Kiveris et al. is the same
+    idea with edge rewriting). Near-dup clusters are dense (diameter
+    1-2 — every member collides with the keeper), so real corpora
+    settle in 2-3 rounds; ``max_iter`` bounds adversarial chains.
+
+    Scale notes per round: both shuffles move (long, long) pairs only
+    — never text; the neighbor min is a map-side partial aggregate,
+    so ~|V| rows reach the exchange. ``localCheckpoint`` truncates
+    lineage each round (iterative joins otherwise stack plans
+    exponentially); a cluster run would use ``checkpoint`` to a
+    reliable store instead. The per-round convergence probe is a
+    LIMIT-1 count (a scalar to the driver, not data).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.col("label").alias("start"),
+                F.least("label", F.coalesce("nmin", "label")).alias("mid"),
+            )
+        )
+        # Pointer jump: label(v) := label(label(v)). Every label value
+        # is itself a node id, so the lookup side is total.
+        jump = stepped.select(
+            F.col("id").alias("mid"), F.col("mid").alias("jlabel")
+        )
+        relabeled = stepped.join(jump, "mid", "left").select(
+            "id",
+            "start",
+            F.least("mid", F.coalesce("jlabel", "mid")).alias("label"),
+        )
+        relabeled = relabeled.localCheckpoint(eager=True)
+        changed = (
+            relabeled.filter(F.col("label") < F.col("start")).limit(1).count()
+        )
+        labels = relabeled.select("id", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def near_duplicate_clusters(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full fuzzy-dedup resolution: MinHash-LSH pairs → exact-Jaccard
+    verify → transitive clusters. Returns (doc_id, cluster_id); rows
+    with ``doc_id != cluster_id`` are the drop set, keeping exactly
+    one survivor (the minimum id) per near-dup cluster."""
+    pairs = minhash_near_duplicates(docs, threshold, id_col, text_col, shingle_n)
+    return connected_components(pairs)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.8,

@@ -157,6 +157,35 @@ def minhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
+    nd AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN shs sa ON sa.doc_id = p.doc_a
+      JOIN shs sb ON sb.doc_id = p.doc_b
+      WHERE round({_JACCARD}, 6) >= 0.2),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM nd
+              UNION SELECT doc_b AS src, doc_a AS dst FROM nd),
+    reach(id, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of verified near-dup pairs: (doc_id,
+    cluster_id = min reachable id). The oracle states the same
+    fixpoint as a recursive CTE — the Spark side reaches it by
+    min-label propagation (O(diameter) rounds, (id,label)-only
+    shuffles; see operators/dedup.py:connected_components)."""
+    return dd.near_duplicate_clusters(
+        eio.load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register(
     "ngram_jaccard_neighbors",
     oracle=f"""
     WITH shs AS (SELECT doc_id, {_SHINGLES} AS shset FROM documents)
@@ -495,6 +524,69 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     and must scale with the cluster, not sit at a constant."""
     docs = eio.load_table(spark, sf_dir, "documents")
     return ts.pack_sequences(docs, n_shards=_PACK_SHARDS)
+
+
+_LTOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id AS query_id,
+             concat_ws(' ', {_LTOKS}[1], {_LTOKS}[2], {_LTOKS}[3],
+                       {_LTOKS}[4], {_LTOKS}[5]) AS qt
+      FROM documents WHERE doc_id < 6),
+    toks AS (SELECT doc_id, unnest({_LTOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN 0 ELSE len({_LTOKS}) END AS dl
+           FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qterms AS (
+      SELECT query_id, unnest(list_distinct(regexp_split_to_array(trim(qt), '\\s+'))) AS term
+      FROM q),
+    dft AS (SELECT term, count(*) AS df FROM tf
+            WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+    per AS (
+      SELECT qt.query_id, tf.doc_id,
+             ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS w
+      FROM tf
+      JOIN qterms qt USING (term)
+      JOIN dft USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s),
+    agg AS (SELECT query_id, doc_id, round(sum(w), 6) AS bm25
+            FROM per GROUP BY query_id, doc_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY bm25 DESC, doc_id) AS rank
+          FROM agg)
+    SELECT query_id, doc_id, bm25, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query — the lexical-retrieval arm the
+    reference's cosine ranking lacks (hybrid-retrieval stacks run
+    both). Queries are derived deterministically: the first 5 tokens
+    of docs 0-5. The oracle restates the full scorer (tf, df, idf,
+    length normalization, ranked window) in DuckDB SQL, so every
+    arithmetic step is cross-engine pinned."""
+    from inside_vectordb_spark.operators.bm25 import bm25_topk
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    return bm25_topk(docs, queries, k=10)
 
 
 @register(

@@ -1,0 +1,95 @@
+"""BM25 operator: hand-computed scores, retrieval sanity, tie-breaks.
+
+Cross-engine arithmetic parity for the registered query is covered by
+tests/test_parity.py::test_oracle_parity[bm25_topk].
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from inside_vectordb_spark.operators.bm25 import BM25_B, BM25_K1, bm25_scores, bm25_topk
+
+DOCS = [
+    (0, "apple banana apple"),
+    (1, "banana cherry"),
+    (2, "cherry cherry cherry durian"),
+    (3, "unrelated words only here"),
+]
+
+
+def _expected_bm25(query_terms: list[str]) -> dict[int, float]:
+    texts = {i: t.lower().split() for i, t in DOCS}
+    n = len(texts)
+    avgdl = sum(len(t) for t in texts.values()) / n
+    out: dict[int, float] = {}
+    for doc_id, toks in texts.items():
+        score = 0.0
+        for term in set(query_terms):
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for t in texts.values() if term in t)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            score += idf * (tf * (BM25_K1 + 1)) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(toks) / avgdl)
+            )
+        if score > 0:
+            out[doc_id] = round(score, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id: long, text: string")
+    queries = spark.createDataFrame(
+        [(100, "apple cherry"), (101, "banana")], "query_id: long, qtext: string"
+    )
+    return docs, queries
+
+
+def test_scores_match_hand_computation(tiny):
+    docs, queries = tiny
+    got = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_scores(docs, queries).collect()
+    }
+    for qid, terms in [(100, ["apple", "cherry"]), (101, ["banana"])]:
+        exp = _expected_bm25(terms)
+        for doc_id, score in exp.items():
+            assert got[(qid, doc_id)] == pytest.approx(score, abs=2e-6)
+        assert {d for (q, d) in got if q == qid} == set(exp)
+
+
+def test_topk_ranks_descending_with_id_tiebreak(tiny):
+    docs, queries = tiny
+    rows = bm25_topk(docs, queries, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert (a.bm25, -a.doc_id) >= (b.bm25, -b.doc_id)
+            if a.bm25 == b.bm25:
+                assert a.doc_id < b.doc_id
+
+
+def test_term_multiplicity_in_query_does_not_double_count(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id: long, text: string")
+    q1 = spark.createDataFrame([(1, "cherry")], "query_id: long, qtext: string")
+    q2 = spark.createDataFrame(
+        [(1, "cherry cherry")], "query_id: long, qtext: string"
+    )
+    s1 = {r.doc_id: r.bm25 for r in bm25_scores(docs, q1).collect()}
+    s2 = {r.doc_id: r.bm25 for r in bm25_scores(docs, q2).collect()}
+    assert s1 == s2
+
+
+def test_case_folding(spark):
+    docs = spark.createDataFrame([(0, "Apple APPLE")], "doc_id: long, text: string")
+    q = spark.createDataFrame([(1, "aPpLe")], "query_id: long, qtext: string")
+    rows = bm25_scores(docs, q).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 0
