@@ -249,6 +249,126 @@ def load_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
     return np.array([r["vector"] for r in rows], dtype=np.float64)
 
 
+# ---------------------------------------------------------------------------
+# PQ
+# ---------------------------------------------------------------------------
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, Any]:
+    """PQ build + sink: train per-subspace codebooks, encode the
+    corpus, land codebooks (tiny) + the codes table as parquet. The
+    codes table is the compressed corpus — ``m`` small ints per
+    vector instead of ``dim`` floats — and is what ADC search scans;
+    the raw vectors are only touched by the final exact re-rank on
+    refined candidates."""
+    from inside_vectordb_spark.operators.pq import pq_encode, pq_train
+
+    spark = corpus.sparkSession
+    books = pq_train(corpus, vec_col, dim, m, ks, seed, id_col=id_col)
+    os.makedirs(path, exist_ok=True)
+    books_pdf = pd.DataFrame(
+        {
+            "subspace": np.repeat(np.arange(m, dtype=np.int32), ks),
+            "code": np.tile(np.arange(ks, dtype=np.int32), m),
+            "vector": [row.tolist() for row in books.reshape(m * ks, -1)],
+        }
+    )
+    (
+        spark.createDataFrame(books_pdf)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "codebooks"))
+    )
+    (
+        pq_encode(corpus, id_col, vec_col, books)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "codes"))
+    )
+    meta = {
+        "kind": "pq",
+        "dim": dim,
+        "m": m,
+        "ks": ks,
+        "seed": seed,
+        "corpus": _corpus_fingerprint(corpus, id_col),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def ensure_pq_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, Any]:
+    meta = _read_meta(path)
+    want = {
+        "kind": "pq",
+        **params,
+        "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
+    }
+    if meta is not None and all(meta.get(k) == v for k, v in want.items()):
+        return meta
+    return build_pq_index(corpus, path, **params)
+
+
+def load_pq_codebooks(spark: SparkSession, path: str) -> np.ndarray:
+    meta = _read_meta(path)
+    rows = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    books = np.array([r["vector"] for r in rows], dtype=np.float64)
+    return books.reshape(meta["m"], meta["ks"], -1)
+
+
+def ann_pq_topk_indexed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 10,
+    refine: int = 5,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """PQ-ADC search against a STORED index: codebooks load
+    driver-side (m·ks·dsub floats), the compressed codes table is the
+    only corpus-wide scan, and the raw-vector table is touched only
+    by the candidate-keyed exact re-rank."""
+    from inside_vectordb_spark.operators.pq import ann_pq_topk
+
+    meta = _read_meta(path)
+    if meta is None or meta.get("kind") != "pq":
+        raise FileNotFoundError(f"no complete PQ index at {path}")
+    spark = queries.sparkSession
+    books = load_pq_codebooks(spark, path)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return ann_pq_topk(
+        queries,
+        corpus,
+        dim=meta["dim"],
+        k=k,
+        m=meta["m"],
+        ks=meta["ks"],
+        refine=refine,
+        query_id=query_id,
+        query_vec=query_vec,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        round_to=round_to,
+        codes=codes,
+        codebooks=books,
+    )
+
+
 def ann_ivf_topk_indexed(
     queries: DataFrame,
     corpus: DataFrame,

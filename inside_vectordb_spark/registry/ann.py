@@ -185,3 +185,43 @@ def ann_brp_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=6,
         bucket_length=0.3,
     )
+
+
+@register("ann_pq_topk")
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ANN top-10 with exact refine (the
+    FAISS IVF-PQ scale path, re-expressed as a codes-table scan +
+    candidate re-rank). Rows-only driver check; recall retention,
+    refine-sweep monotonicity, and compression contract are pinned in
+    tests/test_pq.py."""
+    from inside_vectordb_spark.operators.pq import ann_pq_topk
+
+    return ann_pq_topk(
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM,
+        k=10,
+        m=8,
+        ks=16,
+        refine=8,
+    )
+
+
+@register("ann_pq_topk_indexed")
+def ann_pq_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search against a PERSISTED index (codebooks + compressed
+    codes table): the corpus-wide scan reads m small ints per vector
+    instead of dim floats — the I/O story that makes 100 TB of
+    embeddings scannable — and raw vectors are only read by the
+    candidate-keyed exact re-rank."""
+    from inside_vectordb_spark.operators.ann_index import (
+        ann_pq_topk_indexed,
+        ensure_pq_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    path = _idx_path("pq", sf_dir)
+    ensure_pq_index(corpus, path, dim=EMB_DIM, m=8, ks=16, seed=42)
+    return ann_pq_topk_indexed(
+        eio.query_vectors(spark, sf_dir), corpus, path, k=10, refine=8
+    )
