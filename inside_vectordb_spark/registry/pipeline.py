@@ -532,10 +532,12 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@register(
-    "bm25_topk",
-    oracle=f"""
-    WITH q AS (
+def _bm25_ctes(depth: int) -> str:
+    """CTE chain q→…→bm_r: BM25 ranked lists at the given depth, for
+    the 6 deterministic first-5-token queries. Shared by the bm25 and
+    hybrid-RRF oracles."""
+    return f"""
+    q AS (
       SELECT doc_id AS query_id,
              concat_ws(' ', {_LTOKS}[1], {_LTOKS}[2], {_LTOKS}[3],
                        {_LTOKS}[4], {_LTOKS}[5]) AS qt
@@ -562,13 +564,21 @@ _BM25_B = 0.75
       JOIN dft USING (term)
       JOIN dl ON dl.doc_id = tf.doc_id
       CROSS JOIN stats s),
-    agg AS (SELECT query_id, doc_id, round(sum(w), 6) AS bm25
-            FROM per GROUP BY query_id, doc_id),
-    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY bm25 DESC, doc_id) AS rank
-          FROM agg)
-    SELECT query_id, doc_id, bm25, CAST(rank AS INT) AS rank
-    FROM r WHERE rank <= 10
+    bm_agg AS (SELECT query_id, doc_id, round(sum(w), 6) AS bm25
+               FROM per GROUP BY query_id, doc_id),
+    bm_r AS (SELECT query_id, doc_id, bm25,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+             FROM bm_agg
+             QUALIFY rank <= {depth})
+    """
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_bm25_ctes(10)}
+    SELECT query_id, doc_id, bm25, rank FROM bm_r
     """,
 )
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,6 +597,67 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", toks).alias("qtext"),
     )
     return bm25_topk(docs, queries, k=10)
+
+
+_COS_QC = (
+    "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+    "  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_bm25_ctes(50)},
+    qv AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 6),
+    vscored AS (
+      SELECT q.query_id, c.vec_id AS doc_id, {_COS_QC} AS score
+      FROM qv q CROSS JOIN embeddings c),
+    vr AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+           FROM vscored QUALIFY rank <= 50),
+    contrib AS (
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM bm_r
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM vr),
+    agg AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
+            FROM contrib GROUP BY query_id, doc_id),
+    fused AS (SELECT query_id, doc_id, rrf,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY rrf DESC, doc_id) AS INT) AS rank
+              FROM agg)
+    SELECT query_id, doc_id, rrf, rank FROM fused WHERE rank <= 10
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical arm (first-5-token queries over
+    docs 0-5) fused with the exact-cosine vector arm (embeddings 0-5
+    as query vectors; the testdata's embeddings row i is modeled as
+    document i's vector) by reciprocal-rank fusion at depth 50, top
+    10 fused hits per query. Fusion touches only the Q·50 candidate
+    lists, so its cost is corpus-scale-independent; the oracle
+    restates both arms AND the fusion, making this the one
+    driver-checkable query that exercises lexical scoring, vector
+    scoring, and rank algebra together."""
+    from inside_vectordb_spark.operators.bm25 import bm25_topk
+    from inside_vectordb_spark.operators.hybrid import rrf_fuse
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    tqueries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    vqueries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bm_run = bm25_topk(docs, tqueries, k=50)
+    vec_run = exact_cosine_topk(vqueries, emb, k=50)
+    return rrf_fuse([bm_run, vec_run], k=10)
 
 
 @register(
