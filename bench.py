@@ -61,6 +61,12 @@ HEADLINE = [
     "decontamination",
     "vocab_top_terms",
     "corpus_curation",
+    # round-3 tiers: lexical + hybrid retrieval, transitive dedup
+    # clusters, compressed-corpus (PQ) search against a stored index
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "near_dup_clusters",
+    "ann_pq_topk_indexed",
 ]
 
 
