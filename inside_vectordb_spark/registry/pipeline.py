@@ -492,6 +492,66 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "lang", "n_chars", "quality")
 
 
+@register(
+    "corpus_curation_clustered",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE}, {_QUALITY_CTE},
+    nd0 AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN shs sa ON sa.doc_id = p.doc_a
+      JOIN shs sb ON sb.doc_id = p.doc_b
+      WHERE round({_JACCARD}, 6) >= 0.2),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM nd0
+              UNION SELECT doc_b AS src, doc_a AS dst FROM nd0),
+    reach(id, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+    nd AS (SELECT id AS doc_b FROM comp WHERE id <> cluster_id),
+    keepers AS (
+      SELECT md5(text) AS h, min(doc_id) AS k FROM documents GROUP BY 1)
+    SELECT d.doc_id, d.lang, d.n_chars, q.quality
+    FROM documents d
+    JOIN qual q USING (doc_id)
+    JOIN keepers ON md5(d.text) = keepers.h
+    WHERE q.quality >= 0.5
+      AND d.doc_id = keepers.k
+      AND d.doc_id NOT IN (SELECT doc_b FROM nd)
+    """,
+)
+def corpus_curation_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_curation`` with the CLUSTER-correct near-dup survivor
+    rule: exactly one survivor (the min id) per TRANSITIVE near-dup
+    cluster. The pairwise rule (drop the larger id of each verified
+    pair) keeps every local-min — a doc smaller than all its direct
+    neighbors survives even when its cluster contains a smaller
+    member it never directly paired with; the component pass closes
+    that gap (pairs (1,3),(2,3): pairwise keeps {1,2}, clustered
+    keeps {1}). This is the form a production dedup actually ships
+    (one representative per cluster), at the cost of the O(log n)
+    label-propagation rounds on the (small) pair graph."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    clusters = dd.near_duplicate_clusters(docs, threshold=0.2)
+    drops = (
+        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias("doc_b"))
+    )
+    keepers = (
+        docs.select(F.md5("text").alias("__h"), "doc_id")
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    scored = docs.withColumn("quality", ts.quality_expr("text"))
+    survivors = (
+        scored.filter(F.col("quality") >= 0.5)
+        .join(keepers, "doc_id", "left_semi")
+        .join(drops, scored.doc_id == drops.doc_b, "left_anti")
+    )
+    return survivors.select("doc_id", "lang", "n_chars", "quality")
+
+
 _PACK_SHARDS = 64  # registered variant: fixed so the oracle can mirror it
 
 

@@ -132,3 +132,41 @@ def test_curation_no_text_in_shuffle(spark):
             assert "text" not in cols, (
                 f"full text crosses a hash exchange ({part}): {cols}"
             )
+
+
+def test_bm25_broadcast_only_joins(spark):
+    """The query vocabulary/terms/df/stats sides all broadcast; the
+    postings list never sort-merge-joins at test scale, and no
+    materialized cartesian appears (the 1-row stats crossJoin rides
+    a broadcast nested loop, which is the intended shape)."""
+    df = QUERIES["bm25_topk"](spark, SF_DIR)
+    assert count_in_plan(df, "BroadcastHashJoin") >= 4
+    assert_not_in_plan(df, "CartesianProduct")
+    # query derivation pushes its id filter into the parquet scan
+    assert_in_plan(df, "LessThan(doc_id,6)")
+
+
+def test_hybrid_fusion_no_text_in_shuffle(spark):
+    """RRF fusion aggregates only (query_id, doc_id, contrib) — no
+    document text may cross an exchange (the arms reduce to ranked
+    id lists before fusing)."""
+    df = QUERIES["hybrid_rrf_topk"](spark, SF_DIR)
+    assert_not_in_plan(df, "CartesianProduct")
+    for part, cols in shuffled_payloads(df):
+        if part.startswith("hashpartitioning"):
+            assert "text" not in cols, (
+                f"document text crosses a fusion exchange ({part}): {cols}"
+            )
+
+
+def test_pq_indexed_scans_codes_not_vectors(spark):
+    """PQ stored-index search: the corpus-wide scan must read the
+    compressed codes table; the raw embedding table is only read by
+    the candidate-keyed exact re-rank (its scan must carry a join
+    filter, not feed a corpus-wide exchange of vectors)."""
+    import inside_vectordb_spark.registry.ann as ra
+
+    df = QUERIES["ann_pq_topk_indexed"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "codes" in plan  # the codes parquet participates
+    assert_not_in_plan(df, "CartesianProduct")
