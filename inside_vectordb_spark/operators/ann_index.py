@@ -250,6 +250,155 @@ def load_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ (combined: coarse partition pruning × compressed codes)
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, Any]:
+    """The FAISS-at-scale architecture (IVF-PQ), Spark-native: a
+    coarse quantizer routes every vector to an inverted list
+    (parquet partition — probing = partition pruning, unread lists
+    cost zero I/O), and each list stores PQ codes (m small ints per
+    vector — ~32× less I/O than raw float32 vectors when a list IS
+    read). Codes are non-residual (encode the vector itself, not
+    x − centroid): determinism and engine-portability over the last
+    ~10% of quantization accuracy; the exact re-rank restores true
+    scores either way."""
+    from inside_vectordb_spark.operators.pq import pq_encode, pq_train
+
+    spark = corpus.sparkSession
+    cents = kmeans_centroids(corpus, vec_col, n_centroids, seed, id_col=id_col)
+    books = pq_train(corpus, vec_col, dim, m, ks, seed, id_col=id_col)
+    os.makedirs(path, exist_ok=True)
+    (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "centroid_id": np.arange(len(cents), dtype=np.int32),
+                    "vector": [row.tolist() for row in cents],
+                }
+            )
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "centroids"))
+    )
+    (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "subspace": np.repeat(np.arange(m, dtype=np.int32), ks),
+                    "code": np.tile(np.arange(ks, dtype=np.int32), m),
+                    "vector": [row.tolist() for row in books.reshape(m * ks, -1)],
+                }
+            )
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "codebooks"))
+    )
+    codes = pq_encode(corpus, id_col, vec_col, books)
+    assigned = codes.join(ivf_assign(corpus, id_col, vec_col, cents), "id")
+    (
+        assigned.repartition("centroid_id")  # one file per inverted list
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "codes"))
+    )
+    meta = {
+        "kind": "ivfpq",
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "m": m,
+        "ks": ks,
+        "seed": seed,
+        "corpus": _corpus_fingerprint(corpus, id_col),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def ensure_ivfpq_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, Any]:
+    meta = _read_meta(path)
+    want = {
+        "kind": "ivfpq",
+        **params,
+        "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
+    }
+    if meta is not None and all(meta.get(k) == v for k, v in want.items()):
+        return meta
+    return build_ivfpq_index(corpus, path, **params)
+
+
+def ann_ivfpq_topk_indexed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 5,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF-PQ search: probe ``n_probe`` lists per query (scan-level
+    partition pruning over the union of probed lists), ADC-score the
+    compressed codes with each query masked to ITS probed lists,
+    refine ``k·refine`` candidates with exact cosine. Two knobs, two
+    axes: ``n_probe`` bounds I/O, ``refine`` bounds exact-rerank
+    compute."""
+    from inside_vectordb_spark.operators.ann import _rerank_candidates
+    from inside_vectordb_spark.operators.pq import (
+        _normalize_rows,
+        pq_adc_candidates_probed,
+    )
+    from pyspark.sql import Window as _W
+
+    meta = _read_meta(path)
+    if meta is None or meta.get("kind") != "ivfpq":
+        raise FileNotFoundError(f"no complete IVF-PQ index at {path}")
+    spark = queries.sparkSession
+    cents = load_ivf_centroids(spark, path)
+    books = load_pq_codebooks(spark, path)
+
+    qrows = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("v")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    order = np.argsort(-(_normalize_rows(qmat) @ cents.T), axis=1)[:, :n_probe]
+    probe_lists = {int(qids[i]): set(map(int, order[i])) for i in range(len(qids))}
+    probed_ids = sorted({c for s in probe_lists.values() for c in s})
+
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    n_refine = k * refine
+    partials = pq_adc_candidates_probed(
+        codes, qids, qmat, books, probe_lists, n_refine
+    )
+    w = _W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("doc_id"))
+    cand = (
+        partials.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_refine)
+        .select("query_id", "doc_id")
+    )
+    return _rerank_candidates(
+        cand, queries, corpus, query_id, query_vec, corpus_id, corpus_vec, k, round_to
+    )
+
+
+# ---------------------------------------------------------------------------
 # PQ
 # ---------------------------------------------------------------------------
 

@@ -225,3 +225,28 @@ def ann_pq_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_topk_indexed(
         eio.query_vectors(spark, sf_dir), corpus, path, k=10, refine=8
     )
+
+
+@register("ann_ivfpq_topk_indexed")
+def ann_ivfpq_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined FAISS-at-scale architecture (IVF-PQ, reference
+    ``004:84-156``'s production big-brother): a coarse quantizer routes
+    vectors to inverted-list parquet partitions (probing = partition
+    pruning — unprobed lists cost zero I/O) and each list stores PQ
+    codes (m small ints — ~32× less I/O than raw vectors when a list
+    IS read). n_probe bounds I/O, refine bounds exact-rerank compute.
+    Rows-only driver check; retention/monotonicity/cache contracts in
+    tests/test_pq.py."""
+    from inside_vectordb_spark.operators.ann_index import (
+        ann_ivfpq_topk_indexed,
+        ensure_ivfpq_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    path = _idx_path("ivfpq", sf_dir)
+    ensure_ivfpq_index(
+        corpus, path, dim=EMB_DIM, n_centroids=16, m=8, ks=16, seed=42
+    )
+    return ann_ivfpq_topk_indexed(
+        eio.query_vectors(spark, sf_dir), corpus, path, k=10, n_probe=8, refine=8
+    )
