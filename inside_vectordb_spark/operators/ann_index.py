@@ -567,3 +567,111 @@ def ann_ivf_topk_indexed(
     return _rerank_candidates(
         cand, queries, corpus, query_id, query_vec, corpus_id, corpus_vec, k, round_to
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 (scalar quantization)
+# ---------------------------------------------------------------------------
+
+
+def build_sq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, Any]:
+    """SQ8 build + sink: per-dimension (min, span) stats (tiny) plus
+    the int8-codes table — the compressed corpus that search scans at
+    1 byte/dim instead of 4. Training is deterministic (corpus-wide
+    extrema, no seed), so stored codes ≡ fresh codes and the indexed
+    search shares the in-memory path's FULL DuckDB oracle."""
+    from inside_vectordb_spark.operators.sq import sq_encode_col, sq_train
+
+    spark = corpus.sparkSession
+    mins, spans = sq_train(corpus, vec_col)
+    os.makedirs(path, exist_ok=True)
+    (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "pos": np.arange(len(mins), dtype=np.int32),
+                    "mn": mins,
+                    "span": spans,
+                }
+            )
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "stats"))
+    )
+    (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            sq_encode_col(vec_col, mins, spans).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "codes"))
+    )
+    meta = {
+        "kind": "sq",
+        "dim": len(mins),
+        "corpus": _corpus_fingerprint(corpus, id_col),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def ensure_sq_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, Any]:
+    meta = _read_meta(path)
+    want = {
+        "kind": "sq",
+        **{k: v for k, v in params.items() if k not in ("id_col", "vec_col")},
+        "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
+    }
+    if meta is not None and all(meta.get(k) == v for k, v in want.items()):
+        return meta
+    return build_sq_index(corpus, path, **params)
+
+
+def load_sq_stats(spark: SparkSession, path: str) -> tuple[np.ndarray, np.ndarray]:
+    rows = spark.read.parquet(os.path.join(path, "stats")).orderBy("pos").collect()
+    mins = np.array([r["mn"] for r in rows], dtype=np.float64)
+    spans = np.array([r["span"] for r in rows], dtype=np.float64)
+    return mins, spans
+
+
+def ann_sq_topk_indexed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 10,
+    refine: int = 5,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """SQ8 search against the persisted index: the approximate scan
+    reads the codes parquet (4× less I/O than raw float32 vectors);
+    raw vectors are only read by the candidate-keyed exact rerank."""
+    from inside_vectordb_spark.operators.sq import ann_sq_topk
+
+    meta = _read_meta(path)
+    if meta is None or meta.get("kind") != "sq":
+        raise FileNotFoundError(f"no complete SQ index at {path}")
+    spark = queries.sparkSession
+    stats = load_sq_stats(spark, path)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return ann_sq_topk(
+        queries,
+        corpus,
+        k=k,
+        refine=refine,
+        query_id=query_id,
+        query_vec=query_vec,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        round_to=round_to,
+        stats=stats,
+        codes=codes,
+    )

@@ -250,3 +250,43 @@ def ann_ivfpq_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfpq_topk_indexed(
         eio.query_vectors(spark, sf_dir), corpus, path, k=10, n_probe=8, refine=8
     )
+
+
+from inside_vectordb_spark.operators.sq import sq_oracle_sql  # noqa: E402
+
+_SQ_ORACLE = sq_oracle_sql(eio.N_QUERY_VECTORS, 10, 5)
+
+
+@register("ann_sq_topk", oracle=_SQ_ORACLE)
+def ann_sq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN top-10: int8 compression with a
+    FULL DuckDB value-hash oracle — the whole train/encode/decode/
+    approx-score/rerank chain is Catalyst arithmetic, restated
+    bit-for-bit in SQL (operators/sq.py). FAISS's
+    IndexScalarQuantizer(QT_8bit) analogue."""
+    from inside_vectordb_spark.operators.sq import ann_sq_topk
+
+    return ann_sq_topk(
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        refine=5,
+    )
+
+
+@register("ann_sq_topk_indexed", oracle=_SQ_ORACLE)
+def ann_sq_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 search against a PERSISTED codes table (1 byte/dim scans).
+    Deterministic training ⇒ stored codes ≡ fresh codes ⇒ shares the
+    in-memory query's full oracle."""
+    from inside_vectordb_spark.operators.ann_index import (
+        ann_sq_topk_indexed,
+        ensure_sq_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    path = _idx_path("sq", sf_dir)
+    ensure_sq_index(corpus, path)
+    return ann_sq_topk_indexed(
+        eio.query_vectors(spark, sf_dir), corpus, path, k=10, refine=5
+    )
