@@ -753,3 +753,29 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("rate_pct"))
         .select("doc_id", "source", "rate_pct")
     )
+
+
+from inside_vectordb_spark.operators.mmr import mmr_oracle_sql  # noqa: E402
+
+_MMR_ORACLE = mmr_oracle_sql(eio.N_QUERY_VECTORS, 10, 50, 0.7)
+
+
+@register("mmr_diversified_topk", oracle=_MMR_ORACLE)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-rank (Carbonell & Goldstein '98): exact
+    top-50 relevance candidates → greedy λ·rel − (1−λ)·max-sim
+    selection of 10 per query (λ=0.7). The redundancy-aware stage the
+    reference's plain top-k pipeline (002:170-228) lacks; on near-dup
+    heavy training corpora plain top-k returns copies. Greedy loop is
+    per-query applyInPandas (parallel across queries, candidate join
+    is the only shuffle); oracle = DuckDB RECURSIVE CTE carrying the
+    selected-set as list state (operators/mmr.py)."""
+    from inside_vectordb_spark.operators.mmr import mmr_topk
+
+    return mmr_topk(
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        n_candidates=50,
+        lam=0.7,
+    )
