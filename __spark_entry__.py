@@ -80,9 +80,14 @@ WINDOW_PRIORITY = [
     "qrels_tsv_roundtrip",    # S5
     "embeddings_parquet_roundtrip",  # S7+S8
     "beir_roundtrip",         # S2 composite loader end-to-end
-    # -- persisted ANN indexes (S9/S10, X1/X2; rows-only checks)
+    # -- persisted ANN indexes (S9/S10, X1/X2). The SQ8 tier is the
+    # FAISS-analogue row because its int8 codes are deterministic and
+    # hash-verifiable end-to-end in DuckDB (full oracle); LSH stays
+    # rows-only (np.random hyperplanes have no SQL twin). The IVF
+    # indexed twin remains registered + locally oracle-parity-tested
+    # past the window.
     "ann_lsh_topk_indexed",
-    "ann_ivf_topk_indexed",
+    "ann_sq_topk_indexed",
     # -- LLM-pipeline tier (dedup, text analysis, curation)
     "dedup_exact",
     "minhash_near_duplicates",

@@ -15,8 +15,9 @@ from inside_vectordb_spark.registry import ORACLES, QUERIES
 WINDOW = 50
 
 # Rows-only entries allowed inside the window (semantics not
-# SQL-expressible: persisted-index ANN search has no DuckDB twin).
-NO_ORACLE_OK = {"ann_lsh_topk_indexed", "ann_ivf_topk_indexed"}
+# SQL-expressible: LSH-index search uses np.random hyperplanes, which
+# have no DuckDB twin; every other window entry must be oracle-backed).
+NO_ORACLE_OK = {"ann_lsh_topk_indexed"}
 
 # One representative per §2 tier that MUST sit inside the window.
 MUST_COVER = {
@@ -29,7 +30,7 @@ MUST_COVER = {
     "embeddings_parquet_roundtrip",  # S7/S8
     "beir_roundtrip",           # S2
     "ann_lsh_topk_indexed",     # S9/X1
-    "ann_ivf_topk_indexed",     # S10/X2
+    "ann_sq_topk_indexed",      # S10/X2 (persisted FAISS-analogue, full oracle)
     "dedup_exact",              # exact dedup
     "minhash_near_duplicates",  # MinHash+LSH
     "simhash_signatures",       # SimHash
