@@ -143,6 +143,114 @@ def ensure_lsh_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, A
     return build_lsh_index(corpus, path, **params)
 
 
+def _merge_fingerprint(
+    old: dict[str, int] | None, new: dict[str, int]
+) -> dict[str, int]:
+    """Fingerprint of (old corpus ∪ delta), assuming disjoint ids —
+    the append-only contract. Keeping it identical to what
+    ``_corpus_fingerprint`` would compute over the full corpus means
+    a later ``ensure_*`` call with the full corpus recognizes the
+    upserted index as current and skips the rebuild."""
+    if old is None or old.get("n") in (None, 0):
+        return new
+    return {
+        "n": old["n"] + new["n"],
+        "lo": min(x for x in (old["lo"], new["lo"]) if x is not None),
+        "hi": max(x for x in (old["hi"], new["hi"]) if x is not None),
+    }
+
+
+def upsert_lsh_index(
+    new_vectors: DataFrame, path: str, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, Any]:
+    """Incremental index maintenance — the reference's batched
+    ``add_items`` loop (``003-hnswlib_demo.py:207-220`` adds 1000
+    vectors at a time to the live index) re-expressed as an
+    append-only delta write. Only the NEW vectors are signature-
+    hashed; their bucket rows land as additional parquet files inside
+    the same ``table_idx`` partitions, so search (which reads the
+    bucket table as one scan) needs zero changes. At 100 TB this is
+    the difference between a full rebuild (scan + rewrite everything)
+    and work proportional to the delta.
+
+    The per-bucket cap is enforced against EXISTING occupancy by
+    reading only the touched buckets (a broadcast semi-join prunes
+    the stored table); like hnswlib, earlier inserts are never
+    evicted — a full bucket rejects late arrivals, and recall for
+    them rides the other tables.
+
+    Contract: delta ids must be disjoint from stored ids (FAISS
+    ``add`` appends; it never replaces). A crash mid-append leaves
+    meta's fingerprint stale, which the next ``ensure_lsh_index``
+    call detects as a mismatch and repairs via full rebuild.
+    """
+    meta = _read_meta(path)
+    if meta is None or meta.get("kind") != "lsh":
+        raise FileNotFoundError(f"no complete LSH index at {path}")
+    spark = new_vectors.sparkSession
+    buckets_path = os.path.join(path, "buckets")
+    nb = lsh_bucket_ids(
+        new_vectors, id_col, vec_col,
+        meta["dim"], meta["n_tables"], meta["n_bits"], meta["seed"],
+    )
+    cap = meta.get("max_bucket_size")
+    if cap is not None:
+        touched = nb.select("table_idx", "bucket").distinct()
+        occupancy = (
+            spark.read.parquet(buckets_path)
+            .join(F.broadcast(touched), ["table_idx", "bucket"], "left_semi")
+            .groupBy("table_idx", "bucket")
+            .agg(F.count("*").alias("__occ"))
+        )
+        w = Window.partitionBy("table_idx", "bucket").orderBy("id")
+        nb = (
+            nb.withColumn("__pos", F.row_number().over(w))
+            .join(F.broadcast(occupancy), ["table_idx", "bucket"], "left")
+            .filter(F.coalesce(F.col("__occ"), F.lit(0)) + F.col("__pos") <= cap)
+            .drop("__pos", "__occ")
+        )
+    nb.repartition("table_idx").write.mode("append").partitionBy(
+        "table_idx"
+    ).parquet(buckets_path)
+    meta["corpus"] = _merge_fingerprint(
+        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+    )
+    _write_meta(path, meta)
+    return meta
+
+
+def upsert_ivf_index(
+    new_vectors: DataFrame, path: str, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, Any]:
+    """Incremental IVF maintenance — FAISS's ``index.add`` contract
+    (``004-faiss_demo.py:199-211`` adds batches without retraining
+    the quantizer): assign NEW vectors to the EXISTING centroids and
+    append them to the inverted lists. Centroids stay fixed, so the
+    stored assignments after an upsert are bit-identical to assigning
+    the full corpus against the stored quantizer (pinned in
+    tests/test_ann_index.py), and probing/partition pruning see the
+    union of old + delta files per list automatically."""
+    meta = _read_meta(path)
+    if meta is None or meta.get("kind") != "ivf":
+        raise FileNotFoundError(f"no complete IVF index at {path}")
+    spark = new_vectors.sparkSession
+    cents = load_ivf_centroids(spark, path)
+    (
+        ivf_assign(new_vectors, id_col, vec_col, cents)
+        .repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "assignments"))
+    )
+    meta["corpus"] = _merge_fingerprint(
+        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+    )
+    _write_meta(path, meta)
+    return meta
+
+
 def ann_lsh_topk_indexed(
     queries: DataFrame,
     corpus: DataFrame,

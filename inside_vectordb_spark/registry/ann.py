@@ -146,6 +146,43 @@ def ann_ivf_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_upsert_topk")
+def ann_ivf_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (FAISS ``add``, the reference's
+    batched build loop ``004:199-211``): build the IVF index on 80%
+    of the corpus, upsert the remaining 20% as an append-only delta
+    (quantizer untouched), then search the maintained index. Result
+    equals searching an index whose assignments were derived from the
+    full corpus against the same centroids (pinned in
+    tests/test_ann_index.py); rows-only driver check."""
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+        _read_meta,
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0)
+    path = _idx_path("ivf_upsert", sf_dir)
+    # Cache check against the FULL corpus: a maintained index whose
+    # merged fingerprint equals the full-corpus fingerprint is
+    # current; anything else is rebuilt base-then-delta.
+    want = {
+        "kind": "ivf", "n_centroids": 16, "seed": 42,
+        "corpus": _corpus_fingerprint(corpus, "vec_id"),
+    }
+    meta = _read_meta(path)
+    if meta is None or any(meta.get(k) != v for k, v in want.items()):
+        build_ivf_index(base, path, n_centroids=16, seed=42)
+        upsert_ivf_index(delta, path)
+    return ann_ivf_topk_indexed(
+        eio.query_vectors(spark, sf_dir), corpus, path, k=10, n_probe=8
+    )
+
+
 @register("ann_hnsw_vendored")
 def ann_hnsw_vendored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 with the vendored pure-NumPy HNSW kernel forced

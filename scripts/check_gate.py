@@ -9,9 +9,11 @@ dtype-KIND pin that predicts the driver's value-hash serialization
 
 Usage:
     python scripts/check_gate.py [--sf /root/testdata/sf0.01] [--all]
+    python scripts/check_gate.py --only bm25_topk,hybrid_rrf_topk
 
---all checks every registered query, not just the driver window.
-Exit code 0 = every checked row green.
+--all checks every registered query, not just the driver window;
+--only checks a comma-separated subset. Exit code 0 = every checked
+row green.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--all", action="store_true", help="check every query")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
     args = ap.parse_args()
 
     import duckdb
@@ -46,7 +49,14 @@ def main() -> int:
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    names = list(queries) if args.all else list(queries)[:WINDOW]
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 2
+    else:
+        names = list(queries) if args.all else list(queries)[:WINDOW]
     failures: list[str] = []
     for i, name in enumerate(names):
         t0 = time.perf_counter()

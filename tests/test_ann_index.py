@@ -98,6 +98,118 @@ def test_ivf_probe_prunes_partitions(spark, corpus, tmp_path_factory):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_ivf_upsert_equals_full_assignment(spark, corpus, tmp_path_factory):
+    """FAISS ``add`` contract: build on 80%, upsert 20% — stored
+    assignments must be bit-identical to assigning the FULL corpus
+    against the stored (untouched) quantizer, and the merged meta
+    fingerprint must equal the full-corpus fingerprint so a later
+    ensure_* call skips the rebuild."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann import ivf_assign
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+        ensure_ivf_index,
+        upsert_ivf_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_upsert"))
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0)
+    build_ivf_index(base, path, n_centroids=16, seed=42)
+    meta = upsert_ivf_index(delta, path)
+    assert meta["corpus"] == _corpus_fingerprint(corpus, "vec_id")
+
+    cents = load_ivf_centroids(spark, path)
+    stored = sorted(
+        (r["id"], r["centroid_id"])
+        for r in spark.read.parquet(os.path.join(path, "assignments")).collect()
+    )
+    fresh = sorted(
+        (r["id"], r["centroid_id"])
+        for r in ivf_assign(corpus, "vec_id", "embedding", cents).collect()
+    )
+    assert stored == fresh
+    # maintained index is recognized as current for the full corpus
+    mtime = os.path.getmtime(os.path.join(path, "meta.json"))
+    ensure_ivf_index(corpus, path, n_centroids=16, seed=42)
+    assert os.path.getmtime(os.path.join(path, "meta.json")) == mtime
+
+
+def test_lsh_upsert_equals_full_build(spark, corpus, queries, tmp_path_factory):
+    """Uncapped LSH: build(80%) + upsert(20%) must produce exactly
+    the bucket table of build(100%) — hyperplanes derive from the
+    stored seed, so incremental and batch construction coincide —
+    and stored-index search over the maintained index must equal the
+    in-memory search over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_index import (
+        build_lsh_index,
+        upsert_lsh_index,
+    )
+
+    params = dict(dim=EMB_DIM, n_tables=4, n_bits=4, seed=42, max_bucket_size=None)
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0)
+
+    inc_path = str(tmp_path_factory.mktemp("lsh_inc"))
+    build_lsh_index(base, inc_path, **params)
+    upsert_lsh_index(delta, inc_path)
+    full_path = str(tmp_path_factory.mktemp("lsh_full"))
+    build_lsh_index(corpus, full_path, **params)
+
+    def rows(p):
+        return sorted(
+            (r["id"], r["table_idx"], r["bucket"])
+            for r in spark.read.parquet(os.path.join(p, "buckets")).collect()
+        )
+
+    assert rows(inc_path) == rows(full_path)
+    stored = ann_lsh_topk_indexed(queries, corpus, inc_path, k=10)
+    fresh = ann_lsh_topk(
+        queries, corpus, dim=EMB_DIM, k=10, n_tables=4, n_bits=4, seed=42,
+        max_bucket_size=None,
+    )
+    assert _rows(stored) == _rows(fresh)
+
+
+def test_lsh_upsert_respects_bucket_cap(spark, corpus, tmp_path_factory):
+    """Capped LSH upsert: existing occupancy counts against the cap —
+    no (table, bucket) group may exceed it after the delta lands, and
+    pre-existing rows are never evicted."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_index import (
+        build_lsh_index,
+        upsert_lsh_index,
+    )
+
+    cap = 3
+    params = dict(dim=EMB_DIM, n_tables=2, n_bits=2, seed=42, max_bucket_size=cap)
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path_factory.mktemp("lsh_cap"))
+    build_lsh_index(base, path, **params)
+    before = set(
+        (r["id"], r["table_idx"], r["bucket"])
+        for r in spark.read.parquet(os.path.join(path, "buckets")).collect()
+    )
+    upsert_lsh_index(delta, path)
+    after_df = spark.read.parquet(os.path.join(path, "buckets"))
+    worst = (
+        after_df.groupBy("table_idx", "bucket")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert worst <= cap
+    after = set(
+        (r["id"], r["table_idx"], r["bucket"]) for r in after_df.collect()
+    )
+    assert before <= after
+
+
 def test_ensure_rebuilds_on_corpus_change(spark, corpus, tmp_path_factory):
     import time
 
