@@ -111,6 +111,83 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nearest_centroid_assign",
+    oracle="""
+    WITH comp AS (
+      SELECT label AS clabel, CAST(i.i AS INT) AS pos,
+             avg(CAST(embedding[i.i + 1] AS DOUBLE)) AS cval
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) i
+      GROUP BY label, i.i),
+    cent AS (
+      SELECT clabel, list(cval ORDER BY pos) AS cvec,
+             sqrt(sum(cval * cval)) AS cn
+      FROM comp GROUP BY clabel),
+    v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS vn
+      FROM embeddings),
+    scored AS (
+      SELECT v.vec_id, v.label, c.clabel,
+             list_dot_product(v.e, c.cvec) / (v.vn * c.cn) AS cos
+      FROM v CROSS JOIN cent c),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, clabel) AS r
+      FROM scored)
+    SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n
+    FROM ranked WHERE r = 1 GROUP BY label, clabel
+    """,
+)
+def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over the embedding
+    column, fully relational and hash-matched: per-label mean
+    centroids → cosine of every vector against every centroid →
+    argmax → confusion counts (label, pred_label, n).
+
+    Plan shape at scale: the long-form component aggregation is one
+    shuffle keyed (label, pos) with map-side partials; the 10×64
+    centroid relation is broadcast back, so the scoring pass never
+    shuffles the corpus — only (vec, label) partial dot products move,
+    partial-aggregated map-side. The GEMM twin of this assignment is
+    ``operators/ann.py:ivf_assign`` (same math, Arrow-batched); this
+    relational form is the oracle-checkable semantics reference."""
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    comp = long.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.avg("val").alias("cval")
+    )
+    cnorm = comp.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
+    )
+    vnorm = long.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn")
+    )
+    dots = (
+        long.join(F.broadcast(comp), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(cnorm), "clabel")
+        .join(vnorm, "vec_id")
+        .select(
+            "vec_id", "label", "clabel",
+            (F.col("dot") / (F.col("vn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .groupBy("label", F.col("clabel").alias("pred_label"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "text_search_e2e",
     oracle=f"""
     WITH {_DENSE_CTE},

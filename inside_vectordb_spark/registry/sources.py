@@ -150,6 +150,35 @@ def beir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           round(o_totalprice, 6) AS total_price,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders selection → zstd ORC → read back: proves the engine's
+    second built-in columnar format (warehouse interchange) preserves
+    bigint / varchar / double / timestamp losslessly. The timestamp is
+    re-projected as a formatted string for hash-stable comparison."""
+    sel = eio.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+    path = _rt_path("orders_orc", sf_dir)
+    src.write_table_orc(sel, path)
+    back = src.read_table_orc(spark, path)
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 6).alias("total_price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+    )
+
+
+@register(
     "embeddings_parquet_roundtrip",
     oracle="""
     SELECT vec_id, label,

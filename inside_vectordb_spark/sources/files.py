@@ -169,3 +169,17 @@ def write_embeddings_parquet(df: DataFrame, path: str, mode: str = "overwrite") 
 def read_embeddings_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S8: embeddings scan (`002:60-67` analogue)."""
     return spark.read.parquet(path)
+
+
+def write_table_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar sink through Spark's second built-in columnar format
+    (ORC, zstd): same compressed-at-rest role as S7's parquet —
+    interchange with ORC-based warehouses. Timestamps are stored at
+    nanosecond precision, so the round-trip is lossless."""
+    df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
+def read_table_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan twin of S8 — vectorized reader, predicate pushdown
+    and column pruning as with parquet."""
+    return spark.read.orc(path)
