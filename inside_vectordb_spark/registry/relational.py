@@ -802,3 +802,274 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 6) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 23:59:59'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: a five-way join with a disjunctive cross-side
+    nation-pair predicate. Both nation dims and the supplier/customer
+    sides broadcast (small); the lineitem↔orders join is the only
+    big-table shuffle, and the shipdate range pushes to the lineitem
+    scan. The pair predicate is applied AFTER the nation joins (it
+    references both sides), which Catalyst keeps above the joins but
+    below the aggregate."""
+    s = eio.load_table(spark, sf_dir, "supplier")
+    l = eio.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+    )
+    o = eio.load_table(spark, sf_dir, "orders")
+    c = eio.load_table(spark, sf_dir, "customer")
+    n = eio.load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    ) all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — a fraction-of-group
+    aggregate (conditional sum over total sum) on top of an
+    eight-relation join. Every dimension (part, supplier, nation×2,
+    region, customer) broadcasts; lineitem↔orders is again the single
+    big shuffle. The p_type filter prunes the part broadcast BEFORE
+    the join, which in turn shrinks the lineitem side at the join —
+    the same semi-join-reduction Catalyst applies via DPP on
+    partitioned fact tables."""
+    p = eio.load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    l = eio.load_table(spark, sf_dir, "lineitem")
+    s = eio.load_table(spark, sf_dir, "supplier")
+    o = eio.load_table(spark, sf_dir, "orders")
+    c = eio.load_table(spark, sf_dir, "customer")
+    n = eio.load_table(spark, sf_dir, "nation")
+    r = eio.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_type = 'ECONOMY'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated by hand into a grouped aggregate +
+    broadcast join — the rewrite Catalyst itself applies to
+    correlated scalars, made explicit. Scale shape: the per-part
+    average is computed only for parts surviving the brand/type
+    filter (broadcast semi-join reduction BEFORE the corpus-wide
+    groupBy), so the aggregate shuffles a filtered fraction of
+    lineitem, keyed by partkey."""
+    p = eio.load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "ECONOMY")
+    )
+    l = eio.load_table(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+    thresh = (
+        lp.groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_cap"))
+    )
+    return (
+        lp.join(F.broadcast(thresh.withColumnRenamed("l_partkey", "t_pk")),
+                F.col("l_partkey") == F.col("t_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+           round(o.o_totalprice, 6) AS total,
+           round(sum(l.l_quantity), 6) AS qty_sum
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY total DESC, o_orderkey LIMIT 20
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING — the qualifying-order
+    set (sum(quantity) > 250) computed as a grouped aggregate and
+    applied as a LEFT SEMI join before the enrichment joins, so only
+    ~1% of orders reach the customer join. orderBy+limit plans as
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    c = eio.load_table(spark, sf_dir, "customer")
+    o = eio.load_table(spark, sf_dir, "orders")
+    l = eio.load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.round("o_totalprice", 6).alias("total"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 6).alias("qty_sum"))
+        .orderBy(F.desc("total"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-side predicates. The
+    disjunction references both join sides, so it cannot fully push
+    below the join — but the single-side implications CAN: the part
+    side is pre-filtered to the union of brand/size branches (which
+    shrinks the broadcast), and the quantity bound (1..30) pushes to
+    the lineitem scan. Catalyst derives neither implication from the
+    raw disjunction, so the engine states them explicitly — the
+    hand-applied version of the 'predicate weakening' rewrite."""
+    branch = [
+        ("Brand#15", 1, 10, 1.0, 11.0),
+        ("Brand#23", 1, 20, 10.0, 20.0),
+        ("Brand#25", 1, 30, 20.0, 30.0),
+    ]
+    p_side = None
+    for b, lo, hi, _, _ in branch:
+        c = (F.col("p_brand") == b) & F.col("p_size").between(lo, hi)
+        p_side = c if p_side is None else (p_side | c)
+    p = eio.load_table(spark, sf_dir, "part").filter(p_side)
+    l = eio.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1.0, 30.0)
+    )
+    full = None
+    for b, lo, hi, qlo, qhi in branch:
+        c = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(lo, hi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        full = c if full is None else (full | c)
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(full)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
