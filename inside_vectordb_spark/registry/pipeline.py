@@ -307,9 +307,9 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.token_counts(eio.load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "quality_scores",
-    oracle=f"""
+# Quality computation as a standalone SELECT, shared by the
+# quality_scores oracle and the percentile-gate oracle.
+_QUALITY_SQL = f"""
     WITH t AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0.0 ELSE len({_TOKS}) * 1.0 END AS n,
@@ -334,11 +334,64 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 0.25 * least(stop_ratio * 5, 1.0)
                + 0.25 * alpha_ratio, 6) AS quality
     FROM r
-    """,
-)
+"""
+
+
+@register("quality_scores", oracle=_QUALITY_SQL)
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality gate."""
     return ts.quality_scores(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_percentile_gate",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    th AS (SELECT round(quantile_cont(quality, 0.25), 6) AS th FROM q)
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN q.quality >= th.th THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           any_value(th.th) AS threshold
+    FROM documents d JOIN q ON q.doc_id = d.doc_id CROSS JOIN th
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-RELATIVE quality filtering: the gate threshold is the
+    exact 25th percentile of the corpus's own quality distribution
+    (the CCNet-style per-corpus calibration — an absolute cutoff
+    tuned on one snapshot silently over/under-filters the next),
+    reported as per-source pass counts.
+
+    Scale shape: exact ``percentile`` is safe here because the score
+    domain is discretized (6-decimal rounding of quarter-weighted
+    ratios → bounded distinct values, so the aggregation buffer stays
+    small regardless of corpus size); for an unbounded-domain metric
+    use the ``doc_length_percentiles_approx`` pattern
+    (approx_percentile) instead. The 1-row threshold rides a
+    broadcast nested loop; everything else is one groupBy(source)
+    with map-side partials. The threshold is rounded to 6 decimals on
+    BOTH engines before the >= comparison so tie docs gate
+    identically."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    q = ts.quality_scores(docs).select("doc_id", "quality")
+    th = q.agg(
+        F.round(F.expr("percentile(quality, 0.25)"), 6).alias("th")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(F.broadcast(th))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("quality") >= F.col("th"), 1).otherwise(0)
+            ).alias("n_pass"),
+            F.any_value(F.col("th")).alias("threshold"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(
