@@ -54,6 +54,25 @@ N_QUERY_VECTORS = 20
 _SPLIT_TABLES = frozenset({"documents", "embeddings"})
 
 
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (session tz = UTC, so
+    wall-clock values are preserved bit-for-bit).
+
+    The driver's testdata writer has flipped between parquet
+    TIMESTAMP(NANOS), TIMESTAMP(isAdjustedToUTC=true), and
+    TIMESTAMP(isAdjustedToUTC=false) across regenerations; the last
+    reads back as Spark TIMESTAMP_NTZ, which TIMESTAMP-only expressions
+    (``unix_micros``, some streaming state ops) reject. Normalizing at
+    the scan keeps every downstream plan and every DuckDB oracle (which
+    sees plain TIMESTAMP either way) agnostic to the writer flavor. A
+    per-column cast is a zero-cost projection — pushdown/pruning are
+    unaffected."""
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan. Column pruning + predicate pushdown come free as
     long as callers select/filter on this lazily (they do) — both are
@@ -79,8 +98,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _tz_normalize(df)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _tz_normalize(df)
     if name in _SPLIT_TABLES:
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:

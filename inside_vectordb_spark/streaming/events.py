@@ -87,6 +87,10 @@ def read_events_stream(
     df = read_table_stream(spark, sf_dir, "events", max_files_per_trigger)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # Writer-flavor drift (see io._tz_normalize): cast to TIMESTAMP
+        # under the UTC session so watermarks/windows match the batch twin.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
