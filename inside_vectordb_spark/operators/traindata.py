@@ -1,0 +1,339 @@
+"""Training-data preparation operators beyond the dedup/curation tier.
+
+Extends the LLM-pipeline suite (BASELINE.json north star; reference
+has no analogue — its pipeline stops at retrieval evaluation) with the
+remaining stages a 100 TB pre-training corpus run needs between
+"curated documents" and "training batches":
+
+- span-level dedup (the C4/Lee-et-al. line-and-span dedup shape);
+- exact n-gram benchmark decontamination (the GPT-3 appendix-C rule:
+  drop/flag any training doc sharing an n-gram with the eval suite);
+- deterministic train/val/test splits (hash-bucketed, resumable);
+- weighted sampling without replacement (Efraimidis-Spirakis A-ES
+  exponential-key top-k — quality-weighted subcorpus selection);
+- length-bucketed batch packing stats (padding-waste accounting);
+- distributed Lloyd k-means over embeddings (domain clustering for
+  mixture weighting), fixed-point so every engine agrees bit-for-bit.
+
+Scale notes are on each function; the shared principles:
+- Content (text/embedding) columns never ride a shuffle whose key is
+  a content hash — hash-keyed aggregations carry only (hash, id, pos).
+- All randomness is md5-derived arithmetic (engine-portable,
+  rerun-stable, auditable per row) — no ``rand()`` in any path.
+- Everything is pure ``pyspark.sql.functions`` Catalyst expressions;
+  no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark.functions.text import tokenize, word_shingles
+
+
+def _md5_bucket(col: Column, salt: str, mod: int, hex_digits: int = 8) -> Column:
+    """Uniform integer bucket in [0, mod) from md5(value || salt) —
+    the engine-portable twin of DuckDB
+    ``('0x' || substr(md5(v || salt), 1, d))::BIGINT % mod``."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, hex_digits), 16, 10).cast("long") % mod
+
+
+# ---------------------------------------------------------------------------
+# Span-level dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+def span_occurrences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", width: int = 10
+) -> DataFrame:
+    """(doc_id, pos, chunk): non-overlapping ``width``-word spans per
+    document, in order. The span is the dedup unit — the corpus-level
+    analogue of C4's line-level dedup for text without line structure
+    (one flat line per doc here). Empty/whitespace docs yield no rows."""
+    toks = tokenize(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    chunks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("pos", "chunk")
+    )
+
+
+def span_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", width: int = 10
+) -> DataFrame:
+    """Global span-level exact dedup: every ``width``-word span is kept
+    only at its first occurrence (lowest (doc_id, pos)); documents are
+    rebuilt from their surviving spans in original order.
+
+    Returns (doc_id, n_chunks, n_kept, text_clean) for every doc;
+    fully-deduplicated docs keep n_kept = 0 and empty text_clean.
+
+    100 TB plan shape: the keeper election groups by ``md5(span)``
+    carrying only (hash, doc_id, pos) — span text never rides the
+    hash-keyed shuffle (the lesson from round 2's ``corpus_curation``
+    fix). Text moves exactly once, on the final (doc_id, pos)-keyed
+    semi join + doc_id regroup, which any rebuild must pay."""
+    occ = span_occurrences(docs, id_col, text_col, width)
+    keepers = (
+        occ.select(F.md5("chunk").alias("__h"), "doc_id", "pos")
+        .groupBy("__h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.pos").alias("pos"))
+    )
+    kept = occ.join(keepers, ["doc_id", "pos"], "left_semi")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("text_clean"),
+    )
+    totals = occ.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_chunks"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram decontamination (GPT-3 style)
+# ---------------------------------------------------------------------------
+
+def ngram_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Flag every training doc sharing ANY word ``n``-gram with the
+    benchmark set — the GPT-3 appendix-C exact-overlap rule, stricter
+    than the ratio-threshold `decontaminate` gate (textstats.py).
+
+    Returns (doc_id, n_grams, n_colliding) for flagged docs only.
+
+    Scale shape: benchmark n-grams are distinct-reduced and md5-coded
+    first (the eval suite is tiny next to the corpus — the join's
+    build side); the corpus side explodes to (doc_id, gram_hash) so
+    only 16-byte hashes shuffle, and AQE turns the join broadcast when
+    the bench side fits."""
+    tr = train.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, n).alias("grams"),
+    ).select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    ).select("doc_id", "n_grams", F.md5("gram").alias("gh"))
+    bh = (
+        bench.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        .select(F.md5("gram").alias("gh"))
+        .distinct()
+    )
+    return (
+        tr.join(bh, "gh")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").cast("int").alias("n_colliding"))
+        .select("doc_id", "n_grams", "n_colliding")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits / weighted sampling / batch packing
+# ---------------------------------------------------------------------------
+
+def dataset_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = ":split",
+) -> DataFrame:
+    """(doc_id, split): hash-bucketed train/val/test assignment.
+    md5-derived, so membership is a pure function of the id — stable
+    under reruns, repartitioning, and incremental corpus growth (a new
+    doc never moves an old one between splits, unlike ``rand()`` or
+    positional splits). Zero shuffle; the predicate pushes down."""
+    bucket = _md5_bucket(F.col(id_col), salt, 100)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: Column,
+    k: int = 50,
+    id_col: str = "doc_id",
+    salt: str = ":aes",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    A-ES exponential keys: key_i = ln(u_i) / w_i with u_i uniform(0,1),
+    take the k largest keys — inclusion probability proportional to
+    weight, in one distributed pass.
+
+    u_i is md5-derived (deterministic, engine-portable); the top-k is
+    a global ``ORDER BY ... LIMIT k`` which Catalyst executes as
+    TakeOrderedAndProject — per-partition heaps, only k rows per
+    partition reach the driver-side merge; no full sort, no shuffle of
+    the corpus. Returns (doc_id, weight, key) for the k winners."""
+    u_int = _md5_bucket(F.col(id_col), salt, 1_000_000) + 1  # 1..1e6
+    u = u_int / F.lit(1_000_001.0)
+    key = F.round(F.log(u) / weight_col.cast("double"), 6)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            weight_col.cast("double").alias("weight"),
+            key.alias("key"),
+        )
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(k)
+    )
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed batch assignment: docs are bucketed by
+    ⌊log2(token_count)⌋ (integer-exact via ``length(bin(n))``), then
+    batched ``batch_size`` at a time inside each bucket in doc_id
+    order. Returns per-batch padding-waste accounting
+    (bucket, batch_id, n_docs, min/max tokens, padding_frac) — the
+    standard pad-to-longest batching audit; bucketing by length is
+    what keeps padding_frac low.
+
+    Scale: one shuffle keyed by the (few) buckets for the per-bucket
+    row_number; stats aggregate map-side. At 100 TB the bucket count
+    (~15) would serialize the window — shard each bucket by an id-hash
+    prefix first (same fix as ``sequence_packing``); at bench scale
+    the plain form keeps the oracle simple."""
+    ntok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(tokenize(text_col))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), ntok.cast("int").alias("n_tokens")
+    ).withColumn("bucket", F.length(F.bin(F.greatest("n_tokens", F.lit(1)))).cast("int"))
+    rn = F.row_number().over(Window.partitionBy("bucket").orderBy("doc_id"))
+    batched = base.withColumn(
+        "batch_id", ((rn - 1) / F.lit(batch_size)).cast("int")
+    )
+    return (
+        batched.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(
+                1.0
+                - F.sum("n_tokens")
+                / (F.count("*") * F.max("n_tokens")).cast("double"),
+                6,
+            ).alias("padding_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd k-means (fixed-point, engine-portable)
+# ---------------------------------------------------------------------------
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column, built so two
+    independent engines produce IDENTICAL results:
+
+    - inputs are quantized to integers (``round(x * quant)``) — every
+      distance is exact 64-bit arithmetic, no float summation-order
+      drift;
+    - centroid updates are ``round(avg, 6)`` of exact integer sums —
+      the only float op is one correctly-rounded division per (cluster,
+      dim), identical everywhere;
+    - assignment argmin orders by (round(dist, 6), cluster) — ties
+      break on cluster id;
+    - init = the ``k`` lowest-id vectors (deterministic, like the
+      reference's seeded sampling at ``003:120-127``).
+
+    Plan shape per iteration: centroids (k×dim, tiny) broadcast into
+    the assignment join — the corpus never shuffles for assignment;
+    the update is posexplode → groupBy(cluster, dim) with map-side
+    partial sums, so only k×dim partials per partition reach the
+    shuffle. This is exactly how MLlib's KMeans distributes, expressed
+    declaratively. Returns (cluster, pos, centroid, size) long-form.
+    """
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * quant, 0)
+        ).alias("v"),
+    )
+    # Deterministic init: k lowest ids, cluster = rank order.
+    init = (
+        q.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster"),
+            F.col("v").alias("c"),
+        )
+    )
+    centroids = init
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        assign = (
+            q.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "v", "cluster", F.round(dist, 6).alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster", "v")).alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.v").alias("v"))
+        )
+        centroids = (
+            assign.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("c")
+            )
+        )
+        final_assign = assign
+    sizes = final_assign.groupBy("cluster").agg(F.count("*").cast("int").alias("size"))
+    return (
+        centroids.select("cluster", F.posexplode("c").alias("pos", "centroid"))
+        .join(sizes, "cluster")
+        .select("cluster", "pos", F.round("centroid", 6).alias("centroid"), "size")
+    )

@@ -1,0 +1,181 @@
+"""Planted-behavior tests for the training-data prep operators
+(operators/traindata.py): oracle parity (tests/test_parity.py) proves
+engine agreement on the real tables; these prove the semantics on
+hand-built corpora where the right answer is known by construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark.operators import traindata as td
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# span_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_removes_repeated_span(spark):
+    span = "a b c d e f g h i j"  # exactly one 10-word chunk
+    df = _docs(
+        spark,
+        [
+            (1, span + " unique tail one two three four five six seven"),
+            (2, span),  # chunk duplicates doc 1's first span
+            (3, "totally different words without any duplicate content here x"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in td.span_dedup(df, width=10).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    # doc 2 is entirely the duplicated span: fully deduplicated
+    assert out[2]["n_chunks"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["text_clean"] == ""
+    assert out[3]["n_kept"] == 1 and out[3]["text_clean"] == (
+        "totally different words without any duplicate content here x"
+    )
+
+
+def test_span_dedup_keeper_is_first_occurrence_and_order_preserved(spark):
+    s1 = "one two three four five six seven eight nine ten"
+    s2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(spark, [(5, s2 + " " + s1), (9, s1 + " " + s2)])
+    out = {r["doc_id"]: r for r in td.span_dedup(df, width=10).collect()}
+    # doc 5 (lower id) keeps both spans in original order; doc 9 loses both
+    assert out[5]["text_clean"] == s2 + " " + s1
+    assert out[9]["n_kept"] == 0
+
+
+def test_span_dedup_empty_doc_yields_no_rows(spark):
+    df = _docs(spark, [(1, ""), (2, "   "), (3, "real words here")])
+    rows = td.span_dedup(df, width=10).collect()
+    assert sorted(r["doc_id"] for r in rows) == [3]
+
+
+# ---------------------------------------------------------------------------
+# ngram_decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_decontaminate_flags_exact_overlap_only(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over lazy dogs")])
+    train = _docs(
+        spark,
+        [
+            (1, "prefix words the quick brown fox suffix words"),  # shares a 4-gram
+            (2, "quick brown fox sleeps"),  # longest shared run is 3 words
+            (3, "nothing in common at all here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in td.ngram_decontaminate(train, bench, n=4).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_colliding"] == 1  # "the quick brown fox"
+
+
+def test_ngram_decontaminate_counts_distinct_gram_hits(spark):
+    bench = _docs(spark, [(100, "a b c d e")])  # 4-grams: "a b c d", "b c d e"
+    train = _docs(spark, [(1, "x a b c d e y")])
+    out = td.ngram_decontaminate(train, bench, n=4).collect()
+    assert len(out) == 1 and out[0]["n_colliding"] == 2
+
+
+# ---------------------------------------------------------------------------
+# dataset_split / weighted_sample
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_split_stable_and_roughly_proportional(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = td.dataset_split(df)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # pure function of id: adding docs never reassigns an old one
+    sub = td.dataset_split(df.limit(500)).collect()
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 500 light rows (w=1) + 20 heavy rows (w=1000): A-ES top-50 must be
+    # dominated by heavy rows far beyond their 4% population share.
+    df = spark.range(520).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 20, F.lit(1000.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    rows = td.weighted_sample(df, F.col("w"), k=50).collect()
+    assert len(rows) == 50
+    heavy = sum(1 for r in rows if r["weight"] == 1000.0)
+    assert heavy >= 15  # E[heavy] ≈ 20; population share alone would give ~2
+
+
+def test_weighted_sample_deterministic(spark):
+    df = spark.range(300).select(F.col("id").alias("doc_id"), F.lit(1.0).alias("w"))
+    a = [r["doc_id"] for r in td.weighted_sample(df, F.col("w"), k=10).collect()]
+    b = [r["doc_id"] for r in td.weighted_sample(df, F.col("w"), k=10).collect()]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# length_bucketed_batches
+# ---------------------------------------------------------------------------
+
+
+def test_length_buckets_are_log2_and_batches_sized(spark):
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 1, 3, 7, 8, 15, 16, 100])]
+    df = _docs(spark, rows)
+    out = td.length_bucketed_batches(df, batch_size=2).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # bucket = ⌊log2(n)⌋ + 1 == length(bin(n)): 1→1, 3→2, 7→3, 8→4, 15→4, ...
+    assert set(by_bucket) == {1, 2, 3, 4, 5, 7}
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    assert all(r["n_docs"] <= 2 for r in out)
+    # a batch of equal lengths wastes nothing
+    b1 = by_bucket[1][0]
+    assert b1["n_docs"] == 2 and b1["padding_frac"] == 0.0
+    # bucket 4 holds docs of 8 and 15 tokens: padding = 1 - 23/30
+    b4 = by_bucket[4][0]
+    assert abs(b4["padding_frac"] - (1 - 23 / 30)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# kmeans_lloyd
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    # Two tight blobs far apart; k=2 must put each blob in one cluster
+    # with centroids at the blob means.
+    rows = []
+    for i in range(10):
+        rows.append((i, [0.0 + 0.001 * i, 0.0]))
+    for i in range(10, 20):
+        rows.append((i, [10.0, 10.0 + 0.001 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = td.kmeans_lloyd(df, k=2, iters=2).collect()
+    sizes = {r["cluster"]: r["size"] for r in out}
+    assert sizes == {0: 10, 1: 10}
+    cent = {(r["cluster"], r["pos"]): r["centroid"] for r in out}
+    # quantized ×1000: blob-0 mean x ≈ 4.5 (0.0045 * 1000)
+    assert abs(cent[(0, 0)] - 4.5) < 0.2
+    assert abs(cent[(1, 0)] - 10000.0) < 1.0
+
+
+def test_kmeans_lloyd_deterministic(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, td.kmeans_lloyd(df, k=4, iters=2).collect()))
+    b = sorted(map(tuple, td.kmeans_lloyd(df, k=4, iters=2).collect()))
+    assert a == b
+    assert not any(math.isnan(t[2]) for t in a)
