@@ -363,9 +363,24 @@ def connected_components(
     reliable store instead. The per-round convergence probe is a
     LIMIT-1 count (a scalar to the driver, not data).
     """
+    # Symmetrize with one explode, not a self-union: the union form
+    # evaluates the (expensive) pairs subtree twice inside the
+    # materializing job — with the full MinHash pipeline upstream that
+    # doubles the dominant cost before iteration even starts.
     edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     from pyspark import StorageLevel

@@ -304,8 +304,11 @@ def kmeans_lloyd(
             F.col("v").alias("c"),
         )
     )
+    if iters < 1:
+        raise ValueError("kmeans_lloyd: iters must be >= 1")
     centroids = init
-    for _ in range(iters):
+    assign = None
+    for it in range(iters):
         dist = F.aggregate(
             F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -318,22 +321,29 @@ def kmeans_lloyd(
             .agg(F.min(F.struct("dist", "cluster", "v")).alias("m"))
             .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.v").alias("v"))
         )
-        centroids = (
-            assign.select("cluster", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("val"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
-                ).alias("c")
+        if it < iters - 1:
+            centroids = (
+                assign.select("cluster", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("val"))
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                        lambda s: s["val"],
+                    ).alias("c")
+                )
             )
-        )
-        final_assign = assign
-    sizes = final_assign.groupBy("cluster").agg(F.count("*").cast("int").alias("size"))
+    # Final update and sizes in ONE aggregation over the last
+    # assignment: each vector contributes one row per dim, so the
+    # per-(cluster, pos) count IS the cluster size — no second
+    # assignment pass, no extra join.
     return (
-        centroids.select("cluster", F.posexplode("c").alias("pos", "centroid"))
-        .join(sizes, "cluster")
-        .select("cluster", "pos", F.round("centroid", 6).alias("centroid"), "size")
+        assign.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid"),
+            F.count("*").cast("int").alias("size"),
+        )
+        .select("cluster", "pos", "centroid", "size")
     )

@@ -215,3 +215,51 @@ def test_nearest_centroid_broadcasts_centroids(spark):
     df = QUERIES["nearest_centroid_assign"](spark, SF_DIR)
     assert count_in_plan(df, "BroadcastHashJoin") >= 2
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_span_dedup_no_chunk_text_in_hash_shuffle(spark):
+    """The span-dedup keeper election groups by md5(chunk) carrying
+    only (hash, doc_id, pos) — span text must never ride the
+    hash-keyed exchange (the corpus_curation lesson applied to the
+    span tier). Text legitimately moves once, keyed by (doc_id, pos),
+    for the rebuild."""
+    df = QUERIES["span_dedup"](spark, SF_DIR)
+    assert_in_plan(df, "partial_min")
+    for part, cols in shuffled_payloads(df):
+        if part.startswith("hashpartitioning") and "__h" in part:
+            assert "chunk" not in cols, (
+                f"span text crosses the keeper exchange ({part}): {cols}"
+            )
+
+
+def test_weighted_sample_is_heap_topk_not_global_sort(spark):
+    """A-ES top-k must plan as TakeOrderedAndProject (per-partition
+    heaps) — a range-partitioned global sort of the corpus would be
+    the scale-killer form."""
+    df = QUERIES["weighted_sample"](spark, SF_DIR)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "rangepartitioning")
+
+
+def test_kmeans_broadcasts_centroids_and_partial_aggregates(spark):
+    """Every Lloyd assignment joins against BROADCAST centroids (the
+    corpus never shuffles for assignment), and centroid updates
+    combine map-side (partial averages): only k×dim partials per
+    partition reach the exchange."""
+    df = QUERIES["kmeans_lloyd"](spark, SF_DIR)
+    assert count_in_plan(df, "BroadcastNestedLoopJoin") >= 2
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "SortMergeJoin")
+    assert_in_plan(df, "partial_avg")
+
+
+def test_ngram_decontamination_shuffles_hashes_not_grams(spark):
+    """The corpus side of the decontamination join reduces each gram
+    to a 32-char md5 before the exchange — gram text stays inside the
+    map task."""
+    df = QUERIES["decontamination_ngram"](spark, SF_DIR)
+    for part, cols in shuffled_payloads(df):
+        if part.startswith("hashpartitioning"):
+            assert "gram" not in cols, (
+                f"gram text crosses a hash exchange ({part}): {cols}"
+            )
