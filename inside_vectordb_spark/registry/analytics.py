@@ -292,3 +292,36 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = eio.load_table(spark, sf_dir, "documents")
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
     return docs.filter(bucket.cast("long") % 10 < 2).select("doc_id", "lang", "source")
+
+
+@register(
+    "skewed_join_salted",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, count(*) AS type_total
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, d.type_total,
+           count(*) AS n_events, round(sum(e.value), 6) AS total_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join under extreme key skew: events carry only 5
+    distinct event_type values, so a plain shuffle join degenerates
+    to 5 giant tasks at 100 TB. ``salted_equi_join`` spreads each hot
+    key over 8 row-deterministic salts (crc32 of event_id) and
+    replicates the 5-row dim once per salt. The oracle is the PLAIN
+    join + aggregate — pinning that salting is semantics-preserving,
+    which is the whole point of registering it."""
+    from inside_vectordb_spark.operators.skew import salted_equi_join
+
+    ev = eio.load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    joined = salted_equi_join(
+        ev, dim, key="event_type", row_col="event_id", n_salts=8
+    )
+    return joined.groupBy("event_type", "type_total").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )

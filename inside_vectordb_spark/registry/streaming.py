@@ -111,3 +111,28 @@ def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_stream(spark, sf_dir, "documents")
     out = run_to_memory(distinct_content_stream(docs), output_mode="append")
     return out.orderBy("text_hash")
+
+
+@register(
+    "events_click_purchase_stream",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def events_click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (conversion attribution): clicks
+    joined to same-user purchases within 10 minutes, both sides
+    watermarked so join-buffer state is evicted as the watermark
+    advances. Drained with AvailableNow in append mode; the oracle is
+    the equivalent batch interval join."""
+    from inside_vectordb_spark.streaming import click_purchase_join_stream
+
+    out = run_to_memory(
+        click_purchase_join_stream(spark, sf_dir), output_mode="append"
+    )
+    return out.orderBy("click_id", "purchase_id")

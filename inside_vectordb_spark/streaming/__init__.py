@@ -7,6 +7,7 @@ engine covers the continuous-ingest half of a production pipeline.
 """
 
 from inside_vectordb_spark.streaming.events import (
+    click_purchase_join_stream,
     distinct_content_stream,
     hourly_stream,
     read_events_stream,
@@ -17,6 +18,7 @@ from inside_vectordb_spark.streaming.events import (
 from inside_vectordb_spark.streaming.stateful import running_user_totals
 
 __all__ = [
+    "click_purchase_join_stream",
     "distinct_content_stream",
     "hourly_stream",
     "read_events_stream",

@@ -163,3 +163,60 @@ def run_to_memory(
     finally:
         q.stop()
     return streaming_df.sparkSession.table(name)
+
+
+def click_purchase_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stream-stream interval join: every (click, purchase) pair of
+    the same user with the purchase inside ``window`` after the click
+    — the attribution-join shape (conversion tracking), expressed as
+    two watermarked streams over the same source.
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time to [click, click + window], so Spark derives a state-eviction
+    horizon for BOTH join buffers — state stays O(watermark-width of
+    in-flight events), not O(stream length); without the time bound
+    the buffers would grow forever. Append output mode: each matched
+    pair emits exactly once, when the watermark passes it."""
+    clicks = (
+        read_events_stream(spark, sf_dir, max_files_per_trigger)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir, max_files_per_trigger)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            p_user_id = user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval {window}
+            """
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("delay_us"),
+    )
