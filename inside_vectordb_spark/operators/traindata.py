@@ -347,3 +347,42 @@ def kmeans_lloyd(
         )
         .select("cluster", "pos", "centroid", "size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking + chunked retrieval (RAG prep)
+# ---------------------------------------------------------------------------
+
+def doc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, n_tokens_chunk): overlapping
+    sliding-window chunks (``width`` words every ``stride``) — the
+    retrieval-granularity prep step for RAG indexing. A doc with
+    n ≤ width tokens yields exactly one chunk; empty docs yield none.
+    Pure Catalyst (tokenize → transform over window starts →
+    posexplode); the only data movement is the explode itself."""
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= width, F.lit(1)).otherwise(
+        F.ceil((n - width) / F.lit(float(stride))).cast("int") + 1
+    )
+    chunks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, width)),
+        )
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    return out.withColumn(
+        "n_tokens_chunk", F.size(tokenize("chunk_text")).cast("int")
+    )

@@ -232,3 +232,167 @@ def kmeans_lloyd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return td.kmeans_lloyd(
         eio.load_table(spark, sf_dir, "embeddings"), k=8, iters=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking + chunked retrieval (RAG prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_CTE = f"""
+    ctoks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+      WHERE trim(text) <> '' AND doc_id >= 5),
+    cn AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) <= 32 THEN 1
+                  ELSE CAST(ceil((len(t) - 32) / 16.0) AS INT) + 1 END AS n_chunks
+      FROM ctoks),
+    carr AS (
+      SELECT doc_id,
+             list_transform(range(0, n_chunks),
+                i -> array_to_string(t[(i*16+1):(i*16+32)], ' ')) AS chunks
+      FROM cn),
+    chunks AS (
+      SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_id,
+             unnest(chunks) AS chunk
+      FROM carr)
+"""
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH {_CHUNK_CTE}
+    SELECT doc_id, chunk_id, chunk AS chunk_text,
+           CAST(len(regexp_split_to_array(chunk, '\\s+')) AS INT)
+               AS n_tokens_chunk
+    FROM chunks
+    """,
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-word windows, stride 16) over the
+    retrieval corpus (doc_id >= 5, the same split chunked_retrieval
+    searches) — the RAG indexing-granularity prep step."""
+    docs = eio.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= 5)
+    return td.doc_chunks(docs, width=32, stride=16)
+
+
+# Hash-encoder restated over an arbitrary (id..., txt) relation —
+# sparse form: only populated buckets, exact integer components
+# (the registry/embed.py _DENSE_CTE math, without densification;
+# dots/norms below handle absent buckets via COALESCE/zero guards).
+def _sparse_vec_cte(name: str, src: str, keys: str, txt: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT {keys}, CAST(h % 64 AS INT) AS bucket,
+             CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      FROM (
+        SELECT {keys}, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM (SELECT {keys},
+                     unnest(regexp_split_to_array(trim({txt}), '\\s+')) AS tok
+              FROM {src} WHERE trim({txt}) <> '') u)
+      GROUP BY ALL)
+    """
+
+
+@register(
+    "chunked_retrieval",
+    oracle=f"""
+    WITH {_CHUNK_CTE},
+    {_sparse_vec_cte("cvec", "chunks", "doc_id, chunk_id", "chunk")},
+    {_sparse_vec_cte("qvec", "(SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 5) q", "query_id", "text")},
+    qn AS (SELECT query_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS qnorm
+           FROM qvec GROUP BY 1),
+    cn2 AS (SELECT doc_id, chunk_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS cnorm
+            FROM cvec GROUP BY 1, 2),
+    dots AS (
+      SELECT q.query_id, c.doc_id, c.chunk_id, CAST(sum(q.v * c.v) AS DOUBLE) AS dot
+      FROM qvec q JOIN cvec c USING (bucket) GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT a.query_id, a.doc_id, a.chunk_id,
+             CASE WHEN a.qnorm = 0 OR a.cnorm = 0 THEN 0.0
+                  ELSE round(COALESCE(d.dot, 0) / (a.qnorm * a.cnorm), 6)
+             END AS score
+      FROM (SELECT q.query_id, q.qnorm, c.doc_id, c.chunk_id, c.cnorm
+            FROM qn q CROSS JOIN cn2 c) a
+      LEFT JOIN dots d ON d.query_id = a.query_id
+                      AND d.doc_id = a.doc_id AND d.chunk_id = a.chunk_id),
+    best AS (
+      SELECT query_id, doc_id, chunk_id AS best_chunk_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                                     ORDER BY score DESC, chunk_id) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT query_id, doc_id, best_chunk_id, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM best) WHERE rn <= 2
+    """,
+)
+def chunked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval over chunked docs, one lazy DAG:
+    sliding-window chunking → mapInPandas hash encoding of every
+    chunk AND query → broadcast cosine scoring → best chunk per
+    (query, doc) → top-2 docs per query. Queries are docs 0-4
+    (encoded in the same space); corpus is doc_id >= 5.
+
+    Scale shape: queries ride a broadcast; chunk vectors never
+    shuffle for scoring (the scored stream aggregates per (query,
+    doc) map-side); the integer hash components keep every dot/norm
+    exact, so the only float ops are sqrt/divide — both engines agree
+    to the rounded 6 decimals."""
+    from inside_vectordb_spark.functions.vector import cosine_similarity
+    from inside_vectordb_spark.operators.embed import encode_documents
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    queries = docs.filter(F.col("doc_id") < 5)
+
+    ch = td.doc_chunks(corpus, width=32, stride=16)
+    # composite id through the encoder: doc_id * 10000 + chunk_id
+    # (chunk counts are << 10000 by construction: n_chunks ≈ n/16)
+    ch_enc = encode_documents(
+        ch.select(
+            (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+    ).select(
+        (F.col("doc_id") / 10000).cast("long").alias("doc_id"),
+        (F.col("doc_id") % 10000).cast("int").alias("chunk_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    q_enc = encode_documents(
+        queries.select(F.col("doc_id").alias("doc_id"), "text")
+    ).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    scored = ch_enc.crossJoin(F.broadcast(q_enc)).select(
+        "query_id",
+        "doc_id",
+        "chunk_id",
+        F.round(cosine_similarity("qvec", "cvec"), 6).alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id", "doc_id").orderBy(
+                    F.desc("score"), "chunk_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", "doc_id", F.col("chunk_id").alias("best_chunk_id"), "score")
+    )
+    return (
+        best.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "doc_id", "best_chunk_id", "score")
+    )
