@@ -67,6 +67,14 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "near_dup_clusters",
     "ann_pq_topk_indexed",
+    # round-3 training-data prep tier: span-level dedup with doc
+    # rebuild, distributed fixed-point k-means, chunked RAG retrieval,
+    # the salted hot-key join, and the stream-stream interval join
+    "span_dedup",
+    "kmeans_lloyd",
+    "chunked_retrieval",
+    "skewed_join_salted",
+    "events_click_purchase_stream",
 ]
 
 

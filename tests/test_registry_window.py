@@ -75,3 +75,13 @@ def test_window_is_oracle_backed():
 def test_oracle_ordering_matches_queries():
     qnames = [n for n in e.queries() if n in ORACLES]
     assert qnames == list(e.oracle_sql())
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py's HEADLINE list must reference real registry entries —
+    a renamed query would otherwise fail only at bench time (after the
+    round's correctness run, too late)."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"HEADLINE names not registered: {missing}"
