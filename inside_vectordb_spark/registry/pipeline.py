@@ -832,3 +832,65 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_candidates=50,
         lam=0.7,
     )
+
+
+@register(
+    "temperature_mixture",
+    oracle="""
+    WITH shares AS (
+      SELECT source, count(*) AS n_docs,
+             count(*) * 1.0 / (SELECT count(*) FROM documents) AS share
+      FROM documents GROUP BY source),
+    rates AS (
+      SELECT source, n_docs,
+             round(pow(share, -0.5) /
+                   (SELECT max(pow(share, -0.5)) FROM shares), 6) AS keep_rate
+      FROM shares),
+    kept AS (
+      SELECT d.doc_id, d.source, r.keep_rate
+      FROM documents d JOIN rates r USING (source)
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'),
+             1, 8))::BIGINT % 1000000 < CAST(round(r.keep_rate * 1000000, 0) AS BIGINT))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           any_value(keep_rate) AS keep_rate
+    FROM kept GROUP BY source
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual-corpus
+    rebalancing rule, sampling rate ∝ share^(α−1) with α = 0.5 here):
+    rare sources are up-weighted relative to dominant ones, rates
+    normalized so the most over-represented source keeps 100%.
+    Membership is md5-bucketed per doc — deterministic, auditable,
+    rerun-stable. Plan: one tiny aggregate for shares (broadcast
+    back), then a pure filter — the corpus never shuffles."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    shares = docs.groupBy("source").agg(
+        (F.count("*") * 1.0 / F.lit(float(total))).alias("share")
+    )
+    max_w = shares.agg(F.max(F.pow("share", -0.5))).collect()[0][0]
+    rates = shares.select(
+        "source",
+        F.round(F.pow("share", -0.5) / F.lit(float(max_w)), 6).alias("keep_rate"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        # round-before-cast: Spark's cast(long) truncates while DuckDB's
+        # rounds, and round6*1e6 is not exactly integral in floats
+        .filter(bucket < F.round(F.col("keep_rate") * 1_000_000, 0).cast("long"))
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.any_value("keep_rate").alias("keep_rate"),
+    )

@@ -136,3 +136,46 @@ def events_click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         click_purchase_join_stream(spark, sf_dir), output_mode="append"
     )
     return out.orderBy("click_id", "purchase_id")
+
+
+@register(
+    "events_stream_enriched",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, count(*) AS type_total,
+             round(avg(value), 6) AS type_avg
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, d.type_total,
+           count(*) AS n_events,
+           round(sum(e.value - d.type_avg), 6) AS total_deviation
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched against a
+    BATCH dimension (per-type totals/averages computed from the same
+    table, the lookup-table pattern). The static side is re-read per
+    micro-batch and broadcast; no state is kept for it — the shape
+    that replaces a stateful join whenever one side is slowly
+    changing reference data."""
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.streaming import read_events_stream
+
+    static_dim = (
+        eio.load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("type_total"),
+            F.round(F.avg("value"), 6).alias("type_avg"),
+        )
+    )
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(static_dim), "event_type")
+    agg = joined.groupBy("event_type", "type_total").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value") - F.col("type_avg")), 6).alias(
+            "total_deviation"
+        ),
+    )
+    return run_to_memory(agg).orderBy("event_type")
