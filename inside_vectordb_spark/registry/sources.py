@@ -198,3 +198,29 @@ def embeddings_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "vec_id", "label", F.round(l2_norm("embedding"), 6).alias("norm")
     )
+
+
+@register(
+    "partitioned_layout_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE lang = 'en'
+    """,
+)
+def partitioned_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout: documents written
+    ``PARTITIONED BY (lang)`` (the 100 TB landing-zone practice —
+    directory-level pruning beats row-group stats because unmatched
+    partitions are never even listed), then read back with a
+    partition filter. ``tests/test_plans.py`` pins that the filter
+    lands in PartitionFilters (zero data files read for other
+    langs); the oracle is the plain predicate on the original table."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    path = _rt_path("partitioned_docs", sf_dir)
+    (
+        docs.write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.select("doc_id", "lang", "source", "n_chars")

@@ -16,6 +16,7 @@ from inside_vectordb_spark.plans import (
     assert_in_plan,
     assert_not_in_plan,
     count_in_plan,
+    physical_plan,
     shuffled_payloads,
 )
 from inside_vectordb_spark.registry import QUERIES
@@ -263,3 +264,11 @@ def test_ngram_decontamination_shuffles_hashes_not_grams(spark):
             assert "gram" not in cols, (
                 f"gram text crosses a hash exchange ({part}): {cols}"
             )
+
+
+def test_partitioned_layout_prunes_partitions(spark):
+    """The lang filter must land in PartitionFilters on the
+    partitioned layout — directory pruning, not row filtering."""
+    df = QUERIES["partitioned_layout_roundtrip"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
