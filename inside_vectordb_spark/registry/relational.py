@@ -1073,3 +1073,86 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier (a reusable
+    'view' CTE), then the supplier(s) achieving the global maximum —
+    the scalar-subquery-on-an-aggregate pattern. Spark: the revenue
+    aggregate is computed once and self-crossed with its 1-row max
+    (broadcast); equality compares round-6 values on both engines so
+    the scalar comparison is engine-stable. At scale the fact scan
+    aggregates map-side to 1 row per supplier; the max is a 1-row
+    broadcast — no second fact scan."""
+    li = eio.load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    sup = eio.load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(revenue, sup.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "events_user_journey",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           lead(event_type) OVER w AS next_type,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic window-function family over per-user event
+    journeys: lag (inter-event gap), lead (next action), ntile
+    (journey quartile), cume_dist — one query exercising frame-less
+    ranking/offset functions with a deterministic (ts, event_id)
+    order. One shuffle keyed by user_id serves all four functions
+    (same window spec — Catalyst computes them in a single Window
+    operator)."""
+    from pyspark.sql import Window as W
+
+    ev = eio.load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

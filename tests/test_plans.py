@@ -272,3 +272,11 @@ def test_partitioned_layout_prunes_partitions(spark):
     df = QUERIES["partitioned_layout_roundtrip"](spark, SF_DIR)
     plan = physical_plan(df)
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
+
+
+def test_user_journey_single_window_operator(spark):
+    """lag/lead/ntile/cume_dist share one window spec — Catalyst must
+    compute all four in a single Window operator (one user_id shuffle),
+    not one per function."""
+    df = QUERIES["events_user_journey"](spark, SF_DIR)
+    assert count_in_plan(df, "Window ") == 1
