@@ -179,3 +179,33 @@ def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(agg).orderBy("event_type")
+
+
+@register(
+    "events_hourly_stream_sink",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly streaming aggregation drained through a
+    ``foreachBatch`` idempotent parquet sink (full overwrite per
+    micro-batch — retry-safe exactly-once output), then read back
+    from the files: the END-TO-END streaming write path, not just the
+    memory-sink bridge. Oracle = the batch aggregation."""
+    import os
+
+    from inside_vectordb_spark.streaming import hourly_stream, read_events_stream
+    from inside_vectordb_spark.streaming.events import run_to_parquet_overwrite
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".artifacts", "stream_sink")
+    os.makedirs(art, exist_ok=True)
+    sf = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(art, f"hourly_{sf}")
+    run_to_parquet_overwrite(hourly_stream(read_events_stream(spark, sf_dir)), path)
+    return spark.read.parquet(path)

@@ -220,3 +220,37 @@ def click_purchase_join_stream(
             F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
         ).alias("delay_us"),
     )
+
+
+def run_to_parquet_overwrite(
+    streaming_df: DataFrame, path: str, timeout_sec: int = 300
+) -> None:
+    """Drain a complete-mode streaming aggregation through
+    ``foreachBatch`` with a full-overwrite parquet write — the
+    idempotent-sink pattern: a retried micro-batch rewrites the same
+    result instead of appending a duplicate, so the sink holds
+    exactly-once OUTPUT semantics on top of Spark's at-least-once
+    batch delivery. (Per-batch atomic overwrite is what production
+    jobs pair with `replaceWhere`/partition overwrite at scale.)"""
+    import os
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ck_", dir=os.path.dirname(path) or None)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    q = (
+        streaming_df.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(f"stream sink drain exceeded {timeout_sec}s")
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)

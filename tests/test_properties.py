@@ -203,3 +203,49 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
             assert g_rv is None, (row["k"], row["ts"], g_rv)
         else:
             assert g_rv == int(row["rv"]), (row["k"], row["ts"], g_rv, row["rv"])
+
+
+# ---------------------------------------------------------------------------
+# span_dedup: Spark formulation vs a direct pure-Python reference
+# ---------------------------------------------------------------------------
+
+_span_corpus = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=15).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_span_dedup(texts: list[str], width: int):
+    """First-occurrence keep per span value over (doc order, pos order),
+    docs rebuilt from surviving spans."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        chunks = [
+            " ".join(toks[i : i + width]) for i in range(0, len(toks), width)
+        ]
+        kept = []
+        for ch in chunks:
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        if chunks:
+            out[doc_id] = (len(chunks), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_span_corpus)
+def test_span_dedup_matches_reference(spark, texts):
+    from inside_vectordb_spark.operators.traindata import span_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_clean"])
+        for r in span_dedup(df, width=3).collect()
+    }
+    assert got == _ref_span_dedup(texts, 3)
