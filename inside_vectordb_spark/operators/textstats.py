@@ -340,3 +340,63 @@ def doc_fingerprints(
         F.col(id_col).alias("doc_id"),
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
     )
+
+
+# Karp-Rabin / winnowing constants: polynomial rolling hash over
+# character k-grams, base 263, mod 2^31-1. Literal power table so the
+# hash is a plain integer sum — exact (< 2^42 pre-modulo) and
+# identical in any 64-bit engine, no fold-order dependence.
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_BASE = 263
+WINNOW_P = 2_147_483_647
+WINNOW_POWS = [pow(WINNOW_BASE, WINNOW_K - 1 - j, WINNOW_P) for j in range(WINNOW_K)]
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_fps, fp_csv): MOSS-style winnowing fingerprints —
+    Karp-Rabin rolling hash over all character 8-grams, then the
+    minimum hash of every 4-hash sliding window, distinct and sorted.
+    The standard local-similarity fingerprint (Schleimer et al. '03):
+    any shared substring of length ≥ k + w − 1 guarantees a shared
+    fingerprint, which bag-of-words hashing (``doc_fingerprints``)
+    cannot promise.
+
+    Pure Catalyst: two ``transform`` passes over positions (no
+    explode, no shuffle — a narrow projection); the selection is
+    deterministic, so fingerprints are join keys for plagiarism /
+    near-dup candidate generation at scale."""
+    txt = F.col(text_col)
+    m = F.length(txt) - WINNOW_K + 1  # number of k-grams
+
+    def gram_hash(i):
+        total = None
+        for j, p in enumerate(WINNOW_POWS):
+            # long arithmetic: ascii()*pow overflows int32 under ANSI
+            term = F.ascii(txt.substr(i + j, F.lit(1))).cast("long") * F.lit(p).cast(
+                "long"
+            )
+            total = term if total is None else total + term
+        return (total % WINNOW_P).cast("long")
+
+    H = F.when(m < 1, F.array().cast("array<long>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))), gram_hash)
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), H.alias("__H"))
+    n_win = F.greatest(F.size("__H") - WINNOW_W + 1, F.lit(1))
+    mins = F.when(F.size("__H") == 0, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_min(F.slice("__H", i, WINNOW_W)),
+        )
+    )
+    fps = F.array_sort(F.array_distinct(mins))
+    return base.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.concat_ws(",", F.transform(fps, lambda x: x.cast("string"))).alias(
+            "fp_csv"
+        ),
+    )

@@ -894,3 +894,34 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_kept"),
         F.any_value("keep_rate").alias("keep_rate"),
     )
+
+
+_WINNOW_ORACLE = """
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN length(text) - 8 + 1 < 1 THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(range(1, length(text) - 8 + 2),
+                       i -> (CAST(ascii(substr(text, CAST(i+0 AS INT), 1)) AS BIGINT) * 884666972 + CAST(ascii(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT) * 1513951109 + CAST(ascii(substr(text, CAST(i+2 AS INT), 1)) AS BIGINT) * 2006264048 + CAST(ascii(substr(text, CAST(i+3 AS INT), 1)) AS BIGINT) * 489383267 + CAST(ascii(substr(text, CAST(i+4 AS INT), 1)) AS BIGINT) * 18191447 + CAST(ascii(substr(text, CAST(i+5 AS INT), 1)) AS BIGINT) * 69169 + CAST(ascii(substr(text, CAST(i+6 AS INT), 1)) AS BIGINT) * 263 + CAST(ascii(substr(text, CAST(i+7 AS INT), 1)) AS BIGINT) * 1) % 2147483647)
+             END AS H
+      FROM documents),
+    mins AS (
+      SELECT doc_id,
+             CASE WHEN len(H) = 0 THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(range(1, greatest(len(H) - 4 + 1, 1) + 1),
+                       i -> list_min(H[CAST(i AS INT):CAST(i + 4 - 1 AS INT)]))
+             END AS M
+      FROM h)
+    SELECT doc_id,
+           CAST(len(list_distinct(M)) AS INT) AS n_fps,
+           array_to_string(list_sort(list_distinct(M)), ',') AS fp_csv
+    FROM mins
+"""
+
+
+@register("winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (Karp-Rabin 8-gram rolling hash,
+    window-4 minima): the local-similarity fingerprint that guarantees
+    a shared fingerprint for any shared substring of length >= 11 --
+    the rolling-hash complement to the bag-of-words md5 fingerprint."""
+    return ts.winnowing_fingerprints(eio.load_table(spark, sf_dir, "documents"))

