@@ -896,7 +896,7 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_ORACLE = """
+_WINNOW_CTES = """
     WITH h AS (
       SELECT doc_id,
              CASE WHEN length(text) - 8 + 1 < 1 THEN CAST([] AS BIGINT[])
@@ -911,11 +911,17 @@ _WINNOW_ORACLE = """
                        i -> list_min(H[CAST(i AS INT):CAST(i + 4 - 1 AS INT)]))
              END AS M
       FROM h)
+"""
+
+_WINNOW_ORACLE = (
+    _WINNOW_CTES
+    + """
     SELECT doc_id,
            CAST(len(list_distinct(M)) AS INT) AS n_fps,
            array_to_string(list_sort(list_distinct(M)), ',') AS fp_csv
     FROM mins
 """
+)
 
 
 @register("winnowing_fingerprints", oracle=_WINNOW_ORACLE)
@@ -925,3 +931,54 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shared fingerprint for any shared substring of length >= 11 --
     the rolling-hash complement to the bag-of-words md5 fingerprint."""
     return ts.winnowing_fingerprints(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "winnowing_candidates",
+    oracle=_WINNOW_CTES
+    + """
+    , fpd AS (SELECT DISTINCT doc_id, unnest(list_distinct(M)) AS fp FROM mins),
+    rare AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 5),
+    rfp AS (SELECT doc_id, fp FROM fpd JOIN rare USING (fp)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS INT) AS n_shared
+      FROM rfp a JOIN rfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+    """,
+)
+def winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism/near-dup candidate pairs from shared winnowing
+    fingerprints: docs sharing >= 2 RARE fingerprints (document
+    frequency <= 5). The rarity gate is the scale guard — common
+    substrings (stopword runs) would otherwise make the
+    fingerprint-keyed self-join quadratic in the hottest keys; with
+    it, each join key fans out to <= 5 docs (<= 10 pairs), the same
+    bounded-bucket discipline as the LSH candidate join. Only
+    (fingerprint, doc_id) longs shuffle."""
+    from inside_vectordb_spark.operators.textstats import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(eio.load_table(spark, sf_dir, "documents"))
+    fpd = (
+        fps.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.col("fp_csv"), ","))
+            ).alias("fp"),
+        )
+        .filter(F.col("fp") != "")
+    )
+    rare = fpd.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= 5)
+    rfp = fpd.join(rare.select("fp"), "fp")
+    a = rfp.alias("a")
+    b = rfp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("doc_a", "doc_b", "n_shared")
+    )
