@@ -80,13 +80,14 @@ WINDOW_PRIORITY = [
     "qrels_tsv_roundtrip",    # S5
     "embeddings_parquet_roundtrip",  # S7+S8
     "beir_roundtrip",         # S2 composite loader end-to-end
-    # -- persisted ANN indexes (S9/S10, X1/X2). The SQ8 tier is the
-    # FAISS-analogue row because its int8 codes are deterministic and
-    # hash-verifiable end-to-end in DuckDB (full oracle); LSH stays
-    # rows-only (np.random hyperplanes have no SQL twin). The IVF
-    # indexed twin remains registered + locally oracle-parity-tested
-    # past the window.
-    "ann_lsh_topk_indexed",
+    # -- persisted ANN indexes (S9/S10, X1/X2). The sign-LSH tier is
+    # the hnswlib-analogue row: md5-derived ±1 hyperplanes make the
+    # persisted index → bucket-probe → rerank pipeline fully
+    # hash-verifiable (Charikar sign-LSH, same collision guarantee);
+    # SQ8 is the FAISS-analogue row (deterministic int8 codes, full
+    # oracle). The np.random LSH and IVF indexed twins remain
+    # registered + locally tested past the window.
+    "ann_signlsh_topk_indexed",
     "ann_sq_topk_indexed",
     # -- LLM-pipeline tier (dedup, text analysis, curation)
     "dedup_exact",

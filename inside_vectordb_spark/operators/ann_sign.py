@@ -1,0 +1,167 @@
+"""Deterministic sign-LSH (random-hyperplane) ANN with a FULL DuckDB
+oracle — the engine's hash-verifiable LSH tier.
+
+The np.random hyperplane tier (``operators/ann.py``) matches the
+reference's stochastic index builds (``003-hnswlib_demo.py:174-230``)
+but has no SQL twin, so its driver row is rows-only. This variant
+derives the hyperplanes from md5 parity bits instead: every sign is a
+portable constant, the bucket computation is a plain Catalyst
+expression, and the whole index → probe → rerank pipeline restates in
+DuckDB SQL. Sign-random hyperplanes (components ±1) are the classic
+Charikar construction — for cosine LSH the component distribution
+only needs symmetry, so ±1 planes carry the same collision-probability
+guarantee (P[same bit] = 1 − θ/π) as Gaussian ones.
+
+Scale shape (same as the stochastic tier): the corpus is scanned once
+to bucket (narrow projection, no shuffle); the index is parquet
+partitioned by bucket, so probing prunes unread partitions; the
+candidate join is bucket-keyed; exact cosine rerank touches only
+candidates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark.functions.vector import cosine_similarity
+
+SIGN_BITS = 6  # 64 buckets; ~N/64 candidates per query
+SIGN_DIM = 64
+
+
+def _sign(bit: int, j: int) -> int:
+    h = hashlib.md5(f"sign:{bit}:{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+# bit → ±1 component per dimension; module-level constants shared by
+# the Spark expression and the generated oracle SQL.
+SIGN_PLANES: list[list[int]] = [
+    [_sign(b, j) for j in range(SIGN_DIM)] for b in range(SIGN_BITS)
+]
+
+
+def sign_bucket(vec_col: Column | str) -> Column:
+    """Bucket id = the sign-bit signature of the vector against the
+    SIGN_PLANES hyperplanes — pure Catalyst (one sequential-fold dot
+    per plane, identical order to the SQL twin's left-assoc sum)."""
+    v = F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: x.cast("double"),
+    )
+    total = None
+    for b, signs in enumerate(SIGN_PLANES):
+        sarr = F.array(*[F.lit(float(s)) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(v, sarr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    return total.cast("int")
+
+
+def plane_dot_sql(vec_expr: str, signs: list[int]) -> str:
+    """The plane dot as a left-associated literal sum — the same
+    fold order as ``sign_bucket``'s aggregate, so signs agree
+    bitwise."""
+    return " + ".join(
+        f"{vec_expr}[{j + 1}] * ({float(s)})" for j, s in enumerate(signs)
+    )
+
+
+def bucket_sql(vec_expr: str) -> str:
+    bits = [
+        f"(CASE WHEN ({plane_dot_sql(vec_expr, signs)}) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b, signs in enumerate(SIGN_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def ensure_sign_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Build (or reuse) the persisted sign-LSH index: (id, bucket)
+    parquet partitioned by bucket, plus meta.json carrying the build
+    params and a corpus fingerprint (count + id range) so a changed
+    corpus at the same path triggers a rebuild."""
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+
+    meta_path = os.path.join(path, "meta.json")
+    want = {
+        "kind": "sign_lsh",
+        "bits": SIGN_BITS,
+        "dim": SIGN_DIM,
+        "corpus": _corpus_fingerprint(corpus, id_col),
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == want:
+                return path
+    (
+        corpus.select(
+            F.col(id_col).alias("id"), sign_bucket(vec_col).alias("bucket")
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "buckets"))
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(want, f)
+    return path
+
+
+def ann_sign_topk_indexed(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH search against the persisted index: bucket the queries
+    (Catalyst), prune the index scan to the probed buckets (genuine
+    partition pruning — the probed bucket list is collected driver-side,
+    bounded by the query count), bucket-join for candidates, exact
+    cosine rerank, top-k per query with (score DESC, doc_id ASC)
+    tie-break. Returns (query_id, doc_id, score, rank)."""
+    ensure_sign_index(spark, corpus, path, id_col=id_col, vec_col=vec_col)
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        sign_bucket(vec_col).alias("bucket"),
+    )
+    probed = sorted({r["bucket"] for r in qb.select("bucket").distinct().collect()})
+    idx = (
+        spark.read.parquet(os.path.join(path, "buckets"))
+        .filter(F.col("bucket").isin(probed))
+    )
+    cand = qb.join(idx, "bucket").select("query_id", "__qv", F.col("id").alias("doc_id"))
+    withvec = cand.join(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__cv")),
+        "doc_id",
+    )
+    scored = withvec.select(
+        "query_id",
+        "doc_id",
+        F.round(cosine_similarity("__qv", "__cv"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -327,3 +327,54 @@ def ann_sq_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_sq_topk_indexed(
         eio.query_vectors(spark, sf_dir), corpus, path, k=10, refine=5
     )
+
+
+from inside_vectordb_spark.operators.ann_sign import (  # noqa: E402
+    ann_sign_topk_indexed,
+    bucket_sql,
+)
+
+_SIGN_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+    cand AS (
+      SELECT q.query_id, q.qv, c.vec_id AS doc_id, c.v AS cv
+      FROM q JOIN b c USING (bucket)),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS score
+      FROM cand)
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 10
+"""
+
+
+@register("ann_signlsh_topk_indexed", oracle=_SIGN_ORACLE)
+def ann_signlsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sign-LSH (S9/X1 hnswlib-analogue) with a FULL DuckDB
+    oracle: md5-derived ±1 hyperplanes (Charikar sign-LSH) make the
+    whole index-build → bucket-probe (partition-pruned) → cosine
+    rerank pipeline hash-verifiable — the deterministic twin of the
+    np.random hyperplane tier, which stays registered for the
+    stochastic-build parity story."""
+    import os
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "ann_sign",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    return ann_sign_topk_indexed(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        art,
+        k=10,
+        query_id_col="query_id",
+    )

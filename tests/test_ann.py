@@ -306,3 +306,36 @@ def test_partitioned_vendored_output_contract(spark):
     for _, g in per_q:
         assert list(g["rank"]) == list(range(1, K + 1))
         assert (g["score"].diff().dropna() <= 1e-9).all()
+
+
+def test_sign_lsh_clustered_recall(spark, tmp_path):
+    """Sign-LSH on tightly clustered data: blob-mates share all sign
+    bits (tiny angles), so indexed search must retrieve them — the
+    clustered-recall acceptance the other tiers use, on the fully
+    oracle-backed deterministic tier."""
+    import random
+
+    from inside_vectordb_spark.operators.ann_sign import ann_sign_topk_indexed
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        blob = i % 2
+        base = 1.0 if blob == 0 else -1.0
+        rows.append(
+            (i, [base + rng.uniform(-0.01, 0.01) for _ in range(64)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = ann_sign_topk_indexed(
+        spark, queries, df, str(tmp_path / "signidx"), k=5
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(r["doc_id"])
+    # every query's top-5 must be same-blob members (parity of id)
+    for q, docs in got.items():
+        assert len(docs) == 5
+        assert all(d % 2 == q % 2 for d in docs), (q, docs)

@@ -14,10 +14,10 @@ from inside_vectordb_spark.registry import ORACLES, QUERIES
 
 WINDOW = 50
 
-# Rows-only entries allowed inside the window (semantics not
-# SQL-expressible: LSH-index search uses np.random hyperplanes, which
-# have no DuckDB twin; every other window entry must be oracle-backed).
-NO_ORACLE_OK = {"ann_lsh_topk_indexed"}
+# Rows-only entries allowed inside the window. Empty since the
+# sign-LSH tier replaced the np.random LSH row: every window entry is
+# now oracle-backed.
+NO_ORACLE_OK: set[str] = set()
 
 # One representative per §2 tier that MUST sit inside the window.
 MUST_COVER = {
@@ -29,7 +29,7 @@ MUST_COVER = {
     "qrels_tsv_roundtrip",      # S5
     "embeddings_parquet_roundtrip",  # S7/S8
     "beir_roundtrip",           # S2
-    "ann_lsh_topk_indexed",     # S9/X1
+    "ann_signlsh_topk_indexed", # S9/X1 (persisted sign-LSH, full oracle)
     "ann_sq_topk_indexed",      # S10/X2 (persisted FAISS-analogue, full oracle)
     "dedup_exact",              # exact dedup
     "minhash_near_duplicates",  # MinHash+LSH
