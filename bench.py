@@ -75,6 +75,7 @@ HEADLINE = [
     "chunked_retrieval",
     "skewed_join_salted",
     "events_click_purchase_stream",
+    "ann_signlsh_topk_indexed",
 ]
 
 
@@ -125,13 +126,13 @@ def curation_gate_counts(spark, sf_dir: str) -> dict:
 def run_bench(sf_dir: str) -> dict:
     spark = get_spark(app_name="inside-vectordb-bench")
     # Steady-state timing: min of N runs per query (N =
-    # SPARK_GRAFT_BENCH_RUNS, default 2). Single-run numbers on a
+    # SPARK_GRAFT_BENCH_RUNS, default 3). Single-run numbers on a
     # shared host carry ±2-4 s scheduler noise on UDF/streaming-heavy
     # queries (observed run-to-run); the min is the standard
     # steady-state estimator and matches how the reference benchmarks
     # warm in-RAM searches (``005-compare.py`` loops queries, reports
     # per-query latency after load).
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     try:
         # Warm-up: JVM init + parquet footer/page-cache reads for every
         # table, so no single query is charged the session-global cold
