@@ -165,3 +165,114 @@ def ann_sign_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def sign_bucket_probes(vec_col: Column | str) -> Column:
+    """ARRAY<INT> of probed buckets: the base signature plus the
+    signature with its lowest-|margin| bit flipped — classic
+    margin-based multiprobe (Lv et al. '07): the plane the vector is
+    closest to is the likeliest wrong bit, so flipping it roughly
+    doubles recall for 2× candidate cost. Ties break on the lowest
+    bit index. Same sequential-fold dots as ``sign_bucket``, so the
+    SQL twin agrees bitwise."""
+    v = F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: x.cast("double"),
+    )
+    dots = []
+    for signs in SIGN_PLANES:
+        sarr = F.array(*[F.lit(float(s)) for s in signs])
+        dots.append(
+            F.aggregate(
+                F.zip_with(v, sarr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    base = None
+    for b, d in enumerate(dots):
+        bit = F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        base = bit if base is None else base + bit
+    # argmin |dot| with lowest-index tie-break: strict < against all
+    # previous planes, <= against all later ones.
+    flip = None
+    for b in range(SIGN_BITS):
+        cond = None
+        for o in range(SIGN_BITS):
+            if o == b:
+                continue
+            c = (
+                F.abs(dots[b]) < F.abs(dots[o])
+                if o < b
+                else F.abs(dots[b]) <= F.abs(dots[o])
+            )
+            cond = c if cond is None else cond & c
+        flip = F.when(cond, F.lit(1 << b)) if flip is None else flip.when(
+            cond, F.lit(1 << b)
+        )
+    return F.array(
+        base.cast("int"), (base.cast("int")).bitwiseXOR(flip.cast("int"))
+    )
+
+
+def probes_sql(vec_expr: str) -> str:
+    """SQL twin of ``sign_bucket_probes`` (same argmin tie-break)."""
+    dots = [f"({plane_dot_sql(vec_expr, signs)})" for signs in SIGN_PLANES]
+    base = bucket_sql(vec_expr)
+    whens = []
+    for b in range(SIGN_BITS):
+        conds = []
+        for o in range(SIGN_BITS):
+            if o == b:
+                continue
+            op = "<" if o < b else "<="
+            conds.append(f"abs({dots[b]}) {op} abs({dots[o]})")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {1 << b}")
+    flip = "(CASE " + " ".join(whens) + " END)"
+    return f"[{base}, xor({base}, {flip})]"
+
+
+def ann_sign_multiprobe_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe sign-LSH against the persisted index: each query
+    probes its base bucket AND the lowest-margin bit-flip bucket
+    (2× candidates, ~2× recall — the X3 ef-style knob on the
+    deterministic tier). Same pruned scan / bucket join / exact
+    rerank shape as the single-probe search."""
+    ensure_sign_index(spark, corpus, path, id_col=id_col, vec_col=vec_col)
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(sign_bucket_probes(vec_col)).alias("bucket"),
+    )
+    probed = sorted({r["bucket"] for r in qb.select("bucket").distinct().collect()})
+    idx = (
+        spark.read.parquet(os.path.join(path, "buckets"))
+        .filter(F.col("bucket").isin(probed))
+    )
+    cand = qb.join(idx, "bucket").select(
+        "query_id", "__qv", F.col("id").alias("doc_id")
+    )
+    withvec = cand.join(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__cv")),
+        "doc_id",
+    )
+    scored = withvec.select(
+        "query_id",
+        "doc_id",
+        F.round(cosine_similarity("__qv", "__cv"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

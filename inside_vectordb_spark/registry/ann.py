@@ -378,3 +378,52 @@ def ann_signlsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         query_id_col="query_id",
     )
+
+
+from inside_vectordb_spark.operators.ann_sign import (  # noqa: E402
+    ann_sign_multiprobe_topk,
+    probes_sql,
+)
+
+_SIGN_MP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, unnest({probes_sql('v')}) AS bucket
+          FROM e WHERE vec_id < 20),
+    cand AS (
+      SELECT q.query_id, q.qv, c.vec_id AS doc_id, c.v AS cv
+      FROM q JOIN b c USING (bucket)),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS score
+      FROM cand)
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 10
+"""
+
+
+@register("ann_signlsh_multiprobe", oracle=_SIGN_MP_ORACLE)
+def ann_signlsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based multiprobe on the deterministic sign-LSH index
+    (Lv et al. '07): probe the base bucket plus the lowest-|margin|
+    bit flip — the X3 recall/cost knob, fully oracle-backed."""
+    import os
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "ann_sign",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    return ann_sign_multiprobe_topk(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        art,
+        k=10,
+        query_id_col="query_id",
+    )

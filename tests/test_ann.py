@@ -339,3 +339,33 @@ def test_sign_lsh_clustered_recall(spark, tmp_path):
     for q, docs in got.items():
         assert len(docs) == 5
         assert all(d % 2 == q % 2 for d in docs), (q, docs)
+
+
+def test_sign_multiprobe_recall_dominates_single_probe(spark, tmp_path):
+    """Multiprobe candidates are a superset of single-probe candidates
+    (base bucket ∪ flip bucket), so per-query retrieved sets can only
+    grow and every single-probe hit survives — the monotone knob
+    property (X3) on the deterministic tier."""
+    import random
+
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_sign_multiprobe_topk,
+        ann_sign_topk_indexed,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    single = ann_sign_topk_indexed(spark, queries, df, str(tmp_path / "s"), k=50)
+    multi = ann_sign_multiprobe_topk(spark, queries, df, str(tmp_path / "s"), k=50)
+    s_counts: dict[int, int] = {}
+    for r in single.collect():
+        s_counts[r["query_id"]] = s_counts.get(r["query_id"], 0) + 1
+    m_counts: dict[int, int] = {}
+    for r in multi.collect():
+        m_counts[r["query_id"]] = m_counts.get(r["query_id"], 0) + 1
+    for q, n in s_counts.items():
+        assert m_counts.get(q, 0) >= n, (q, n, m_counts.get(q))
