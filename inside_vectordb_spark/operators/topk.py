@@ -192,3 +192,61 @@ def ranked_result_lists(topk: DataFrame) -> DataFrame:
             ).alias("doc_ids")
         )
     )
+
+
+def filtered_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    filter_col: str = "label",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Attribute-filtered exact search: per query, rank only the corpus
+    rows sharing the query's ``filter_col`` value (the "filtered vector
+    search" every production vector store exposes — metadata predicate
+    ∧ nearest-neighbor; the reference's corpus has no metadata beyond
+    an empty dict, ``000-get_data.py:400``, so this generalizes its J5
+    flagship to the predicated form).
+
+    Physical shape — the point of the operator: the per-query predicate
+    turns J5's broadcast nested loop (every query × every doc) into a
+    broadcast HASH join on ``filter_col``. The corpus never shuffles,
+    each corpus row is scored only against the queries that can accept
+    it, and candidate generation is O(matching pairs), not O(Q·N).
+    Self-matches are excluded (a query vector drawn from the corpus
+    must not retrieve itself — ``003-hnswlib_demo.py`` k+1 trick).
+
+    Returns (query_id, doc_id, score, rank), rank 1..k per query.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(filter_col).alias("__qf"),
+        l2_normalize(query_vec).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        F.col(filter_col).alias("__cf"),
+        l2_normalize(corpus_vec).alias("__cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("__qf") == F.col("__cf"))
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            dot_product("__qv", "__cv").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out.select("query_id", "doc_id", "score", "rank")

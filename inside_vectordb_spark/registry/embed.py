@@ -242,3 +242,43 @@ def text_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "doc_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+@register(
+    "filtered_topk",
+    oracle=f"""
+    WITH qv AS (SELECT vec_id AS query_id, label, embedding
+                FROM embeddings WHERE vec_id < {eio.N_QUERY_VECTORS}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS doc_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS score
+      FROM qv q JOIN embeddings c ON q.label = c.label
+      WHERE q.query_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered exact search (metadata predicate ∧ top-k —
+    the predicated generalization of the J5 flagship; every production
+    vector store's "filtered search"). Candidates are restricted to
+    corpus rows sharing the query's ``label``, which turns the
+    broadcast nested loop into a broadcast HASH join on label: the
+    corpus never shuffles and candidate generation is O(matching
+    pairs), not O(Q·N). Plan pinned in tests/test_plans.py."""
+    from inside_vectordb_spark.operators.topk import filtered_cosine_topk
+
+    return filtered_cosine_topk(
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+    )

@@ -280,3 +280,14 @@ def test_user_journey_single_window_operator(spark):
     not one per function."""
     df = QUERIES["events_user_journey"](spark, SF_DIR)
     assert count_in_plan(df, "Window ") == 1
+
+
+def test_filtered_topk_hash_join_not_nlj(spark):
+    """The label predicate must turn J5's broadcast nested loop into a
+    broadcast HASH join — corpus never shuffles, candidates are
+    O(matching pairs) not O(Q·N)."""
+    df = QUERIES["filtered_topk"](spark, SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "SortMergeJoin")
