@@ -982,3 +982,57 @@ def winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 2)
         .select("doc_a", "doc_b", "n_shared")
     )
+
+
+@register(
+    "corpus_merge_upsert",
+    oracle="""
+    WITH chg AS (
+      SELECT doc_id, upper(text) AS text, lang, source, n_chars,
+             'update' AS op
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id, text, lang, source, n_chars, 'delete'
+      FROM documents WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, 'ingest', n_chars, 'insert'
+      FROM documents WHERE doc_id % 10 = 1
+    ),
+    keys AS (SELECT DISTINCT doc_id FROM chg)
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d ANTI JOIN keys k ON d.doc_id = k.doc_id
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars FROM chg WHERE op <> 'delete'
+    """,
+)
+def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO the document snapshot: a deterministic change batch
+    (10% updated, 10% deleted, 10% re-ingested under new ids) applied
+    with ``operators.merge.merge_upsert`` — broadcast anti join on the
+    change keys, base never shuffles (plan pinned). The scale story is
+    copy-on-write: ``touched_buckets`` (tested) gives the pruning
+    manifest a bucketed 100-TB layout would rewrite."""
+    from inside_vectordb_spark.operators.merge import merge_upsert
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    changes = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .select(
+            "doc_id", F.upper("text").alias("text"), "lang", "source",
+            "n_chars", F.lit("update").alias("op"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 7).select(
+                "doc_id", "text", "lang", "source", "n_chars",
+                F.lit("delete").alias("op"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang",
+                F.lit("ingest").alias("source"), "n_chars",
+                F.lit("insert").alias("op"),
+            )
+        )
+    )
+    return merge_upsert(docs, changes)

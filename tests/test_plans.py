@@ -291,3 +291,15 @@ def test_filtered_topk_hash_join_not_nlj(spark):
     assert_not_in_plan(df, "BroadcastNestedLoopJoin")
     assert_not_in_plan(df, "CartesianProduct")
     assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_merge_upsert_broadcast_anti_base_never_shuffles(spark):
+    """MERGE resolves base-row survival with a broadcast anti join on
+    the (small) change-key set — the base side must not shuffle."""
+    df = QUERIES["corpus_merge_upsert"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # no hash-exchange carries the document text (the base payload)
+    for cols in shuffled_payloads(df):
+        assert "text" not in cols

@@ -179,3 +179,21 @@ def test_kmeans_lloyd_deterministic(spark):
     b = sorted(map(tuple, td.kmeans_lloyd(df, k=4, iters=2).collect()))
     assert a == b
     assert not any(math.isnan(t[2]) for t in a)
+
+
+def test_touched_buckets_manifest(spark):
+    """CoW pruning manifest: buckets cover exactly the change keys and
+    counts sum to the change-batch size."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.merge import touched_buckets
+
+    changes = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    m = touched_buckets(changes, n_buckets=16).collect()
+    assert sum(r.n_changes for r in m) == 100
+    assert all(0 <= r.bucket < 16 for r in m)
+    # a one-key change batch touches exactly one bucket
+    one = touched_buckets(
+        spark.range(5, 6).select(F.col("id").alias("doc_id")), n_buckets=16
+    ).collect()
+    assert len(one) == 1 and one[0].n_changes == 1
