@@ -1159,3 +1159,335 @@ def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eur AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l JOIN eur e ON e.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name AS nation, p.p_partkey,
+           round(c.unit_cost, 2) AS unit_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN eur e ON e.s_suppkey = c.l_suppkey
+    WHERE p.p_type = 'SMALL'
+      AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY e.s_acctbal DESC, nation, e.s_name, p.p_partkey
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated per-group min + region-restricted
+    multi-join): the cheapest EUROPE supplier for each SMALL part,
+    unit cost derived from lineitem (the testdata has no partsupp).
+    The correlated `= (SELECT min ...)` decorrelates to a window min
+    over the cost relation; dims ride broadcasts."""
+    s = eio.load_table(spark, sf_dir, "supplier")
+    n = eio.load_table(spark, sf_dir, "nation")
+    r = eio.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    l = eio.load_table(spark, sf_dir, "lineitem")
+    p = eio.load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    eur = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        l.join(F.broadcast(eur.select("s_suppkey")),
+               F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        cost.withColumn("pmin", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("pmin"))
+    )
+    return (
+        best.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eur), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_acctbal", "s_name", F.col("n_name").alias("nation"),
+            "p_partkey", F.round("unit_cost", 2).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier-nation and order year over a
+    LIKE-filtered part set; cost proxied by p_retailprice — no
+    partsupp in the testdata). Fact table shuffles once for the
+    group-by; every dim is broadcast."""
+    l = eio.load_table(spark, sf_dir, "lineitem")
+    p = eio.load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = eio.load_table(spark, sf_dir, "supplier")
+    o = eio.load_table(spark, sf_dir, "orders")
+    n = eio.load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT l_partkey, round(value, 2) AS value
+    FROM v
+    WHERE round(value, 2) > round(2.0 * (SELECT avg(value) FROM v), 2)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group value vs a global-scalar fraction):
+    per-part shipped value for one nation's suppliers, kept only when
+    above 2× the nation's mean per-part value (an average-relative
+    threshold keeps selectivity scale-independent — a fixed fraction
+    of the grand total selects nothing once the part count grows).
+    The scalar subquery is a 1-row broadcast (cross join) — the
+    grouped relation is computed ONCE and reused for both sides.
+    Threshold compared at 2dp on both engines so summation order
+    can't flip a boundary row."""
+    l = eio.load_table(spark, sf_dir, "lineitem")
+    s = eio.load_table(spark, sf_dir, "supplier")
+    n = eio.load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    v = (
+        l.join(
+            F.broadcast(
+                s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+                .select("s_suppkey")
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    total = v.agg(F.avg("value").alias("__avg"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.round("value", 2) > F.round(2.0 * F.col("__avg"), 2))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (NOT IN exclusion + COUNT DISTINCT by part
+    attributes): distinct suppliers per (brand, type, size) excluding
+    the 'complaint' supplier set (negative balance — the testdata has
+    no comment column). NOT IN over a non-null key set plans as a
+    broadcast anti join; count(DISTINCT) expands via Spark's standard
+    two-phase distinct aggregate."""
+    l = eio.load_table(spark, sf_dir, "lineitem")
+    p = eio.load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = (
+        eio.load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promo_part_suppliers",
+    oracle="""
+    WITH promo_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    heavy AS (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM promo_parts)
+      GROUP BY 1
+      HAVING sum(l.l_quantity) > 1.1 * (
+        SELECT avg(qty) FROM (
+          SELECT sum(l2.l_quantity) AS qty
+          FROM lineitem l2
+          WHERE l2.l_partkey IN (SELECT p_partkey FROM promo_parts)
+          GROUP BY l2.l_suppkey))
+    )
+    SELECT s.s_name, s.s_acctbal, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s.s_name
+    """,
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-join chain): EUROPE suppliers
+    whose shipped volume of LIKE-prefixed parts exceeds 1.1× the mean
+    per-supplier volume of those parts (availqty proxy — no partsupp).
+    Three nesting levels — part set → per-supplier volume → supplier
+    filter — each resolving to a semi join / broadcast, the fact
+    table scanned once for both the volumes and the mean."""
+    l = eio.load_table(spark, sf_dir, "lineitem")
+    promo = (
+        eio.load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    vols = (
+        l.join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = vols.agg(F.avg("qty").alias("__avg"))
+    heavy = (
+        vols.crossJoin(F.broadcast(thr))
+        .filter(F.col("qty") > 1.1 * F.col("__avg"))
+        .select("l_suppkey")
+    )
+    s = eio.load_table(spark, sf_dir, "supplier")
+    n = eio.load_table(spark, sf_dir, "nation")
+    r = eio.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(F.broadcast(heavy), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_5'
+      AND l1.l_quantity > 30
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_quantity > 30)
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (correlated EXISTS ∧ NOT EXISTS on the same
+    fact): for finished orders, suppliers of NATION_5 who were the
+    ONLY heavy line (>30 qty) on a multi-supplier order — lateness
+    proxied by quantity (no receipt/commit dates in the testdata).
+    The two correlated subqueries become a semi and an anti join on
+    (orderkey, suppkey≠), both shuffling only key pairs."""
+    l = eio.load_table(spark, sf_dir, "lineitem")
+    s = eio.load_table(spark, sf_dir, "supplier")
+    n = eio.load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    o = eio.load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = (
+        l.filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            F.broadcast(
+                s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+                .select("s_suppkey", "s_name")
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(o.select("o_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = l.filter(F.col("l_quantity") > 30).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("k2") == F.col("l_orderkey")) & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("k3") == F.col("l_orderkey")) & (F.col("sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

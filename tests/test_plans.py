@@ -303,3 +303,29 @@ def test_merge_upsert_broadcast_anti_base_never_shuffles(spark):
     # no hash-exchange carries the document text (the base payload)
     for cols in shuffled_payloads(df):
         assert "text" not in cols
+
+
+def test_q21_exists_not_exists_as_semi_anti(spark):
+    """Q21's correlated EXISTS/NOT-EXISTS must plan as one semi + one
+    anti join on key pairs — no cartesian, no outer-join rewrite."""
+    df = QUERIES["q21_waiting_suppliers"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_decorrelated_min_no_cartesian(spark):
+    """Q2's correlated per-part min decorrelates to a window min over
+    the cost relation; the dims are broadcast."""
+    df = QUERIES["q2_min_cost_supplier"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_single_pass_scalar_threshold(spark):
+    """Q11's global threshold is a 1-row broadcast; the part-value
+    relation must not be a cartesian against anything bigger."""
+    df = QUERIES["q11_important_stock"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
