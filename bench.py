@@ -76,6 +76,9 @@ HEADLINE = [
     "skewed_join_salted",
     "events_click_purchase_stream",
     "ann_signlsh_topk_indexed",
+    # round-3 continuation: predicated vector search and MERGE upsert
+    "filtered_topk",
+    "corpus_merge_upsert",
 ]
 
 
