@@ -224,3 +224,40 @@ def partitioned_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(path).filter(F.col("lang") == "en")
     return back.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "zorder_layout_roundtrip",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM events
+    WHERE user_id BETWEEN 40 AND 60
+      AND extract(hour FROM ts) BETWEEN 9 AND 17
+    GROUP BY 1
+    """,
+)
+def zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered layout: events rewritten along the
+    Z-curve of (user_id, hour-of-day), then queried back with a 2-D
+    predicate. A single-column sort tightens min-max stats for one
+    column only; the interleaved key makes BOTH columns' file/row-group
+    ranges narrow, so either predicate skips most data — Delta/Iceberg
+    ``ZORDER BY`` semantics on plain parquet.
+    ``tests/test_sources.py`` asserts the skipping property itself
+    (per-file value spreads shrink vs the unclustered layout); the
+    oracle is the same predicate on the raw table (layout is
+    semantics-free)."""
+    from inside_vectordb_spark.operators.layout import zorder_write
+
+    ev = eio.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", F.hour("ts").alias("hod")
+    )
+    path = _rt_path("zorder_events", sf_dir)
+    zorder_write(ev, path, "user_id", "hod", n_files=8)
+    back = spark.read.parquet(path).filter(
+        F.col("user_id").between(40, 60) & F.col("hod").between(9, 17)
+    )
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )

@@ -61,3 +61,47 @@ def test_beir_download_url_and_cache(tmp_path):
     cached = tmp_path / "msmarco"
     cached.mkdir()
     assert download_beir_dataset("msmarco", str(tmp_path)) == str(cached)
+
+
+def test_zorder_layout_skipping_property(spark, tmp_path):
+    """Z-order clustering must make BOTH key columns' per-file value
+    ranges narrow — the data-skipping property itself, measured on the
+    written files via pyarrow footer statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.layout import zorder_write
+    from tests.conftest import SF_DIR
+    from inside_vectordb_spark import io as eio
+
+    ev = eio.load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "value", F.hour("ts").alias("hod")
+    )
+    zpath = str(tmp_path / "z")
+    upath = str(tmp_path / "u")
+    zorder_write(ev, zpath, "user_id", "hod", n_files=8)
+    ev.repartition(8).write.mode("overwrite").parquet(upath)
+
+    def mean_spread(path: str, col: str) -> float:
+        spreads = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    c = row.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            if lo is not None:
+                spreads.append(hi - lo)
+        assert spreads, f"no stats found for {col} under {path}"
+        return sum(spreads) / len(spreads)
+
+    # round-robin files span the whole domain; z-ordered files must
+    # cover a strictly smaller tile on BOTH columns
+    assert mean_spread(zpath, "user_id") < 0.75 * mean_spread(upath, "user_id")
+    assert mean_spread(zpath, "hod") < 0.75 * mean_spread(upath, "hod")
