@@ -29,6 +29,25 @@ def token_count(col: Column | str) -> Column:
     return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokenize(c)))
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization for dedup/fingerprint keys:
+    lowercase → control/format chars (C0/C1, zero-widths) to spaces →
+    whitespace runs collapsed to one space → trim. The standard
+    pre-pass before exact/MinHash dedup (C4/RefinedWeb pipelines) so
+    byte-level noise doesn't defeat content hashing.
+
+    Pure Catalyst chain. Regex classes are written to mean the same
+    thing in Java regex (Spark) and RE2 (DuckDB oracle): ``\\p{Cc}``/
+    ``\\p{Cf}`` are Unicode categories in both; the whitespace class
+    is spelled explicitly (``[ \\t\\n\\r\\f\\x0B]``) because Java's
+    ``\\s`` includes vertical-tab while RE2's does not."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[\p{Cc}\p{Cf}]", " ")
+    c = F.regexp_replace(c, r"[ \t\n\r\f\x0B]+", " ")
+    return F.trim(c)
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as ``array<string>`` — the MinHash
     unit. Built with a ``transform`` over token positions (JVM-side),

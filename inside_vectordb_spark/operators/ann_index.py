@@ -728,6 +728,46 @@ def build_sq_index(
     return meta
 
 
+def delete_from_sq_index(
+    spark: SparkSession, path: str, ids: list[int]
+) -> dict[str, Any]:
+    """FAISS ``remove_ids`` / hnswlib ``mark_deleted`` analogue:
+    tombstone a set of doc ids in the persisted SQ index WITHOUT
+    rewriting the codes table. Deletes append to a tiny ``tombstones``
+    parquet; search anti-joins it (broadcast — the tombstone set is
+    small relative to the corpus by contract). At 100 TB this is the
+    only viable shape: a delete touches O(deleted) bytes, and the
+    codes table is compacted away lazily by a rebuild, not eagerly.
+
+    Idempotent per id: already-tombstoned ids are skipped, so re-runs
+    do not grow the tombstone table or the meta counter.
+    """
+    meta = _read_meta(path)
+    if meta is None or meta.get("kind") != "sq":
+        raise FileNotFoundError(f"no complete SQ index at {path}")
+    existing = deleted_ids(spark, path)
+    fresh = sorted(set(int(i) for i in ids) - existing)
+    if fresh:
+        (
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": np.array(fresh, dtype=np.int64)})
+            )
+            .write.mode("append")
+            .parquet(os.path.join(path, "tombstones"))
+        )
+        meta["n_deleted"] = meta.get("n_deleted", 0) + len(fresh)
+        _write_meta(path, meta)
+    return meta
+
+
+def deleted_ids(spark: SparkSession, path: str) -> set[int]:
+    """The current tombstone set (empty if none ever deleted)."""
+    tomb = os.path.join(path, "tombstones")
+    if not os.path.isdir(tomb):
+        return set()
+    return {r["doc_id"] for r in spark.read.parquet(tomb).collect()}
+
+
 def ensure_sq_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, Any]:
     meta = _read_meta(path)
     want = {
@@ -761,7 +801,11 @@ def ann_sq_topk_indexed(
 ) -> DataFrame:
     """SQ8 search against the persisted index: the approximate scan
     reads the codes parquet (4× less I/O than raw float32 vectors);
-    raw vectors are only read by the candidate-keyed exact rerank."""
+    raw vectors are only read by the candidate-keyed exact rerank.
+
+    Tombstoned ids (``delete_from_sq_index``) are excluded from
+    candidate generation via a broadcast anti join on the codes scan —
+    deleted vectors can therefore never reach the rerank either."""
     from inside_vectordb_spark.operators.sq import ann_sq_topk
 
     meta = _read_meta(path)
@@ -770,6 +814,11 @@ def ann_sq_topk_indexed(
     spark = queries.sparkSession
     stats = load_sq_stats(spark, path)
     codes = spark.read.parquet(os.path.join(path, "codes"))
+    tomb = os.path.join(path, "tombstones")
+    if os.path.isdir(tomb):
+        codes = codes.join(
+            F.broadcast(spark.read.parquet(tomb)), "doc_id", "left_anti"
+        )
     return ann_sq_topk(
         queries,
         corpus,

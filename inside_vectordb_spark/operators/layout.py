@@ -19,6 +19,8 @@ first rank-bucketed into [0, 2^bits) to be scale- and skew-proof.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -72,3 +74,67 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    open_cost_bytes: int = 256 << 10,
+) -> dict:
+    """Small-file compaction (Delta ``OPTIMIZE`` / Iceberg
+    ``rewrite_data_files`` analogue): rewrite a fragmented parquet
+    directory into ~``target_file_bytes`` files WITHOUT a shuffle.
+
+    The trick is Spark's own scan bin-packing: with
+    ``spark.sql.files.maxPartitionBytes`` set to the target and
+    ``openCostInBytes`` charging each file a padding cost, the
+    FileSourceScan packs many small files into one input split — so a
+    plain read→write emits one right-sized output file per split.
+    ``open_cost_bytes`` is deliberately far below Spark's 4 MB
+    default: each packed file is charged ``size + open_cost``, so a
+    4 MB charge caps packing at ~2 tiny files per 8 MB split —
+    exactly the fragmentation compaction is meant to remove.
+    Zero exchanges in the plan; at 100 TB the job is pure sequential
+    I/O and embarrassingly parallel (splits = bytes / target), which
+    is why every lakehouse compactor uses exactly this shape.
+
+    Returns {"files_before", "files_after", "bytes"} for audit.
+    """
+    import glob as _glob
+
+    def _datafiles(d: str) -> list[str]:
+        return [
+            p
+            for p in _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(p)
+        ]
+
+    before = _datafiles(src)
+    total = sum(os.path.getsize(p) for p in before)
+    # minPartitionNum defaults to the cluster parallelism, which makes
+    # the scan SHRINK splits below maxPartitionBytes to keep every
+    # core busy — the right default for queries, the opposite of what
+    # a compactor wants. Pin it to 1 so split size == target size.
+    overrides = {
+        "spark.sql.files.maxPartitionBytes": str(target_file_bytes),
+        "spark.sql.files.openCostInBytes": str(open_cost_bytes),
+        "spark.sql.files.minPartitionNum": "1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return {
+        "files_before": len(before),
+        "files_after": len(_datafiles(dst)),
+        "bytes": total,
+    }

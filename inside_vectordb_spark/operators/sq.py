@@ -133,11 +133,24 @@ def ann_sq_topk(
     )
 
 
-def sq_oracle_sql(n_queries: int, k: int, refine: int, dim_filter: str = "") -> str:
+def sq_oracle_sql(
+    n_queries: int, k: int, refine: int, exclude_ids: tuple[int, ...] = ()
+) -> str:
     """The full SQ8 chain restated for DuckDB: per-dim stats →
     codes → decoded vectors → approximate cosine → top ``k·refine``
     candidates → exact cosine rerank → top-k. Operation order matches
-    the Spark expressions bit-for-bit (see module docstring)."""
+    the Spark expressions bit-for-bit (see module docstring).
+
+    ``exclude_ids`` restates index tombstones (delete_from_sq_index):
+    excluded from the decoded-codes scan — and therefore from both
+    candidate generation and rerank — while stats still train on the
+    FULL corpus, exactly as the persisted index does (stats are frozen
+    at build time; deletes never retrain)."""
+    excl = (
+        f"WHERE pv.vec_id NOT IN ({', '.join(str(i) for i in exclude_ids)})"
+        if exclude_ids
+        else ""
+    )
     return f"""
     WITH pv AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -154,6 +167,7 @@ def sq_oracle_sql(n_queries: int, k: int, refine: int, dim_filter: str = "") -> 
                            ELSE least(255, floor(((pv.val - s.mn) / s.span) * 256.0))
                            END) + 0.5) * s.span / 256.0 ORDER BY pv.pos) AS dv
       FROM pv JOIN stats s USING (pos)
+      {excl}
       GROUP BY pv.vec_id
     ),
     qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

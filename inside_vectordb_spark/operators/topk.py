@@ -194,6 +194,51 @@ def ranked_result_lists(topk: DataFrame) -> DataFrame:
     )
 
 
+def cosine_range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Radius query: every (query, doc) pair with cosine ≥ threshold
+    (FAISS ``Index.range_search`` analogue — the reference's FAISS
+    study ``004-faiss_demo.py`` exercises only ``search(k)``; radius
+    retrieval is the other half of that API every vector store ships).
+
+    Unlike top-k there is NO window/shuffle at all: the plan is
+    broadcast(queries) ⨝ corpus → filter — a single map-side stage
+    over the corpus scan, so at 100 TB the corpus streams through
+    codegen once and only matching pairs leave the executor. The
+    membership predicate is evaluated on the ROUNDED score so both
+    engines agree at the radius boundary (FIXTURES.md §6 determinism
+    convention).
+
+    Returns (query_id, doc_id, score) — set semantics, no rank.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        l2_normalize(query_vec).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        l2_normalize(corpus_vec).alias("__cv"),
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(dot_product("__qv", "__cv"), round_to).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def filtered_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

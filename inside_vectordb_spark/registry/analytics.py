@@ -325,3 +325,39 @@ def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
+
+
+from inside_vectordb_spark.operators.stats import (  # noqa: E402
+    column_stats,
+    column_stats_oracle_sql,
+)
+
+_LINEITEM_LANES = [
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+@register(
+    "lineitem_column_stats",
+    oracle=column_stats_oracle_sql("lineitem", _LINEITEM_LANES),
+)
+def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE … FOR COLUMNS as a queryable result: per-column
+    count/nulls/exact-ndv/min/max over the fact table in ONE
+    aggregation pass (operators/stats.py — CBO's input stats; the
+    ``approx=True`` HLL variant is the 100 TB path, the exact form is
+    registered because it is bit-stable vs DuckDB)."""
+    return column_stats(
+        eio.load_table(spark, sf_dir, "lineitem"),
+        [c for c, _ in _LINEITEM_LANES],
+    )

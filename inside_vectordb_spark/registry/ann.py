@@ -427,3 +427,35 @@ def ann_signlsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         query_id_col="query_id",
     )
+
+
+_SQ_DELETED_IDS = (5, 7, 11, 23, 42)  # exist at every SF (min corpus = 50)
+_SQ_DEL_ORACLE = sq_oracle_sql(
+    eio.N_QUERY_VECTORS, 10, 5, exclude_ids=_SQ_DELETED_IDS
+)
+
+
+@register("ann_sq_topk_deleted", oracle=_SQ_DEL_ORACLE)
+def ann_sq_topk_deleted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index deletion (FAISS ``remove_ids`` / hnswlib ``mark_deleted``
+    analogue, the lifecycle op the reference's index studies stop
+    short of): tombstone 5 doc ids in the persisted SQ8 index, then
+    search. Deleted docs are excluded from candidate generation by a
+    broadcast anti join on the codes scan — a delete touches
+    O(deleted) bytes, never the codes table. FULL DuckDB oracle (the
+    SQ chain with the tombstone set restated as NOT IN); note queries
+    5/7/11 can no longer retrieve themselves — the delete is visible
+    in the result, not just the plan."""
+    from inside_vectordb_spark.operators.ann_index import (
+        ann_sq_topk_indexed,
+        delete_from_sq_index,
+        ensure_sq_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    path = _idx_path("sq_del", sf_dir)
+    ensure_sq_index(corpus, path)
+    delete_from_sq_index(spark, path, list(_SQ_DELETED_IDS))
+    return ann_sq_topk_indexed(
+        eio.query_vectors(spark, sf_dir), corpus, path, k=10, refine=5
+    )

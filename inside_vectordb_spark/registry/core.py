@@ -367,3 +367,28 @@ def evaluation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.evaluation_report(
         _topk_for_metrics(spark, sf_dir), eio.qrels(spark, sf_dir)
     )
+
+
+@register(
+    "range_search",
+    oracle=f"""
+    WITH qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                WHERE vec_id < {eio.N_QUERY_VECTORS}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS doc_id, round({_COS}, 6) AS score
+      FROM qv q CROSS JOIN embeddings c
+    )
+    SELECT query_id, doc_id, score FROM scored WHERE score >= 0.25
+    """,
+)
+def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius retrieval (FAISS ``range_search`` analogue): all pairs
+    with cosine ≥ 0.25 — a pure map-side scan, zero shuffles (see
+    operators/topk.py:cosine_range_search)."""
+    from inside_vectordb_spark.operators.topk import cosine_range_search
+
+    return cosine_range_search(
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        threshold=0.25,
+    )

@@ -1036,3 +1036,26 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(docs, changes)
+
+
+@register(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[\p{Cc}\p{Cf}]', ' ', 'g'),
+                '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization pre-pass (C4/RefinedWeb shape): the
+    content key every dedup tier should hash instead of raw bytes.
+    Pure Catalyst (functions/text.py:normalize_text) — zero shuffle,
+    and at 100 TB it fuses into the same codegen stage as whatever
+    consumes it."""
+    from inside_vectordb_spark.functions.text import normalize_text
+
+    return eio.load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text("text").alias("norm_text")
+    )

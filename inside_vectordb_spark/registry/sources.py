@@ -261,3 +261,28 @@ def zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
+
+
+@register(
+    "compaction_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (Delta OPTIMIZE analogue): documents are
+    deliberately fragmented into 64 tiny parquet files, then compacted
+    into ~8 MB target files via scan bin-packing — NO shuffle in the
+    rewrite plan (operators/layout.py:compact_small_files). The oracle
+    is the original table (compaction is semantics-free);
+    tests/test_sources.py pins the file-count collapse itself."""
+    from inside_vectordb_spark.operators.layout import compact_small_files
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    frag = _rt_path("frag_docs", sf_dir)
+    compacted = _rt_path("compact_docs", sf_dir)
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_small_files(spark, frag, compacted, target_file_bytes=8 << 20)
+    return spark.read.parquet(compacted).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

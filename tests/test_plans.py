@@ -329,3 +329,24 @@ def test_q11_single_pass_scalar_threshold(spark):
     df = QUERIES["q11_important_stock"](spark, SF_DIR)
     plan = physical_plan(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_range_search_zero_shuffle(spark):
+    """Radius retrieval is a single map-side stage: broadcast NLJ +
+    filter, NO Exchange and NO Window anywhere in the plan."""
+    df = QUERIES["range_search"](spark, SF_DIR)
+    assert_in_plan(df, "BroadcastNestedLoopJoin")
+    # the only Exchanges are the ingest round-robins load_table adds
+    # for small-file parallelism — no hash/range repartition, i.e. no
+    # data-dependent shuffle, and no Window reduction at all
+    assert_not_in_plan(df, "Exchange hashpartitioning")
+    assert_not_in_plan(df, "Exchange rangepartitioning")
+    assert_not_in_plan(df, "Window")
+
+
+def test_column_stats_single_scan(spark):
+    """ANALYZE is ONE aggregation pass: a single parquet scan feeding
+    partial→final HashAggregate (Expand carries the multi-distinct)."""
+    df = QUERIES["lineitem_column_stats"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1

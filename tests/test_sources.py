@@ -105,3 +105,22 @@ def test_zorder_layout_skipping_property(spark, tmp_path):
     # cover a strictly smaller tile on BOTH columns
     assert mean_spread(zpath, "user_id") < 0.75 * mean_spread(upath, "user_id")
     assert mean_spread(zpath, "hod") < 0.75 * mean_spread(upath, "hod")
+
+
+def test_compaction_collapses_files(spark, tmp_path):
+    """Compaction rewrites 64 fragments into ~target-size files with
+    identical contents and an order-of-magnitude fewer files."""
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.layout import compact_small_files
+    from tests.conftest import SF_DIR_MED
+
+    docs = eio.load_table(spark, SF_DIR_MED, "documents")
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    docs.repartition(64).write.parquet(frag)
+    stats = compact_small_files(spark, frag, out, target_file_bytes=8 << 20)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] <= 4
+    before = {r.doc_id for r in docs.collect()}
+    after = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert before == after

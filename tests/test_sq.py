@@ -125,3 +125,40 @@ def test_sq_indexed_matches_fresh(spark, tmp_path):
         for r in ann_sq_topk_indexed(q, c, path, k=K, refine=5).collect()
     }
     assert fresh == stored
+
+
+def test_sq_delete_tombstones(spark, tmp_path):
+    """FAISS remove_ids analogue: deleted ids vanish from results,
+    survivors' ranking equals a fresh search over the filtered corpus,
+    and re-deleting is idempotent (no tombstone growth)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_index import (
+        ann_sq_topk_indexed,
+        build_sq_index,
+        delete_from_sq_index,
+        deleted_ids,
+    )
+
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    path = str(tmp_path / "sq_del")
+    build_sq_index(c, path)
+    dels = [5, 7, 11]
+    delete_from_sq_index(spark, path, dels)
+    got = ann_sq_topk_indexed(q, c, path, k=K, refine=5).collect()
+    assert not {r.doc_id for r in got} & set(dels)
+    # equivalent to searching an index built WITHOUT the deleted rows
+    # (stats still train on the full corpus, matching frozen-at-build)
+    from inside_vectordb_spark.operators.sq import ann_sq_topk, sq_train
+
+    stats = sq_train(c, "embedding")
+    filtered = c.filter(~F.col("vec_id").isin(dels))
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ann_sq_topk(q, filtered, k=K, refine=5, stats=stats).collect()
+    }
+    assert {(r.query_id, r.doc_id, r.rank) for r in got} == want
+    # idempotency
+    delete_from_sq_index(spark, path, dels)
+    assert deleted_ids(spark, path) == set(dels)
