@@ -396,3 +396,129 @@ def chunked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("query_id", "doc_id", "best_chunk_id", "score")
     )
+
+
+# Query-side chunking twin of _CHUNK_CTE (docs 0-4 = the query set).
+_QCHUNK_CTE = f"""
+    qtoks AS (
+      SELECT doc_id AS query_id, {_TOKS} AS t FROM documents
+      WHERE trim(text) <> '' AND doc_id < 5),
+    qcn AS (
+      SELECT query_id, t,
+             CASE WHEN len(t) <= 32 THEN 1
+                  ELSE CAST(ceil((len(t) - 32) / 16.0) AS INT) + 1 END AS n_chunks
+      FROM qtoks),
+    qarr AS (
+      SELECT query_id,
+             list_transform(range(0, n_chunks),
+                i -> array_to_string(t[(i*16+1):(i*16+32)], ' ')) AS chunks
+      FROM qcn),
+    qchunks AS (
+      SELECT query_id, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS qchunk_id,
+             unnest(chunks) AS qchunk
+      FROM qarr)
+"""
+
+
+@register(
+    "late_interaction_topk",
+    oracle=f"""
+    WITH {_CHUNK_CTE},
+    {_QCHUNK_CTE},
+    {_sparse_vec_cte("cvec", "chunks", "doc_id, chunk_id", "chunk")},
+    {_sparse_vec_cte("qcv", "qchunks", "query_id, qchunk_id", "qchunk")},
+    qn AS (SELECT query_id, qchunk_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS qnorm
+           FROM qcv GROUP BY 1, 2),
+    cn2 AS (SELECT doc_id, chunk_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS cnorm
+            FROM cvec GROUP BY 1, 2),
+    dots AS (
+      SELECT q.query_id, q.qchunk_id, c.doc_id, c.chunk_id,
+             CAST(sum(q.v * c.v) AS DOUBLE) AS dot
+      FROM qcv q JOIN cvec c USING (bucket) GROUP BY 1, 2, 3, 4),
+    sims AS (
+      SELECT a.query_id, a.qchunk_id, a.doc_id, a.chunk_id,
+             CASE WHEN a.qnorm = 0 OR a.cnorm = 0 THEN 0.0
+                  ELSE round(COALESCE(d.dot, 0) / (a.qnorm * a.cnorm), 6)
+             END AS sim
+      FROM (SELECT q.query_id, q.qchunk_id, q.qnorm, c.doc_id, c.chunk_id, c.cnorm
+            FROM qn q CROSS JOIN cn2 c) a
+      LEFT JOIN dots d ON d.query_id = a.query_id AND d.qchunk_id = a.qchunk_id
+                      AND d.doc_id = a.doc_id AND d.chunk_id = a.chunk_id),
+    maxsim AS (
+      SELECT query_id, qchunk_id, doc_id, max(sim) AS m
+      FROM sims GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT query_id, doc_id, round(sum(m), 6) AS score
+      FROM maxsim GROUP BY 1, 2)
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM agg) WHERE rank <= 5
+    """,
+)
+def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): BOTH sides
+    are multi-vector — query chunks and doc chunks are encoded in the
+    same space, and score(q, d) = Σ over query chunks of the max
+    cosine against any doc chunk. The single-vector tiers collapse a
+    document to one point; late interaction keeps per-chunk granularity
+    and is the quality ceiling of the dense-retrieval family.
+
+    Scale shape: the (small) query-chunk matrix rides a broadcast into
+    the doc-chunk scan; doc chunks NEVER shuffle for scoring. The
+    MaxSim reduction is two cascaded groupBys — partial max keyed
+    (query, qchunk, doc), then partial sum keyed (query, doc) — both
+    map-side combinable, so the only shuffled rows are per-key
+    partials, not chunk pairs. Full DuckDB oracle (sparse exact-integer
+    restatement of the hash encoder, as chunked_retrieval)."""
+    from inside_vectordb_spark.functions.vector import cosine_similarity
+    from inside_vectordb_spark.operators.embed import encode_documents
+    from pyspark.sql import Window as W
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    queries = docs.filter(F.col("doc_id") < 5)
+
+    ch_enc = encode_documents(
+        td.doc_chunks(corpus, width=32, stride=16).select(
+            (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+    ).select(
+        (F.col("doc_id") / 10000).cast("long").alias("doc_id"),
+        (F.col("doc_id") % 10000).cast("int").alias("chunk_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    q_enc = encode_documents(
+        td.doc_chunks(queries, width=32, stride=16).select(
+            (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+    ).select(
+        (F.col("doc_id") / 10000).cast("long").alias("query_id"),
+        (F.col("doc_id") % 10000).cast("int").alias("qchunk_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+    sims = ch_enc.crossJoin(F.broadcast(q_enc)).select(
+        "query_id",
+        "qchunk_id",
+        "doc_id",
+        F.round(cosine_similarity("qvec", "cvec"), 6).alias("sim"),
+    )
+    agg = (
+        sims.groupBy("query_id", "qchunk_id", "doc_id")
+        .agg(F.max("sim").alias("m"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("m"), 6).alias("score"))
+    )
+    return (
+        agg.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "score", "rank")
+    )

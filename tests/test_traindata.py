@@ -197,3 +197,53 @@ def test_touched_buckets_manifest(spark):
         spark.range(5, 6).select(F.col("id").alias("doc_id")), n_buckets=16
     ).collect()
     assert len(one) == 1 and one[0].n_changes == 1
+
+
+def test_late_interaction_planted_relevance(spark):
+    """A corpus doc that CONTAINS the query text verbatim must win
+    MaxSim: every query chunk finds a near-identical doc chunk, so its
+    summed max-cosines dominate unrelated docs."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.functions.vector import cosine_similarity
+    from inside_vectordb_spark.operators.embed import encode_documents
+    from inside_vectordb_spark.operators.traindata import doc_chunks
+
+    query = "gradient descent converges under convex loss " * 8
+    rows = [
+        (100, query + " and appendix material beyond the quoted span"),
+        (101, "completely unrelated cooking recipe text " * 10),
+        (102, "another off-topic document about sailing boats " * 10),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    qdf = spark.createDataFrame([(0, query)], "doc_id long, text string")
+
+    ch = encode_documents(
+        doc_chunks(corpus, width=32, stride=16).select(
+            (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+    ).select(
+        (F.col("doc_id") / 10000).cast("long").alias("doc_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    qe = encode_documents(
+        doc_chunks(qdf, width=32, stride=16).select(
+            (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+    ).select(
+        (F.col("doc_id") % 10000).cast("int").alias("qchunk_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    scores = {
+        r.doc_id: r.score
+        for r in ch.crossJoin(qe)
+        .select("doc_id", "qchunk_id", cosine_similarity("qvec", "cvec").alias("sim"))
+        .groupBy("doc_id", "qchunk_id")
+        .agg(F.max("sim").alias("m"))
+        .groupBy("doc_id")
+        .agg(F.sum("m").alias("score"))
+        .collect()
+    }
+    assert scores[100] > scores[101] and scores[100] > scores[102]
