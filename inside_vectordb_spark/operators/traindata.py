@@ -386,3 +386,127 @@ def doc_chunks(
     return out.withColumn(
         "n_tokens_chunk", F.size(tokenize("chunk_text")).cast("int")
     )
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct words with corpus frequencies — the working set BPE
+    training iterates on. At 100 TB the distinct-word table is orders
+    of magnitude smaller than the corpus (Heaps' law), which is why
+    every production tokenizer trainer (HuggingFace, SentencePiece)
+    reduces to it first; this is the only pass that touches raw text."""
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_pair_counts(symbols: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts over
+    ``(w, freq, syms array<string>)`` — one explode + one
+    map-side-combinable groupBy; the per-iteration reduction of BPE
+    training. Returns (left_sym, right_sym, cnt)."""
+    pairs = symbols.filter(F.size("syms") >= 2).select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.element_at("syms", i + 1).alias("l"),
+                    F.element_at("syms", i + 2).alias("r"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+    ).agg(F.sum("freq").alias("cnt"))
+
+
+def _merge_pair_col(syms: Column | str, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping merge of adjacent (left, right)
+    symbols into one — BPE's apply step as a PURE CATALYST fold
+    (``aggregate`` with (emitted, pending) state): no Python in the
+    row path, whole-stage codegen, so applying a merge rule is a
+    narrow map over the distinct-word table."""
+    c = F.col(syms) if isinstance(syms, str) else syms
+    merged = F.lit(left + right)
+
+    def step(acc: Column, x: Column) -> Column:
+        return (
+            F.when(
+                (acc["pend"] == left) & (x == right),
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(acc["pend"].isNull(), acc["out"])
+                    .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+                    .alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        c,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        step,
+        lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        ),
+    )
+
+
+def bpe_learn(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. '16), Spark-first: the
+    corpus reduces ONCE to distinct (word, freq); each of ``n_merges``
+    iterations is a pair-count aggregation over that table (map-side
+    partials, tiny shuffle of symbol pairs), a 1-row argmax collect,
+    and a broadcast-free Catalyst fold applying the winning rule.
+    Driver traffic per iteration: ONE row. Ties break (cnt DESC,
+    left ASC, right ASC) for cross-run determinism.
+
+    Returns the learned merge table (merge_rank, left_sym, right_sym,
+    pair_count) — the artifact a tokenizer ships.
+    """
+    spark = docs.sparkSession
+    symbols = word_frequencies(docs, text_col).select(
+        "w", "freq", F.split("w", "").alias("syms")
+    )
+    symbols = symbols.persist()
+    symbols.count()
+    rules: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                bpe_pair_counts(symbols)
+                .orderBy(F.desc("cnt"), "left_sym", "right_sym")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < 2:
+                break
+            l, r, cnt = top[0]["left_sym"], top[0]["right_sym"], top[0]["cnt"]
+            rules.append((rank, l, r, int(cnt)))
+            nxt = symbols.select(
+                "w", "freq", _merge_pair_col("syms", l, r).alias("syms")
+            ).persist()
+            nxt.count()
+            symbols.unpersist()
+            symbols = nxt
+    finally:
+        symbols.unpersist()
+    return spark.createDataFrame(
+        rules, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    )

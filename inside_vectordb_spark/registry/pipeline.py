@@ -1059,3 +1059,56 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eio.load_table(spark, sf_dir, "documents").select(
         "doc_id", normalize_text("text").alias("norm_text")
     )
+
+
+@register(
+    "rerank_cross_encoder",
+    oracle=f"""
+    WITH {_bm25_ctes(20)},
+    qtok AS (
+      SELECT query_id,
+             CASE WHEN trim(qt) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(regexp_split_to_array(trim(lower(qt)), '\\s+'))
+             END AS qset
+      FROM q),
+    dtok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             END AS dset
+      FROM documents),
+    ce AS (
+      SELECT b.query_id, b.doc_id,
+             round(CASE WHEN len(list_distinct(qt.qset || dt.dset)) = 0 THEN 0.0
+                   ELSE len(list_intersect(qt.qset, dt.dset)) * 1.0
+                        / len(list_distinct(qt.qset || dt.dset))
+                   END, 6) AS ce_score
+      FROM bm_r b
+      JOIN qtok qt USING (query_id)
+      JOIN dtok dt USING (doc_id))
+    SELECT query_id, doc_id, ce_score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY ce_score DESC, doc_id) AS INT) AS rank
+      FROM ce) WHERE rank <= 5
+    """,
+)
+def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 over-fetches top-20 candidates, a
+    pairwise scorer reranks each (query, doc) TEXT pair to top-5 —
+    the cross-encoder stage every production stack runs after the
+    cheap retriever. Candidates ride a broadcast into the document
+    scan; scoring is one Arrow-batched mapInPandas stage
+    (operators/rerank.py). The deterministic Jaccard scorer carries a
+    FULL DuckDB oracle; the real model branch is import-gated
+    sentence-transformers CrossEncoder with identical plumbing."""
+    from inside_vectordb_spark.operators.bm25 import bm25_topk
+    from inside_vectordb_spark.operators.rerank import cross_encoder_rerank
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    cand = bm25_topk(docs, queries, k=20).select("query_id", "doc_id")
+    return cross_encoder_rerank(cand, queries, docs, k=5)

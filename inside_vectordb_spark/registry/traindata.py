@@ -522,3 +522,70 @@ def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+_WORDPAIR_CTES = """
+    words AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''),
+    wc AS (SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+    prs AS (
+      SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+             substr(w, CAST(i AS INT) + 1, 1) AS right_sym, freq
+      FROM wc, unnest(range(1, len(w))) AS t(i)),
+    cnts AS (SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM prs GROUP BY 1, 2)
+"""
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH {_WORDPAIR_CTES}
+    SELECT left_sym, right_sym, cnt FROM (
+      SELECT *, row_number() OVER (ORDER BY cnt DESC, left_sym, right_sym) AS rn
+      FROM cnts) WHERE rn <= 30
+    """,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration-0 pair statistics: the 30 most frequent adjacent
+    character pairs over the distinct-word table (frequency-weighted).
+    The reduction step of tokenizer training as one explode +
+    map-side-combinable groupBy; full DuckDB oracle."""
+    from inside_vectordb_spark.operators.traindata import (
+        bpe_pair_counts,
+        word_frequencies,
+    )
+    from pyspark.sql import Window as W
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    syms = word_frequencies(docs).select(
+        "w", "freq", F.split("w", "").alias("syms")
+    )
+    cnts = bpe_pair_counts(syms)
+    return (
+        cnts.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.desc("cnt"), "left_sym", "right_sym")
+            ),
+        )
+        .filter(F.col("rn") <= 30)
+        .select("left_sym", "right_sym", "cnt")
+    )
+
+
+@register("bpe_vocab")
+def bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, 8 merges (Sennrich et al. '16): the
+    full iterative loop — pair-count aggregation over the distinct-word
+    table, 1-row argmax to the driver, pure-Catalyst fold applying the
+    rule. Not SQL-expressible (data-dependent iteration), so rows-only
+    at the driver; tests/test_traindata.py pins the learned rules
+    against an independent pure-Python BPE reference on the same
+    corpus."""
+    from inside_vectordb_spark.operators.traindata import bpe_learn
+
+    return bpe_learn(
+        eio.load_table(spark, sf_dir, "documents"), n_merges=8
+    )

@@ -247,3 +247,67 @@ def test_late_interaction_planted_relevance(spark):
         .collect()
     }
     assert scores[100] > scores[101] and scores[100] > scores[102]
+
+
+def _bpe_reference(word_freqs: dict, n_merges: int):
+    """Independent pure-Python BPE (Sennrich '16) with the same tie
+    break (cnt DESC, left ASC, right ASC)."""
+    syms = {w: list(w) for w in word_freqs}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        rules.append((rank, l, r, cnt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return rules
+
+
+def test_bpe_learn_matches_reference(spark):
+    """The distributed loop (Catalyst fold merge, 1-row argmax per
+    iteration) learns exactly the rules an independent sequential BPE
+    learns on the same corpus."""
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.traindata import bpe_learn, word_frequencies
+    from tests.conftest import SF_DIR
+
+    docs = eio.load_table(spark, SF_DIR, "documents")
+    wf = {r.w: r.freq for r in word_frequencies(docs).collect()}
+    want = _bpe_reference(wf, 8)
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_learn(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+    assert len(got) == 8  # corpus is large enough to support 8 merges
+
+
+def test_bpe_merge_handles_overlaps(spark):
+    """aaa with rule (a,a) merges left-to-right non-overlapping:
+    [aa, a] — the classic BPE edge case."""
+    from inside_vectordb_spark.operators.traindata import _merge_pair_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("ba",)], "w string")
+    rows = df.select(
+        _merge_pair_col(F.split("w", ""), "a", "a").alias("m")
+    ).collect()
+    assert rows[0]["m"] == ["aa", "a"]
+    assert rows[1]["m"] == ["aa", "aa"]
+    assert rows[2]["m"] == ["b", "a"]
