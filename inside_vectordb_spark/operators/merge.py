@@ -22,7 +22,10 @@ byte-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -63,3 +66,58 @@ def touched_buckets(
         .groupBy("bucket")
         .agg(F.count("*").alias("n_changes"))
     )
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed versions in the snapshot log (ascending)."""
+    log = os.path.join(path, "_log.json")
+    if not os.path.exists(log):
+        return []
+    with open(log) as f:
+        return sorted(int(v) for v in json.load(f)["versions"])
+
+
+def write_snapshot(df: DataFrame, path: str, version: int) -> None:
+    """Commit ``df`` as snapshot ``version``: data under ``v=N``, then
+    the log rewritten LAST — the write is visible only once the log
+    commit lands, which is the minimal atomic-commit protocol every
+    table format (Delta/Iceberg) builds on."""
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
+    versions = set(snapshot_versions(path)) | {version}
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_log.json"), "w") as f:
+        json.dump({"versions": sorted(versions)}, f)
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time travel: read snapshot ``version`` (default: latest
+    committed). Only the requested version's directory is listed —
+    older snapshots cost nothing to retain until vacuumed."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in committed {versions}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def merge_into_snapshot(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str = "doc_id",
+    op_col: str = "op",
+) -> int:
+    """MERGE against the latest snapshot, commit as the next version
+    (copy-on-write): the previous version stays readable — time travel
+    is free because nothing is updated in place. Returns the new
+    version number."""
+    versions = snapshot_versions(path)
+    base = read_snapshot(spark, path)
+    new_v = versions[-1] + 1
+    merged = merge_upsert(base, changes, key=key, op_col=op_col)
+    write_snapshot(merged, path, new_v)
+    return new_v

@@ -21,7 +21,7 @@ oracle query uses the exact form).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ByteType,
@@ -127,3 +127,91 @@ def column_stats_oracle_sql(table: str, cols: list[tuple[str, str]]) -> str:
             f"{num_sel} FROM {table}"
         )
     return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, n_bins: int = 10
+) -> DataFrame:
+    """Equi-width histogram: (bin, lo, hi, cnt) with n_bins buckets
+    spanning [min, max]. Two passes over one scan shape: a 2-value
+    global agg (min/max — map-side partials, 1-row exchange) joined
+    as a broadcast literal into the binning scan, then one
+    map-side-combinable groupBy(bin). The max value lands in the last
+    bin (least-clamp), matching DuckDB/NumPy convention.
+
+    CBO uses exactly this to estimate range-predicate selectivity;
+    it is also the ``describe``-style profiling primitive the
+    reference prints ad hoc (``001-data_stats.py``)."""
+    bounds = df.agg(
+        F.min(col).cast("double").alias("__lo"),
+        F.max(col).cast("double").alias("__hi"),
+    )
+    binned = (
+        df.select(F.col(col).cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                F.col("__hi") == F.col("__lo"), F.lit(0)
+            )
+            .otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (F.col("__v") - F.col("__lo"))
+                        / ((F.col("__hi") - F.col("__lo")) / n_bins)
+                    ),
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+            "__lo",
+            "__hi",
+        )
+    )
+    return (
+        binned.groupBy("bin", "__lo", "__hi")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bin",
+            F.round(
+                F.col("__lo") + F.col("bin") * (F.col("__hi") - F.col("__lo")) / n_bins,
+                6,
+            ).alias("lo"),
+            F.round(
+                F.col("__lo")
+                + (F.col("bin") + 1) * (F.col("__hi") - F.col("__lo")) / n_bins,
+                6,
+            ).alias("hi"),
+            "cnt",
+        )
+        .orderBy("bin")
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame, col: str, id_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Equi-depth (equi-height) histogram: n_bins buckets of ~equal
+    row count — the skew-robust variant CBOs prefer for selectivity.
+    ``ntile`` over (value, id) — the id tie-break makes boundary
+    assignment deterministic. At scale the single global sort is the
+    honest cost of exact equi-depth (a range-partitioned sort, not a
+    single-task sort); the approximate path is percentile_approx
+    (see ``doc_length_percentiles_approx``), which avoids the sort
+    entirely."""
+    w = Window.orderBy(F.col("__v").asc(), F.col("__id").asc())
+    return (
+        df.select(
+            F.col(col).cast("double").alias("__v"), F.col(id_col).alias("__id")
+        )
+        .filter(F.col("__v").isNotNull())
+        .withColumn("bin", F.ntile(n_bins).over(w) - 1)
+        .groupBy("bin")
+        .agg(
+            F.round(F.min("__v"), 6).alias("lo"),
+            F.round(F.max("__v"), 6).alias("hi"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("bin")
+    )

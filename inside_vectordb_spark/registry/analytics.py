@@ -361,3 +361,60 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         eio.load_table(spark, sf_dir, "lineitem"),
         [c for c, _ in _LINEITEM_LANES],
     )
+
+
+@register(
+    "price_histogram_equiwidth",
+    oracle="""
+    WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS blo,
+                      CAST(max(l_extendedprice) AS DOUBLE) AS bhi
+               FROM lineitem),
+    binned AS (
+      SELECT CASE WHEN b.bhi = b.blo THEN 0
+             ELSE CAST(least(9, floor((CAST(l_extendedprice AS DOUBLE) - b.blo)
+                                      / ((b.bhi - b.blo) / 10))) AS INT)
+             END AS bin, b.blo, b.bhi
+      FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
+    agg AS (SELECT bin, blo, bhi, count(*) AS cnt
+            FROM binned GROUP BY bin, blo, bhi)
+    SELECT bin,
+           round(blo + bin * (bhi - blo) / 10, 6) AS lo,
+           round(blo + (bin + 1) * (bhi - blo) / 10, 6) AS hi,
+           cnt
+    FROM agg ORDER BY bin
+    """,
+)
+def price_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over the fact table's price column (10
+    bins): min/max via a 1-row broadcast agg, then one map-side
+    groupBy(bin) — CBO's range-selectivity input
+    (operators/stats.py:equi_width_histogram)."""
+    from inside_vectordb_spark.operators.stats import equi_width_histogram
+
+    return equi_width_histogram(
+        eio.load_table(spark, sf_dir, "lineitem"), "l_extendedprice", n_bins=10
+    )
+
+
+@register(
+    "price_histogram_equidepth",
+    oracle="""
+    WITH t AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, o_orderkey AS id
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    n AS (SELECT v, ntile(10) OVER (ORDER BY v, id) - 1 AS bin FROM t)
+    SELECT bin, round(min(v), 6) AS lo, round(max(v), 6) AS hi,
+           count(*) AS cnt
+    FROM n GROUP BY bin ORDER BY bin
+    """,
+)
+def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (10 ~equal-count buckets) over order
+    totals — the skew-robust CBO histogram; deterministic boundary
+    assignment via the (value, unique id) ntile ordering. The global
+    sort is range-partitioned at scale; percentile_approx is the
+    registered sort-free alternative."""
+    from inside_vectordb_spark.operators.stats import equi_depth_histogram
+
+    return equi_depth_histogram(
+        eio.load_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", n_bins=10
+    )

@@ -459,3 +459,60 @@ def ann_sq_topk_deleted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_sq_topk_indexed(
         eio.query_vectors(spark, sf_dir), corpus, path, k=10, refine=5
     )
+
+
+@register(
+    "index_stats",
+    oracle=f"""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT {bucket_sql('v')} AS bucket FROM e),
+    s AS (SELECT bucket, count(*) AS sz FROM b GROUP BY bucket)
+    SELECT CAST(sum(sz) AS BIGINT) AS n_vectors,
+           count(*) AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket_size,
+           round(avg(sz), 6) AS avg_bucket_size,
+           round(sum(sz * sz) * 1.0 / (sum(sz) * sum(sz)), 6)
+             AS expected_candidate_frac
+    FROM s
+    """,
+)
+def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index introspection (FAISS ``IndexIVF.invlists`` stats /
+    hnswlib element-count analogue — the operational dashboard every
+    vector store exposes): bucket count, occupancy extremes, and the
+    expected candidate fraction Σsz²/N² (the probability a random
+    query's bucket probe scans a given row — the a-priori cost model
+    for the sign-LSH tier). Reads ONLY the persisted (id, bucket)
+    table — never the vectors; the oracle recomputes the deterministic
+    bucket assignment from scratch, so this also cross-checks the
+    stored index against its definition."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_sign import ensure_sign_index
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "ann_sign",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    ensure_sign_index(spark, corpus, art)
+    sz = (
+        spark.read.parquet(os.path.join(art, "buckets"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("sz"))
+    )
+    return sz.agg(
+        F.sum("sz").alias("n_vectors"),
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket_size"),
+        F.round(F.avg("sz"), 6).alias("avg_bucket_size"),
+        F.round(
+            F.sum(F.col("sz") * F.col("sz"))
+            / (F.sum("sz") * F.sum("sz")),
+            6,
+        ).alias("expected_candidate_frac"),
+    )

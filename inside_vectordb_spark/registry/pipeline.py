@@ -1112,3 +1112,72 @@ def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = bm25_topk(docs, queries, k=20).select("query_id", "doc_id")
     return cross_encoder_rerank(cand, queries, docs, k=5)
+
+
+@register(
+    "snapshot_time_travel",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id >= 10
+    UNION ALL
+    SELECT doc_id, lang, 'edited_v2' AS source, n_chars
+    FROM documents WHERE doc_id BETWEEN 5 AND 9
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang, 'inserted_v2' AS source, n_chars
+    FROM documents WHERE doc_id < 3
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write snapshot versioning + time travel (Delta/Iceberg
+    ``VERSION AS OF``): v1 = the corpus, v2 = a MERGE batch (delete
+    ids<5, edit 5-9, insert 3 clones), v3 = a second edit batch — then
+    read **v2** back, proving superseded versions stay readable. Each
+    merge is the broadcast-anti CoW plan (the base never shuffles) and
+    a version commit is one log rewrite AFTER the data lands — the
+    minimal atomic-commit protocol of every lakehouse table format.
+    The oracle restates v2 declaratively from the raw table."""
+    import os
+    import shutil
+
+    from inside_vectordb_spark.operators.merge import (
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = eio.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "snapshots",
+        "docs_" + (os.path.basename(sf_dir.rstrip("/")) or "default"),
+    )
+    # fresh table each run: the query IS the create→merge→merge story,
+    # so re-runs must not stack versions on a previous run's log
+    shutil.rmtree(art, ignore_errors=True)
+    write_snapshot(docs, art, 1)
+
+    deletes = docs.filter(F.col("doc_id") < 5).withColumn("op", F.lit("delete"))
+    updates = (
+        docs.filter(F.col("doc_id").between(5, 9))
+        .withColumn("source", F.lit("edited_v2"))
+        .withColumn("op", F.lit("update"))
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") < 3)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("source", F.lit("inserted_v2"))
+        .withColumn("op", F.lit("insert"))
+    )
+    merge_into_snapshot(spark, art, deletes.unionByName(updates).unionByName(inserts))
+
+    batch2 = (
+        read_snapshot(spark, art)
+        .filter(F.col("doc_id").between(10, 14))
+        .withColumn("source", F.lit("edited_v3"))
+        .withColumn("op", F.lit("update"))
+    )
+    merge_into_snapshot(spark, art, batch2)
+
+    return read_snapshot(spark, art, version=2)

@@ -311,3 +311,61 @@ def test_bpe_merge_handles_overlaps(spark):
     assert rows[0]["m"] == ["aa", "a"]
     assert rows[1]["m"] == ["aa", "aa"]
     assert rows[2]["m"] == ["b", "a"]
+
+
+def test_snapshot_versioning_and_time_travel(spark, tmp_path):
+    """CoW snapshot contract: every committed version stays readable
+    byte-for-byte after later merges; latest == last commit; reading
+    an uncommitted version raises."""
+    import pytest as _pytest
+
+    from inside_vectordb_spark.operators.merge import (
+        merge_into_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    write_snapshot(base, path, 1)
+    ch = spark.createDataFrame(
+        [(2, "B", "update"), (3, None, "delete"), (4, "d", "insert")],
+        "id long, val string, op string",
+    )
+    v = merge_into_snapshot(spark, path, ch, key="id")
+    assert v == 2 and snapshot_versions(path) == [1, 2]
+    v1 = {(r.id, r.val) for r in read_snapshot(spark, path, 1).collect()}
+    assert v1 == {(1, "a"), (2, "b"), (3, "c")}
+    v2 = {(r.id, r.val) for r in read_snapshot(spark, path).collect()}
+    assert v2 == {(1, "a"), (2, "B"), (4, "d")}
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, path, 7)
+
+
+def test_histograms_hand_check(spark):
+    from inside_vectordb_spark.operators.stats import (
+        equi_depth_histogram,
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    )
+    ew = equi_width_histogram(df, "v", n_bins=3).collect()
+    # range [0, 9], width 3: bins [0,3)=0,1,2 ; [3,6)=3,4,5 ; [6,9]=6,7,8,9
+    assert [(r.bin, r.cnt) for r in ew] == [(0, 3), (1, 3), (2, 4)]
+    assert ew[0].lo == 0.0 and ew[2].hi == 9.0
+    ed = equi_depth_histogram(df, "v", "id", n_bins=5).collect()
+    assert [r.cnt for r in ed] == [2, 2, 2, 2, 2]
+    assert [r.lo for r in ed] == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+
+def test_equi_width_constant_column(spark):
+    from inside_vectordb_spark.operators.stats import equi_width_histogram
+
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, v double")
+    rows = equi_width_histogram(df, "v", n_bins=4).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].cnt == 2
