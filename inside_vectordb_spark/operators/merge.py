@@ -121,3 +121,24 @@ def merge_into_snapshot(
     merged = merge_upsert(base, changes, key=key, op_col=op_col)
     write_snapshot(merged, path, new_v)
     return new_v
+
+
+def vacuum_snapshots(path: str, keep_last: int = 1) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` committed
+    versions (Delta ``VACUUM`` / Iceberg ``expire_snapshots``). The
+    log is rewritten FIRST (so a reader never resolves a version whose
+    data is mid-delete), then the expired data directories go. Returns
+    the removed versions."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(path)
+    expired = versions[:-keep_last]
+    if not expired:
+        return []
+    with open(os.path.join(path, "_log.json"), "w") as f:
+        json.dump({"versions": versions[-keep_last:]}, f)
+    for v in expired:
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return expired

@@ -1181,3 +1181,72 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_into_snapshot(spark, art, batch2)
 
     return read_snapshot(spark, art, version=2)
+
+
+@register(
+    "snapshot_vacuum",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id BETWEEN 10 AND 14 THEN 'edited_v3' ELSE source END
+             AS source,
+           n_chars
+    FROM documents WHERE doc_id >= 10
+    UNION ALL
+    SELECT doc_id, lang, 'edited_v2' AS source, n_chars
+    FROM documents WHERE doc_id BETWEEN 5 AND 9
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang, 'inserted_v2' AS source, n_chars
+    FROM documents WHERE doc_id < 3
+    """,
+)
+def snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention (Delta VACUUM / Iceberg expire_snapshots):
+    build the same v1→v2→v3 history as snapshot_time_travel, expire
+    everything but the newest version (log rewritten FIRST so readers
+    never resolve deleted data), and read the survivor — which must
+    still be the full v3 state. Expired reads raise; that contract is
+    pinned in tests. The oracle restates v3 declaratively."""
+    import os
+    import shutil
+
+    from inside_vectordb_spark.operators.merge import (
+        merge_into_snapshot,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    docs = eio.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "snapshots",
+        "vacuum_" + (os.path.basename(sf_dir.rstrip("/")) or "default"),
+    )
+    shutil.rmtree(art, ignore_errors=True)
+    write_snapshot(docs, art, 1)
+    deletes = docs.filter(F.col("doc_id") < 5).withColumn("op", F.lit("delete"))
+    updates = (
+        docs.filter(F.col("doc_id").between(5, 9))
+        .withColumn("source", F.lit("edited_v2"))
+        .withColumn("op", F.lit("update"))
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") < 3)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("source", F.lit("inserted_v2"))
+        .withColumn("op", F.lit("insert"))
+    )
+    merge_into_snapshot(spark, art, deletes.unionByName(updates).unionByName(inserts))
+    batch2 = (
+        read_snapshot(spark, art)
+        .filter(F.col("doc_id").between(10, 14))
+        .withColumn("source", F.lit("edited_v3"))
+        .withColumn("op", F.lit("update"))
+    )
+    merge_into_snapshot(spark, art, batch2)
+    removed = vacuum_snapshots(art, keep_last=1)
+    assert removed == [1, 2]
+    return read_snapshot(spark, art)

@@ -369,3 +369,33 @@ def test_equi_width_constant_column(spark):
     df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, v double")
     rows = equi_width_histogram(df, "v", n_bins=4).collect()
     assert len(rows) == 1 and rows[0].bin == 0 and rows[0].cnt == 2
+
+
+def test_vacuum_expires_old_versions(spark, tmp_path):
+    import pytest as _pytest
+
+    from inside_vectordb_spark.operators.merge import (
+        merge_into_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, val string"), path, 1
+    )
+    merge_into_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(2, "b", "insert")], "id long, val string, op string"),
+        key="id",
+    )
+    assert vacuum_snapshots(path, keep_last=1) == [1]
+    assert snapshot_versions(path) == [2]
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 2}
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, path, 1)
+    # nothing left to expire: vacuum is idempotent
+    assert vacuum_snapshots(path, keep_last=1) == []
