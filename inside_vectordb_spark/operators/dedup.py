@@ -22,7 +22,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from inside_vectordb_spark.functions.text import tokenize, word_shingles
@@ -468,4 +468,63 @@ def embedding_near_duplicates(
             F.round(cosine_similarity("v_a", "v_b"), round_to).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag training docs whose
+    shingle-set Jaccard against ANY benchmark doc reaches
+    ``threshold`` — the paraphrase-robust complement of exact n-gram
+    decontamination (``textstats.decontaminate`` catches verbatim
+    leakage; this catches lightly-edited leakage, the documented gap
+    in GPT-3's appendix-C procedure).
+
+    Bipartite LSH shape: the BENCHMARK side is small by contract, so
+    its band keys AND its shingle sets ride broadcasts — the training
+    corpus never shuffles; candidate generation is a band-key hash
+    join and verification touches only candidate pairs.
+
+    Returns (doc_id, bench_id, jaccard): one row per flagged training
+    doc, matched to its highest-Jaccard benchmark doc (ties: lowest
+    bench_id)."""
+    tsets = shingle_sets(train, id_col, text_col, shingle_n)
+    bsets = shingle_sets(bench, id_col, text_col, shingle_n)
+    tkeys = minhash_band_keys(
+        minhash_signatures(train, id_col, text_col, shingle_n, sets=tsets)
+    )
+    bkeys = minhash_band_keys(
+        minhash_signatures(bench, id_col, text_col, shingle_n, sets=bsets)
+    ).select(F.col("doc_id").alias("bench_id"), "band_idx", "band_key")
+    cand = (
+        tkeys.join(F.broadcast(bkeys), ["band_idx", "band_key"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    jac = F.when(
+        F.size(F.array_union("ta.shset", "tb.shset")) == 0, F.lit(0.0)
+    ).otherwise(
+        F.size(F.array_intersect("ta.shset", "tb.shset"))
+        / F.size(F.array_union("ta.shset", "tb.shset"))
+    )
+    verified = (
+        cand.join(tsets.alias("ta"), "doc_id")
+        .join(
+            F.broadcast(bsets.select(F.col("doc_id").alias("bench_id"), "shset")).alias("tb"),
+            "bench_id",
+        )
+        .select("doc_id", "bench_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("bench_id"))
+    return (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "bench_id", "jaccard")
     )

@@ -215,3 +215,82 @@ def equi_depth_histogram(
         )
         .orderBy("bin")
     )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) heavy hitters: a
+    d×w grid of counters — each token increments one md5-derived cell
+    per row; a term's estimate is the MIN over its d cells, which can
+    only OVERcount (collisions add, never subtract).
+
+    The sketch is the 100 TB frequency structure: the grid aggregation
+    has ≤ d·w keys, so the shuffle moves O(d·w·partitions) partial
+    cells no matter how large the corpus or vocabulary — unlike the
+    exact count, whose shuffle carries every distinct term. The
+    registered query outputs (term, exact_cnt, cms_estimate) for the
+    exact top-N so the overestimate-only guarantee is visible data,
+    not just a docstring claim.
+    """
+    from inside_vectordb_spark.operators.traindata import _md5_bucket
+
+    toks = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("t")
+        )
+        .filter(F.col("t") != "")
+    )
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _md5_bucket(F.col("t"), f"cms{r}", width).alias("bucket"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell.r", "cell.bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "t")
+        .limit(top_n)
+    )
+    probes = top.select(
+        "t",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _md5_bucket(F.col("t"), f"cms{r}", width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("p.r") == F.col("r")) & (F.col("p.bucket") == F.col("bucket")),
+        )
+        .groupBy("t", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(F.col("t").alias("term"), "exact_cnt", "cms_estimate")
+    )

@@ -510,3 +510,36 @@ def bpe_learn(
     return spark.createDataFrame(
         rules, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    rules: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges (rank order) to tokenize the corpus:
+    (doc_id, n_words, n_tokens) where n_tokens counts post-merge
+    subword symbols. The train-time trick reused at encode time: the
+    merge folds run over the DISTINCT word table (vocabulary), and
+    per-doc counts come from joining word-level subtoken counts back —
+    so the O(rules) fold work is paid once per distinct word, not once
+    per corpus occurrence."""
+    words = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    enc = words.select("w").distinct().select("w", F.split("w", "").alias("syms"))
+    for left, right in rules:
+        enc = enc.select("w", _merge_pair_col("syms", left, right).alias("syms"))
+    enc = enc.select("w", F.size("syms").alias("n_subtokens"))
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_subtokens").alias("n_tokens"),
+        )
+    )

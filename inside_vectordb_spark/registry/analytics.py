@@ -418,3 +418,49 @@ def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_histogram(
         eio.load_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", n_bins=10
     )
+
+
+_CMS_BUCKET = (
+    "('0x' || substr(md5(t || 'cms' || CAST(r AS VARCHAR)), 1, 8))::BIGINT % 256"
+)
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> ''),
+    tok2 AS (SELECT t FROM tok WHERE t <> ''),
+    exact AS (SELECT t, count(*) AS exact_cnt FROM tok2 GROUP BY t),
+    top AS (SELECT t, exact_cnt FROM (
+      SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, t) AS rn
+      FROM exact) WHERE rn <= 20),
+    cells AS (
+      SELECT r, {_CMS_BUCKET} AS bucket, count(*) AS c
+      FROM tok2, unnest([0, 1, 2, 3]) AS u(r)
+      GROUP BY 1, 2),
+    probes AS (
+      SELECT top.t, top.exact_cnt, r, {_CMS_BUCKET} AS bucket
+      FROM top, unnest([0, 1, 2, 3]) AS u(r)),
+    est AS (
+      SELECT p.t, p.exact_cnt, min(c.c) AS cms_estimate
+      FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+      GROUP BY 1, 2)
+    SELECT t AS term, exact_cnt, cms_estimate FROM est
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (4×256 grid): the mergeable
+    frequency sketch whose shuffle is O(d·w) cells regardless of
+    corpus or vocabulary size, shown against the exact top-20 counts
+    so the overestimate-only guarantee (min over d md5-derived cells
+    ≥ true count) is visible in the output. Deterministic md5 hashing
+    makes the whole sketch restatable in DuckDB — a FULL value-hash
+    oracle over a probabilistic data structure
+    (operators/stats.py:cms_heavy_hitters)."""
+    from inside_vectordb_spark.operators.stats import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        eio.load_table(spark, sf_dir, "documents"), depth=4, width=256, top_n=20
+    )

@@ -1250,3 +1250,37 @@ def snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = vacuum_snapshots(art, keep_last=1)
     assert removed == [1, 2]
     return read_snapshot(spark, art)
+
+
+@register(
+    "decontamination_fuzzy",
+    oracle=f"""
+    WITH {_SIG_CTE}, {_BANDS_CTE},
+    tb AS (SELECT doc_id AS bench_id, band_idx, band_key FROM bands
+           WHERE doc_id % 97 = 0),
+    tt AS (SELECT doc_id, band_idx, band_key FROM bands WHERE doc_id % 97 <> 0),
+    cand AS (SELECT DISTINCT t.doc_id, b.bench_id
+             FROM tt t JOIN tb b USING (band_idx, band_key)),
+    ver AS (
+      SELECT c.doc_id, c.bench_id, round({_JACCARD}, 6) AS jaccard
+      FROM cand c
+      JOIN shs sa ON sa.doc_id = c.doc_id
+      JOIN shs sb ON sb.doc_id = c.bench_id)
+    SELECT doc_id, bench_id, jaccard FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY jaccard DESC, bench_id) AS rn
+      FROM ver WHERE jaccard >= 0.2) WHERE rn = 1
+    """,
+)
+def decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash) benchmark decontamination: training docs
+    near-duplicating ANY held-out doc (Jaccard ≥ 0.2) — catches the
+    paraphrased leakage exact n-gram decontamination misses. The
+    benchmark side's band keys AND shingle sets ride broadcasts; the
+    training corpus never shuffles (operators/dedup.py:
+    fuzzy_decontaminate). Same %97 benchmark split as the exact
+    `decontamination` query so the two gates are directly comparable."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dd.fuzzy_decontaminate(train, bench, threshold=0.2)

@@ -589,3 +589,22 @@ def bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(
         eio.load_table(spark, sf_dir, "documents"), n_merges=8
     )
+
+
+@register("bpe_encoded_tokens")
+def bpe_encoded_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply tokenizer round trip: learn 8 BPE merges on
+    the corpus, then encode the corpus with them — (doc_id, n_words,
+    n_tokens), n_tokens < total chars because merged symbols absorb
+    frequent pairs. Rules are data-dependent (not SQL-expressible →
+    rows-only driver check); the learn loop is pinned against a
+    pure-Python reference and the encode against a reference encoder
+    in tests/test_traindata.py."""
+    from inside_vectordb_spark.operators.traindata import bpe_encode, bpe_learn
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    rules = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_learn(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode(docs, rules)

@@ -132,3 +132,41 @@ def test_winnowing_short_and_empty_docs(spark):
     assert out[1]["n_fps"] == 0 and out[1]["fp_csv"] == ""
     assert out[2]["n_fps"] == 0  # 5 chars < k=8
     assert out[3]["n_fps"] == 1  # one 8-gram, one window
+
+
+def test_fuzzy_decontaminate_planted(spark):
+    """A training doc that lightly paraphrases a benchmark doc (high
+    shingle Jaccard, NOT verbatim) is flagged with the right partner;
+    unrelated docs are not; verbatim-free low-overlap docs are not."""
+    from inside_vectordb_spark.operators.dedup import fuzzy_decontaminate
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank every single morning before the sun rises over the hills"
+    )
+    # same text with one word substituted — near-dup, not exact
+    leaked = bench_text.replace("quiet", "silent")
+    train = spark.createDataFrame(
+        [
+            (1, leaked),
+            (2, "completely unrelated text about cooking pasta and sauces"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    rows = fuzzy_decontaminate(train, bench, threshold=0.2).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_id == 1 and rows[0].bench_id == 100
+    assert 0.5 < rows[0].jaccard < 1.0  # similar but not identical
+
+
+def test_fuzzy_decontaminate_exact_copy_scores_one(spark):
+    from inside_vectordb_spark.operators.dedup import fuzzy_decontaminate
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, t)], "doc_id long, text string")
+    rows = fuzzy_decontaminate(train, bench).collect()
+    assert len(rows) == 1 and rows[0].jaccard == 1.0

@@ -399,3 +399,45 @@ def test_vacuum_expires_old_versions(spark, tmp_path):
         read_snapshot(spark, path, 1)
     # nothing left to expire: vacuum is idempotent
     assert vacuum_snapshots(path, keep_last=1) == []
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Encoding with learned rules reproduces the sequential
+    reference's per-word subtoken counts on a hand corpus."""
+    from inside_vectordb_spark.operators.traindata import bpe_encode
+
+    rows = [(1, "low lower lowest"), (2, "low low newer newest")]
+    df = _docs(spark, rows)
+    wf = {}
+    for _, t in rows:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    rules = [(l, r) for _, l, r, _ in _bpe_reference(wf, 4)]
+
+    def ref_encode(w):
+        s = list(w)
+        for l, r in rules:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return len(s)
+
+    want = {
+        doc_id: (len(t.split()), sum(ref_encode(w) for w in t.split()))
+        for doc_id, t in rows
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode(df, rules).collect()
+    }
+    assert got == want
+    # merges actually compress: tokens < raw characters
+    assert all(
+        got[d][1] < sum(len(w) for w in t.split()) for d, t in rows
+    )
