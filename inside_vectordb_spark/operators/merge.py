@@ -142,3 +142,48 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> list[int]:
     for v in expired:
         shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
     return expired
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Change data feed (Delta CDF / Iceberg changelog analogue): the
+    row-level delta between two committed versions — (op ∈ insert/
+    update/delete, key, row columns), where delete rows carry the
+    FROM-version values and insert/update rows the TO-version values.
+    The inverse of ``merge_into_snapshot``: applying the diff to
+    v_from reproduces v_to.
+
+    One full outer join keyed on ``key`` (both sides must be read —
+    that's inherent to a diff); change detection compares the
+    non-key columns as a struct, so adding columns never needs new
+    code here."""
+    a = read_snapshot(spark, path, v_from)
+    b = read_snapshot(spark, path, v_to)
+    cols = [c for c in a.columns if c != key]
+    fa = a.select(
+        F.col(key).alias("__k"), F.struct(*cols).alias("__a")
+    )
+    fb = b.select(
+        F.col(key).alias("__k"), F.struct(*cols).alias("__b")
+    )
+    j = fa.join(fb, "__k", "full_outer")
+    op = (
+        F.when(F.col("__a").isNull(), F.lit("insert"))
+        .when(F.col("__b").isNull(), F.lit("delete"))
+        .when(F.col("__a") != F.col("__b"), F.lit("update"))
+    )
+    side = F.when(F.col("__b").isNull(), F.col("__a")).otherwise(F.col("__b"))
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            F.col("__k").alias(key),
+            *[side[c].alias(c) for c in cols],
+        )
+    )

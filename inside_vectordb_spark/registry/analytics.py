@@ -464,3 +464,71 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(
         eio.load_table(spark, sf_dir, "documents"), depth=4, width=256, top_n=20
     )
+
+
+@register(
+    "events_value_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+           round(CASE WHEN s.sd = 0 OR s.sd IS NULL THEN 0.0
+                      ELSE (e.value - s.mu) / s.sd END, 6) AS zscore
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (the feature-prep standard-
+    ization pass): group stats via ONE map-side-combinable groupBy,
+    broadcast back into the scan — the corpus itself never shuffles
+    (a window over event_type would move every row; the agg+broadcast
+    join moves |groups| rows). Degenerate groups (zero/NULL stddev)
+    normalize to 0."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (
+        F.when(F.col("sd").isNull() | (F.col("sd") == 0), F.lit(0.0))
+        .otherwise((F.col("value") - F.col("mu")) / F.col("sd"))
+    )
+    return ev.join(F.broadcast(s), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(z, 6).alias("zscore"),
+    )
+
+
+@register(
+    "events_value_winsorized",
+    oracle="""
+    WITH p AS (
+      SELECT quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events)
+    SELECT e.event_id, round(e.value, 6) AS value,
+           round(least(greatest(e.value, p.p05), p.p95), 6) AS clipped
+    FROM events e CROSS JOIN p
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping to the exact [p05, p95]
+    percentiles — both engines use linear-interpolation continuous
+    quantiles, pinned by the value hash). The percentile agg is one
+    pass to a 1-row broadcast; the clip is a narrow map. The
+    approx-percentile twin (`doc_length_percentiles_approx`) is the
+    registered sort-free scale path."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    p = ev.agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    return ev.crossJoin(F.broadcast(p)).select(
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")), 6).alias(
+            "clipped"
+        ),
+    )

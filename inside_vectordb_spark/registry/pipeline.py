@@ -1284,3 +1284,71 @@ def decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return dd.fuzzy_decontaminate(train, bench, threshold=0.2)
+
+
+@register(
+    "snapshot_change_feed",
+    oracle="""
+    SELECT 'delete' AS op, doc_id, lang, source, n_chars
+    FROM documents WHERE doc_id < 5
+    UNION ALL
+    SELECT 'update' AS op, doc_id, lang, 'edited_v2' AS source, n_chars
+    FROM documents WHERE doc_id BETWEEN 5 AND 9
+    UNION ALL
+    SELECT 'update' AS op, doc_id, lang, 'edited_v3' AS source, n_chars
+    FROM documents WHERE doc_id BETWEEN 10 AND 14
+    UNION ALL
+    SELECT 'insert' AS op, doc_id + 1000000 AS doc_id, lang,
+           'inserted_v2' AS source, n_chars
+    FROM documents WHERE doc_id < 3
+    """,
+)
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed: the row-level diff v1→v3 across the same
+    snapshot history as snapshot_time_travel — deletes carry v1
+    values, updates/inserts carry v3 values; applying the feed to v1
+    reproduces v3 (the merge operator's inverse). One full outer join
+    on the key; struct-compare change detection
+    (operators/merge.py:snapshot_diff)."""
+    import os
+    import shutil
+
+    from inside_vectordb_spark.operators.merge import (
+        merge_into_snapshot,
+        read_snapshot,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    docs = eio.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "snapshots",
+        "cdf_" + (os.path.basename(sf_dir.rstrip("/")) or "default"),
+    )
+    shutil.rmtree(art, ignore_errors=True)
+    write_snapshot(docs, art, 1)
+    deletes = docs.filter(F.col("doc_id") < 5).withColumn("op", F.lit("delete"))
+    updates = (
+        docs.filter(F.col("doc_id").between(5, 9))
+        .withColumn("source", F.lit("edited_v2"))
+        .withColumn("op", F.lit("update"))
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") < 3)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("source", F.lit("inserted_v2"))
+        .withColumn("op", F.lit("insert"))
+    )
+    merge_into_snapshot(spark, art, deletes.unionByName(updates).unionByName(inserts))
+    batch2 = (
+        read_snapshot(spark, art)
+        .filter(F.col("doc_id").between(10, 14))
+        .withColumn("source", F.lit("edited_v3"))
+        .withColumn("op", F.lit("update"))
+    )
+    merge_into_snapshot(spark, art, batch2)
+    return snapshot_diff(spark, art, 1, 3)
