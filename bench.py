@@ -79,6 +79,12 @@ HEADLINE = [
     # round-3 continuation: predicated vector search and MERGE upsert
     "filtered_topk",
     "corpus_merge_upsert",
+    # round-3 continuation, session 2: two-stage + late-interaction
+    # retrieval, the count-min sketch, and the snapshot change feed
+    "rerank_cross_encoder",
+    "late_interaction_topk",
+    "heavy_hitters_cms",
+    "snapshot_change_feed",
 ]
 
 

@@ -150,6 +150,7 @@ def snapshot_diff(
     v_from: int,
     v_to: int,
     key: str = "doc_id",
+    preimages: bool = False,
 ) -> DataFrame:
     """Change data feed (Delta CDF / Iceberg changelog analogue): the
     row-level delta between two committed versions — (op ∈ insert/
@@ -157,6 +158,12 @@ def snapshot_diff(
     FROM-version values and insert/update rows the TO-version values.
     The inverse of ``merge_into_snapshot``: applying the diff to
     v_from reproduces v_to.
+
+    With ``preimages=True`` each update emits TWO rows —
+    ``update_preimage`` (FROM values) and ``update_postimage`` (TO
+    values), Delta CDF's exact row vocabulary — which is what
+    downstream incremental view maintenance needs: every additive
+    aggregate refreshes from the feed alone as +postimage/-preimage.
 
     One full outer join keyed on ``key`` (both sides must be read —
     that's inherent to a diff); change detection compares the
@@ -172,18 +179,46 @@ def snapshot_diff(
         F.col(key).alias("__k"), F.struct(*cols).alias("__b")
     )
     j = fa.join(fb, "__k", "full_outer")
-    op = (
-        F.when(F.col("__a").isNull(), F.lit("insert"))
-        .when(F.col("__b").isNull(), F.lit("delete"))
-        .when(F.col("__a") != F.col("__b"), F.lit("update"))
-    )
-    side = F.when(F.col("__b").isNull(), F.col("__a")).otherwise(F.col("__b"))
-    return (
-        j.withColumn("op", op)
-        .filter(F.col("op").isNotNull())
-        .select(
-            "op",
-            F.col("__k").alias(key),
-            *[side[c].alias(c) for c in cols],
+    if not preimages:
+        op = (
+            F.when(F.col("__a").isNull(), F.lit("insert"))
+            .when(F.col("__b").isNull(), F.lit("delete"))
+            .when(F.col("__a") != F.col("__b"), F.lit("update"))
         )
+        side = F.when(F.col("__b").isNull(), F.col("__a")).otherwise(F.col("__b"))
+        return (
+            j.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .select(
+                "op",
+                F.col("__k").alias(key),
+                *[side[c].alias(c) for c in cols],
+            )
+        )
+    # CDF form: one (op, image) pair per emitted row — updates fan out
+    # to preimage + postimage via a 2-element array explode.
+    pairs = (
+        F.when(
+            F.col("__a").isNull(),
+            F.array(F.struct(F.lit("insert").alias("op"), F.col("__b").alias("img"))),
+        )
+        .when(
+            F.col("__b").isNull(),
+            F.array(F.struct(F.lit("delete").alias("op"), F.col("__a").alias("img"))),
+        )
+        .when(
+            F.col("__a") != F.col("__b"),
+            F.array(
+                F.struct(F.lit("update_preimage").alias("op"), F.col("__a").alias("img")),
+                F.struct(F.lit("update_postimage").alias("op"), F.col("__b").alias("img")),
+            ),
+        )
+        # no otherwise: unchanged rows yield NULL, which explode drops
+    )
+    exploded = (
+        j.select(F.col("__k").alias(key), F.explode(pairs).alias("p"))
+        .select(key, F.col("p.op").alias("op"), F.col("p.img").alias("__img"))
+    )
+    return exploded.select(
+        "op", key, *[F.col("__img")[c].alias(c) for c in cols]
     )

@@ -441,3 +441,58 @@ def test_bpe_encode_matches_reference(spark):
     assert all(
         got[d][1] < sum(len(w) for w in t.split()) for d, t in rows
     )
+
+
+def test_snapshot_diff_preimages_roundtrip(spark, tmp_path):
+    """CDF with preimages: updates emit pre+post rows, and applying
+    the feed additively to a v1 aggregate reproduces the v2 aggregate
+    (the IVM contract), on a hand-built table."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.merge import (
+        merge_into_snapshot,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "de", 30)],
+        "id long, lang string, n long",
+    )
+    write_snapshot(base, path, 1)
+    ch = spark.createDataFrame(
+        [(2, "en", 25, "update"), (3, None, None, "delete"), (4, "fr", 40, "insert")],
+        "id long, lang string, n long, op string",
+    )
+    merge_into_snapshot(spark, path, ch, key="id")
+    feed = snapshot_diff(spark, path, 1, 2, key="id", preimages=True).collect()
+    ops = sorted((r.op, r.id) for r in feed)
+    assert ops == [
+        ("delete", 3),
+        ("insert", 4),
+        ("update_postimage", 2),
+        ("update_preimage", 2),
+    ]
+    pre = next(r for r in feed if r.op == "update_preimage")
+    post = next(r for r in feed if r.op == "update_postimage")
+    assert pre.n == 20 and post.n == 25
+    # additive refresh == recompute
+    sign = {"insert": 1, "update_postimage": 1, "delete": -1, "update_preimage": -1}
+    delta = {}
+    for r in feed:
+        d = delta.setdefault(r.lang, [0, 0])
+        d[0] += sign[r.op]
+        d[1] += sign[r.op] * r.n
+    view = {
+        r.lang: [r.cnt, r.tot]
+        for r in base.groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.sum("n").alias("tot"))
+        .collect()
+    }
+    for lang, (dc, dn) in delta.items():
+        cur = view.setdefault(lang, [0, 0])
+        cur[0] += dc
+        cur[1] += dn
+    view = {k: v for k, v in view.items() if v[0] > 0}
+    assert view == {"en": [2, 35], "fr": [1, 40]}
