@@ -131,29 +131,47 @@ def ann_sign_topk_indexed(
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_col: str | None = None,
 ) -> DataFrame:
     """Sign-LSH search against the persisted index: bucket the queries
     (Catalyst), prune the index scan to the probed buckets (genuine
     partition pruning — the probed bucket list is collected driver-side,
     bounded by the query count), bucket-join for candidates, exact
     cosine rerank, top-k per query with (score DESC, doc_id ASC)
-    tie-break. Returns (query_id, doc_id, score, rank)."""
+    tie-break. Returns (query_id, doc_id, score, rank).
+
+    ``filter_col``: optional metadata predicate — rank only corpus
+    rows whose ``filter_col`` equals the query's (filtered ANN). The
+    predicate composes WITH the index: bucket pruning still bounds
+    the candidate scan, and the attribute filter lands on the rerank
+    join — post-filtering, the strategy real vector stores use when
+    the filter is not bucket-aligned."""
     ensure_sign_index(spark, corpus, path, id_col=id_col, vec_col=vec_col)
-    qb = queries.select(
+    qcols = [
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         sign_bucket(vec_col).alias("bucket"),
-    )
+    ]
+    if filter_col is not None:
+        qcols.append(F.col(filter_col).alias("__qf"))
+    qb = queries.select(*qcols)
     probed = sorted({r["bucket"] for r in qb.select("bucket").distinct().collect()})
     idx = (
         spark.read.parquet(os.path.join(path, "buckets"))
         .filter(F.col("bucket").isin(probed))
     )
-    cand = qb.join(idx, "bucket").select("query_id", "__qv", F.col("id").alias("doc_id"))
-    withvec = cand.join(
-        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__cv")),
-        "doc_id",
+    keep = ["query_id", "__qv", F.col("id").alias("doc_id")] + (
+        ["__qf"] if filter_col is not None else []
     )
+    cand = qb.join(idx, "bucket").select(*keep)
+    ccols = [F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__cv")] + (
+        [F.col(filter_col).alias("__cf")] if filter_col is not None else []
+    )
+    withvec = cand.join(corpus.select(*ccols), "doc_id")
+    if filter_col is not None:
+        withvec = withvec.filter(F.col("__qf") == F.col("__cf")).filter(
+            F.col("query_id") != F.col("doc_id")
+        )
     scored = withvec.select(
         "query_id",
         "doc_id",

@@ -516,3 +516,56 @@ def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("expected_candidate_frac"),
     )
+
+
+_SIGN_FILTERED_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, label, v, {bucket_sql('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, label AS qf, v AS qv, bucket FROM b
+          WHERE vec_id < 20),
+    cand AS (
+      SELECT q.query_id, q.qv, c.vec_id AS doc_id, c.v AS cv
+      FROM q JOIN b c USING (bucket)
+      WHERE c.label = q.qf AND c.vec_id <> q.query_id),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS score
+      FROM cand)
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 10
+"""
+
+
+@register("ann_signlsh_filtered", oracle=_SIGN_FILTERED_ORACLE)
+def ann_signlsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN against the persisted index: metadata predicate
+    (same label) ∧ sign-LSH bucket probe, composed — bucket pruning
+    bounds the candidate scan, the attribute filter post-filters the
+    rerank join, self-matches excluded. The filtered_topk query is
+    this semantics' exact twin over the FULL corpus; this one proves
+    the predicate composes with the index instead of defeating it.
+    FULL DuckDB oracle."""
+    import os
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "ann_sign",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    from inside_vectordb_spark.operators.ann_sign import ann_sign_topk_indexed
+
+    return ann_sign_topk_indexed(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        art,
+        k=10,
+        query_id_col="query_id",
+        filter_col="label",
+    )

@@ -286,3 +286,36 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(compacted).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "schema_evolution_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a landing zone: batch 1 lands with the
+    original (doc_id, lang) schema, batch 2 lands with an ADDED
+    n_chars column into the same directory; ``mergeSchema`` read
+    reconciles — old rows surface NULL for the new column, no rewrite
+    of historical files (the add-column path every lakehouse format
+    guarantees is metadata-only). The oracle states exactly that
+    reconciliation."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    path = _rt_path("schema_evo", sf_dir)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "append"
+    ).parquet(path)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path).select(
+        "doc_id", "lang", "n_chars"
+    )
