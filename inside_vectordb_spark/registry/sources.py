@@ -319,3 +319,40 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@register(
+    "bucketed_join_roundtrip",
+    oracle="""
+    SELECT d.lang, e.label, count(*) AS n
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed join: both tables land bucketed by the join key
+    (the write-once pre-shuffle), then join + aggregate with ZERO
+    runtime Exchange on the join (tests/test_bucketing.py pins the
+    plan; at 100 TB this converts every repeated equi-join from a
+    full-table shuffle into partition-to-partition streaming). The
+    oracle is the plain declarative join — bucketing must be
+    semantics-free."""
+    from inside_vectordb_spark.operators.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    docs = eio.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = eio.load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    sf = (os.path.basename(sf_dir.rstrip("/")) or "default").replace(".", "_")
+    t_docs, t_emb = f"rt_docs_{sf}", f"rt_emb_{sf}"
+    write_bucketed(
+        docs.withColumnRenamed("doc_id", "vec_id"), t_docs, "vec_id", n_buckets=8
+    )
+    write_bucketed(emb, t_emb, "vec_id", n_buckets=8)
+    return (
+        read_bucketed(spark, t_docs)
+        .join(read_bucketed(spark, t_emb), "vec_id")
+        .groupBy("lang", "label")
+        .agg(F.count("*").alias("n"))
+    )
