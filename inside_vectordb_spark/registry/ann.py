@@ -569,3 +569,27 @@ def ann_signlsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id_col="query_id",
         filter_col="label",
     )
+
+
+from inside_vectordb_spark.operators.binq import binary_oracle_sql  # noqa: E402
+
+_BINQ_ORACLE = binary_oracle_sql(eio.N_QUERY_VECTORS, 10, 5)
+
+
+@register("ann_binary_topk", oracle=_BINQ_ORACLE)
+def ann_binary_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (1 bit/dim, FAISS IndexBinaryFlat /
+    RaBitQ-style first-pass ranker): sign-vs-mean bits packed 32/word,
+    Hamming distance = Σ bit_count(word XOR word) — exact integers
+    end-to-end, so this ANN tier carries a FULL DuckDB value-hash
+    oracle. Candidates (k·refine lowest Hamming) rerank with exact
+    cosine. The packed-words relation is 2 BIGINTs per 64-d vector —
+    a 16× scan-volume cut vs float32 raw (operators/binq.py)."""
+    from inside_vectordb_spark.operators.binq import ann_binary_topk
+
+    return ann_binary_topk(
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        refine=5,
+    )
