@@ -31,7 +31,6 @@ bucketing/probing the (small) query side and the candidate re-rank.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any
 
@@ -40,6 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from inside_vectordb_spark import _meta_io as mio
 from inside_vectordb_spark.functions.vector import l2_normalize
 from inside_vectordb_spark.operators.ann import (
     _rerank_candidates,
@@ -51,16 +51,11 @@ from inside_vectordb_spark.operators.ann import (
 
 
 def _read_meta(path: str) -> dict[str, Any] | None:
-    meta_path = os.path.join(path, "meta.json")
-    if not os.path.exists(meta_path):
-        return None
-    with open(meta_path) as f:
-        return json.load(f)
+    return mio.read_json(mio.join(path, "meta.json"))
 
 
 def _write_meta(path: str, meta: dict[str, Any]) -> None:
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
 
 
 def _corpus_fingerprint(corpus: DataFrame, id_col: str) -> dict[str, int]:
@@ -697,7 +692,12 @@ def build_sq_index(
 
     spark = corpus.sparkSession
     mins, spans = sq_train(corpus, vec_col)
-    os.makedirs(path, exist_ok=True)
+    mio.makedirs(path)
+    # a rebuild starts a fresh index lifecycle: tombstones from the
+    # previous index would silently exclude ids from the NEW corpus
+    # (deletes are "compacted away by a rebuild" — so the rebuild must
+    # actually drop them)
+    mio.remove_tree(mio.join(path, "tombstones"))
     (
         spark.createDataFrame(
             pd.DataFrame(
@@ -762,8 +762,8 @@ def delete_from_sq_index(
 
 def deleted_ids(spark: SparkSession, path: str) -> set[int]:
     """The current tombstone set (empty if none ever deleted)."""
-    tomb = os.path.join(path, "tombstones")
-    if not os.path.isdir(tomb):
+    tomb = mio.join(path, "tombstones")
+    if not mio.is_dir(tomb):
         return set()
     return {r["doc_id"] for r in spark.read.parquet(tomb).collect()}
 
@@ -814,8 +814,8 @@ def ann_sq_topk_indexed(
     spark = queries.sparkSession
     stats = load_sq_stats(spark, path)
     codes = spark.read.parquet(os.path.join(path, "codes"))
-    tomb = os.path.join(path, "tombstones")
-    if os.path.isdir(tomb):
+    tomb = mio.join(path, "tombstones")
+    if mio.is_dir(tomb):
         codes = codes.join(
             F.broadcast(spark.read.parquet(tomb)), "doc_id", "left_anti"
         )

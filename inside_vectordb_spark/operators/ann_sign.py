@@ -12,6 +12,13 @@ Charikar construction — for cosine LSH the component distribution
 only needs symmetry, so ±1 planes carry the same collision-probability
 guarantee (P[same bit] = 1 − θ/π) as Gaussian ones.
 
+``bits`` and ``dim`` are BUILD PARAMETERS (recorded in the index
+meta.json and mirrored into the generated oracle SQL), not module
+constants: the bucket count 2^bits is the candidate-set knob — at a
+100× corpus the same module builds a 2^10- or 2^14-bucket index by
+passing ``bits`` instead of editing source. ``SIGN_BITS``/``SIGN_DIM``
+remain as the defaults the registered sf-scale queries use.
+
 Scale shape (same as the stochastic tier): the corpus is scanned once
 to bucket (narrow projection, no shuffle); the index is parquet
 partitioned by bucket, so probing prunes unread partitions; the
@@ -22,15 +29,16 @@ candidates.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from inside_vectordb_spark import _meta_io as mio
 from inside_vectordb_spark.functions.vector import cosine_similarity
 
-SIGN_BITS = 6  # 64 buckets; ~N/64 candidates per query
+SIGN_BITS = 6  # default: 64 buckets; ~N/64 candidates per query
 SIGN_DIM = 64
 
 
@@ -39,23 +47,31 @@ def _sign(bit: int, j: int) -> int:
     return 1 if int(h[0], 16) % 2 == 0 else -1
 
 
-# bit → ±1 component per dimension; module-level constants shared by
-# the Spark expression and the generated oracle SQL.
-SIGN_PLANES: list[list[int]] = [
-    [_sign(b, j) for j in range(SIGN_DIM)] for b in range(SIGN_BITS)
-]
+@lru_cache(maxsize=32)
+def sign_planes(bits: int = SIGN_BITS, dim: int = SIGN_DIM) -> tuple[tuple[int, ...], ...]:
+    """±1 hyperplane components for a (bits, dim) index build — pure
+    functions of (bit, j), so any two processes (Spark executors, the
+    DuckDB oracle generator, a future rebuild) derive identical planes
+    without shipping an artifact."""
+    return tuple(tuple(_sign(b, j) for j in range(dim)) for b in range(bits))
 
 
-def sign_bucket(vec_col: Column | str) -> Column:
+# Default planes shared by the registered sf-scale queries and their
+# generated oracle SQL.
+SIGN_PLANES: tuple[tuple[int, ...], ...] = sign_planes(SIGN_BITS, SIGN_DIM)
+
+
+def sign_bucket(vec_col: Column | str, planes=None) -> Column:
     """Bucket id = the sign-bit signature of the vector against the
-    SIGN_PLANES hyperplanes — pure Catalyst (one sequential-fold dot
-    per plane, identical order to the SQL twin's left-assoc sum)."""
+    hyperplanes — pure Catalyst (one sequential-fold dot per plane,
+    identical order to the SQL twin's left-assoc sum)."""
+    planes = SIGN_PLANES if planes is None else planes
     v = F.transform(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         lambda x: x.cast("double"),
     )
     total = None
-    for b, signs in enumerate(SIGN_PLANES):
+    for b, signs in enumerate(planes):
         sarr = F.array(*[F.lit(float(s)) for s in signs])
         dot = F.aggregate(
             F.zip_with(v, sarr, lambda x, y: x * y),
@@ -67,7 +83,7 @@ def sign_bucket(vec_col: Column | str) -> Column:
     return total.cast("int")
 
 
-def plane_dot_sql(vec_expr: str, signs: list[int]) -> str:
+def plane_dot_sql(vec_expr: str, signs) -> str:
     """The plane dot as a left-associated literal sum — the same
     fold order as ``sign_bucket``'s aggregate, so signs agree
     bitwise."""
@@ -76,10 +92,11 @@ def plane_dot_sql(vec_expr: str, signs: list[int]) -> str:
     )
 
 
-def bucket_sql(vec_expr: str) -> str:
+def bucket_sql(vec_expr: str, planes=None) -> str:
+    planes = SIGN_PLANES if planes is None else planes
     bits = [
         f"(CASE WHEN ({plane_dot_sql(vec_expr, signs)}) >= 0 THEN {1 << b} ELSE 0 END)"
-        for b, signs in enumerate(SIGN_PLANES)
+        for b, signs in enumerate(planes)
     ]
     return "(" + " + ".join(bits) + ")"
 
@@ -90,35 +107,35 @@ def ensure_sign_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bits: int = SIGN_BITS,
+    dim: int = SIGN_DIM,
 ) -> str:
     """Build (or reuse) the persisted sign-LSH index: (id, bucket)
     parquet partitioned by bucket, plus meta.json carrying the build
-    params and a corpus fingerprint (count + id range) so a changed
-    corpus at the same path triggers a rebuild."""
+    params (``bits``/``dim`` — the bucket-count knob) and a corpus
+    fingerprint (count + id range) so a changed corpus OR changed
+    params at the same path trigger a rebuild."""
     from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
 
-    meta_path = os.path.join(path, "meta.json")
     want = {
         "kind": "sign_lsh",
-        "bits": SIGN_BITS,
-        "dim": SIGN_DIM,
+        "bits": bits,
+        "dim": dim,
         "corpus": _corpus_fingerprint(corpus, id_col),
     }
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            if json.load(f) == want:
-                return path
+    if mio.read_json(mio.join(path, "meta.json")) == want:
+        return path
+    planes = sign_planes(bits, dim)
     (
         corpus.select(
-            F.col(id_col).alias("id"), sign_bucket(vec_col).alias("bucket")
+            F.col(id_col).alias("id"),
+            sign_bucket(vec_col, planes).alias("bucket"),
         )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(path, "buckets"))
     )
-    os.makedirs(path, exist_ok=True)
-    with open(meta_path, "w") as f:
-        json.dump(want, f)
+    mio.write_json(mio.join(path, "meta.json"), want)
     return path
 
 
@@ -132,6 +149,9 @@ def ann_sign_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     filter_col: str | None = None,
+    bits: int = SIGN_BITS,
+    dim: int = SIGN_DIM,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """Sign-LSH search against the persisted index: bucket the queries
     (Catalyst), prune the index scan to the probed buckets (genuine
@@ -145,12 +165,24 @@ def ann_sign_topk_indexed(
     predicate composes WITH the index: bucket pruning still bounds
     the candidate scan, and the attribute filter lands on the rerank
     join — post-filtering, the strategy real vector stores use when
-    the filter is not bucket-aligned."""
-    ensure_sign_index(spark, corpus, path, id_col=id_col, vec_col=vec_col)
+    the filter is not bucket-aligned.
+
+    ``exclude_self``: drop rows where query_id == doc_id (self-
+    retrieval). Decoupled from ``filter_col`` so the metadata
+    predicate doesn't silently change self-match semantics; the
+    default (None) preserves the historical coupling — self-exclusion
+    on iff a filter is set — which the registered queries' oracles
+    encode."""
+    ensure_sign_index(
+        spark, corpus, path, id_col=id_col, vec_col=vec_col, bits=bits, dim=dim
+    )
+    if exclude_self is None:
+        exclude_self = filter_col is not None
+    planes = sign_planes(bits, dim)
     qcols = [
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        sign_bucket(vec_col).alias("bucket"),
+        sign_bucket(vec_col, planes).alias("bucket"),
     ]
     if filter_col is not None:
         qcols.append(F.col(filter_col).alias("__qf"))
@@ -169,9 +201,9 @@ def ann_sign_topk_indexed(
     )
     withvec = cand.join(corpus.select(*ccols), "doc_id")
     if filter_col is not None:
-        withvec = withvec.filter(F.col("__qf") == F.col("__cf")).filter(
-            F.col("query_id") != F.col("doc_id")
-        )
+        withvec = withvec.filter(F.col("__qf") == F.col("__cf"))
+    if exclude_self:
+        withvec = withvec.filter(F.col("query_id") != F.col("doc_id"))
     scored = withvec.select(
         "query_id",
         "doc_id",
@@ -185,7 +217,7 @@ def ann_sign_topk_indexed(
     )
 
 
-def sign_bucket_probes(vec_col: Column | str) -> Column:
+def sign_bucket_probes(vec_col: Column | str, planes=None) -> Column:
     """ARRAY<INT> of probed buckets: the base signature plus the
     signature with its lowest-|margin| bit flipped — classic
     margin-based multiprobe (Lv et al. '07): the plane the vector is
@@ -193,12 +225,14 @@ def sign_bucket_probes(vec_col: Column | str) -> Column:
     doubles recall for 2× candidate cost. Ties break on the lowest
     bit index. Same sequential-fold dots as ``sign_bucket``, so the
     SQL twin agrees bitwise."""
+    planes = SIGN_PLANES if planes is None else planes
+    n_bits = len(planes)
     v = F.transform(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         lambda x: x.cast("double"),
     )
     dots = []
-    for signs in SIGN_PLANES:
+    for signs in planes:
         sarr = F.array(*[F.lit(float(s)) for s in signs])
         dots.append(
             F.aggregate(
@@ -214,9 +248,9 @@ def sign_bucket_probes(vec_col: Column | str) -> Column:
     # argmin |dot| with lowest-index tie-break: strict < against all
     # previous planes, <= against all later ones.
     flip = None
-    for b in range(SIGN_BITS):
+    for b in range(n_bits):
         cond = None
-        for o in range(SIGN_BITS):
+        for o in range(n_bits):
             if o == b:
                 continue
             c = (
@@ -233,14 +267,16 @@ def sign_bucket_probes(vec_col: Column | str) -> Column:
     )
 
 
-def probes_sql(vec_expr: str) -> str:
+def probes_sql(vec_expr: str, planes=None) -> str:
     """SQL twin of ``sign_bucket_probes`` (same argmin tie-break)."""
-    dots = [f"({plane_dot_sql(vec_expr, signs)})" for signs in SIGN_PLANES]
-    base = bucket_sql(vec_expr)
+    planes = SIGN_PLANES if planes is None else planes
+    n_bits = len(planes)
+    dots = [f"({plane_dot_sql(vec_expr, signs)})" for signs in planes]
+    base = bucket_sql(vec_expr, planes)
     whens = []
-    for b in range(SIGN_BITS):
+    for b in range(n_bits):
         conds = []
-        for o in range(SIGN_BITS):
+        for o in range(n_bits):
             if o == b:
                 continue
             op = "<" if o < b else "<="
@@ -259,17 +295,22 @@ def ann_sign_multiprobe_topk(
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bits: int = SIGN_BITS,
+    dim: int = SIGN_DIM,
 ) -> DataFrame:
     """Multiprobe sign-LSH against the persisted index: each query
     probes its base bucket AND the lowest-margin bit-flip bucket
     (2× candidates, ~2× recall — the X3 ef-style knob on the
     deterministic tier). Same pruned scan / bucket join / exact
     rerank shape as the single-probe search."""
-    ensure_sign_index(spark, corpus, path, id_col=id_col, vec_col=vec_col)
+    ensure_sign_index(
+        spark, corpus, path, id_col=id_col, vec_col=vec_col, bits=bits, dim=dim
+    )
+    planes = sign_planes(bits, dim)
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.explode(sign_bucket_probes(vec_col)).alias("bucket"),
+        F.explode(sign_bucket_probes(vec_col, planes)).alias("bucket"),
     )
     probed = sorted({r["bucket"] for r in qb.select("bucket").distinct().collect()})
     idx = (
@@ -293,4 +334,63 @@ def ann_sign_multiprobe_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def ann_sign_probe_stats(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    n_probes: int = 1,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = SIGN_BITS,
+    dim: int = SIGN_DIM,
+) -> DataFrame:
+    """The knob-sweep observable (X3/B3, the reference's ef sweep
+    ``003-hnswlib_demo.py:408-458`` restated for the LSH tier): for a
+    probe setting, the per-query CANDIDATE COUNT (the work the knob
+    buys) and the best rounded cosine among candidates (the quality it
+    buys). ``n_probes`` ∈ {1, 2}: 1 = base bucket, 2 = base + the
+    lowest-|margin| bit flip. Returns (query_id, n_candidates,
+    top1_score) — deterministic per-row values, fully SQL-restateable,
+    and monotone in ``n_probes`` (probe-2 candidates ⊇ probe-1)."""
+    if n_probes not in (1, 2):
+        raise ValueError("n_probes must be 1 or 2")
+    ensure_sign_index(
+        spark, corpus, path, id_col=id_col, vec_col=vec_col, bits=bits, dim=dim
+    )
+    planes = sign_planes(bits, dim)
+    bucket = (
+        sign_bucket(vec_col, planes)
+        if n_probes == 1
+        else F.explode(sign_bucket_probes(vec_col, planes))
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        bucket.alias("bucket"),
+    )
+    probed = sorted({r["bucket"] for r in qb.select("bucket").distinct().collect()})
+    idx = (
+        spark.read.parquet(os.path.join(path, "buckets"))
+        .filter(F.col("bucket").isin(probed))
+    )
+    cand = qb.join(idx, "bucket").select(
+        "query_id", "__qv", F.col("id").alias("doc_id")
+    )
+    withvec = cand.join(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__cv")),
+        "doc_id",
+    )
+    return (
+        withvec.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.max(F.round(cosine_similarity("__qv", "__cv"), 6)).alias(
+                "top1_score"
+            ),
+        )
     )

@@ -22,11 +22,12 @@ byte-identical.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from inside_vectordb_spark import _meta_io as mio
 
 
 def merge_upsert(
@@ -70,23 +71,22 @@ def touched_buckets(
 
 def snapshot_versions(path: str) -> list[int]:
     """Committed versions in the snapshot log (ascending)."""
-    log = os.path.join(path, "_log.json")
-    if not os.path.exists(log):
+    log = mio.read_json(mio.join(path, "_log.json"))
+    if log is None:
         return []
-    with open(log) as f:
-        return sorted(int(v) for v in json.load(f)["versions"])
+    return sorted(int(v) for v in log["versions"])
 
 
 def write_snapshot(df: DataFrame, path: str, version: int) -> None:
     """Commit ``df`` as snapshot ``version``: data under ``v=N``, then
     the log rewritten LAST — the write is visible only once the log
     commit lands, which is the minimal atomic-commit protocol every
-    table format (Delta/Iceberg) builds on."""
+    table format (Delta/Iceberg) builds on. The log rewrite itself is
+    an atomic rename (``_meta_io.write_json``), so a crash or reader
+    mid-commit sees the previous complete log, never a partial one."""
     df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
     versions = set(snapshot_versions(path)) | {version}
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "_log.json"), "w") as f:
-        json.dump({"versions": sorted(versions)}, f)
+    mio.write_json(mio.join(path, "_log.json"), {"versions": sorted(versions)})
 
 
 def read_snapshot(
@@ -126,21 +126,18 @@ def merge_into_snapshot(
 def vacuum_snapshots(path: str, keep_last: int = 1) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` committed
     versions (Delta ``VACUUM`` / Iceberg ``expire_snapshots``). The
-    log is rewritten FIRST (so a reader never resolves a version whose
-    data is mid-delete), then the expired data directories go. Returns
-    the removed versions."""
-    import shutil
-
+    log is rewritten FIRST (atomic rename — a reader never resolves a
+    version whose data is mid-delete, nor a truncated log), then the
+    expired data directories go. Returns the removed versions."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = snapshot_versions(path)
     expired = versions[:-keep_last]
     if not expired:
         return []
-    with open(os.path.join(path, "_log.json"), "w") as f:
-        json.dump({"versions": versions[-keep_last:]}, f)
+    mio.write_json(mio.join(path, "_log.json"), {"versions": versions[-keep_last:]})
     for v in expired:
-        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+        mio.remove_tree(mio.join(path, f"v={v}"))
     return expired
 
 

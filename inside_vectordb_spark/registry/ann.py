@@ -429,6 +429,119 @@ def ann_signlsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_SCORE = (
+    "round(list_dot_product(q.qv, c.v) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6)"
+)
+
+_SIGN_SWEEP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e),
+    q1 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+    q2 AS (SELECT vec_id AS query_id, v AS qv, unnest({probes_sql('v')}) AS bucket
+           FROM e WHERE vec_id < 20),
+    s1 AS (
+      SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             max({_SWEEP_SCORE}) AS top1_score
+      FROM q1 q JOIN b c USING (bucket) GROUP BY q.query_id),
+    s2 AS (
+      SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             max({_SWEEP_SCORE}) AS top1_score
+      FROM q2 q JOIN b c USING (bucket) GROUP BY q.query_id)
+    SELECT 'probe1' AS setting, query_id, n_candidates, top1_score FROM s1
+    UNION ALL
+    SELECT 'probe2' AS setting, query_id, n_candidates, top1_score FROM s2
+"""
+
+
+@register("ann_signlsh_sweep", oracle=_SIGN_SWEEP_ORACLE)
+def ann_signlsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/B3 with a FULL oracle: the probe-count knob sweep on the
+    deterministic sign-LSH index (the reference's ef-sensitivity sweep,
+    ``003-hnswlib_demo.py:408-458``, restated as LSH probes). One row
+    per (setting, query): the candidate count the knob pays for and the
+    best cosine it buys — probe2's candidate sets are supersets of
+    probe1's, so n_candidates is monotone ↑ and top1_score never drops;
+    the value-hash match proves BOTH curves, not just the shape."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_sign import ann_sign_probe_stats
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "ann_sign",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    q = eio.query_vectors(spark, sf_dir)
+    c = eio.load_table(spark, sf_dir, "embeddings")
+    pieces = []
+    for n_probes in (1, 2):
+        pieces.append(
+            ann_sign_probe_stats(spark, q, c, art, n_probes=n_probes).select(
+                F.lit(f"probe{n_probes}").alias("setting"),
+                "query_id",
+                "n_candidates",
+                "top1_score",
+            )
+        )
+    return pieces[0].unionByName(pieces[1])
+
+
+from inside_vectordb_spark.operators.ann_sign import sign_planes  # noqa: E402
+
+_P10 = sign_planes(10, 64)
+
+_SIGN_B10_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket_sql('v', _P10)} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+    cand AS (
+      SELECT q.query_id, q.qv, c.vec_id AS doc_id, c.v AS cv
+      FROM q JOIN b c USING (bucket)),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS score
+      FROM cand)
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 10
+"""
+
+
+@register("ann_signlsh_bits10", oracle=_SIGN_B10_ORACLE)
+def ann_signlsh_bits10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-width knob exercised end-to-end: the same persisted
+    sign-LSH pipeline built at bits=10 (1024 buckets — the setting a
+    100× corpus would run) against ITS OWN generated oracle. The SQL
+    twin derives from the same parameterized plane generator
+    (``sign_planes(10, 64)``), so a green row proves the knob is
+    mirrored through build params, meta.json, AND the oracle
+    generator — not just the Spark side."""
+    import os
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "ann_sign_b10",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    return ann_sign_topk_indexed(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        art,
+        k=10,
+        query_id_col="query_id",
+        bits=10,
+    )
+
+
 _SQ_DELETED_IDS = (5, 7, 11, 23, 42)  # exist at every SF (min corpus = 50)
 _SQ_DEL_ORACLE = sq_oracle_sql(
     eio.N_QUERY_VECTORS, 10, 5, exclude_ids=_SQ_DELETED_IDS

@@ -1,0 +1,46 @@
+"""The metadata I/O seam: atomic control-file writes (a crashed or
+concurrent commit never exposes a partial log/meta) and the snapshot
+log's behavior through it."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from inside_vectordb_spark import _meta_io as mio
+
+
+def test_write_json_atomic_and_clean(tmp_path):
+    p = str(tmp_path / "sub" / "meta.json")
+    assert mio.read_json(p) is None
+    for i in range(20):
+        mio.write_json(p, {"versions": list(range(i + 1))})
+    assert mio.read_json(p) == {"versions": list(range(20))}
+    # no temp droppings: the rename consumed every staged file
+    leftovers = [f for f in os.listdir(tmp_path / "sub") if f != "meta.json"]
+    assert leftovers == []
+    # the on-disk bytes are always complete JSON
+    with open(p) as f:
+        assert json.load(f)["versions"][-1] == 19
+
+
+def test_snapshot_log_roundtrip_through_seam(spark, tmp_path):
+    from inside_vectordb_spark.operators.merge import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "snap")
+    write_snapshot(df, path, 1)
+    write_snapshot(df.filter("doc_id < 5"), path, 2)
+    assert snapshot_versions(path) == [1, 2]
+    assert read_snapshot(spark, path, 1).count() == 10
+    assert read_snapshot(spark, path).count() == 5
+    assert vacuum_snapshots(path, keep_last=1) == [1]
+    assert snapshot_versions(path) == [2]
+    # log file is valid standalone JSON (atomic replace, no truncation)
+    with open(os.path.join(path, "_log.json")) as f:
+        assert json.load(f) == {"versions": [2]}

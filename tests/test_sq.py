@@ -162,3 +162,32 @@ def test_sq_delete_tombstones(spark, tmp_path):
     # idempotency
     delete_from_sq_index(spark, path, dels)
     assert deleted_ids(spark, path) == set(dels)
+
+
+def test_sq_rebuild_clears_tombstones(spark, tmp_path):
+    """A rebuild starts a fresh index lifecycle: tombstones from the
+    previous index must NOT survive into the rebuilt one (deletes are
+    compacted away by the rebuild — the contract delete_from_sq_index
+    documents)."""
+    from inside_vectordb_spark.operators.ann_index import (
+        ann_sq_topk_indexed,
+        build_sq_index,
+        delete_from_sq_index,
+        deleted_ids,
+    )
+
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    path = str(tmp_path / "sq_rebuild")
+    build_sq_index(c, path)
+    delete_from_sq_index(spark, path, [5, 7])
+    assert deleted_ids(spark, path) == {5, 7}
+    meta = build_sq_index(c, path)  # rebuild (e.g. changed corpus)
+    assert deleted_ids(spark, path) == set()
+    assert "n_deleted" not in meta
+    got_ids = {
+        r.doc_id
+        for r in ann_sq_topk_indexed(q, c, path, k=K, refine=5).collect()
+    }
+    # queries 5 and 7 retrieve themselves again post-rebuild
+    assert {5, 7} <= got_ids
