@@ -44,3 +44,31 @@ def test_snapshot_log_roundtrip_through_seam(spark, tmp_path):
     # log file is valid standalone JSON (atomic replace, no truncation)
     with open(os.path.join(path, "_log.json")) as f:
         assert json.load(f) == {"versions": [2]}
+
+
+def test_snapshot_fixture_reused_across_invocations(spark):
+    """The snapshot queries' v1→v2→v3 fixture is built ONCE per
+    (sf_dir, corpus fingerprint) and reused — re-invoking a registered
+    snapshot query must not rewrite the fixture (the bench number then
+    measures the operator, not O(base) fixture I/O) and must return
+    identical results."""
+    from inside_vectordb_spark.registry import QUERIES
+    from inside_vectordb_spark.registry.pipeline import _ensure_snapshot_history
+    from tests.conftest import SF_DIR
+
+    art = _ensure_snapshot_history(spark, SF_DIR)
+    log = os.path.join(art, "_log.json")
+    first = {
+        tuple(r) for r in QUERIES["snapshot_change_feed"](spark, SF_DIR).collect()
+    }
+    mtime = os.path.getmtime(log)
+    second = {
+        tuple(r) for r in QUERIES["snapshot_change_feed"](spark, SF_DIR).collect()
+    }
+    assert first == second and len(first) > 0
+    assert os.path.getmtime(log) == mtime  # fixture untouched on re-run
+    # corrupting the marker forces a rebuild (self-healing cache)
+    mio.write_json(os.path.join(art, "_fixture.json"), {"recipe": "stale"})
+    art2 = _ensure_snapshot_history(spark, SF_DIR)
+    assert art2 == art
+    assert os.path.getmtime(log) > mtime
