@@ -496,3 +496,60 @@ def test_snapshot_diff_preimages_roundtrip(spark, tmp_path):
         cur[1] += dn
     view = {k: v for k, v in view.items() if v[0] > 0}
     assert view == {"en": [2, 35], "fr": [1, 40]}
+
+
+def test_bpe_batched_matches_sequential(spark):
+    """Batched merge selection is EXACT: any batch_size yields the
+    identical merge table (rank, pair, count) as 1-at-a-time
+    sequential BPE, while taking fewer pair-count rounds."""
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.traindata import bpe_learn
+    from tests.conftest import SF_DIR
+
+    docs = eio.load_table(spark, SF_DIR, "documents")
+    seq = [
+        tuple(r)
+        for r in bpe_learn(docs, n_merges=8, batch_size=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert bpe_learn.last_rounds == 8
+    for bs in (4, 8):
+        got = [
+            tuple(r)
+            for r in bpe_learn(docs, n_merges=8, batch_size=bs)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == seq, bs
+        assert bpe_learn.last_rounds < 8, bs
+
+
+def test_exact_merge_batch_rules():
+    """The batch selector's two exactness rules on crafted rankings:
+    stop at the first symbol overlap; trim while the boundary ties."""
+    from inside_vectordb_spark.operators.traindata import _exact_merge_batch
+
+    def rows(*triples):
+        return [
+            {"left_sym": l, "right_sym": r, "cnt": c} for l, r, c in triples
+        ]
+
+    # disjoint, strictly descending: take everything requested
+    top = rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7), ("g", "h", 6))
+    assert _exact_merge_batch(top, 3) == [("a", "b", 9), ("c", "d", 8), ("e", "f", 7)]
+    # overlap at rank 2 ('b' reused): batch collapses to the argmax
+    top = rows(("a", "b", 9), ("b", "c", 8), ("e", "f", 7))
+    assert _exact_merge_batch(top, 3) == [("a", "b", 9)]
+    # boundary tie: rank-3 pair ties the excluded rank-4 → trimmed
+    top = rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7), ("g", "h", 7))
+    assert _exact_merge_batch(top, 3) == [("a", "b", 9), ("c", "d", 8)]
+    # cascading tie trim stops at the floor of one pair
+    top = rows(("a", "b", 9), ("c", "d", 9), ("e", "f", 9), ("g", "h", 9))
+    assert _exact_merge_batch(top, 3) == [("a", "b", 9)]
+    # exhausted ranking (no boundary): whole prefix is safe
+    top = rows(("a", "b", 9), ("c", "d", 8))
+    assert _exact_merge_batch(top, 3) == [("a", "b", 9), ("c", "d", 8)]
+    # sub-threshold counts never merge
+    top = rows(("a", "b", 1), ("c", "d", 1))
+    assert _exact_merge_batch(top, 3) == []
