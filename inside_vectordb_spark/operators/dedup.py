@@ -391,7 +391,9 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -423,6 +425,10 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    # scale-sensitive observability: rounds actually taken (tracked
+    # round-over-round in the bench report — a corpus whose cluster
+    # graph suddenly needs more rounds is a skew/adversarial signal)
+    connected_components.last_rounds = rounds
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
