@@ -123,9 +123,15 @@ def ensure_sign_index(
         "dim": dim,
         "corpus": _corpus_fingerprint(corpus, id_col),
     }
-    if mio.read_json(mio.join(path, "meta.json")) == want:
+    # subset compare: lifecycle bookkeeping (n_deleted) must not
+    # invalidate the cache — only changed params/corpus do
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is not None and all(meta.get(k) == v for k, v in want.items()):
         return path
     planes = sign_planes(bits, dim)
+    # fresh lifecycle: tombstones from a prior index must not leak
+    # into the rebuilt one (same contract as the SQ tier)
+    mio.remove_tree(mio.join(path, "tombstones"))
     (
         corpus.select(
             F.col(id_col).alias("id"),
@@ -137,6 +143,24 @@ def ensure_sign_index(
     )
     mio.write_json(mio.join(path, "meta.json"), want)
     return path
+
+
+def _index_scan(spark: SparkSession, path: str, probed: list[int]) -> DataFrame:
+    """The pruned (id, bucket) scan every sign-LSH search shares:
+    partition-pruned to the probed buckets, with tombstoned ids
+    anti-joined out (broadcast — the tombstone set is small by
+    contract), so deleted vectors can never reach candidate
+    generation or the rerank."""
+    idx = (
+        spark.read.parquet(os.path.join(path, "buckets"))
+        .filter(F.col("bucket").isin(probed))
+    )
+    tomb = mio.join(path, "tombstones")
+    if mio.is_dir(tomb):
+        idx = idx.join(
+            F.broadcast(spark.read.parquet(tomb)), "id", "left_anti"
+        )
+    return idx
 
 
 def ann_sign_topk_indexed(
@@ -188,10 +212,7 @@ def ann_sign_topk_indexed(
         qcols.append(F.col(filter_col).alias("__qf"))
     qb = queries.select(*qcols)
     probed = sorted({r["bucket"] for r in qb.select("bucket").distinct().collect()})
-    idx = (
-        spark.read.parquet(os.path.join(path, "buckets"))
-        .filter(F.col("bucket").isin(probed))
-    )
+    idx = _index_scan(spark, path, probed)
     keep = ["query_id", "__qv", F.col("id").alias("doc_id")] + (
         ["__qf"] if filter_col is not None else []
     )
@@ -313,10 +334,7 @@ def ann_sign_multiprobe_topk(
         F.explode(sign_bucket_probes(vec_col, planes)).alias("bucket"),
     )
     probed = sorted({r["bucket"] for r in qb.select("bucket").distinct().collect()})
-    idx = (
-        spark.read.parquet(os.path.join(path, "buckets"))
-        .filter(F.col("bucket").isin(probed))
-    )
+    idx = _index_scan(spark, path, probed)
     cand = qb.join(idx, "bucket").select(
         "query_id", "__qv", F.col("id").alias("doc_id")
     )
@@ -374,10 +392,7 @@ def ann_sign_probe_stats(
         bucket.alias("bucket"),
     )
     probed = sorted({r["bucket"] for r in qb.select("bucket").distinct().collect()})
-    idx = (
-        spark.read.parquet(os.path.join(path, "buckets"))
-        .filter(F.col("bucket").isin(probed))
-    )
+    idx = _index_scan(spark, path, probed)
     cand = qb.join(idx, "bucket").select(
         "query_id", "__qv", F.col("id").alias("doc_id")
     )
@@ -394,3 +409,86 @@ def ann_sign_probe_stats(
             ),
         )
     )
+
+
+def upsert_sign_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental maintenance of the persisted sign-LSH index — the
+    hnswlib batched ``add_items`` loop (``003-hnswlib_demo.py:207-220``)
+    as an append-only delta write: only the NEW vectors are bucketed
+    (with the planes recorded in meta.json, so a bits=10 index stays a
+    bits=10 index), and their rows land as extra parquet files inside
+    the same bucket partitions — search needs zero changes and still
+    partition-prunes. O(delta) work; the stored fingerprint merges the
+    delta so a later ``ensure_sign_index`` over the full corpus
+    recognizes the maintained index as current. Because the bucket
+    function is deterministic, an upserted index is BIT-IDENTICAL to a
+    full rebuild over base ∪ delta — which is why the registered
+    upsert query shares the plain search oracle.
+
+    Contract (FAISS ``add``): delta ids disjoint from stored ids."""
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+        _merge_fingerprint,
+    )
+
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "sign_lsh":
+        raise FileNotFoundError(f"no complete sign-LSH index at {path}")
+    planes = sign_planes(meta["bits"], meta["dim"])
+    (
+        new_vectors.select(
+            F.col(id_col).alias("id"),
+            sign_bucket(vec_col, planes).alias("bucket"),
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "buckets"))
+    )
+    meta["corpus"] = _merge_fingerprint(
+        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+    )
+    mio.write_json(mio.join(path, "meta.json"), meta)
+    return meta
+
+
+def delete_from_sign_index(
+    spark: SparkSession, path: str, ids: list[int]
+) -> dict:
+    """hnswlib ``mark_deleted`` analogue on the sign-LSH tier:
+    tombstone doc ids WITHOUT rewriting the bucket table — deletes
+    append to a tiny ``tombstones`` parquet that search anti-joins
+    (broadcast) out of the candidate scan. O(deleted) bytes written;
+    a rebuild (``ensure_sign_index`` on a changed corpus/params)
+    compacts tombstones away. Idempotent per id."""
+    import numpy as np
+    import pandas as pd
+
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "sign_lsh":
+        raise FileNotFoundError(f"no complete sign-LSH index at {path}")
+    existing = sign_deleted_ids(spark, path)
+    fresh = sorted(set(int(i) for i in ids) - existing)
+    if fresh:
+        (
+            spark.createDataFrame(
+                pd.DataFrame({"id": np.array(fresh, dtype=np.int64)})
+            )
+            .write.mode("append")
+            .parquet(os.path.join(path, "tombstones"))
+        )
+        meta["n_deleted"] = meta.get("n_deleted", 0) + len(fresh)
+        mio.write_json(mio.join(path, "meta.json"), meta)
+    return meta
+
+
+def sign_deleted_ids(spark: SparkSession, path: str) -> set[int]:
+    tomb = mio.join(path, "tombstones")
+    if not mio.is_dir(tomb):
+        return set()
+    return {r["id"] for r in spark.read.parquet(tomb).collect()}

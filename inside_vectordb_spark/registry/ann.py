@@ -542,6 +542,117 @@ def ann_signlsh_bits10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_signlsh_upsert_topk", oracle=_SIGN_ORACLE)
+def ann_signlsh_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance on the ORACLE-BACKED tier: build
+    the sign-LSH index on 80% of the corpus, append the other 20% via
+    ``upsert_sign_index`` (O(delta) bucketing + parquet append into
+    the same partitions), then search. The bucket function is
+    deterministic, so the maintained index is bit-identical to a full
+    rebuild — which is why this row shares the PLAIN search oracle:
+    the hash match IS the incremental==batch proof, on the hard
+    signal (the rows-only IVF twin `ann_ivf_upsert_topk` pins the
+    same property in pytest only)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+    )
+    from inside_vectordb_spark.operators.ann_sign import (
+        ensure_sign_index,
+        upsert_sign_index,
+    )
+    from inside_vectordb_spark import _meta_io as mio
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    base = corpus.filter(F.col("vec_id") % 5 != 4)
+    delta = corpus.filter(F.col("vec_id") % 5 == 4)
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "ann_sign_upsert",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    # current iff the merged fingerprint equals the FULL corpus's —
+    # else rebuild base-then-delta (same cache rule as the IVF twin)
+    want = {
+        "kind": "sign_lsh", "bits": 6, "dim": 64,
+        "corpus": _corpus_fingerprint(corpus, "vec_id"),
+    }
+    if mio.read_json(mio.join(art, "meta.json")) != want:
+        mio.remove_tree(art)
+        ensure_sign_index(spark, base, art)
+        upsert_sign_index(spark, delta, art)
+    return ann_sign_topk_indexed(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        corpus,
+        art,
+        k=10,
+        query_id_col="query_id",
+    )
+
+
+_SIGN_DELETED_IDS = (5, 7, 11, 23, 42)  # exist at every SF (min corpus = 50)
+
+_SIGN_DEL_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+    cand AS (
+      SELECT q.query_id, q.qv, c.vec_id AS doc_id, c.v AS cv
+      FROM q JOIN b c USING (bucket)
+      WHERE c.vec_id NOT IN {_SIGN_DELETED_IDS}),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS score
+      FROM cand)
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 10
+"""
+
+
+@register("ann_signlsh_deleted", oracle=_SIGN_DEL_ORACLE)
+def ann_signlsh_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index deletion on the oracle-backed sign-LSH tier (hnswlib
+    ``mark_deleted``): tombstone 5 doc ids, then search — deleted ids
+    are broadcast-anti-joined out of the pruned index scan, so they
+    can reach neither candidate generation nor the rerank. O(deleted)
+    bytes written; the oracle restates the tombstone set as NOT IN.
+    Queries 5/7/11 visibly lose their self-match — the delete shows
+    in the RESULT, not just the plan."""
+    import os
+
+    from inside_vectordb_spark.operators.ann_sign import (
+        delete_from_sign_index,
+        ensure_sign_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "ann_sign_del",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    ensure_sign_index(spark, corpus, art)
+    delete_from_sign_index(spark, art, list(_SIGN_DELETED_IDS))
+    return ann_sign_topk_indexed(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        corpus,
+        art,
+        k=10,
+        query_id_col="query_id",
+    )
+
+
 _SQ_DELETED_IDS = (5, 7, 11, 23, 42)  # exist at every SF (min corpus = 50)
 _SQ_DEL_ORACLE = sq_oracle_sql(
     eio.N_QUERY_VECTORS, 10, 5, exclude_ids=_SQ_DELETED_IDS

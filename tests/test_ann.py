@@ -447,3 +447,88 @@ def test_sign_exclude_self_flag(spark, tmp_path):
     assert not any(q == d for q, d in filtered_default)  # back-compat
     filtered_keep = pairs(filter_col="label", exclude_self=False)
     assert any(q == d for q, d in filtered_keep)
+
+
+def test_sign_upsert_equals_batch_build(spark, tmp_path):
+    """Deterministic bucketing ⇒ base-build + delta-upsert yields an
+    index bit-identical to one full build: search results match
+    exactly, and the merged fingerprint makes ensure_sign_index treat
+    the maintained index as current (no rebuild)."""
+    import os
+    import random
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_sign_topk_indexed,
+        ensure_sign_index,
+        upsert_sign_index,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+
+    full = str(tmp_path / "full")
+    ensure_sign_index(spark, df, full)
+    want = {
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in ann_sign_topk_indexed(spark, queries, df, full, k=10).collect()
+    }
+
+    inc = str(tmp_path / "inc")
+    ensure_sign_index(spark, df.filter("vec_id % 3 != 0"), inc)
+    upsert_sign_index(spark, df.filter("vec_id % 3 = 0"), inc)
+    got = {
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in ann_sign_topk_indexed(spark, queries, df, inc, k=10).collect()
+    }
+    assert got == want
+    # fingerprint merged to the full corpus ⇒ recognized as current
+    mtime = os.path.getmtime(os.path.join(inc, "meta.json"))
+    ensure_sign_index(spark, df, inc)
+    assert os.path.getmtime(os.path.join(inc, "meta.json")) == mtime
+    assert mio.read_json(os.path.join(inc, "meta.json"))["corpus"] == mio.read_json(
+        os.path.join(full, "meta.json")
+    )["corpus"]
+
+
+def test_sign_delete_tombstones_lifecycle(spark, tmp_path):
+    """mark_deleted analogue on the sign tier: deleted ids vanish from
+    results, re-deleting is idempotent, and a rebuild (changed corpus)
+    clears the tombstones."""
+    import random
+
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_sign_topk_indexed,
+        delete_from_sign_index,
+        ensure_sign_index,
+        sign_deleted_ids,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 4").selectExpr("vec_id AS query_id", "embedding")
+    path = str(tmp_path / "del")
+    ensure_sign_index(spark, df, path)
+    before = {
+        r["doc_id"]
+        for r in ann_sign_topk_indexed(spark, queries, df, path, k=80).collect()
+    }
+    assert {1, 2} <= before  # queries retrieve themselves pre-delete
+    delete_from_sign_index(spark, path, [1, 2])
+    after = {
+        r["doc_id"]
+        for r in ann_sign_topk_indexed(spark, queries, df, path, k=80).collect()
+    }
+    assert not {1, 2} & after
+    assert after == before - {1, 2}
+    delete_from_sign_index(spark, path, [1, 2])  # idempotent
+    assert sign_deleted_ids(spark, path) == {1, 2}
+    # rebuild on a changed corpus clears the tombstones
+    grown = spark.createDataFrame(
+        rows + [(200, [0.5] * 64)], "vec_id long, embedding array<float>"
+    )
+    ensure_sign_index(spark, grown, path)
+    assert sign_deleted_ids(spark, path) == set()
