@@ -687,6 +687,72 @@ def _bm25_ctes(depth: int) -> str:
     """
 
 
+_TFIDF_ORACLE = f"""
+    WITH q AS (
+      SELECT doc_id AS query_id,
+             concat_ws(' ', {_LTOKS}[1], {_LTOKS}[2], {_LTOKS}[3],
+                       {_LTOKS}[4], {_LTOKS}[5]) AS qt
+      FROM documents WHERE doc_id < 6),
+    toks AS (SELECT doc_id, unnest({_LTOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    docw AS (
+      SELECT doc_id, term,
+             (1 + ln(tf)) * (ln((1.0 + n.n_docs) / (1.0 + df)) + 1) AS wd
+      FROM tf JOIN dft USING (term) CROSS JOIN nd n),
+    dnorm AS (SELECT doc_id, sqrt(sum(wd * wd)) AS dnorm
+              FROM docw GROUP BY doc_id),
+    qtf AS (
+      SELECT query_id, term, count(*) AS tf FROM (
+        SELECT query_id,
+               unnest(regexp_split_to_array(trim(qt), '\\s+')) AS term
+        FROM q)
+      WHERE term <> '' GROUP BY query_id, term),
+    qw AS (
+      SELECT query_id, term,
+             (1 + ln(tf)) *
+             (ln((1.0 + n.n_docs) / (1.0 + coalesce(df, 0))) + 1) AS wq
+      FROM qtf LEFT JOIN dft USING (term) CROSS JOIN nd n),
+    qnorm AS (SELECT query_id, sqrt(sum(wq * wq)) AS qnorm
+              FROM qw GROUP BY query_id),
+    per AS (
+      SELECT qw.query_id, d.doc_id,
+             (qw.wq / qn.qnorm) * (d.wd / dn.dnorm) AS w
+      FROM docw d
+      JOIN qw USING (term)
+      JOIN dnorm dn ON dn.doc_id = d.doc_id
+      JOIN qnorm qn ON qn.query_id = qw.query_id),
+    agg AS (SELECT query_id, doc_id, round(sum(w), 6) AS tfidf
+            FROM per GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY tfidf DESC, doc_id) AS INT) AS rank
+      FROM agg) WHERE rank <= 10
+"""
+
+
+@register("tfidf_topk", oracle=_TFIDF_ORACLE)
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine top-10 per query — the vector-space scorer
+    (sublinear tf, sklearn smooth idf, full-vocabulary L2 norms on
+    both sides) next to the probabilistic BM25 arm, over the same 6
+    deterministic first-5-token queries. Unlike BM25, document norms
+    need the FULL dictionary (operators/tfidf.py documents the
+    index-time df/norm precompute at scale); the oracle restates
+    every arithmetic step including both norms."""
+    from inside_vectordb_spark.operators.tfidf import tfidf_topk
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    return tfidf_topk(docs, queries, k=10)
+
+
 @register(
     "bm25_topk",
     oracle=f"""
