@@ -294,3 +294,38 @@ def cms_heavy_hitters(
         .agg(F.min("c").alias("cms_estimate"))
         .select(F.col("t").alias("term"), "exact_cnt", "cms_estimate")
     )
+
+
+def column_correlations(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    round_corr: int = 6,
+    round_cov: int = 4,
+) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over numeric
+    column pairs — the multi-column extension of ``column_stats``
+    (ANALYZE-style dependency stats; what a CBO needs to de-correlate
+    conjunctive selectivities, and what a feature-engineering pass
+    publishes before training). ONE aggregation pass computes every
+    pair (map-side partial moments; a single 1-row exchange), then a
+    ``stack`` unpivot emits (col_a, col_b, pearson_corr, covariance)
+    — no per-pair jobs, no driver round-trips.
+
+    Rounding: corr is dimensionless (|r| ≤ 1) and rounds at 6 dp;
+    covariance carries the columns' units (magnitudes up to ~1e4 on
+    price-like columns) and rounds at 4 dp so cross-engine summation
+    order stays inside the rounding at 100× row counts."""
+    aggs = []
+    for a, b in pairs:
+        x, y = F.col(a).cast("double"), F.col(b).cast("double")
+        aggs.append(F.corr(x, y).alias(f"__c_{a}__{b}"))
+        aggs.append(F.covar_samp(x, y).alias(f"__v_{a}__{b}"))
+    row = df.agg(*aggs)
+    cells = ", ".join(
+        f"'{a}', '{b}', round(`__c_{a}__{b}`, {round_corr}), "
+        f"round(`__v_{a}__{b}`, {round_cov})"
+        for a, b in pairs
+    )
+    return row.selectExpr(
+        f"stack({len(pairs)}, {cells}) AS (col_a, col_b, pearson_corr, covariance)"
+    )

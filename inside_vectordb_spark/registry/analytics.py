@@ -532,3 +532,36 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+_CORR_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+           round(corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 6) AS pearson_corr,
+           round(covar_samp(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 4) AS covariance
+    FROM lineitem"""
+    for a, b in _CORR_PAIRS
+)
+
+
+@register("lineitem_correlations", oracle=_CORR_ORACLE)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style pairwise dependency stats over the fact table:
+    Pearson corr + sample covariance for 5 numeric column pairs in
+    ONE aggregation pass (operators/stats.py:column_correlations) —
+    the input a cost model needs to de-correlate conjunctive
+    selectivity estimates, and a feature audit publishes before
+    training. Cross-engine pinned: both engines' single-pass moment
+    algorithms agree inside the per-measure rounding."""
+    from inside_vectordb_spark.operators.stats import column_correlations
+
+    return column_correlations(
+        eio.load_table(spark, sf_dir, "lineitem"), _CORR_PAIRS
+    )
