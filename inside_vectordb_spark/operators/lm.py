@@ -1,0 +1,86 @@
+"""Unigram language-model quality scoring — the CCNet-shaped LM
+filter (Wenzek et al. '19 filter web text by LM perplexity; Gopher/
+RefinedWeb keep descendants of the same gate). The production stack
+scores with a pretrained KenLM; this is the distributed unigram
+estimator of the same quantity — fully computable inside the engine
+(train + score are two passes over the corpus, no external model
+artifact) and exactly restatable in SQL, which is what makes the
+operator hash-verifiable. A KenLM-backed variant would swap only the
+per-token log-probability source; the plumbing (token explode,
+term-keyed probability join, per-doc aggregate) is identical.
+
+Model: add-alpha smoothed unigram ML estimate over the corpus itself,
+p(t) = (cnt(t) + alpha) / (total + alpha * V). Scores per document:
+token count, cross-entropy  -mean ln p(t)  (nats), and perplexity
+exp(cross-entropy). High perplexity = tokens rare in the corpus =
+boilerplate/noise/wrong-language candidates; the filter drops the
+high tail exactly like quality_percentile_gate drops the low-quality
+tail.
+
+Plan shape: one explode+count builds the unigram table (map-side
+partial, (term, cnt) shuffle only); corpus totals ride a 1-row
+broadcast; scoring joins doc tokens to the term table (term-keyed)
+and reduces per doc — two inherent shuffles, text never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark.functions.text import tokenize
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy, perplexity) for every doc
+    with at least one token. ``cross_entropy`` is in nats, rounded at
+    ``round_to``; perplexity rounds at 4 dp (it exponentiates the
+    mean, so it carries larger magnitudes)."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab")
+    )
+    logp = F.log(
+        (F.col("cnt") + F.lit(alpha))
+        / (F.col("total") + F.lit(alpha) * F.col("vocab"))
+    )
+    scored = (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", logp.alias("__lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.avg("__lp"), round_to).alias("cross_entropy"),
+        F.round(F.exp(-F.avg("__lp")), 4).alias("perplexity"),
+    )
+
+
+def perplexity_gate(
+    docs: DataFrame,
+    max_perplexity: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The filter itself: documents whose unigram perplexity is at or
+    below the ceiling (CCNet keeps the low-perplexity head). Returns
+    the surviving docs with their scores attached."""
+    scores = unigram_lm_scores(docs, id_col, text_col, alpha)
+    return (
+        docs.join(scores.withColumnRenamed("doc_id", id_col), id_col)
+        .filter(F.col("perplexity") <= max_perplexity)
+    )

@@ -1451,3 +1451,36 @@ def incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 0)
     )
+
+
+_LM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    counts AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+    stats AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM counts),
+    lp AS (
+      SELECT t.doc_id,
+             ln((c.cnt + 0.5) / (s.total + 0.5 * s.vocab)) AS lp
+      FROM t JOIN counts c USING (term) CROSS JOIN stats s)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-avg(lp), 6) AS cross_entropy,
+           round(exp(-avg(lp)), 4) AS perplexity
+    FROM lp GROUP BY doc_id
+"""
+
+
+@register("lm_perplexity_scores", oracle=_LM_ORACLE)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. '19): per-doc
+    cross-entropy + perplexity under an add-alpha smoothed unigram LM
+    estimated from the corpus itself — the hash-verifiable stand-in
+    for the KenLM gate every web-scale curation pipeline runs
+    (operators/lm.py documents the swap point). One unigram-table
+    pass + one term-keyed scoring join; text never shuffles."""
+    from inside_vectordb_spark.operators.lm import unigram_lm_scores
+
+    return unigram_lm_scores(eio.load_table(spark, sf_dir, "documents"))

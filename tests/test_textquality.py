@@ -170,3 +170,49 @@ def test_fuzzy_decontaminate_exact_copy_scores_one(spark):
     bench = spark.createDataFrame([(9, t)], "doc_id long, text string")
     rows = fuzzy_decontaminate(train, bench).collect()
     assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_unigram_lm_scores_hand_computed(spark):
+    """Add-alpha unigram LM on a 2-doc corpus, checked by hand: the
+    repeated-token doc has lower cross-entropy (its tokens are corpus-
+    frequent); a doc of hapaxes scores high perplexity."""
+    import math
+
+    from inside_vectordb_spark.operators.lm import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(0, "the the the the"), (1, "rare words here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    total, vocab = 7, 4  # the×4 + rare + words + here
+    p = lambda c: (c + 0.5) / (total + 0.5 * vocab)
+    ce0 = -math.log(p(4))
+    ce1 = -(3 * math.log(p(1))) / 3
+    assert got[0]["n_tokens"] == 4 and got[1]["n_tokens"] == 3
+    assert abs(got[0]["cross_entropy"] - round(ce0, 6)) < 1e-9
+    assert abs(got[1]["cross_entropy"] - round(ce1, 6)) < 1e-9
+    assert got[0]["perplexity"] < got[1]["perplexity"]
+    assert abs(got[1]["perplexity"] - round(math.exp(ce1), 4)) < 1e-6
+
+
+def test_perplexity_gate_keeps_low_tail(spark):
+    """The CCNet-shaped filter keeps the low-perplexity head and
+    drops the rare-token tail; empty docs never survive (no tokens →
+    no score)."""
+    from inside_vectordb_spark.operators.lm import (
+        perplexity_gate,
+        unigram_lm_scores,
+    )
+
+    common = "alpha beta gamma alpha beta gamma"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(8)]
+        + [(8, "zzq xxv qqj wwk"), (9, "   ")],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["perplexity"] for r in unigram_lm_scores(docs).collect()}
+    assert 9 not in scores
+    cut = (max(v for k, v in scores.items() if k < 8) + scores[8]) / 2
+    kept = {r["doc_id"] for r in perplexity_gate(docs, cut).collect()}
+    assert kept == set(range(8))
