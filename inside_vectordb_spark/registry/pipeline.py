@@ -222,6 +222,48 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(eio.load_table(spark, sf_dir, "documents"))
 
 
+_SIMHASH_SIG_CTE = f"""
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    sbits AS (SELECT doc_id,
+        {', '.join(f'sum(((h >> {j}) & 1) * 2 - 1) AS s{j}' for j in range(dd.SIMHASH_BITS))}
+      FROM hh GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+      CAST({' + '.join(f'CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END' for j in range(dd.SIMHASH_BITS))} AS BIGINT) AS simhash
+    FROM sbits)
+"""
+
+
+@register(
+    "simhash_near_duplicates",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTE},
+    bands AS (
+      SELECT doc_id, simhash, b AS band_idx,
+             (simhash >> (4 * b)) & 15 AS band_val
+      FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def simhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup SEARCH (Manku et al. WWW '07): 4-band
+    candidate join + exact Hamming verify at radius 3 — with
+    max_hamming < n_bands the pigeonhole guarantee makes the banded
+    join exhaustive (every true pair shares a band), so this is the
+    complete dedup operator, not a signature display. Bands shuffle
+    (band_key, id, sig) triples only; text never moves."""
+    return dd.simhash_near_duplicates(
+        eio.load_table(spark, sf_dir, "documents")
+    )
+
+
 _COS_AB = (
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"

@@ -73,3 +73,57 @@ def test_long_path_converges_within_max_iter(spark):
     edges = [(i, i + 1) for i in range(40)]
     got = _run(spark, edges)
     assert set(got.values()) == {0}
+
+
+def test_simhash_near_duplicates_planted(spark):
+    """Planted near-dups: identical docs collide at hamming 0; a
+    one-token edit stays within the radius; unrelated docs don't
+    pair. Exhaustiveness: banded candidates find every pair an
+    all-pairs scan finds at the same radius (pigeonhole guarantee,
+    max_hamming < n_bands)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.dedup import (
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # exact dup
+            (2, base.replace("lazy", "sleepy")),  # near dup
+            (3, "completely different words about spark and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs).collect()
+    }
+    assert out[(0, 1)] == 0
+    assert all(3 not in p for p in out)
+    # exhaustive vs brute force at the same radius
+    sig = simhash(docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .collect()
+    }
+    assert set(out) == brute
+
+
+def test_simhash_near_duplicates_param_guard(spark):
+    """max_hamming >= n_bands would silently lose recall — rejected."""
+    import pytest
+
+    from inside_vectordb_spark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_duplicates(docs, max_hamming=4, n_bands=4)
