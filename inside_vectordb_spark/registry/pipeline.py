@@ -881,6 +881,111 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm_run, vec_run], k=10)
 
 
+def _tfidf_tail_ctes(depth: int) -> str:
+    """CTE chain tdft→…→tf_r: TF-IDF cosine ranked lists at the given
+    depth over the q/toks/tf base CTEs that ``_bm25_ctes`` defines
+    (same queries, same tokenization) — prefixed names so both arms
+    compose in one WITH clause."""
+    return f"""
+    tdft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    tnd AS (SELECT count(*) AS n_docs FROM documents),
+    tdocw AS (
+      SELECT doc_id, term,
+             (1 + ln(tf)) * (ln((1.0 + n.n_docs) / (1.0 + df)) + 1) AS wd
+      FROM tf JOIN tdft USING (term) CROSS JOIN tnd n),
+    tdnorm AS (SELECT doc_id, sqrt(sum(wd * wd)) AS dnorm
+               FROM tdocw GROUP BY doc_id),
+    tqtf AS (
+      SELECT query_id, term, count(*) AS tf FROM (
+        SELECT query_id,
+               unnest(regexp_split_to_array(trim(qt), '\\s+')) AS term
+        FROM q)
+      WHERE term <> '' GROUP BY query_id, term),
+    tqw AS (
+      SELECT query_id, term,
+             (1 + ln(tf)) *
+             (ln((1.0 + n.n_docs) / (1.0 + coalesce(df, 0))) + 1) AS wq
+      FROM tqtf LEFT JOIN tdft USING (term) CROSS JOIN tnd n),
+    tqnorm AS (SELECT query_id, sqrt(sum(wq * wq)) AS qnorm
+               FROM tqw GROUP BY query_id),
+    tper AS (
+      SELECT tqw.query_id, d.doc_id,
+             (tqw.wq / qn.qnorm) * (d.wd / dn.dnorm) AS w
+      FROM tdocw d
+      JOIN tqw USING (term)
+      JOIN tdnorm dn ON dn.doc_id = d.doc_id
+      JOIN tqnorm qn ON qn.query_id = tqw.query_id),
+    tagg AS (SELECT query_id, doc_id, round(sum(w), 6) AS tfidf
+             FROM tper GROUP BY query_id, doc_id),
+    tf_r AS (SELECT query_id, doc_id, tfidf,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY tfidf DESC, doc_id) AS INT) AS rank
+             FROM tagg
+             QUALIFY rank <= {depth})
+    """
+
+
+@register(
+    "hybrid_rrf3_topk",
+    oracle=f"""
+    WITH {_bm25_ctes(50)},
+    {_tfidf_tail_ctes(50)},
+    qv AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 6),
+    vscored AS (
+      SELECT q.query_id, c.vec_id AS doc_id, {_COS_QC} AS score
+      FROM qv q CROSS JOIN embeddings c),
+    vr AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+           FROM vscored QUALIFY rank <= 50),
+    contrib AS (
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM bm_r
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM tf_r
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM vr),
+    agg3 AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
+             FROM contrib GROUP BY query_id, doc_id),
+    fused AS (SELECT query_id, doc_id, rrf,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY rrf DESC, doc_id) AS INT) AS rank
+              FROM agg3)
+    SELECT query_id, doc_id, rrf, rank FROM fused WHERE rank <= 10
+    """,
+)
+def hybrid_rrf3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-arm hybrid retrieval: BM25 (probabilistic lexical),
+    TF-IDF cosine (vector-space lexical), and exact embedding cosine,
+    fused by reciprocal rank at depth 50 — the multi-retriever shape
+    production stacks actually run (rrf_fuse takes any number of
+    runs; fusion cost stays Q·depth per arm, corpus-scale-free). The
+    oracle restates ALL THREE scorers and the fusion in one SQL
+    statement."""
+    from inside_vectordb_spark.operators.bm25 import bm25_topk
+    from inside_vectordb_spark.operators.hybrid import rrf_fuse
+    from inside_vectordb_spark.operators.tfidf import tfidf_topk
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    tqueries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    vqueries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rrf_fuse(
+        [
+            bm25_topk(docs, tqueries, k=50),
+            tfidf_topk(docs, tqueries, k=50),
+            exact_cosine_topk(vqueries, emb, k=50),
+        ],
+        k=10,
+    )
+
+
 @register(
     "mixture_sample",
     oracle="""
