@@ -209,3 +209,94 @@ def events_hourly_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(art, f"hourly_{sf}")
     run_to_parquet_overwrite(hourly_stream(read_events_stream(spark, sf_dir)), path)
     return spark.read.parquet(path)
+
+
+@register(
+    "snapshot_stream_merge",
+    oracle="""
+    WITH chg AS (
+      SELECT doc_id, lang, 'edited_stream' AS source, n_chars, 'update' AS op
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars, 'delete' AS op
+      FROM documents WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, 'stream_ingest' AS source,
+             n_chars, 'insert' AS op
+      FROM documents WHERE doc_id % 10 = 1),
+    keys AS (SELECT DISTINCT doc_id FROM chg)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d ANTI JOIN keys k ON d.doc_id = k.doc_id
+    UNION ALL
+    SELECT doc_id, lang, source, n_chars FROM chg WHERE op <> 'delete'
+    """,
+)
+def snapshot_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply into a copy-on-write snapshot (the Delta
+    foreachBatch + MERGE INTO recipe, `streaming/events.py:
+    run_merge_to_snapshot`): three change files — updates, deletes,
+    inserts on disjoint key sets — land in a watched directory, the
+    file stream feeds them one micro-batch each, and every batch
+    commits one snapshot version via the broadcast-anti CoW merge.
+    After the drain the log holds v1..v4 and the final state equals
+    ONE batch merge of all changes (disjoint keys ⇒ batch-order
+    independent), which is exactly what the oracle restates. The
+    driver-green hash match therefore certifies the whole chain:
+    file-stream delivery → per-batch MERGE → atomic version commits."""
+    import glob
+    import os
+    import shutil
+
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.merge import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+    from inside_vectordb_spark.streaming.events import run_merge_to_snapshot
+
+    docs = eio.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "stream_merge",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    snap = os.path.join(root, "snapshot")
+    inbox = os.path.join(root, "inbox")
+    # the query IS the full ingest story; reset state each run so the
+    # drained checkpoint/log don't replay into a stale table
+    mio.remove_tree(root)
+    write_snapshot(docs, snap, 1)
+
+    batches = [
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .withColumn("source", F.lit("edited_stream"))
+        .withColumn("op", F.lit("update")),
+        docs.filter(F.col("doc_id") % 10 == 7).withColumn("op", F.lit("delete")),
+        docs.filter(F.col("doc_id") % 10 == 1)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("source", F.lit("stream_ingest"))
+        .withColumn("op", F.lit("insert")),
+    ]
+    os.makedirs(inbox, exist_ok=True)
+    schema = None
+    for i, b in enumerate(batches):
+        tmp = os.path.join(root, f"__b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(inbox, f"batch_{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        schema = b.schema if schema is None else schema
+
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    run_merge_to_snapshot(changes, snap)
+    assert snapshot_versions(snap) == [1, 2, 3, 4]
+    return read_snapshot(spark, snap)

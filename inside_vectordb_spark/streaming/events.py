@@ -286,3 +286,64 @@ def run_to_parquet_overwrite(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def run_merge_to_snapshot(
+    changes_stream: DataFrame,
+    snapshot_path: str,
+    key: str = "doc_id",
+    op_col: str = "op",
+    timeout_sec: int = 300,
+    state_partitions: int | None = 8,
+) -> None:
+    """CDC apply — the lakehouse streaming-MERGE pattern (Delta's
+    ``foreachBatch`` + ``MERGE INTO`` upsert recipe): every micro-batch
+    of change rows (insert/update/delete + the base columns) is merged
+    into the copy-on-write snapshot as one new committed version. The
+    per-batch plan is the broadcast-anti CoW merge (the base never
+    shuffles; only changed rows move), and because each commit is the
+    snapshot log's atomic rename, a crashed batch leaves the previous
+    version intact and the checkpoint replays it — at-least-once
+    delivery composes with the idempotent last-log-wins commit into
+    exactly-once TABLE state per batch id.
+
+    MERGE's cardinality contract (a key at most once) must hold PER
+    MICRO-BATCH; cross-batch re-updates of the same key are fine (the
+    later batch supersedes, exactly like sequential MERGEs)."""
+    import os
+    import shutil
+    import tempfile
+
+    from inside_vectordb_spark.operators.merge import merge_into_snapshot
+
+    ckpt = tempfile.mkdtemp(
+        prefix="ck_", dir=os.path.dirname(snapshot_path) or None
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_into_snapshot(
+            batch_df.sparkSession, snapshot_path, batch_df, key=key, op_col=op_col
+        )
+
+    spark = changes_stream.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            changes_stream.writeStream.foreachBatch(apply_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(f"merge stream drain exceeded {timeout_sec}s")
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
