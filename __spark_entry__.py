@@ -103,6 +103,13 @@ WINDOW_PRIORITY = [
     "q21_waiting_suppliers",  # multi-exists anti/semi shape
 ]
 
+# Oracle-backed queries registered AFTER this round's window froze —
+# never driver-checked, all local-parity green; the natural round-5
+# rotation pool (swap for already-green rotation rows above):
+#   ann_signlsh_upsert_topk, ann_signlsh_deleted, tfidf_topk,
+#   hybrid_rrf3_topk, lineitem_correlations, lm_perplexity_scores,
+#   simhash_near_duplicates, snapshot_stream_merge
+
 
 def _ordered(mapping: dict) -> dict:
     head = {n: mapping[n] for n in WINDOW_PRIORITY if n in mapping}

@@ -350,3 +350,39 @@ def test_column_stats_single_scan(spark):
     df = QUERIES["lineitem_column_stats"](spark, SF_DIR)
     plan = physical_plan(df)
     assert plan.count("Scan parquet") == 1
+
+
+def test_tfidf_no_cartesian_no_text_in_shuffle(spark):
+    """TF-IDF's joins stay hash/broadcast (no materialized cartesian
+    beyond the 1-row stats broadcast), and document text never
+    crosses a hash exchange — only (doc_id, term, weight) postings
+    move."""
+    df = QUERIES["tfidf_topk"](spark, SF_DIR)
+    assert_not_in_plan(df, "CartesianProduct")
+    assert count_in_plan(df, "BroadcastHashJoin") >= 2
+    for part, cols in shuffled_payloads(df):
+        if part.startswith("hashpartitioning"):
+            assert "text" not in cols, (part, cols)
+
+
+def test_lm_scores_no_text_in_shuffle(spark):
+    """The unigram LM pipeline shuffles (term, cnt) and (doc_id,
+    logp) only; corpus stats ride a 1-row broadcast; text never
+    moves."""
+    df = QUERIES["lm_perplexity_scores"](spark, SF_DIR)
+    assert_not_in_plan(df, "CartesianProduct")
+    for part, cols in shuffled_payloads(df):
+        if part.startswith("hashpartitioning"):
+            assert "text" not in cols, (part, cols)
+
+
+def test_simhash_near_dup_no_text_in_shuffle(spark):
+    """Banded SimHash search shuffles (band_key, id, signature)
+    triples only — never text — and the band self-join is a hash
+    join, not a nested loop."""
+    df = QUERIES["simhash_near_duplicates"](spark, SF_DIR)
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    for part, cols in shuffled_payloads(df):
+        if part.startswith("hashpartitioning"):
+            assert "text" not in cols, (part, cols)
