@@ -249,3 +249,70 @@ def test_span_dedup_matches_reference(spark, texts):
         for r in span_dedup(df, width=3).collect()
     }
     assert got == _ref_span_dedup(texts, 3)
+
+
+# ---------------------------------------------------------------------------
+# BPE batched-merge exactness (pure-Python property; no Spark needed)
+# ---------------------------------------------------------------------------
+
+_bpe_words = st.dictionaries(
+    st.text(alphabet="abcd", min_size=2, max_size=6),
+    st.integers(min_value=1, max_value=9),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _pair_counts(syms: dict, freqs: dict) -> dict:
+    counts: dict = {}
+    for w, f in freqs.items():
+        s = syms[w]
+        for a_, b_ in zip(s, s[1:]):
+            counts[(a_, b_)] = counts.get((a_, b_), 0) + f
+    return counts
+
+
+def _apply_merge(syms: dict, l: str, r: str) -> dict:
+    out = {}
+    for w, s in syms.items():
+        res, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                res.append(l + r)
+                i += 2
+            else:
+                res.append(s[i])
+                i += 1
+        out[w] = res
+    return out
+
+
+@given(freqs=_bpe_words)
+@settings(max_examples=200, deadline=None)
+def test_exact_merge_batch_prefix_matches_sequential(freqs):
+    """The batch selector's claim, property-tested: on ANY corpus, the
+    selected batch equals the first len(batch) picks of 1-at-a-time
+    sequential BPE, in order — i.e. batching is exact, never
+    approximate."""
+    from inside_vectordb_spark.operators.traindata import _exact_merge_batch
+
+    syms = {w: list(w) for w in freqs}
+    counts = _pair_counts(syms, freqs)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = [
+        {"left_sym": l, "right_sym": r, "cnt": c} for (l, r), c in ranked[:9]
+    ]
+    batch = _exact_merge_batch(top, 8)
+    # sequential reference for the same number of steps
+    seq = []
+    cur = syms
+    for _ in range(len(batch)):
+        c = _pair_counts(cur, freqs)
+        if not c:
+            break
+        (l, r), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        seq.append((l, r, cnt))
+        cur = _apply_merge(cur, l, r)
+    assert batch == seq
