@@ -594,3 +594,43 @@ def bpe_encode(
             F.sum("n_subtokens").alias("n_tokens"),
         )
     )
+
+
+def hard_negatives(
+    candidates: DataFrame,
+    positives: DataFrame,
+    n_neg: int = 5,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al. '20): from a
+    ranked retrieval run, keep each query's top non-positive,
+    non-self documents — the near-misses a contrastive retriever
+    trains against (random negatives are too easy; the top of the
+    retrieval list is exactly where the model is currently wrong).
+
+    ``candidates``: any ranked run (query_id, doc_id, rank, ...) —
+    BM25, vector, or hybrid; the operator is retriever-agnostic.
+    ``positives``: the judged (query_id, doc_id) relation. Negatives
+    keep their retrieval order (re-numbered as ``neg_rank``), so the
+    output is stable under score rounding.
+
+    Scale shape: the positives relation is bounded by the judgment
+    set and broadcasts into the anti join; candidates are Q·k rows.
+    Nothing corpus-sized moves. Over-fetch the run (k > n_neg +
+    max positives per query) so every query fills its quota."""
+    neg = (
+        candidates.join(
+            F.broadcast(positives.select(query_col, doc_col).distinct()),
+            [query_col, doc_col],
+            "left_anti",
+        )
+        .filter(F.col(query_col) != F.col(doc_col))
+    )
+    w = Window.partitionBy(query_col).orderBy(F.asc(rank_col))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n_neg)
+        .drop(rank_col)
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from inside_vectordb_spark import io as eio
 from inside_vectordb_spark.operators import traindata as td
+from inside_vectordb_spark.registry.core import topk_ctes
 from inside_vectordb_spark.registry import register
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -608,3 +609,41 @@ def bpe_encoded_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_learn(docs, n_merges=8).orderBy("merge_rank").collect()
     ]
     return bpe_encode(docs, rules)
+
+
+_HARDNEG_ORACLE = f"""
+    WITH {topk_ctes(20)},
+    qr AS ({eio.QRELS_SQL}),
+    run AS (SELECT query_id, doc_id, score, rank FROM topk
+            WHERE query_id % 7 <> 0),
+    neg AS (
+      SELECT r.query_id, r.doc_id, r.score, r.rank
+      FROM run r
+      ANTI JOIN qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+      WHERE r.doc_id <> r.query_id)
+    SELECT query_id, doc_id, score,
+           CAST(nr AS INT) AS neg_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rank) AS nr
+      FROM neg) WHERE nr <= 5
+"""
+
+
+@register("hard_negatives", oracle=_HARDNEG_ORACLE)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al. '20) for
+    contrastive retriever training: over-fetch each judged query's
+    top-20 by exact cosine, anti-join the judged positives (broadcast
+    — the judgment set is bounded), drop self-matches, keep the top 5
+    near-misses in retrieval order. Retriever-agnostic operator
+    (operators/traindata.py:hard_negatives); the oracle restates the
+    whole chain — scorer, positives anti join, re-ranking."""
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+    from inside_vectordb_spark.operators.traindata import hard_negatives
+
+    q = eio.query_vectors(spark, sf_dir).filter(F.col("query_id") % 7 != 0)
+    run = exact_cosine_topk(
+        q, eio.load_table(spark, sf_dir, "embeddings"), k=20
+    )
+    return hard_negatives(run, eio.qrels(spark, sf_dir), n_neg=5)

@@ -553,3 +553,21 @@ def test_exact_merge_batch_rules():
     # sub-threshold counts never merge
     top = rows(("a", "b", 1), ("c", "d", 1))
     assert _exact_merge_batch(top, 3) == []
+
+
+def test_hard_negatives_semantics(spark):
+    """Positives and self-matches never surface; negatives keep
+    retrieval order and fill up to n_neg."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.traindata import hard_negatives
+
+    run = spark.createDataFrame(
+        [(1, d, 1.0 - d * 0.1, d) for d in range(1, 7)],
+        "query_id long, doc_id long, score double, rank int",
+    )
+    pos = spark.createDataFrame([(1, 2), (1, 4)], "query_id long, doc_id long")
+    out = hard_negatives(run, pos, n_neg=3).orderBy("neg_rank").collect()
+    assert [r["doc_id"] for r in out] == [3, 5, 6]  # 1=self, 2/4=positives
+    assert [r["neg_rank"] for r in out] == [1, 2, 3]
+    assert "rank" not in out[0].asDict()
