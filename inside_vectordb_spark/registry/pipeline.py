@@ -222,14 +222,23 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(eio.load_table(spark, sf_dir, "documents"))
 
 
-_SIMHASH_SIG_CTE = f"""
+# 60-bit signatures for the SEARCH query (Manku et al. run 64): the
+# 4 bands are then 15 bits wide → 32768 values per band, so band
+# buckets hold ~N/32768 docs and candidate counts stay near-linear.
+# (16-bit signatures — the display query above — give 16 values per
+# band: candidates grow quadratically, measured 4.1 s at sf0.1 vs
+# sub-second at 60 bits.) 60, not 64, keeps 2^j inside signed BIGINT
+# for the SQL twin.
+_SIMHASH_ND_BITS = 60
+
+_SIMHASH_SIG60_CTE = f"""
     tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
     hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
     sbits AS (SELECT doc_id,
-        {', '.join(f'sum(((h >> {j}) & 1) * 2 - 1) AS s{j}' for j in range(dd.SIMHASH_BITS))}
+        {', '.join(f'sum(((h >> {j}) & 1) * 2 - 1) AS s{j}' for j in range(_SIMHASH_ND_BITS))}
       FROM hh GROUP BY doc_id),
     sig AS (SELECT doc_id,
-      CAST({' + '.join(f'CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END' for j in range(dd.SIMHASH_BITS))} AS BIGINT) AS simhash
+      CAST({' + '.join(f'CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END' for j in range(_SIMHASH_ND_BITS))} AS BIGINT) AS simhash
     FROM sbits)
 """
 
@@ -237,10 +246,10 @@ _SIMHASH_SIG_CTE = f"""
 @register(
     "simhash_near_duplicates",
     oracle=f"""
-    WITH {_SIMHASH_SIG_CTE},
+    WITH {_SIMHASH_SIG60_CTE},
     bands AS (
       SELECT doc_id, simhash, b AS band_idx,
-             (simhash >> (4 * b)) & 15 AS band_val
+             (simhash >> (15 * b)) & 32767 AS band_val
       FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -253,14 +262,15 @@ _SIMHASH_SIG_CTE = f"""
     """,
 )
 def simhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup SEARCH (Manku et al. WWW '07): 4-band
-    candidate join + exact Hamming verify at radius 3 — with
+    """SimHash near-dup SEARCH (Manku et al. WWW '07): 60-bit
+    signatures, 4-band candidate join (15-bit bands → ~N/32768 docs
+    per bucket) + exact Hamming verify at radius 3 — with
     max_hamming < n_bands the pigeonhole guarantee makes the banded
     join exhaustive (every true pair shares a band), so this is the
     complete dedup operator, not a signature display. Bands shuffle
     (band_key, id, sig) triples only; text never moves."""
     return dd.simhash_near_duplicates(
-        eio.load_table(spark, sf_dir, "documents")
+        eio.load_table(spark, sf_dir, "documents"), bits=_SIMHASH_ND_BITS
     )
 
 
