@@ -634,3 +634,43 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= n_neg)
         .drop(rank_col)
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = ":split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by NEAR-DUP
+    CLUSTER, not by document — a near-duplicate of a training doc in
+    the test split is evaluation leakage (the same failure benchmark
+    decontamination guards against, internal to the corpus), and a
+    per-doc hash split plants exactly that. Docs absent from the
+    cluster relation are their own singleton cluster, so the split
+    degrades to ``dataset_split`` on a dedup-clean corpus.
+
+    Returns (doc_id, cluster_id, split); every member of a cluster
+    lands in the same split by construction (the hash is a function
+    of cluster_id alone). Scale shape: one left join keyed on doc_id
+    against the (long, long) cluster relation; the bucket hash is a
+    pure Catalyst expression."""
+    assigned = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = _md5_bucket(F.col("cluster_id"), salt, 100)
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -1641,3 +1641,48 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.operators.lm import unigram_lm_scores
 
     return unigram_lm_scores(eio.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
+    nd AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN shs sa ON sa.doc_id = p.doc_a
+      JOIN shs sb ON sb.doc_id = p.doc_b
+      WHERE round({_JACCARD}, 6) >= 0.2),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM nd
+              UNION SELECT doc_b AS src, doc_a AS dst FROM nd),
+    reach(id, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+    asg AS (
+      SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cl USING (doc_id)),
+    b AS (
+      SELECT doc_id, cluster_id,
+             ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':split'),
+              1, 8))::BIGINT % 100 AS bucket
+      FROM asg)
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def cluster_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: near-dup clusters (the MinHash →
+    verify → connected-components chain) are the split unit, so no
+    near-duplicate pair ever straddles train/test — the in-corpus
+    counterpart of benchmark decontamination. Singleton docs hash by
+    their own id, identical to the plain dataset_split
+    (operators/traindata.py:cluster_safe_split)."""
+    from inside_vectordb_spark.operators.traindata import cluster_safe_split
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    clusters = dd.near_duplicate_clusters(docs, threshold=0.2)
+    return cluster_safe_split(docs, clusters)

@@ -571,3 +571,37 @@ def test_hard_negatives_semantics(spark):
     assert [r["doc_id"] for r in out] == [3, 5, 6]  # 1=self, 2/4=positives
     assert [r["neg_rank"] for r in out] == [1, 2, 3]
     assert "rank" not in out[0].asDict()
+
+
+def test_cluster_safe_split_no_straddle(spark):
+    """The leakage guarantee itself: every cluster's members share one
+    split; singletons match the plain per-doc split."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.traindata import (
+        cluster_safe_split,
+        dataset_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    out = cluster_safe_split(docs, clusters)
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_cluster)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 40
+    plain = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    for i in range(40):
+        if i not in (0, 1, 2, 10, 11):  # singletons follow the doc split
+            assert got[i] == plain[i], i
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11]
