@@ -674,3 +674,38 @@ def cluster_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def training_triples(
+    positives: DataFrame,
+    negatives: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    neg_rank_col: str = "neg_rank",
+) -> DataFrame:
+    """Contrastive training-example assembly (the DPR data format):
+    one row per (query, positive) pair carrying the query's mined
+    hard negatives as an ORDERED id array — (query_id, pos_id,
+    neg_ids). Every positive of a query shares the same negative
+    list, exactly how in-batch-negative trainers consume the data.
+
+    Scale shape: negatives reduce to one array row per query first
+    (collect_list is bounded by n_neg), then a query-keyed join with
+    the positives — both sides are judgment-sized, never
+    corpus-sized."""
+    negs = (
+        negatives.groupBy(query_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(neg_rank_col, doc_col))
+                ),
+                lambda s: s[doc_col],
+            ).alias("neg_ids")
+        )
+    )
+    return (
+        positives.select(query_col, F.col(doc_col).alias("pos_id"))
+        .join(negs, query_col)
+        .select(query_col, "pos_id", "neg_ids")
+    )

@@ -647,3 +647,58 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, eio.load_table(spark, sf_dir, "embeddings"), k=20
     )
     return hard_negatives(run, eio.qrels(spark, sf_dir), n_neg=5)
+
+
+_TRIPLES_ORACLE = f"""
+    WITH {topk_ctes(20)},
+    qr AS ({eio.QRELS_SQL}),
+    run AS (SELECT query_id, doc_id, score, rank FROM topk
+            WHERE query_id % 7 <> 0),
+    neg AS (
+      SELECT r.query_id, r.doc_id, r.rank
+      FROM run r
+      ANTI JOIN qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+      WHERE r.doc_id <> r.query_id),
+    topneg AS (
+      SELECT query_id, doc_id, nr FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rank) AS nr
+        FROM neg) WHERE nr <= 5),
+    negs AS (SELECT query_id,
+                    string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY nr)
+                      AS neg_ids
+             FROM topneg GROUP BY query_id)
+    SELECT q.query_id, q.doc_id AS pos_id, n.neg_ids
+    FROM qr q JOIN negs n USING (query_id)
+"""
+
+
+@register("training_triples", oracle=_TRIPLES_ORACLE)
+def training_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end contrastive training-data assembly: judged
+    positives × the query's ordered hard-negative list (mined from
+    the exact-cosine run) in the DPR example format — the last stage
+    between "curated corpus + judgments" and "retriever training
+    batches". Array-valued column hash-matched against the oracle's
+    ordered list aggregation."""
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+    from inside_vectordb_spark.operators.traindata import (
+        hard_negatives,
+        training_triples,
+    )
+
+    q = eio.query_vectors(spark, sf_dir).filter(F.col("query_id") % 7 != 0)
+    run = exact_cosine_topk(
+        q, eio.load_table(spark, sf_dir, "embeddings"), k=20
+    )
+    qr = eio.qrels(spark, sf_dir)
+    out = training_triples(qr, hard_negatives(run, qr, n_neg=5))
+    # the driver's compare sorts pandas columns, which rejects
+    # list-valued cells — serialize the ordered ids for the gate
+    return out.select(
+        "query_id",
+        "pos_id",
+        F.concat_ws("|", F.transform("neg_ids", lambda x: x.cast("string"))).alias(
+            "neg_ids"
+        ),
+    )

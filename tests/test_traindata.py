@@ -605,3 +605,22 @@ def test_cluster_safe_split_no_straddle(spark):
             assert got[i] == plain[i], i
     assert got[0] == got[1] == got[2]
     assert got[10] == got[11]
+
+
+def test_training_triples_assembly(spark):
+    """One row per (query, positive); negatives ride as an ordered
+    array shared by every positive of the query."""
+    from inside_vectordb_spark.operators.traindata import training_triples
+
+    pos = spark.createDataFrame(
+        [(1, 100), (1, 101), (2, 200)], "query_id long, doc_id long"
+    )
+    neg = spark.createDataFrame(
+        [(1, 7, 2), (1, 5, 1), (2, 9, 1)],
+        "query_id long, doc_id long, neg_rank int",
+    )
+    got = {
+        (r["query_id"], r["pos_id"]): r["neg_ids"]
+        for r in training_triples(pos, neg).collect()
+    }
+    assert got == {(1, 100): [5, 7], (1, 101): [5, 7], (2, 200): [9]}
