@@ -709,3 +709,67 @@ def training_triples(
         .join(negs, query_col)
         .select(query_col, "pos_id", "neg_ids")
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data selection under a token budget: keep the highest-quality
+    documents whose cumulative token count fits the budget — the
+    subcorpus-selection step a compute-bounded training run performs
+    after curation (pick the best ``budget`` tokens, not a random
+    sample). Deterministic total order: (quality DESC, doc_id ASC).
+
+    Returns (doc_id, n_words, quality, cum_tokens) for the selected
+    prefix.
+
+    Scale shape — the point: a naive ``Window.orderBy`` cumulative
+    sum collapses to ONE partition (Spark warns, and at 100 TB it is
+    a non-starter). This computes the global prefix sum the
+    distributed way: range-repartition on the sort key, per-PARTITION
+    running sums (parallel windows), then per-partition totals —
+    bounded by the partition count — collect to the driver, prefix-
+    accumulate, and broadcast back as offsets. Two shuffles total,
+    no global sort on one executor; the selected prefix's filter is
+    a pure projection afterward."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from inside_vectordb_spark.operators.textstats import quality_scores
+
+    spark = docs.sparkSession
+    qs = quality_scores(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", "n_words", "quality"
+    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = qs.repartitionByRange(
+        n_parts, F.desc("quality"), F.asc("doc_id")
+    ).withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__run", F.sum("n_words").over(w))
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in local.groupBy("__pid").agg(F.max("__run").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += t
+    off = spark.createDataFrame(
+        offsets,
+        StructType(
+            [StructField("__pid", LongType()), StructField("__off", LongType())]
+        ),
+    )
+    return (
+        local.join(F.broadcast(off), "__pid")
+        .withColumn("cum_tokens", (F.col("__off") + F.col("__run")).cast("bigint"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_words", "quality", "cum_tokens")
+    )

@@ -1686,3 +1686,33 @@ def cluster_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = eio.load_table(spark, sf_dir, "documents")
     clusters = dd.near_duplicate_clusters(docs, threshold=0.2)
     return cluster_safe_split(docs, clusters)
+
+
+@register(
+    "token_budget_select",
+    oracle=f"""
+    WITH qs AS ({_QUALITY_SQL}),
+    c AS (
+      SELECT doc_id, n_words, quality,
+             sum(n_words) OVER (ORDER BY quality DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM qs)
+    SELECT doc_id, n_words, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 4000
+    """,
+)
+def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-bounded data selection: the best-quality documents
+    whose cumulative token count fits a 4000-token budget. The global
+    prefix sum runs DISTRIBUTED (range repartition → parallel
+    per-partition windows → partition-count-bounded offset collect →
+    broadcast add-back; operators/traindata.py:token_budget_select) —
+    not the single-partition Window.orderBy that cannot survive
+    100 TB. The oracle states the same selection with a plain SQL
+    cumulative window, so the hash match proves the distributed
+    prefix sum exactly equals the sequential one."""
+    from inside_vectordb_spark.operators.traindata import token_budget_select
+
+    return token_budget_select(
+        eio.load_table(spark, sf_dir, "documents"), budget=4000
+    )

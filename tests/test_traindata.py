@@ -624,3 +624,37 @@ def test_training_triples_assembly(spark):
         for r in training_triples(pos, neg).collect()
     }
     assert got == {(1, 100): [5, 7], (1, 101): [5, 7], (2, 200): [9]}
+
+
+def test_token_budget_select_distributed_prefix_sum(spark):
+    """The distributed prefix sum equals a sequential one on a corpus
+    that spans many range partitions, and the budget cuts exactly at
+    the boundary (never mid-document)."""
+    from inside_vectordb_spark.operators.traindata import token_budget_select
+
+    # quality is driven by the text heuristics; vary length so the
+    # order is nontrivial and words are countable
+    docs = spark.createDataFrame(
+        [(i, ("the quick fox " * ((i % 7) + 2)).strip()) for i in range(60)],
+        "doc_id long, text string",
+    )
+    budget = 300
+    got = token_budget_select(docs, budget=budget).orderBy("cum_tokens").collect()
+    assert got, "budget selected nothing"
+    # sequential reference over the same (quality desc, doc_id) order
+    from inside_vectordb_spark.operators.textstats import quality_scores
+
+    qs = sorted(
+        (
+            (-r["quality"], r["doc_id"], r["n_words"])
+            for r in quality_scores(docs).collect()
+        )
+    )
+    want, acc = [], 0
+    for negq, did, nw in qs:
+        acc += nw
+        if acc > budget:
+            break
+        want.append((did, acc))
+    assert [(r["doc_id"], r["cum_tokens"]) for r in got] == want
+    assert got[-1]["cum_tokens"] <= budget
