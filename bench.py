@@ -91,6 +91,20 @@ HEADLINE = [
     "ann_signlsh_sweep",
     "snapshot_time_travel",
     "incremental_view_refresh",
+    # round-4 session 2: the second lexical arm + 3-arm fusion, LM
+    # quality scoring, banded SimHash dedup, and the streaming CDC
+    # merge (3 micro-batch MERGE commits per run)
+    "tfidf_topk",
+    "hybrid_rrf3_topk",
+    "lm_perplexity_scores",
+    "simhash_near_duplicates",
+    "snapshot_stream_merge",
+    # round-4 session 3: retriever training-data chain + selection
+    "hard_negatives",
+    "training_triples",
+    "cluster_safe_split",
+    "token_budget_select",
+    "lineitem_correlations",
 ]
 
 
