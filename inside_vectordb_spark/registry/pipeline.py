@@ -1716,3 +1716,90 @@ def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(
         eio.load_table(spark, sf_dir, "documents"), budget=4000
     )
+
+
+@register(
+    "curriculum_stages",
+    oracle=f"""
+    WITH lm AS ({_LM_ORACLE}),
+    s AS (
+      SELECT doc_id, n_tokens, cross_entropy, perplexity,
+             CAST(ntile(4) OVER (ORDER BY perplexity, doc_id) AS INT) AS stage
+      FROM lm)
+    SELECT doc_id, perplexity, stage FROM s
+    """,
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage assignment: documents ntile'd into 4
+    easy→hard stages by unigram-LM perplexity (low perplexity =
+    corpus-typical = early stage), the pacing schedule curriculum
+    training consumes. Deterministic total order (perplexity, doc_id);
+    both engines implement standard SQL ntile, so the assignment is
+    cross-engine exact. NOTE the ntile window is a global sort — fine
+    for stage ASSIGNMENT which is one pass at corpus-build time; a
+    100 TB run would reuse the distributed prefix-sum shape of
+    token_budget_select with rank/count instead."""
+    from pyspark.sql import Window as W
+
+    from inside_vectordb_spark.operators.lm import unigram_lm_scores
+
+    scores = unigram_lm_scores(eio.load_table(spark, sf_dir, "documents"))
+    w = W.orderBy(F.asc("perplexity"), F.asc("doc_id"))
+    return scores.select(
+        "doc_id", "perplexity", F.ntile(4).over(w).alias("stage")
+    )
+
+
+@register(
+    "corpus_datasheet",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, lang, n_chars, md5(text) AS th FROM documents),
+    dup AS (SELECT th FROM h GROUP BY th HAVING count(*) > 1),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(CASE WHEN th IN (SELECT th FROM dup) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_docs
+      FROM h GROUP BY source)
+    SELECT source, n_docs, total_chars, n_langs, n_dup_docs,
+           round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS doc_share
+    FROM per
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source datasheet a dataset release publishes (Gebru et
+    al.'s datasheets; every open-corpus card carries this panel):
+    document/char volume, language breadth, exact-duplicate exposure,
+    and corpus share per source — one hash-keyed aggregate plus a
+    broadcast dup-set semi join; text never shuffles (only its md5)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", "lang", "n_chars", F.md5("text").alias("th")
+    )
+    dup = (
+        h.groupBy("th").agg(F.count("*").alias("c")).filter("c > 1").select("th")
+    )
+    flagged = h.join(F.broadcast(dup), "th", "left_semi").select(
+        "doc_id", F.lit(1).alias("__d")
+    )
+    per = (
+        h.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.coalesce("__d", F.lit(0))).cast("bigint").alias("n_dup_docs"),
+        )
+    )
+    total = per.agg(F.sum("n_docs").alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_docs", "total_chars", "n_langs", "n_dup_docs",
+            F.round(F.col("n_docs") / F.col("__t"), 6).alias("doc_share"),
+        )
+    )
