@@ -1,0 +1,171 @@
+"""Persisted inverted index for the lexical arm (BM25/TF-IDF).
+
+The in-memory scorers (``operators/bm25.py``) rebuild the postings
+from the corpus on every query batch — correct, but at 100 TB the
+explode+count over the corpus is exactly what a search engine pays
+ONCE at index time and never again. This module is that index-at-rest
+(the lexical sibling of the persisted ANN indexes, S9/S10):
+
+- ``postings``: (term, doc_id, tf) parquet, PARTITIONED by
+  ``pb = pmod(hash(term), n_buckets)`` — the query's term set maps to
+  a handful of buckets, so a search scans |query buckets|/n_buckets
+  of the postings, a genuine partition-pruned read (the inverted-list
+  property, from layout rather than pointers).
+- ``df``: the dictionary (term, df), same bucketing.
+- ``doclen``: (doc_id, dl) — the BM25 length-normalization side.
+- ``meta.json`` (via the atomic ``_meta_io`` seam): k-invariant
+  corpus stats (n_docs, avgdl) + a corpus fingerprint, written LAST
+  as the completeness marker; ``ensure_lexical_index`` rebuilds on a
+  changed corpus or params.
+
+Because tokenization and counting are deterministic, the stored index
+search is BIT-IDENTICAL to the fresh ``bm25_topk`` — the registered
+indexed query therefore shares the plain BM25 oracle, making the hash
+match itself the stored==fresh proof on the driver's hard signal.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark import _meta_io as mio
+from inside_vectordb_spark.functions.text import token_count, tokenize
+from inside_vectordb_spark.operators.bm25 import BM25_B, BM25_K1
+
+N_TERM_BUCKETS = 64
+
+
+def _term_bucket(col) -> F.Column:
+    return F.pmod(F.hash(col), F.lit(N_TERM_BUCKETS))
+
+
+def build_lexical_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """One corpus pass builds all three relations; the postings/df
+    writes repartition on the partition key first (one file per
+    bucket, not tasks×buckets small files)."""
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
+    )
+    tf = (
+        d.select("doc_id", F.explode(tokenize(F.col("__t"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("pb", _term_bucket(F.col("term")))
+    )
+    tf.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
+        os.path.join(path, "postings")
+    )
+    spark = docs.sparkSession
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    dft = postings.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "pb", _term_bucket(F.col("term"))
+    )
+    dft.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
+        os.path.join(path, "df")
+    )
+    dl = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
+    dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    row = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    meta = {
+        "kind": "lexical",
+        "n_term_buckets": N_TERM_BUCKETS,
+        "n_docs": int(row["n"]),
+        "avgdl": float(row["avgdl"]),
+        "corpus": _corpus_fingerprint(docs, id_col),
+    }
+    mio.write_json(mio.join(path, "meta.json"), meta)
+    return meta
+
+
+def ensure_lexical_index(docs: DataFrame, path: str, **kw) -> dict:
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    fp = _corpus_fingerprint(docs, kw.get("id_col", "doc_id"))
+    if (
+        meta is not None
+        and meta.get("kind") == "lexical"
+        and meta.get("n_term_buckets") == N_TERM_BUCKETS
+        and meta.get("corpus") == fp
+    ):
+        return meta
+    return build_lexical_index(docs, path, **kw)
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 against the stored index: the corpus is never touched —
+    postings/df scans prune to the query terms' buckets (the bucket
+    list is collected driver-side, bounded by the query vocabulary),
+    the query vocabulary broadcasts, and only the doc-length join and
+    the final (query, doc) aggregation shuffle. Identical scoring
+    arithmetic to ``bm25_scores``, so results match the fresh path
+    bit-for-bit."""
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "lexical":
+        raise FileNotFoundError(f"no complete lexical index at {path}")
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.lower(F.col(qtext_col)).alias("__qt")
+    )
+    qterms = q.select(
+        "query_id",
+        F.explode(F.array_distinct(tokenize(F.col("__qt")))).alias("term"),
+    ).filter(F.col("term") != "")
+    qvocab = qterms.select("term").distinct()
+    pbs = sorted(
+        r["pb"]
+        for r in qvocab.select(_term_bucket(F.col("term")).alias("pb"))
+        .distinct()
+        .collect()
+    )
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("pb").isin(pbs))
+        .join(F.broadcast(qvocab), "term")
+    )
+    dft = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .filter(F.col("pb").isin(pbs))
+        .join(F.broadcast(qvocab), "term")
+        .select("term", "df")
+    )
+    dl = spark.read.parquet(os.path.join(path, "doclen"))
+    scored = (
+        postings.join(F.broadcast(dft), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+    )
+    n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
+    idf = F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    )
+    agg = (
+        scored.select("query_id", "doc_id", (idf * tf_norm).alias("w"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), round_to).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

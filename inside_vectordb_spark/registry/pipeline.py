@@ -1803,3 +1803,41 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") / F.col("__t"), 6).alias("doc_share"),
         )
     )
+
+
+@register(
+    "bm25_topk_indexed",
+    oracle=f"""
+    WITH {_bm25_ctes(10)}
+    SELECT query_id, doc_id, bm25, rank FROM bm_r
+    """,
+)
+def bm25_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the PERSISTED inverted index
+    (operators/lexical_index.py — the lexical sibling of the S9/S10
+    ANN artifacts): postings/dictionary scans prune to the query
+    terms' hash buckets, the corpus is never re-tokenized, and
+    deterministic counting makes stored==fresh bit-identical — so
+    this row shares the plain BM25 oracle and its green hash IS the
+    stored==fresh proof on the hard signal."""
+    import os
+
+    from inside_vectordb_spark.operators.lexical_index import (
+        bm25_topk_indexed,
+        ensure_lexical_index,
+    )
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "lexical",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    ensure_lexical_index(docs, art)
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    return bm25_topk_indexed(spark, queries, art, k=10)

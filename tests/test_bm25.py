@@ -93,3 +93,45 @@ def test_case_folding(spark):
     q = spark.createDataFrame([(1, "aPpLe")], "query_id: long, qtext: string")
     rows = bm25_scores(docs, q).collect()
     assert len(rows) == 1 and rows[0].doc_id == 0
+
+
+def test_bm25_indexed_matches_fresh(spark, tmp_path):
+    """Stored-index search returns exactly the fresh-path results,
+    reuses the artifact on re-ensure, and rebuilds when the corpus
+    changes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.bm25 import bm25_topk
+    from inside_vectordb_spark.operators.lexical_index import (
+        bm25_topk_indexed,
+        ensure_lexical_index,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = eio.load_table(spark, SF_DIR, "documents")
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    fresh = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    path = str(tmp_path / "lex")
+    ensure_lexical_index(docs, path)
+    stored = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in bm25_topk_indexed(spark, queries, path, k=10).collect()
+    }
+    assert stored == fresh
+    # cache hit: meta untouched on re-ensure with the same corpus
+    mtime = os.path.getmtime(os.path.join(path, "meta.json"))
+    ensure_lexical_index(docs, path)
+    assert os.path.getmtime(os.path.join(path, "meta.json")) == mtime
+    # changed corpus → rebuild
+    ensure_lexical_index(docs.filter("doc_id < 40"), path)
+    assert os.path.getmtime(os.path.join(path, "meta.json")) > mtime
