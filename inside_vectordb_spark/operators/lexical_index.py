@@ -169,3 +169,105 @@ def bm25_topk_indexed(
     return agg.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def build_tfidf_norms(spark: SparkSession, path: str) -> None:
+    """Extend a built lexical index with the TF-IDF document norms —
+    the quantity cosine TF-IDF needs over the FULL vocabulary, which
+    is exactly why engines precompute it at index time. Derived from
+    the stored postings + dictionary (no corpus re-scan)."""
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "lexical":
+        raise FileNotFoundError(f"no complete lexical index at {path}")
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    dft = spark.read.parquet(os.path.join(path, "df")).select("term", "df")
+    n_docs = float(meta["n_docs"])
+    idf = F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0
+    wd = (1.0 + F.log("tf")) * idf
+    (
+        postings.join(dft, "term")
+        .select("doc_id", (wd * wd).alias("w2"))
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum("w2")).alias("dnorm"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "docnorm"))
+    )
+
+
+def tfidf_topk_indexed(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    round_to: int = 6,
+) -> DataFrame:
+    """TF-IDF cosine against the stored index: postings/dictionary
+    prune to the query buckets, document norms come from the
+    precomputed ``docnorm`` relation (built once from the full
+    dictionary), and the query side stays a broadcast. Same
+    arithmetic as ``operators/tfidf.py:tfidf_scores``."""
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "lexical":
+        raise FileNotFoundError(f"no complete lexical index at {path}")
+    if not mio.is_dir(os.path.join(path, "docnorm")):
+        build_tfidf_norms(spark, path)
+    n_docs = float(meta["n_docs"])
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.lower(F.col(qtext_col)).alias("__qt")
+    )
+    qtf = (
+        q.select("query_id", F.explode(tokenize(F.col("__qt"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    qvocab = qtf.select("term").distinct()
+    pbs = sorted(
+        r["pb"]
+        for r in qvocab.select(_term_bucket(F.col("term")).alias("pb"))
+        .distinct()
+        .collect()
+    )
+    dft_q = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .filter(F.col("pb").isin(pbs))
+        .join(F.broadcast(qvocab), "term")
+        .select("term", "df")
+    )
+    qw = qtf.join(F.broadcast(dft_q), "term", "left").select(
+        "query_id",
+        "term",
+        ((1.0 + F.log("tf")) * (
+            F.log((1.0 + n_docs) / (1.0 + F.coalesce(F.col("df"), F.lit(0)))) + 1.0
+        )).alias("wq"),
+    )
+    qw = qw.withColumn(
+        "qnorm",
+        F.sqrt(F.sum(F.col("wq") * F.col("wq")).over(Window.partitionBy("query_id"))),
+    )
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("pb").isin(pbs))
+        .join(F.broadcast(qvocab), "term")
+    )
+    idf = F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0
+    docw = postings.join(F.broadcast(dft_q), "term").select(
+        "doc_id", "term", ((1.0 + F.log("tf")) * idf).alias("wd")
+    )
+    dnorm = spark.read.parquet(os.path.join(path, "docnorm"))
+    matched = docw.join(F.broadcast(qw), "term").join(dnorm, "doc_id")
+    agg = (
+        matched.select(
+            "query_id",
+            "doc_id",
+            ((F.col("wq") / F.col("qnorm")) * (F.col("wd") / F.col("dnorm"))).alias("w"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), round_to).alias("tfidf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("tfidf").desc(), F.col("doc_id"))
+    return agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

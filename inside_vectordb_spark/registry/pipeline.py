@@ -1841,3 +1841,35 @@ def bm25_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", toks).alias("qtext"),
     )
     return bm25_topk_indexed(spark, queries, art, k=10)
+
+
+@register("tfidf_topk_indexed", oracle=_TFIDF_ORACLE)
+def tfidf_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine against the persisted lexical index: the
+    full-vocabulary document norms are the stored ``docnorm``
+    relation (computed once from the stored postings — the index-time
+    precompute the in-memory path's docstring promises), and the
+    postings/dictionary scans prune to the query terms' buckets.
+    Shares the plain TF-IDF oracle: the green hash is the
+    stored==fresh proof."""
+    import os
+
+    from inside_vectordb_spark.operators.lexical_index import (
+        ensure_lexical_index,
+        tfidf_topk_indexed,
+    )
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "lexical",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    ensure_lexical_index(docs, art)
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    return tfidf_topk_indexed(spark, queries, art, k=10)
