@@ -1873,3 +1873,79 @@ def tfidf_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", toks).alias("qtext"),
     )
     return tfidf_topk_indexed(spark, queries, art, k=10)
+
+
+from inside_vectordb_spark.operators.ann_sign import bucket_sql as _sbucket_sql  # noqa: E402
+
+_SERVING_COS = (
+    "round(list_dot_product(q.qv, c.v) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6)"
+)
+
+_HYBRID_SERVING_ORACLE = f"""
+    WITH {_bm25_ctes(50)},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sb AS (SELECT vec_id, v, {_sbucket_sql('v')} AS bucket FROM e),
+    sq AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sb WHERE vec_id < 6),
+    scand AS (
+      SELECT q.query_id, c.vec_id AS doc_id, {_SERVING_COS} AS score
+      FROM sq q JOIN sb c USING (bucket)),
+    sr AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+           FROM scand QUALIFY rank <= 50),
+    contrib AS (
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM bm_r
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM sr),
+    agg AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
+            FROM contrib GROUP BY query_id, doc_id),
+    fused AS (SELECT query_id, doc_id, rrf,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY rrf DESC, doc_id) AS INT) AS rank
+              FROM agg)
+    SELECT query_id, doc_id, rrf, rank FROM fused WHERE rank <= 10
+"""
+
+
+@register("hybrid_serving_topk", oracle=_HYBRID_SERVING_ORACLE)
+def hybrid_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING-path hybrid: both arms answer from persisted
+    artifacts — BM25 from the stored inverted index (bucket-pruned
+    postings) and vectors from the stored sign-LSH index (bucket-
+    pruned candidates + exact rerank) — fused by RRF at depth 50.
+    This is the query-time stack a deployment actually runs: zero
+    corpus scans, all index reads; the oracle restates both stored
+    pipelines and the fusion."""
+    import os
+
+    from inside_vectordb_spark.operators.ann_sign import ann_sign_topk_indexed
+    from inside_vectordb_spark.operators.hybrid import rrf_fuse
+    from inside_vectordb_spark.operators.lexical_index import (
+        bm25_topk_indexed,
+        ensure_lexical_index,
+    )
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sf = os.path.basename(sf_dir.rstrip("/")) or "default"
+    docs = eio.load_table(spark, sf_dir, "documents")
+    lex_art = os.path.join(root, ".artifacts", "lexical", sf)
+    ensure_lexical_index(docs, lex_art)
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    tqueries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    bm_run = bm25_topk_indexed(spark, tqueries, lex_art, k=50)
+
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    vqueries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sign_art = os.path.join(root, ".artifacts", "ann_sign", sf)
+    vec_run = ann_sign_topk_indexed(
+        spark, vqueries, emb, sign_art, k=50, query_id_col="query_id"
+    )
+    return rrf_fuse([bm_run, vec_run], k=10)
