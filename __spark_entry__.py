@@ -104,11 +104,15 @@ WINDOW_PRIORITY = [
 ]
 
 # Oracle-backed queries registered AFTER this round's window froze —
-# never driver-checked, all local-parity green; the natural round-5
-# rotation pool (swap for already-green rotation rows above):
+# never driver-checked, all local-parity green (check_gate --only …
+# at sf0.01); the natural round-5 rotation pool (swap for
+# already-green rotation rows above):
 #   ann_signlsh_upsert_topk, ann_signlsh_deleted, tfidf_topk,
-#   hybrid_rrf3_topk, lineitem_correlations, lm_perplexity_scores,
-#   simhash_near_duplicates, snapshot_stream_merge
+#   tfidf_topk_indexed, bm25_topk_indexed, hybrid_rrf3_topk,
+#   hybrid_serving_topk, lineitem_correlations, lm_perplexity_scores,
+#   simhash_near_duplicates, snapshot_stream_merge, hard_negatives,
+#   training_triples, cluster_safe_split, token_budget_select,
+#   curriculum_stages, corpus_datasheet
 
 
 def _ordered(mapping: dict) -> dict:

@@ -105,6 +105,11 @@ HEADLINE = [
     "cluster_safe_split",
     "token_budget_select",
     "lineitem_correlations",
+    # round-4 session 4: the persisted lexical index and the
+    # all-from-index serving hybrid (zero corpus scans at query time)
+    "bm25_topk_indexed",
+    "tfidf_topk_indexed",
+    "hybrid_serving_topk",
 ]
 
 
