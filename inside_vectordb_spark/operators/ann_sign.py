@@ -492,3 +492,84 @@ def sign_deleted_ids(spark: SparkSession, path: str) -> set[int]:
     if not mio.is_dir(tomb):
         return set()
     return {r["id"] for r in spark.read.parquet(tomb).collect()}
+
+
+def ann_ivf_det_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    centroid_stride: int = 37,
+    n_centroids_cap: int = 16,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a DETERMINISTIC coarse quantizer — the FAISS-analogue
+    tier made fully hash-verifiable (the np.random k-means IVF in
+    ``operators/ann.py`` stays as the stochastic twin, rows-only).
+    The centroid set is the id-selected corpus subsample
+    ``id % stride == 1 AND id < stride * cap`` — BOUNDED at
+    ``n_centroids_cap`` regardless of corpus size, so the quantizer
+    broadcast and the per-row assignment cost are O(cap) at any scale
+    (FAISS accepts any coarse quantizer; sampled-point quantizers are
+    the classic training-free variant).
+
+    Assignment/probe ordering uses cosine ROUNDED to 6 dp with
+    centroid-id tie-break, so the argmax is cross-engine stable even
+    at float-ulp ties — and assignment is a map-side-combinable
+    struct-min AGGREGATE (no window: corpus vectors never ride a
+    shuffle keyed by row id).
+
+    Scale shape (same as the stochastic IVF): assignment is corpus ×
+    broadcast(centroids) — the one-pass index-build cost; probing
+    touches ``n_probe`` inverted lists per query; the exact rerank
+    sees only candidates."""
+    cents = corpus.filter(
+        ((F.col(id_col) % centroid_stride) == 1)
+        & (F.col(id_col) < centroid_stride * n_centroids_cap)
+    ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"))
+    # corpus -> nearest centroid: argmax rounded cosine, cid tie-break,
+    # expressed as min(struct(-score, cid)) so it partial-aggregates
+    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
+    assign = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__s").alias("__best"))
+        .select("doc_id", F.col("__best.cid").alias("cid"))
+    )
+    # queries -> n_probe nearest centroids (query side is small; a
+    # per-query window over cap rows is bounded work)
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("__pc"), F.asc("cid"))
+    probes = (
+        qb.crossJoin(F.broadcast(cents))
+        .withColumn("__pc", F.round(cosine_similarity("__qv", "__cv"), 6))
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cid")
+    )
+    cand = probes.join(assign, "cid").select("query_id", "__qv", "doc_id")
+    withvec = cand.join(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__dv")),
+        "doc_id",
+    )
+    scored = withvec.select(
+        "query_id",
+        "doc_id",
+        F.round(cosine_similarity("__qv", "__dv"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -817,3 +817,69 @@ def ann_binary_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         refine=5,
     )
+
+
+_DET_COS_QC = (
+    "round(list_dot_product(q.qv, c.cv) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+)
+_DET_COS_EC = (
+    "round(list_dot_product(e.v, c.cv) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+)
+_DET_COS_QD = (
+    "round(list_dot_product(q.qv, d.v) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(d.v, d.v))), 6)"
+)
+
+_IVF_DET_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % 37 = 1 AND vec_id < 592),
+    assign AS (
+      SELECT vec_id AS doc_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DET_COS_EC} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {eio.N_QUERY_VECTORS}),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_DET_COS_QC} DESC, c.cid) AS rn
+        FROM q CROSS JOIN cents c) WHERE rn <= 4),
+    cand AS (SELECT p.query_id, a.doc_id FROM probes p JOIN assign a USING (cid)),
+    scored AS (
+      SELECT cand.query_id, cand.doc_id, {_DET_COS_QD} AS score
+      FROM cand
+      JOIN q ON q.query_id = cand.query_id
+      JOIN e d ON d.vec_id = cand.doc_id)
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 10
+"""
+
+
+@register("ann_ivf_det_topk", oracle=_IVF_DET_ORACLE)
+def ann_ivf_det_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/X2 with a FULL oracle: IVF whose coarse quantizer is the
+    deterministic id-sampled centroid set (vec_id % 37 == 1 — FAISS
+    accepts any coarse quantizer; sampled-point quantizers are the
+    classic training-free variant), so assignment, probing (n_probe=4),
+    and rerank all restate exactly in SQL. The np.random k-means IVF
+    stays registered as the stochastic twin (rows-only + retention
+    tests); this row puts the inverted-file SEARCH SEMANTICS on the
+    hard signal the way sign-LSH did for the LSH tier
+    (operators/ann_sign.py:ann_ivf_det_topk)."""
+    from inside_vectordb_spark.operators.ann_sign import ann_ivf_det_topk
+
+    return ann_ivf_det_topk(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        n_probe=4,
+    )
