@@ -573,3 +573,116 @@ def ann_ivf_det_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def ensure_ivf_det_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    centroid_stride: int = 37,
+    n_centroids_cap: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Persist the deterministic-IVF assignment table as parquet
+    PARTITIONED BY centroid id — the inverted lists as directory
+    layout, so probing n_probe lists is genuine partition pruning
+    (unprobed lists are never read). The quantizer itself needs no
+    artifact: centroids derive from the corpus by the stored rule
+    (stride/cap in meta.json), the same no-shipped-artifact property
+    the sign-plane generator has. meta.json (atomic via _meta_io)
+    carries params + corpus fingerprint; written LAST as the
+    completeness marker."""
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+
+    want = {
+        "kind": "ivf_det",
+        "stride": centroid_stride,
+        "cap": n_centroids_cap,
+        "corpus": _corpus_fingerprint(corpus, id_col),
+    }
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is not None and all(meta.get(k) == v for k, v in want.items()):
+        return path
+    cents = corpus.filter(
+        ((F.col(id_col) % centroid_stride) == 1)
+        & (F.col(id_col) < centroid_stride * n_centroids_cap)
+    ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"))
+    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
+    assign = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__s").alias("__best"))
+        .select("doc_id", F.col("__best.cid").alias("cid"))
+    )
+    assign.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, "lists")
+    )
+    mio.write_json(mio.join(path, "meta.json"), want)
+    return path
+
+
+def ann_ivf_det_topk_indexed(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    centroid_stride: int = 37,
+    n_centroids_cap: int = 16,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF against the persisted inverted lists: probe
+    selection is the same bounded centroid scan; the probed cid list
+    (≤ queries × n_probe, collected driver-side) prunes the lists
+    scan at the parquet partition level; candidates join raw vectors
+    only for the exact rerank. Deterministic assignment makes results
+    bit-identical to the in-memory ``ann_ivf_det_topk`` — the
+    registered indexed query shares its oracle."""
+    ensure_ivf_det_index(
+        spark, corpus, path, centroid_stride, n_centroids_cap, id_col, vec_col
+    )
+    cents = corpus.filter(
+        ((F.col(id_col) % centroid_stride) == 1)
+        & (F.col(id_col) < centroid_stride * n_centroids_cap)
+    ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"))
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("__pc"), F.asc("cid"))
+    probes = (
+        qb.crossJoin(F.broadcast(cents))
+        .withColumn("__pc", F.round(cosine_similarity("__qv", "__cv"), 6))
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cid")
+    )
+    probed = sorted({r["cid"] for r in probes.select("cid").distinct().collect()})
+    lists = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .filter(F.col("cid").isin(probed))
+    )
+    cand = probes.join(lists, "cid").select("query_id", "__qv", "doc_id")
+    withvec = cand.join(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__dv")),
+        "doc_id",
+    )
+    scored = withvec.select(
+        "query_id",
+        "doc_id",
+        F.round(cosine_similarity("__qv", "__dv"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -883,3 +883,26 @@ def ann_ivf_det_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_probe=4,
     )
+
+
+@register("ann_ivf_det_topk_indexed", oracle=_IVF_DET_ORACLE)
+def ann_ivf_det_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic-IVF index AT REST: assignment table persisted
+    as parquet partitioned by centroid id (inverted lists as directory
+    layout — probing prunes unread partitions), quantizer re-derived
+    from the stored rule. Shares the in-memory variant's oracle, so
+    the green hash IS the stored==fresh proof for the inverted-file
+    tier on the hard signal."""
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_ivf_det_topk_indexed,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_det_topk_indexed(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        corpus,
+        _idx_path("ivf_det", sf_dir),
+        k=10,
+        n_probe=4,
+    )

@@ -532,3 +532,34 @@ def test_sign_delete_tombstones_lifecycle(spark, tmp_path):
     )
     ensure_sign_index(spark, grown, path)
     assert sign_deleted_ids(spark, path) == set()
+
+
+def test_ivf_det_indexed_matches_fresh_and_prunes(spark, tmp_path):
+    """The stored deterministic-IVF search equals the in-memory path
+    exactly, and its lists scan carries a partition filter on cid
+    (inverted-list pruning from layout)."""
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_ivf_det_topk,
+        ann_ivf_det_topk_indexed,
+        ensure_ivf_det_index,
+    )
+    from tests.conftest import SF_DIR_MED
+
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    fresh = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ann_ivf_det_topk(spark, q, c, k=10, n_probe=4).collect()
+    }
+    path = str(tmp_path / "ivfdet")
+    ensure_ivf_det_index(spark, c, path)
+    out = ann_ivf_det_topk_indexed(spark, q, c, path, k=10, n_probe=4)
+    stored = {(r.query_id, r.doc_id, r.rank) for r in out.collect()}
+    assert stored == fresh
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        seg[:160] for seg in plan.split("PartitionFilters: [")[1:]
+        if "cid" in seg[:160]
+    ]
+    assert pruned, "lists scan is not partition-pruned on cid"
