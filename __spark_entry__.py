@@ -112,7 +112,8 @@ WINDOW_PRIORITY = [
 #   hybrid_serving_topk, lineitem_correlations, lm_perplexity_scores,
 #   simhash_near_duplicates, snapshot_stream_merge, hard_negatives,
 #   training_triples, cluster_safe_split, token_budget_select,
-#   curriculum_stages, corpus_datasheet
+#   curriculum_stages, corpus_datasheet, ann_ivf_det_topk,
+#   ann_ivf_det_topk_indexed
 
 
 def _ordered(mapping: dict) -> dict:

@@ -110,6 +110,8 @@ HEADLINE = [
     "bm25_topk_indexed",
     "tfidf_topk_indexed",
     "hybrid_serving_topk",
+    # round-4 session 5: the hash-verifiable inverted-file tier
+    "ann_ivf_det_topk_indexed",
 ]
 
 
