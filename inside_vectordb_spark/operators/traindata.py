@@ -476,11 +476,18 @@ def _exact_merge_batch(
     1. pairwise symbol-DISJOINT prefix (stop at the first pair sharing
        a symbol with an earlier pick): applying one pick cannot change
        the counts of the others;
-    2. boundary STRICTNESS (trim while the last kept pair's count ties
-       the first excluded pair's): any pair a pick creates or shrinks
-       overlaps some batch symbol, so its count is bounded by the first
-       excluded pair's — strict inequality means no new/changed pair
-       can out-rank (or tie-break against) a later batch member.
+    2. a SELF-pair (left == right) CLOSES the batch: merging (l, l)
+       over a run "l l l" creates the pair (ll, l) whose count derives
+       from (l, l)'s own occurrences — not from any pair ranked below
+       the batch — so it can out-rank later batch members (hypothesis
+       counterexample: {"aa": 2, "ddd": 3} — sequential picks (dd, d)
+       second, not (a, a));
+    3. boundary STRICTNESS (trim while the last kept pair's count ties
+       the first excluded pair's): any OTHER pair a pick creates or
+       shrinks overlaps some batch symbol via a distinct source pair,
+       so its count is bounded by the first excluded pair's — strict
+       inequality means no new/changed pair can out-rank (or tie-break
+       against) a later batch member.
 
     Falls back to a single pair (plain sequential step, trivially
     exact) when ties or overlaps allow nothing more.
@@ -493,6 +500,8 @@ def _exact_merge_batch(
             break
         batch.append((l, r, cnt))
         used.update((l, r))
+        if l == r:
+            break
     while len(batch) > 1:
         boundary = top[len(batch)] if len(batch) < len(top) else None
         if boundary is not None and int(boundary["cnt"]) == batch[-1][2]:

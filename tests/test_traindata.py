@@ -553,6 +553,14 @@ def test_exact_merge_batch_rules():
     # sub-threshold counts never merge
     top = rows(("a", "b", 1), ("c", "d", 1))
     assert _exact_merge_batch(top, 3) == []
+    # a SELF-pair closes the batch: merging (d,d) over runs creates
+    # (dd,d) from (d,d)'s own occurrences, which can out-rank later
+    # members (hypothesis counterexample {"aa": 2, "ddd": 3})
+    top = rows(("d", "d", 6), ("a", "b", 2))
+    assert _exact_merge_batch(top, 3) == [("d", "d", 6)]
+    # non-leading self-pair is kept but still terminal
+    top = rows(("a", "b", 9), ("d", "d", 6), ("e", "f", 5))
+    assert _exact_merge_batch(top, 3) == [("a", "b", 9), ("d", "d", 6)]
 
 
 def test_hard_negatives_semantics(spark):
