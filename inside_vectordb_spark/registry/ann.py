@@ -906,3 +906,103 @@ def ann_ivf_det_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_probe=4,
     )
+
+
+_IVF_SWEEP_SCORE = (
+    "round(list_dot_product(q.qv, d.v) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(d.v, d.v))), 6)"
+)
+
+_IVF_DET_SWEEP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % 37 = 1 AND vec_id < 592),
+    assign AS (
+      SELECT vec_id AS doc_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DET_COS_EC} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {eio.N_QUERY_VECTORS}),
+    pr AS (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_DET_COS_QC} DESC, c.cid) AS rn
+        FROM q CROSS JOIN cents c),
+    s1 AS (
+      SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             max({_IVF_SWEEP_SCORE}) AS top1_score
+      FROM pr p
+      JOIN assign a USING (cid)
+      JOIN q ON q.query_id = p.query_id
+      JOIN e d ON d.vec_id = a.doc_id
+      WHERE p.rn <= 1 GROUP BY p.query_id),
+    s4 AS (
+      SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             max({_IVF_SWEEP_SCORE}) AS top1_score
+      FROM pr p
+      JOIN assign a USING (cid)
+      JOIN q ON q.query_id = p.query_id
+      JOIN e d ON d.vec_id = a.doc_id
+      WHERE p.rn <= 4 GROUP BY p.query_id)
+    SELECT 'probe1' AS setting, query_id, n_candidates, top1_score FROM s1
+    UNION ALL
+    SELECT 'probe4' AS setting, query_id, n_candidates, top1_score FROM s4
+"""
+
+
+@register("ann_ivf_det_sweep", oracle=_IVF_DET_SWEEP_ORACLE)
+def ann_ivf_det_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n_probe knob sweep on the hash-verifiable IVF tier (the
+    reference's FAISS nprobe sweep, ``004-faiss_demo.py:392-446``,
+    with a FULL oracle): per query, the candidate count each probe
+    depth pays and the best cosine it buys — probe-4 candidate sets
+    contain probe-1's, so both curves are monotone and the value-hash
+    proves them exactly."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.functions.vector import cosine_similarity
+    from inside_vectordb_spark.operators.ann_sign import ensure_ivf_det_index
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    queries = eio.query_vectors(spark, sf_dir)
+    path = _idx_path("ivf_det", sf_dir)
+    ensure_ivf_det_index(spark, corpus, path)
+    cents = corpus.filter(
+        ((F.col("vec_id") % 37) == 1) & (F.col("vec_id") < 592)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("__cv"))
+    qb = queries.select(
+        F.col("query_id"), F.col("embedding").alias("__qv")
+    )
+    from pyspark.sql import Window as W
+
+    pw = W.partitionBy("query_id").orderBy(F.desc("__pc"), F.asc("cid"))
+    ranked = (
+        qb.crossJoin(F.broadcast(cents))
+        .withColumn("__pc", F.round(cosine_similarity("__qv", "__cv"), 6))
+        .withColumn("__rn", F.row_number().over(pw))
+    )
+    lists = spark.read.parquet(
+        _idx_path("ivf_det", sf_dir) + "/lists"
+    )
+    vecs = corpus.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("__dv"))
+    pieces = []
+    for n_probe in (1, 4):
+        probes = ranked.filter(F.col("__rn") <= n_probe).select(
+            "query_id", "__qv", "cid"
+        )
+        cand = probes.join(lists, "cid").join(vecs, "doc_id")
+        stats = cand.groupBy("query_id").agg(
+            F.count("*").alias("n_candidates"),
+            F.max(F.round(cosine_similarity("__qv", "__dv"), 6)).alias("top1_score"),
+        )
+        pieces.append(
+            stats.select(
+                F.lit(f"probe{n_probe}").alias("setting"),
+                "query_id",
+                "n_candidates",
+                "top1_score",
+            )
+        )
+    return pieces[0].unionByName(pieces[1])
