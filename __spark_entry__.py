@@ -113,7 +113,8 @@ WINDOW_PRIORITY = [
 #   simhash_near_duplicates, snapshot_stream_merge, hard_negatives,
 #   training_triples, cluster_safe_split, token_budget_select,
 #   curriculum_stages, corpus_datasheet, ann_ivf_det_topk,
-#   ann_ivf_det_topk_indexed, ann_ivf_det_sweep
+#   ann_ivf_det_topk_indexed, ann_ivf_det_sweep,
+#   bm25_upsert_topk_indexed
 
 
 def _ordered(mapping: dict) -> dict:

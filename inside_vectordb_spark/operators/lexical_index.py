@@ -271,3 +271,86 @@ def tfidf_topk_indexed(
     return agg.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def upsert_lexical_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental maintenance of the lexical index — exact, not
+    stale-stats: for DISJOINT new documents every stored relation is
+    ADDITIVE, so the maintained index matches a full rebuild —
+    integer relations (postings/df/doclen/n_docs) exactly, avgdl to
+    float recombination error far inside the score rounding — which
+    is why the registered upsert query shares the plain BM25 oracle:
+
+    - postings/doclen: parquet append, O(delta) rows tokenized;
+    - dictionary: df_new = df_old ⊕ df_delta (full-outer sum — an
+      O(vocab) merge, never a postings re-aggregation);
+    - stats: n_docs and avgdl recombine from counts (additive);
+    - tfidf ``docnorm`` is INVALIDATED (norms depend on global df,
+      which just changed for the delta's terms) and lazily rebuilt
+      from the stored postings on the next TF-IDF search — the
+      classic refresh-on-read for derived index artifacts.
+
+    Contract (FAISS ``add``): delta ids disjoint from stored ids. The
+    merged fingerprint makes a later ``ensure_lexical_index`` over
+    the full corpus recognize the maintained index as current."""
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+        _merge_fingerprint,
+    )
+
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "lexical":
+        raise FileNotFoundError(f"no complete lexical index at {path}")
+    spark = new_docs.sparkSession
+    d = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
+    )
+    tf = (
+        d.select("doc_id", F.explode(tokenize(F.col("__t"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("pb", _term_bucket(F.col("term")))
+    )
+    tf.persist()
+    tf.repartition("pb").write.mode("append").partitionBy("pb").parquet(
+        os.path.join(path, "postings")
+    )
+    df_delta = tf.groupBy("term").agg(F.count("*").alias("dfd"))
+    df_old = spark.read.parquet(os.path.join(path, "df")).select("term", "df")
+    merged = (
+        df_old.join(df_delta, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("dfd", F.lit(0))).alias("df"),
+        )
+        .withColumn("pb", _term_bucket(F.col("term")))
+    )
+    # rewrite via a staging dir: the source scan and the overwrite
+    # target must not be the same live directory
+    stage = os.path.join(path, "df__new")
+    merged.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
+        stage
+    )
+    mio.remove_tree(os.path.join(path, "df"))
+    os.rename(stage, os.path.join(path, "df"))
+    dl = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
+    dl.write.mode("append").parquet(os.path.join(path, "doclen"))
+    row = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    n_new, sum_new = int(row["n"]), float(row["s"] or 0.0)
+    tf.unpersist()
+    n_old = int(meta["n_docs"])
+    sum_old = float(meta["avgdl"]) * n_old
+    meta["n_docs"] = n_old + n_new
+    meta["avgdl"] = (sum_old + sum_new) / max(1, n_old + n_new)
+    meta["corpus"] = _merge_fingerprint(
+        meta.get("corpus"), _corpus_fingerprint(new_docs, id_col)
+    )
+    mio.remove_tree(os.path.join(path, "docnorm"))  # df changed → stale
+    mio.write_json(mio.join(path, "meta.json"), meta)
+    return meta

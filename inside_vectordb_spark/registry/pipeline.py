@@ -1949,3 +1949,51 @@ def hybrid_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, vqueries, emb, sign_art, k=50, query_id_col="query_id"
     )
     return rrf_fuse([bm_run, vec_run], k=10)
+
+
+@register(
+    "bm25_upsert_topk_indexed",
+    oracle=f"""
+    WITH {_bm25_ctes(10)}
+    SELECT query_id, doc_id, bm25, rank FROM bm_r
+    """,
+)
+def bm25_upsert_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental lexical-index maintenance on the hard signal: build
+    the inverted index on 80% of the corpus, upsert the other 20%
+    (O(delta) postings append + O(vocab) dictionary merge + additive
+    stats — operators/lexical_index.py:upsert_lexical_index), then
+    search. Shares the plain BM25 oracle: the green hash proves the
+    maintained index answers exactly like one built from the full
+    corpus."""
+    import os
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+    from inside_vectordb_spark.operators.lexical_index import (
+        bm25_topk_indexed,
+        build_lexical_index,
+        upsert_lexical_index,
+    )
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 2)
+    delta = docs.filter(F.col("doc_id") % 5 == 2)
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "lexical_upsert",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    meta = mio.read_json(mio.join(art, "meta.json"))
+    want_fp = _corpus_fingerprint(docs, "doc_id")
+    if meta is None or meta.get("corpus") != want_fp:
+        mio.remove_tree(art)
+        build_lexical_index(base, art)
+        upsert_lexical_index(delta, art)
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    return bm25_topk_indexed(spark, queries, art, k=10)

@@ -135,3 +135,59 @@ def test_bm25_indexed_matches_fresh(spark, tmp_path):
     # changed corpus → rebuild
     ensure_lexical_index(docs.filter("doc_id < 40"), path)
     assert os.path.getmtime(os.path.join(path, "meta.json")) > mtime
+
+
+def test_lexical_upsert_matches_full_build(spark, tmp_path):
+    """Incremental maintenance: base-build + delta-upsert answers
+    exactly like an index built from the full corpus (integer
+    relations additive; stats recombined), the merged fingerprint
+    makes ensure treat the maintained index as current, and the
+    stale tfidf norms are invalidated then lazily rebuilt."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.lexical_index import (
+        bm25_topk_indexed,
+        build_lexical_index,
+        ensure_lexical_index,
+        tfidf_topk_indexed,
+        upsert_lexical_index,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = eio.load_table(spark, SF_DIR, "documents")
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    full = str(tmp_path / "full")
+    build_lexical_index(docs, full)
+    want_bm = {
+        tuple(r) for r in bm25_topk_indexed(spark, queries, full, k=10).collect()
+    }
+    want_tf = {
+        tuple(r) for r in tfidf_topk_indexed(spark, queries, full, k=10).collect()
+    }
+
+    inc = str(tmp_path / "inc")
+    build_lexical_index(docs.filter("doc_id % 3 != 0"), inc)
+    # materialize the norms so the upsert's invalidation is observable
+    tfidf_topk_indexed(spark, queries, inc, k=10).collect()
+    assert os.path.isdir(os.path.join(inc, "docnorm"))
+    upsert_lexical_index(docs.filter("doc_id % 3 = 0"), inc)
+    assert not os.path.isdir(os.path.join(inc, "docnorm"))  # invalidated
+    got_bm = {
+        tuple(r) for r in bm25_topk_indexed(spark, queries, inc, k=10).collect()
+    }
+    assert got_bm == want_bm
+    got_tf = {
+        tuple(r) for r in tfidf_topk_indexed(spark, queries, inc, k=10).collect()
+    }
+    assert got_tf == want_tf  # norms rebuilt against the merged dictionary
+    # maintained index recognized as current for the full corpus
+    mtime = os.path.getmtime(os.path.join(inc, "meta.json"))
+    ensure_lexical_index(docs, inc)
+    assert os.path.getmtime(os.path.join(inc, "meta.json")) == mtime
