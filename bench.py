@@ -112,6 +112,8 @@ HEADLINE = [
     "hybrid_serving_topk",
     # round-4 session 5: the hash-verifiable inverted-file tier
     "ann_ivf_det_topk_indexed",
+    # round-4 session 6: incremental lexical-index maintenance
+    "bm25_upsert_topk_indexed",
 ]
 
 
