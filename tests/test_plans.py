@@ -386,3 +386,27 @@ def test_simhash_near_dup_no_text_in_shuffle(spark):
     for part, cols in shuffled_payloads(df):
         if part.startswith("hashpartitioning"):
             assert "text" not in cols, (part, cols)
+
+
+def test_lexical_indexed_scans_are_bucket_pruned(spark):
+    """The stored-index BM25 search must prune its postings and
+    dictionary scans to the query terms' hash buckets (PartitionFilters
+    on pb) — the inverted-list property the artifact layout exists
+    for."""
+    df = QUERIES["bm25_topk_indexed"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        seg[:200] for seg in plan.split("PartitionFilters: [")[1:]
+        if "pb" in seg[:200]
+    ]
+    assert len(pruned) >= 2, "postings/df scans are not pb-pruned"
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_ivf_det_assignment_partial_aggregates(spark):
+    """The deterministic-IVF assignment argmax must partial-aggregate
+    map-side (struct-min), never window-shuffle corpus vectors by row
+    id."""
+    df = QUERIES["ann_ivf_det_topk"](spark, SF_DIR)
+    assert_in_plan(df, "partial_min")
+    assert_not_in_plan(df, "CartesianProduct")
