@@ -194,19 +194,72 @@ def equi_depth_histogram(
 ) -> DataFrame:
     """Equi-depth (equi-height) histogram: n_bins buckets of ~equal
     row count — the skew-robust variant CBOs prefer for selectivity.
-    ``ntile`` over (value, id) — the id tie-break makes boundary
-    assignment deterministic. At scale the single global sort is the
-    honest cost of exact equi-depth (a range-partitioned sort, not a
-    single-task sort); the approximate path is percentile_approx
-    (see ``doc_length_percentiles_approx``), which avoids the sort
-    entirely."""
-    w = Window.orderBy(F.col("__v").asc(), F.col("__id").asc())
-    return (
+    Bin assignment is exactly SQL ``ntile(n) OVER (ORDER BY value,
+    id)`` (the unique-id tie-break makes boundaries deterministic),
+    but computed WITHOUT the single-partition global window Spark
+    would plan for an empty ``partitionBy``: the global rank comes
+    from the distributed prefix-sum pattern — deterministic range
+    buckets on the value (``operators/ranks.py``: literal quantile
+    boundaries, NOT ``repartitionByRange``, whose per-job sampling
+    makes partition membership differ between actions), per-BUCKET
+    ``row_number`` (parallel windows), per-bucket counts collected to
+    the driver (one long per bucket), prefix-accumulated into rank
+    offsets, and broadcast back. One hash shuffle on the bucket id,
+    no stage that moves the whole dataset to one task. The sort-free
+    approximate alternative is percentile_approx
+    (``doc_length_percentiles_approx``)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from inside_vectordb_spark.operators.ranks import deterministic_range_ids
+
+    spark = df.sparkSession
+    vals = (
         df.select(
             F.col(col).cast("double").alias("__v"), F.col(id_col).alias("__id")
         )
         .filter(F.col("__v").isNotNull())
-        .withColumn("bin", F.ntile(n_bins).over(w) - 1)
+    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = deterministic_range_ids(vals, "__v", n_parts)
+    counts = sorted(
+        (r["__pid"], r["c"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, total = [], 0
+    for pid, c in counts:
+        offsets.append((pid, total))
+        total += c
+    off = spark.createDataFrame(
+        offsets or [(0, 0)],
+        StructType(
+            [StructField("__pid", LongType()), StructField("__off", LongType())]
+        ),
+    )
+    w = Window.partitionBy("__pid").orderBy(F.asc("__v"), F.asc("__id"))
+    ranks = (
+        ranged.withColumn("__lr", F.row_number().over(w))
+        .join(F.broadcast(off), "__pid")
+        .withColumn("__rank", F.col("__off") + F.col("__lr"))
+    )
+    # ntile(n) over N rows: the first r = N % n buckets hold q+1 rows
+    # (q = N // n), the rest hold q. N is driver-known, so the bucket
+    # expression is built per-case (avoids a div-by-zero branch when
+    # N < n under ANSI mode).
+    q, r = divmod(total, n_bins)
+    cut = r * (q + 1)
+    if q == 0:
+        bin_expr = F.col("__rank") - 1
+    elif r == 0:
+        bin_expr = F.floor((F.col("__rank") - 1) / F.lit(q))
+    else:
+        bin_expr = F.when(
+            F.col("__rank") <= cut,
+            F.floor((F.col("__rank") - 1) / F.lit(q + 1)),
+        ).otherwise(
+            F.lit(r) + F.floor((F.col("__rank") - cut - 1) / F.lit(q))
+        )
+    return (
+        ranks.withColumn("bin", bin_expr.cast("int"))
         .groupBy("bin")
         .agg(
             F.round(F.min("__v"), 6).alias("lo"),

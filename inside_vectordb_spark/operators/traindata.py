@@ -738,14 +738,19 @@ def token_budget_select(
     Scale shape — the point: a naive ``Window.orderBy`` cumulative
     sum collapses to ONE partition (Spark warns, and at 100 TB it is
     a non-starter). This computes the global prefix sum the
-    distributed way: range-repartition on the sort key, per-PARTITION
-    running sums (parallel windows), then per-partition totals —
-    bounded by the partition count — collect to the driver, prefix-
-    accumulate, and broadcast back as offsets. Two shuffles total,
-    no global sort on one executor; the selected prefix's filter is
-    a pure projection afterward."""
+    distributed way: deterministic range buckets on the sort key
+    (``operators/ranks.py`` — literal quantile boundaries, NOT
+    ``repartitionByRange``, whose per-job sampling can assign a row
+    to different partitions in the totals action vs the final plan
+    and corrupt the offsets), per-BUCKET running sums (parallel
+    windows), then per-bucket totals — bounded by the bucket count —
+    collect to the driver, prefix-accumulate, and broadcast back as
+    offsets. One hash shuffle on the bucket id, no global sort on one
+    executor; the selected prefix's filter is a pure projection
+    afterward."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    from inside_vectordb_spark.operators.ranks import deterministic_range_ids
     from inside_vectordb_spark.operators.textstats import quality_scores
 
     spark = docs.sparkSession
@@ -753,9 +758,7 @@ def token_budget_select(
         "doc_id", "n_words", "quality"
     )
     n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = qs.repartitionByRange(
-        n_parts, F.desc("quality"), F.asc("doc_id")
-    ).withColumn("__pid", F.spark_partition_id())
+    ranged = deterministic_range_ids(qs, "quality", n_parts, ascending=False)
     w = (
         Window.partitionBy("__pid")
         .orderBy(F.desc("quality"), F.asc("doc_id"))

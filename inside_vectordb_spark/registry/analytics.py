@@ -410,9 +410,11 @@ def price_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram (10 ~equal-count buckets) over order
     totals — the skew-robust CBO histogram; deterministic boundary
-    assignment via the (value, unique id) ntile ordering. The global
-    sort is range-partitioned at scale; percentile_approx is the
-    registered sort-free alternative."""
+    assignment via the (value, unique id) ntile ordering, computed
+    with the distributed prefix-rank pattern (range repartition +
+    per-partition row_number + broadcast offsets) so no stage sorts
+    the whole table on one task; percentile_approx is the registered
+    sort-free alternative."""
     from inside_vectordb_spark.operators.stats import equi_depth_histogram
 
     return equi_depth_histogram(

@@ -410,3 +410,17 @@ def test_ivf_det_assignment_partial_aggregates(spark):
     df = QUERIES["ann_ivf_det_topk"](spark, SF_DIR)
     assert_in_plan(df, "partial_min")
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_equi_depth_no_single_partition_window(spark):
+    """Exact equi-depth must come from the distributed prefix-rank
+    (range repartition + per-__pid windows + broadcast offsets),
+    never a global ntile whose empty partition spec moves the whole
+    table to one task (the round-4 verdict's scale defect #1)."""
+    df = QUERIES["price_histogram_equidepth"](spark, SF_DIR)
+    assert_not_in_plan(df, "ntile")
+    assert_in_plan(df, "rangepartitioning")
+    # the only window runs per range-partition
+    plan = physical_plan(df)
+    for seg in plan.split("Window [")[1:]:
+        assert "__pid" in seg[:400], "window without __pid partition spec"
