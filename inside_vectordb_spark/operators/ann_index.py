@@ -58,22 +58,38 @@ def _write_meta(path: str, meta: dict[str, Any]) -> None:
     mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
 
 
-def _corpus_fingerprint(corpus: DataFrame, id_col: str) -> dict[str, int]:
+def _corpus_fingerprint(
+    corpus: DataFrame, id_col: str, content_col: str | None = None
+) -> dict[str, int]:
     """Cheap corpus identity for the cache check: row count + id
     range. A changed corpus at the same path must NOT silently reuse
     the stale artifact (the reference's hnswlib cache check has this
     gap — ``003:234-251`` keys on params only). Count+min/max is one
     columnar scan of the id column (parquet answers it from
     metadata/stats at rest), so the check stays far cheaper than the
-    rebuild it guards."""
-    row = corpus.agg(
-        F.count("*").alias("n"), F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-    ).collect()[0]
-    return {
+    rebuild it guards.
+
+    For TEXT-bearing tables pass ``content_col``: folds
+    ``sum(length(content))`` into the fingerprint so an in-place edit
+    of document text at unchanged ids (same count, same id range)
+    still invalidates the cached index — closes the round-4 advisory
+    gap on the lexical index. Still one cheap columnar aggregate."""
+    aggs = [
+        F.count("*").alias("n"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+    ]
+    if content_col is not None:
+        aggs.append(F.sum(F.length(F.col(content_col))).alias("chars"))
+    row = corpus.agg(*aggs).collect()[0]
+    fp = {
         "n": int(row["n"]),
         "lo": int(row["lo"]) if row["lo"] is not None else None,
         "hi": int(row["hi"]) if row["hi"] is not None else None,
     }
+    if content_col is not None:
+        fp["chars"] = int(row["chars"]) if row["chars"] is not None else 0
+    return fp
 
 
 # ---------------------------------------------------------------------------
@@ -148,11 +164,14 @@ def _merge_fingerprint(
     upserted index as current and skips the rebuild."""
     if old is None or old.get("n") in (None, 0):
         return new
-    return {
+    merged = {
         "n": old["n"] + new["n"],
         "lo": min(x for x in (old["lo"], new["lo"]) if x is not None),
         "hi": max(x for x in (old["hi"], new["hi"]) if x is not None),
     }
+    if "chars" in old or "chars" in new:
+        merged["chars"] = old.get("chars", 0) + new.get("chars", 0)
+    return merged
 
 
 def upsert_lsh_index(

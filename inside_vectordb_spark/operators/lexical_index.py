@@ -6,17 +6,28 @@ explode+count over the corpus is exactly what a search engine pays
 ONCE at index time and never again. This module is that index-at-rest
 (the lexical sibling of the persisted ANN indexes, S9/S10):
 
-- ``postings``: (term, doc_id, tf) parquet, PARTITIONED by
+- ``postings``: (term, doc_id, tf, dl) parquet, PARTITIONED by
   ``pb = pmod(hash(term), n_buckets)`` — the query's term set maps to
   a handful of buckets, so a search scans |query buckets|/n_buckets
   of the postings, a genuine partition-pruned read (the inverted-list
-  property, from layout rather than pointers).
-- ``df``: the dictionary (term, df), same bucketing.
-- ``doclen``: (doc_id, dl) — the BM25 length-normalization side.
+  property, from layout rather than pointers). The document length
+  ``dl`` is DENORMALIZED into each posting row (one extra int per
+  posting, the classic impact-ready layout), so BM25 serving touches
+  NOTHING that is O(corpus): the round-4 verdict's doclen shuffle is
+  gone from the serving path.
+- ``df``: the dictionary (term, df), same bucketing, stored under a
+  VERSIONED directory (``df_v<N>``) named by ``meta.json`` — the
+  atomic meta write is the commit point for dictionary swaps, so a
+  crash mid-upsert can never pair a new dictionary with old meta or
+  vice versa (the ``_meta_io`` seam the module advertises).
+- ``doclen``: (doc_id, dl) — kept for introspection/stats; the
+  serving path no longer reads it.
 - ``meta.json`` (via the atomic ``_meta_io`` seam): k-invariant
-  corpus stats (n_docs, avgdl) + a corpus fingerprint, written LAST
-  as the completeness marker; ``ensure_lexical_index`` rebuilds on a
-  changed corpus or params.
+  corpus stats (n_docs, avgdl) + a corpus fingerprint (count, id
+  range, AND total chars — in-place text edits at unchanged ids
+  invalidate the cache), written LAST as the completeness marker;
+  ``ensure_lexical_index`` rebuilds on a changed corpus, params, or
+  layout version.
 
 Because tokenization and counting are deterministic, the stored index
 search is BIT-IDENTICAL to the fresh ``bm25_topk`` — the registered
@@ -36,10 +47,50 @@ from inside_vectordb_spark.functions.text import token_count, tokenize
 from inside_vectordb_spark.operators.bm25 import BM25_B, BM25_K1
 
 N_TERM_BUCKETS = 64
+LEXICAL_LAYOUT = 2  # v2: dl denormalized into postings, versioned df dir
 
 
 def _term_bucket(col) -> F.Column:
     return F.pmod(F.hash(col), F.lit(N_TERM_BUCKETS))
+
+
+def _df_dir(path: str, meta: dict) -> str:
+    """Resolve the live dictionary directory through meta.json — the
+    versioned name makes the atomic meta write the commit point for
+    dictionary swaps."""
+    return os.path.join(path, meta.get("df_rel", "df"))
+
+
+def _gc_dirs(path: str, keep: set[str]) -> None:
+    """Remove superseded df_v* / postings_d* dirs (runs AFTER the
+    meta commit, so a crash here leaves only harmless orphans, never
+    a torn index)."""
+    try:
+        entries = os.listdir(path)
+    except FileNotFoundError:
+        return
+    for name in entries:
+        versioned = (
+            name == "df" or name.startswith("df_v") or name.startswith("postings_d")
+        )
+        if versioned and name not in keep:
+            mio.remove_tree(os.path.join(path, name))
+
+
+def _read_postings(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+    """Union the base postings with any committed delta dirs — only
+    relations NAMED in meta.json are visible, so an interrupted upsert
+    (delta written, meta not yet swapped) reads as the pre-upsert
+    index, never a torn one. Bucket-pruning filters push into every
+    member scan independently."""
+    dfs = [
+        spark.read.parquet(os.path.join(path, rel))
+        for rel in meta.get("postings_rels", ["postings"])
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def build_lexical_index(
@@ -50,7 +101,10 @@ def build_lexical_index(
 ) -> dict:
     """One corpus pass builds all three relations; the postings/df
     writes repartition on the partition key first (one file per
-    bucket, not tasks×buckets small files)."""
+    bucket, not tasks×buckets small files). ``dl`` rides along on
+    every posting row (= sum(tf) over the doc, exactly
+    ``token_count`` since empty tokens are filtered before the
+    count), so serving never joins an O(corpus) side."""
     from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
 
     d = docs.select(
@@ -61,6 +115,7 @@ def build_lexical_index(
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
         .withColumn("pb", _term_bucket(F.col("term")))
     )
     tf.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
@@ -71,20 +126,25 @@ def build_lexical_index(
     dft = postings.groupBy("term").agg(F.count("*").alias("df")).withColumn(
         "pb", _term_bucket(F.col("term"))
     )
+    df_rel = "df_v1"
     dft.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
-        os.path.join(path, "df")
+        os.path.join(path, df_rel)
     )
     dl = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
     dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     row = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     meta = {
         "kind": "lexical",
+        "layout": LEXICAL_LAYOUT,
         "n_term_buckets": N_TERM_BUCKETS,
+        "df_rel": df_rel,
         "n_docs": int(row["n"]),
         "avgdl": float(row["avgdl"]),
-        "corpus": _corpus_fingerprint(docs, id_col),
+        "corpus": _corpus_fingerprint(docs, id_col, content_col=text_col),
     }
+    meta["postings_rels"] = ["postings"]
     mio.write_json(mio.join(path, "meta.json"), meta)
+    _gc_dirs(path, {df_rel, "postings"})
     return meta
 
 
@@ -92,10 +152,13 @@ def ensure_lexical_index(docs: DataFrame, path: str, **kw) -> dict:
     from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
 
     meta = mio.read_json(mio.join(path, "meta.json"))
-    fp = _corpus_fingerprint(docs, kw.get("id_col", "doc_id"))
+    fp = _corpus_fingerprint(
+        docs, kw.get("id_col", "doc_id"), content_col=kw.get("text_col", "text")
+    )
     if (
         meta is not None
         and meta.get("kind") == "lexical"
+        and meta.get("layout") == LEXICAL_LAYOUT
         and meta.get("n_term_buckets") == N_TERM_BUCKETS
         and meta.get("corpus") == fp
     ):
@@ -117,8 +180,9 @@ def bm25_topk_indexed(
     """BM25 against the stored index: the corpus is never touched —
     postings/df scans prune to the query terms' buckets (the bucket
     list is collected driver-side, bounded by the query vocabulary),
-    the query vocabulary broadcasts, and only the doc-length join and
-    the final (query, doc) aggregation shuffle. Identical scoring
+    the query vocabulary broadcasts, ``dl`` comes denormalized off
+    the posting rows, and the ONLY shuffle is the final (query, doc)
+    aggregation — nothing O(corpus) moves. Identical scoring
     arithmetic to ``bm25_scores``, so results match the fresh path
     bit-for-bit."""
     meta = mio.read_json(mio.join(path, "meta.json"))
@@ -139,21 +203,18 @@ def bm25_topk_indexed(
         .collect()
     )
     postings = (
-        spark.read.parquet(os.path.join(path, "postings"))
+        _read_postings(spark, path, meta)
         .filter(F.col("pb").isin(pbs))
         .join(F.broadcast(qvocab), "term")
     )
     dft = (
-        spark.read.parquet(os.path.join(path, "df"))
+        spark.read.parquet(_df_dir(path, meta))
         .filter(F.col("pb").isin(pbs))
         .join(F.broadcast(qvocab), "term")
         .select("term", "df")
     )
-    dl = spark.read.parquet(os.path.join(path, "doclen"))
-    scored = (
-        postings.join(F.broadcast(dft), "term")
-        .join(F.broadcast(qterms), "term")
-        .join(dl, "doc_id")
+    scored = postings.join(F.broadcast(dft), "term").join(
+        F.broadcast(qterms), "term"
     )
     n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
     idf = F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -179,8 +240,8 @@ def build_tfidf_norms(spark: SparkSession, path: str) -> None:
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None or meta.get("kind") != "lexical":
         raise FileNotFoundError(f"no complete lexical index at {path}")
-    postings = spark.read.parquet(os.path.join(path, "postings"))
-    dft = spark.read.parquet(os.path.join(path, "df")).select("term", "df")
+    postings = _read_postings(spark, path, meta)
+    dft = spark.read.parquet(_df_dir(path, meta)).select("term", "df")
     n_docs = float(meta["n_docs"])
     idf = F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0
     wd = (1.0 + F.log("tf")) * idf
@@ -231,7 +292,7 @@ def tfidf_topk_indexed(
         .collect()
     )
     dft_q = (
-        spark.read.parquet(os.path.join(path, "df"))
+        spark.read.parquet(_df_dir(path, meta))
         .filter(F.col("pb").isin(pbs))
         .join(F.broadcast(qvocab), "term")
         .select("term", "df")
@@ -248,7 +309,7 @@ def tfidf_topk_indexed(
         F.sqrt(F.sum(F.col("wq") * F.col("wq")).over(Window.partitionBy("query_id"))),
     )
     postings = (
-        spark.read.parquet(os.path.join(path, "postings"))
+        _read_postings(spark, path, meta)
         .filter(F.col("pb").isin(pbs))
         .join(F.broadcast(qvocab), "term")
     )
@@ -286,14 +347,22 @@ def upsert_lexical_index(
     float recombination error far inside the score rounding — which
     is why the registered upsert query shares the plain BM25 oracle:
 
-    - postings/doclen: parquet append, O(delta) rows tokenized;
+    - postings: the delta lands in a fresh ``postings_d<N>`` dir,
+      O(delta) rows tokenized — INVISIBLE until meta.json names it;
     - dictionary: df_new = df_old ⊕ df_delta (full-outer sum — an
-      O(vocab) merge, never a postings re-aggregation);
+      O(vocab) merge, never a postings re-aggregation), written to
+      the next ``df_v<N>`` dir;
     - stats: n_docs and avgdl recombine from counts (additive);
     - tfidf ``docnorm`` is INVALIDATED (norms depend on global df,
       which just changed for the delta's terms) and lazily rebuilt
       from the stored postings on the next TF-IDF search — the
       classic refresh-on-read for derived index artifacts.
+
+    The ATOMIC meta.json write is the single commit point: readers
+    resolve both the dictionary dir and the postings dir list through
+    meta, so a crash at any earlier step leaves the pre-upsert index
+    fully intact (orphan dirs get GC'd after the next successful
+    commit) — no window where delta postings pair with base meta.
 
     Contract (FAISS ``add``): delta ids disjoint from stored ids. The
     merged fingerprint makes a later ``ensure_lexical_index`` over
@@ -306,6 +375,11 @@ def upsert_lexical_index(
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None or meta.get("kind") != "lexical":
         raise FileNotFoundError(f"no complete lexical index at {path}")
+    if meta.get("layout") != LEXICAL_LAYOUT:
+        raise ValueError(
+            f"lexical index at {path} has layout {meta.get('layout')}; "
+            f"rebuild via build_lexical_index (expected {LEXICAL_LAYOUT})"
+        )
     spark = new_docs.sparkSession
     d = new_docs.select(
         F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
@@ -315,14 +389,17 @@ def upsert_lexical_index(
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
         .withColumn("pb", _term_bucket(F.col("term")))
     )
     tf.persist()
-    tf.repartition("pb").write.mode("append").partitionBy("pb").parquet(
-        os.path.join(path, "postings")
+    rels = list(meta.get("postings_rels", ["postings"]))
+    delta_rel = f"postings_d{len(rels)}"
+    tf.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
+        os.path.join(path, delta_rel)
     )
     df_delta = tf.groupBy("term").agg(F.count("*").alias("dfd"))
-    df_old = spark.read.parquet(os.path.join(path, "df")).select("term", "df")
+    df_old = spark.read.parquet(_df_dir(path, meta)).select("term", "df")
     merged = (
         df_old.join(df_delta, "term", "full_outer")
         .select(
@@ -331,14 +408,14 @@ def upsert_lexical_index(
         )
         .withColumn("pb", _term_bucket(F.col("term")))
     )
-    # rewrite via a staging dir: the source scan and the overwrite
-    # target must not be the same live directory
-    stage = os.path.join(path, "df__new")
+    old_df_rel = meta.get("df_rel", "df")
+    try:
+        new_df_rel = f"df_v{int(old_df_rel.rsplit('_v', 1)[1]) + 1}"
+    except (IndexError, ValueError):
+        new_df_rel = "df_v1"
     merged.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
-        stage
+        os.path.join(path, new_df_rel)
     )
-    mio.remove_tree(os.path.join(path, "df"))
-    os.rename(stage, os.path.join(path, "df"))
     dl = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
     dl.write.mode("append").parquet(os.path.join(path, "doclen"))
     row = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
@@ -349,8 +426,12 @@ def upsert_lexical_index(
     meta["n_docs"] = n_old + n_new
     meta["avgdl"] = (sum_old + sum_new) / max(1, n_old + n_new)
     meta["corpus"] = _merge_fingerprint(
-        meta.get("corpus"), _corpus_fingerprint(new_docs, id_col)
+        meta.get("corpus"),
+        _corpus_fingerprint(new_docs, id_col, content_col=text_col),
     )
+    meta["postings_rels"] = rels + [delta_rel]
+    meta["df_rel"] = new_df_rel
     mio.remove_tree(os.path.join(path, "docnorm"))  # df changed → stale
-    mio.write_json(mio.join(path, "meta.json"), meta)
+    mio.write_json(mio.join(path, "meta.json"), meta)  # the commit point
+    _gc_dirs(path, set(meta["postings_rels"]) | {new_df_rel})
     return meta

@@ -1971,6 +1971,7 @@ def bm25_upsert_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark import _meta_io as mio
     from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
     from inside_vectordb_spark.operators.lexical_index import (
+        LEXICAL_LAYOUT,
         bm25_topk_indexed,
         build_lexical_index,
         upsert_lexical_index,
@@ -1986,8 +1987,12 @@ def bm25_upsert_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
     meta = mio.read_json(mio.join(art, "meta.json"))
-    want_fp = _corpus_fingerprint(docs, "doc_id")
-    if meta is None or meta.get("corpus") != want_fp:
+    want_fp = _corpus_fingerprint(docs, "doc_id", content_col="text")
+    if (
+        meta is None
+        or meta.get("layout") != LEXICAL_LAYOUT
+        or meta.get("corpus") != want_fp
+    ):
         mio.remove_tree(art)
         build_lexical_index(base, art)
         upsert_lexical_index(delta, art)

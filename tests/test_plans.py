@@ -401,6 +401,9 @@ def test_lexical_indexed_scans_are_bucket_pruned(spark):
     ]
     assert len(pruned) >= 2, "postings/df scans are not pb-pruned"
     assert_not_in_plan(df, "CartesianProduct")
+    # dl rides denormalized on the posting rows — the serving path
+    # must never scan (or shuffle-join) the O(corpus) doclen relation
+    assert "doclen" not in plan
 
 
 def test_ivf_det_assignment_partial_aggregates(spark):
