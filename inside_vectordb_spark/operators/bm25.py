@@ -8,24 +8,26 @@ Okapi BM25 (the Lucene ``k1``/``b`` variant with the always-positive
 ``ln(1 + (N - df + .5)/(df + .5))`` idf) as pure DataFrame algebra.
 
 Plan shape — an inverted index expressed relationally:
-- ``tf``: explode(tokens) → groupBy(doc, term) count. The explode and
-  the partial count are map-side; the shuffle carries (doc_id, term,
-  tf) postings, never document text.
 - The query vocabulary (tiny) is **broadcast** and applied to the
-  postings FIRST — the surviving postings list is |matching postings|,
-  not |corpus postings|. Everything downstream (df, idf, per-term
-  weights) works on that restricted list.
+  exploded token stream BEFORE the (doc, term) aggregation — tf and
+  df of a surviving term are unchanged by dropping non-query terms,
+  so the postings shuffle carries |matching postings|, not
+  |corpus postings| (and never document text). For repeated query
+  batches over a static corpus, the persisted inverted index
+  (``operators/lexical_index.py``) amortizes even the token scan.
+- Everything downstream (df, idf, per-term weights) works on that
+  restricted list.
 - ``df`` per term is a count window over the restricted postings —
   NOT a separate ``groupBy`` + broadcast-back, which would execute
   the whole explode+count chain twice (once to materialize the
   broadcast, once in the main plan; measured 1.5× slower end-to-end
-  at sf0.1). The 1-row corpus stats (n_docs, avgdl) come from the
-  cheap no-explode doc-length scan and are the only broadcast
-  subplan that re-reads the corpus.
-- After ``tf``, the big-table shuffles are the postings-by-term
-  window, the doc-length join (keyed by doc_id), and the final
-  (query, doc) score aggregation — each partial-aggregated map-side
-  where applicable.
+  at sf0.1). The 1-row corpus stats (n_docs, avgdl) come from a
+  scalar agg collected to driver literals (no broadcast subplan).
+- The document length rides alongside the exploded tokens (constant
+  per doc, same scan), so scoring needs NO O(corpus) doc-length
+  join; after ``tf`` the only shuffles are the postings-by-term
+  window and the final (query, doc) score aggregation — each
+  partial-aggregated map-side where applicable.
 - Top-k per query: rank window over (query_id), k rows out per query.
 
 At 100 TB the dominant cost is the one explode+count over the corpus
@@ -65,37 +67,48 @@ def bm25_scores(
     q = queries.select(
         F.col(qid_col).alias("query_id"), F.lower(F.col(qtext_col)).alias("__qt")
     )
-    toks = d.select("doc_id", F.explode(tokenize(F.col("__t"))).alias("term"))
-    tf = (
-        toks.filter(F.col("term") != "")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dl = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
-    stats = dl.agg(
+    # the 1-row corpus stats are collected to driver literals: a
+    # scalar agg job instead of a whole broadcast subplan re-scanning
+    # the corpus inside the main plan (legitimately driver-sized)
+    dl_rel = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
+    srow = dl_rel.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"] or 0.0)
+    # dl rides alongside the exploded tokens (same scan, constant per
+    # doc), so no O(corpus) doc-length join is needed downstream
+    toks = d.select(
+        "doc_id",
+        token_count(F.col("__t")).alias("dl"),
+        F.explode(tokenize(F.col("__t"))).alias("term"),
     )
     qterms = q.select(
         "query_id",
         F.explode(F.array_distinct(tokenize(F.col("__qt")))).alias("term"),
     ).filter(F.col("term") != "")
     qvocab = qterms.select("term").distinct()
-    postings = tf.join(F.broadcast(qvocab), "term")
+    # the broadcast vocabulary filter runs BEFORE the (doc, term)
+    # aggregation: tf and df of a surviving term are unchanged by
+    # dropping non-query terms (every occurrence of a query term
+    # survives), but the postings shuffle now carries only MATCHING
+    # postings instead of the full corpus token inventory
+    postings = (
+        toks.filter(F.col("term") != "")
+        .join(F.broadcast(qvocab), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
     # rows are unique per (doc_id, term), so count(*) over the term
     # partition IS the document frequency
     postings = postings.withColumn(
         "df", F.count("*").over(Window.partitionBy("term"))
     )
-    scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    scored = postings.join(F.broadcast(qterms), "term")
     idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     tf_norm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
     )
     per_term = scored.select("query_id", "doc_id", (idf * tf_norm).alias("w"))
     return per_term.groupBy("query_id", "doc_id").agg(

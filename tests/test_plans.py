@@ -136,12 +136,15 @@ def test_curation_no_text_in_shuffle(spark):
 
 
 def test_bm25_broadcast_only_joins(spark):
-    """The query vocabulary/terms/df/stats sides all broadcast; the
-    postings list never sort-merge-joins at test scale, and no
-    materialized cartesian appears (the 1-row stats crossJoin rides
-    a broadcast nested loop, which is the intended shape)."""
+    """The query vocabulary/terms sides broadcast BEFORE the (doc,
+    term) aggregation (only matching postings shuffle); corpus stats
+    are driver literals, so no stats subplan / nested-loop join
+    appears; no O(corpus) doc-length join (dl rides the token
+    stream); no materialized cartesian."""
     df = QUERIES["bm25_topk"](spark, SF_DIR)
-    assert count_in_plan(df, "BroadcastHashJoin") >= 3
+    assert count_in_plan(df, "BroadcastHashJoin") == 2
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "SortMergeJoin")
     assert_not_in_plan(df, "CartesianProduct")
     # document frequency comes from ONE count window over the
     # restricted postings, not a groupBy+broadcast-back that would
