@@ -114,17 +114,23 @@ def test_run_comparison_pipeline_through_files(spark, tmp_path):
 
 def test_registry_comparison_values(spark):
     rows = {r["method"]: r for r in QUERIES["method_comparison"](spark, SF_DIR).collect()}
-    assert set(rows) == {"exact", "lsh", "ivf"}
+    assert set(rows) == {"exact", "signlsh", "ivfdet"}
     assert rows["exact"]["recall_retention"] == pytest.approx(1.0)
-    for m in ("lsh", "ivf"):
-        # exact is the quality ceiling; ANN must retain >= 0.7 of it
-        assert rows[m]["recall_at_10"] <= rows["exact"]["recall_at_10"] + 1e-9
-        assert rows[m]["recall_retention"] >= 0.7
+    for m, r in rows.items():
+        # qrels-based recall is NOT upper-bounded by exact (judgments
+        # are independent of cosine rank); neighbor-recall retention
+        # bounds live in tests/test_ann.py. Here the contract is the
+        # arithmetic: all metrics in [0,1], retention = recall/base.
+        for col in ("recall_at_10", "precision_at_10", "mrr"):
+            assert 0.0 <= r[col] <= 1.0
+        assert r["recall_retention"] == pytest.approx(
+            round(r["recall_at_10"] / rows["exact"]["recall_at_10"], 6), abs=1e-9
+        )
 
 
 def test_registry_speedups_shape(spark):
     rows = QUERIES["method_speedups"](spark, SF_DIR).collect()
-    assert {r["method"] for r in rows} == {"exact", "lsh", "ivf"}
+    assert {r["method"] for r in rows} == {"exact", "signlsh", "ivfdet"}
     assert all(r["latency_sec"] > 0 and r["qps"] > 0 for r in rows)
     exact = [r for r in rows if r["method"] == "exact"][0]
     assert exact["speedup_vs_baseline"] == pytest.approx(1.0)
