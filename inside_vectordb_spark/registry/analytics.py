@@ -197,6 +197,34 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_user_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS n_users FROM events
+    ORDER BY event_type
+    """,
+)
+def events_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT twin of ``events_user_sketch`` on the hard signal:
+    distinct users per event type + the ALL rollup, hash-checkable
+    end to end. The HLL sketch query stays registered as the
+    documented 100-TB variant (mergeable partials, no distinct-key
+    shuffle); ``tests/test_analytics.py`` bounds the sketch against
+    THIS result (±5%), so the pair pins both the semantics and the
+    approximation contract."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    typed = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    allr = ev.agg(F.countDistinct("user_id").alias("n_users")).select(
+        F.lit("ALL").alias("event_type"), "n_users"
+    )
+    return typed.unionByName(allr).orderBy("event_type")
+
+
 @register("events_user_sketch")  # rows-only: HLL estimates have no ANSI-SQL twin
 def events_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type via Apache
