@@ -114,6 +114,13 @@ HEADLINE = [
     "ann_ivf_det_topk_indexed",
     # round-4 session 6: incremental lexical-index maintenance
     "bm25_upsert_topk_indexed",
+    # round-5: deterministic-PQ ADC against stored codes, the
+    # distributed-prefix-rank equi-depth histogram (the r4 verdict's
+    # single-partition defect, fixed), and the oracle-ified
+    # deterministic comparison pipeline
+    "ann_pq_det_topk_indexed",
+    "price_histogram_equidepth",
+    "method_comparison",
 ]
 
 
