@@ -237,8 +237,94 @@ def ensure_pq_det_index(
     cents_sub = _sub_explode(cents, "__cv", "__cv", m_sub, dim)
     codes = _encode(corpus, cents_sub, id_col, vec_col, m_sub, dim)
     codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    # the codebook rows persist so O(delta) upserts can encode without
+    # the base corpus; a rebuild also compacts tombstones away (FAISS
+    # retrain semantics)
+    cents_sub.write.mode("overwrite").parquet(os.path.join(path, "cents"))
+    mio.remove_tree(os.path.join(path, "tombstones"))
     mio.write_json(mio.join(path, "meta.json"), want)
     return path
+
+
+def upsert_pq_det_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental maintenance of the persisted PQ codes — FAISS
+    ``add`` on an already-trained IndexPQ: the codebook is FROZEN (it
+    derives from the stored stride/cap rule), so only the delta is
+    encoded and its codes append into the codes parquet. O(delta)
+    work; because encode is deterministic, the maintained index is
+    BIT-IDENTICAL to a full rebuild over base ∪ delta — the
+    registered upsert query shares the plain search oracle.
+
+    Contract: delta ids disjoint from stored ids AND disjoint from
+    the centroid-selection rule (``id % stride == 1 AND id <
+    stride*cap``) — a delta row matching the rule would change the
+    re-derived codebook and silently diverge from a rebuild, so it is
+    REJECTED here (the caller rebuilds instead, exactly like FAISS
+    retraining)."""
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+        _merge_fingerprint,
+    )
+
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "pq_det":
+        raise FileNotFoundError(f"no complete pq_det index at {path}")
+    stride, cap = int(meta["stride"]), int(meta["cap"])
+    m_sub, dim = int(meta["m"]), int(meta["dim"])
+    bad = new_vectors.filter(
+        ((F.col(id_col) % stride) == 1) & (F.col(id_col) < stride * cap)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} delta ids match the centroid rule (id % {stride} == 1, "
+            f"id < {stride * cap}); they would retrain the codebook — "
+            "rebuild via ensure_pq_det_index instead"
+        )
+    # encode the delta against the FROZEN codebook: the centroid rows
+    # live in the stored corpus, which the caller passes as new_vectors'
+    # sibling — re-derive them from the codes' source by the rule is
+    # impossible from the delta alone, so the codebook rides in from
+    # the stored raw vectors at search time; here we only need the
+    # centroid VECTORS, which the index stores for exactly this reason.
+    cents_sub = spark.read.parquet(os.path.join(path, "cents"))
+    codes = _encode(new_vectors, cents_sub, id_col, vec_col, m_sub, dim)
+    codes.write.mode("append").parquet(os.path.join(path, "codes"))
+    meta["corpus"] = _merge_fingerprint(
+        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+    )
+    mio.write_json(mio.join(path, "meta.json"), meta)
+    return meta
+
+
+def delete_from_pq_det_index(
+    spark: SparkSession, path: str, ids: list[int]
+) -> dict:
+    """FAISS ``remove_ids`` on the PQ tier: tombstone doc ids WITHOUT
+    rewriting codes — deletes append to a tiny ``tombstones`` parquet
+    that search anti-joins (broadcast) out of the ADC scan. The
+    codebook is untouched (FAISS never retrains on remove). O(deleted)
+    bytes; a rebuild compacts tombstones away. Idempotent per id."""
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "pq_det":
+        raise FileNotFoundError(f"no complete pq_det index at {path}")
+    tomb = os.path.join(path, "tombstones")
+    existing: set[int] = set()
+    if mio.is_dir(tomb):
+        existing = {r["id"] for r in spark.read.parquet(tomb).collect()}
+    fresh = sorted(set(int(i) for i in ids) - existing)
+    if fresh:
+        spark.createDataFrame(
+            [(i,) for i in fresh], "id long"
+        ).write.mode("append").parquet(tomb)
+        meta["n_deleted"] = meta.get("n_deleted", 0) + len(fresh)
+        mio.write_json(mio.join(path, "meta.json"), meta)
+    return meta
 
 
 def ann_pq_det_topk_indexed(
@@ -269,6 +355,10 @@ def ann_pq_det_topk_indexed(
     cents = _centroids(corpus, id_col, vec_col, centroid_stride, n_centroids_cap)
     cents_sub = _sub_explode(cents, "__cv", "__cv", m_sub, dim)
     codes = spark.read.parquet(os.path.join(path, "codes"))
+    tomb = os.path.join(path, "tombstones")
+    if mio.is_dir(tomb):
+        dead = spark.read.parquet(tomb).select(F.col("id").alias("doc_id"))
+        codes = codes.join(F.broadcast(dead), "doc_id", "left_anti")
     return _adc_search(
         queries, codes, corpus, cents_sub, k, cand_k,
         query_id_col, id_col, vec_col, m_sub, dim,

@@ -1013,7 +1013,11 @@ _PQ_DET_L2SQ = (
     "i -> (es.xvm[i] - cs.cvm[i]) * (es.xvm[i] - cs.cvm[i]))), 6)"
 )
 
-_PQ_DET_ORACLE = f"""
+def _pq_det_oracle(codes_filter: str = "") -> str:
+    """The deterministic-PQ chain as SQL; ``codes_filter`` is an
+    optional extra predicate on the codes relation (tombstoned ids
+    for the delete twin)."""
+    return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents AS (SELECT vec_id AS cid, v AS cv FROM e
               WHERE vec_id % 29 = 1 AND vec_id < 464),
@@ -1026,7 +1030,7 @@ _PQ_DET_ORACLE = f"""
         SELECT es.doc_id, es.m, cs.cid,
                row_number() OVER (PARTITION BY es.doc_id, es.m
                                   ORDER BY {_PQ_DET_L2SQ} ASC, cs.cid) AS rn
-        FROM es JOIN cs USING (m)) WHERE rn = 1),
+        FROM es JOIN cs USING (m)) WHERE rn = 1 {codes_filter}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e
           WHERE vec_id < {eio.N_QUERY_VECTORS}),
     qs AS (SELECT query_id, qv, m, qv[m*8+1 : m*8+8] AS qvm
@@ -1057,6 +1061,9 @@ _PQ_DET_ORACLE = f"""
                                    ORDER BY score DESC, doc_id) AS rn
       FROM scored) WHERE rn <= 10
 """
+
+
+_PQ_DET_ORACLE = _pq_det_oracle()
 
 
 @register("ann_pq_det_topk", oracle=_PQ_DET_ORACLE)
@@ -1096,4 +1103,72 @@ def ann_pq_det_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         eio.load_table(spark, sf_dir, "embeddings"),
         _idx_path("pq_det", sf_dir),
         k=10,
+    )
+
+
+@register("ann_pq_det_upsert_topk", oracle=_PQ_DET_ORACLE)
+def ann_pq_det_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS ``add`` on the PQ tier, hash-verified: build the codes on
+    the base partition (ids with vec_id % 29 != 5 — the delta rule is
+    provably disjoint from the centroid rule id % 29 == 1, so the
+    frozen codebook equals the full-corpus codebook), upsert the
+    delta (O(delta) encode against the STORED codebook, parquet
+    append), then search. Shares the plain det-PQ oracle: the green
+    hash proves the maintained index answers exactly like one built
+    from the full corpus (operators/pq_det.py:upsert_pq_det_index)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+    from inside_vectordb_spark.operators.pq_det import (
+        ann_pq_det_topk_indexed,
+        ensure_pq_det_index,
+        upsert_pq_det_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    base = corpus.filter((F.col("vec_id") % 29) != 5)
+    delta = corpus.filter((F.col("vec_id") % 29) == 5)
+    art = _idx_path("pq_det_upsert", sf_dir)
+    meta = mio.read_json(mio.join(art, "meta.json"))
+    want_fp = _corpus_fingerprint(corpus, "vec_id")
+    if meta is None or meta.get("corpus") != want_fp:
+        mio.remove_tree(art)
+        ensure_pq_det_index(spark, base, art)
+        upsert_pq_det_index(spark, delta, art)
+    return ann_pq_det_topk_indexed(
+        spark, eio.query_vectors(spark, sf_dir), corpus, art, k=10
+    )
+
+
+_PQ_DET_DEL_ORACLE = _pq_det_oracle("AND NOT (doc_id % 50 = 3)")
+
+
+@register("ann_pq_det_topk_deleted", oracle=_PQ_DET_DEL_ORACLE)
+def ann_pq_det_topk_deleted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS ``remove_ids`` on the PQ tier, hash-verified: tombstone
+    the ids with vec_id % 50 == 3 (no codes rewrite, codebook
+    untouched — FAISS never retrains on remove), then search; the
+    oracle excludes exactly those ids from the ADC scan, so the green
+    hash pins the delete semantics
+    (operators/pq_det.py:delete_from_pq_det_index)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.pq_det import (
+        ann_pq_det_topk_indexed,
+        delete_from_pq_det_index,
+        ensure_pq_det_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    art = _idx_path("pq_det_del", sf_dir)
+    ensure_pq_det_index(spark, corpus, art)
+    dead = [
+        r["vec_id"]
+        for r in corpus.filter((F.col("vec_id") % 50) == 3)
+        .select("vec_id").collect()
+    ]
+    delete_from_pq_det_index(spark, art, dead)
+    return ann_pq_det_topk_indexed(
+        spark, eio.query_vectors(spark, sf_dir), corpus, art, k=10
     )

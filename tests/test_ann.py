@@ -595,3 +595,53 @@ def test_pq_det_indexed_matches_fresh_and_retains(spark, tmp_path, exact_sets):
     # recall vs exact top-10 (sf0.01 exact sets from the fixture)
     recall = _recall_vs_exact(ann_pq_det_topk(spark, q, c, k=10), exact_sets)
     assert recall >= 0.5, f"det-PQ recall@10 retention {recall:.3f} < 0.5"
+
+
+def test_pq_det_lifecycle(spark, tmp_path):
+    """Upsert equals batch build bit-for-bit (frozen codebook, O(delta)
+    encode); a delta id matching the centroid rule is rejected;
+    tombstoned ids vanish from results; a rebuild clears tombstones."""
+    import pytest as _pytest
+
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.pq_det import (
+        ann_pq_det_topk_indexed,
+        delete_from_pq_det_index,
+        ensure_pq_det_index,
+        upsert_pq_det_index,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR_MED
+
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    ensure_pq_det_index(spark, c, full)
+    batch = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ann_pq_det_topk_indexed(spark, q, c, full, k=10).collect()
+    }
+    base = c.filter((F.col("vec_id") % 29) != 5)
+    delta = c.filter((F.col("vec_id") % 29) == 5)
+    ensure_pq_det_index(spark, base, inc)
+    upsert_pq_det_index(spark, delta, inc)
+    maintained = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ann_pq_det_topk_indexed(spark, q, c, inc, k=10).collect()
+    }
+    assert maintained == batch
+    # centroid-rule deltas are rejected (they would retrain the codebook)
+    with _pytest.raises(ValueError):
+        upsert_pq_det_index(spark, c.filter(F.col("vec_id") == 1), inc)
+    # tombstoned ids never appear; rebuild clears them
+    dead = sorted(
+        r.doc_id for r in ann_pq_det_topk_indexed(spark, q, c, full, k=10)
+        .select("doc_id").distinct().limit(3).collect()
+    )
+    delete_from_pq_det_index(spark, full, dead)
+    after = ann_pq_det_topk_indexed(spark, q, c, full, k=10)
+    assert after.filter(F.col("doc_id").isin(dead)).count() == 0
+    ensure_pq_det_index(spark, c.limit(400), full)  # changed corpus → rebuild
+    import os
+    assert not os.path.isdir(os.path.join(full, "tombstones"))
