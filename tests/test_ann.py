@@ -645,3 +645,33 @@ def test_pq_det_lifecycle(spark, tmp_path):
     ensure_pq_det_index(spark, c.limit(400), full)  # changed corpus → rebuild
     import os
     assert not os.path.isdir(os.path.join(full, "tombstones"))
+
+
+def test_ivfpq_det_indexed_matches_fresh_and_prunes(spark, tmp_path):
+    """Stored det-IVFPQ equals the in-memory path exactly; the codes
+    scan partition-prunes on the probed coarse cids; reasonable recall
+    retention vs exact."""
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.ivfpq_det import (
+        ann_ivfpq_det_topk,
+        ensure_ivfpq_det_index,
+    )
+    from tests.conftest import SF_DIR_MED
+
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    fresh = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ann_ivfpq_det_topk(spark, q, c, k=10, n_probe=4).collect()
+    }
+    path = str(tmp_path / "ivfpqdet")
+    ensure_ivfpq_det_index(spark, c, path)
+    out = ann_ivfpq_det_topk(spark, q, c, path=path, k=10, n_probe=4)
+    stored = {(r.query_id, r.doc_id, r.rank) for r in out.collect()}
+    assert stored == fresh
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        seg[:160] for seg in plan.split("PartitionFilters: [")[1:]
+        if "cid" in seg[:160]
+    ]
+    assert pruned, "codes scan is not partition-pruned on cid"
