@@ -623,8 +623,69 @@ def ensure_ivf_det_index(
     assign.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(path, "lists")
     )
+    # centroid VECTORS persist so O(delta) upserts can assign without
+    # the base corpus (the rule still re-derives them at search time)
+    cents.write.mode("overwrite").parquet(os.path.join(path, "cents"))
     mio.write_json(mio.join(path, "meta.json"), want)
     return path
+
+
+def upsert_ivf_det_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """FAISS ``add`` on the deterministic-IVF tier: assign ONLY the
+    delta against the frozen centroid rule and append its rows into
+    the cid-partitioned lists — O(delta) work, and because assignment
+    is deterministic the maintained lists are BIT-IDENTICAL to a full
+    rebuild over base ∪ delta (the registered upsert query shares the
+    plain search oracle).
+
+    Contract: delta ids disjoint from stored ids AND disjoint from
+    the centroid rule (``id % stride == 1 AND id < stride*cap``) — a
+    rule-matching delta would change the re-derived quantizer, so it
+    is REJECTED (rebuild instead, FAISS retrain semantics)."""
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+        _merge_fingerprint,
+    )
+
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "ivf_det":
+        raise FileNotFoundError(f"no complete ivf_det index at {path}")
+    stride, cap = int(meta["stride"]), int(meta["cap"])
+    bad = new_vectors.filter(
+        ((F.col(id_col) % stride) == 1) & (F.col(id_col) < stride * cap)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} delta ids match the centroid rule (id % {stride} == 1, "
+            f"id < {stride * cap}); rebuild via ensure_ivf_det_index instead"
+        )
+    cents = spark.read.parquet(os.path.join(path, "cents"))
+    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
+    assign = (
+        new_vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__s").alias("__best"))
+        .select("doc_id", F.col("__best.cid").alias("cid"))
+    )
+    assign.repartition("cid").write.mode("append").partitionBy("cid").parquet(
+        os.path.join(path, "lists")
+    )
+    meta["corpus"] = _merge_fingerprint(
+        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+    )
+    mio.write_json(mio.join(path, "meta.json"), meta)
+    return meta
 
 
 def ann_ivf_det_topk_indexed(

@@ -908,6 +908,42 @@ def ann_ivf_det_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_det_upsert_topk", oracle=_IVF_DET_ORACLE)
+def ann_ivf_det_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS ``add`` on the deterministic-IVF tier, hash-verified:
+    build the inverted lists on the base partition (vec_id % 37 != 5;
+    the delta rule is provably disjoint from the centroid rule
+    id % 37 == 1), assign ONLY the delta against the stored frozen
+    quantizer (O(delta), parquet append into the cid partitions),
+    then search. Shares the plain det-IVF oracle — the green hash
+    proves the maintained lists answer exactly like a full rebuild
+    (operators/ann_sign.py:upsert_ivf_det_index; the stochastic
+    k-means twin ann_ivf_upsert_topk stays rows-only)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_ivf_det_topk_indexed,
+        ensure_ivf_det_index,
+        upsert_ivf_det_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    base = corpus.filter((F.col("vec_id") % 37) != 5)
+    delta = corpus.filter((F.col("vec_id") % 37) == 5)
+    art = _idx_path("ivf_det_upsert", sf_dir)
+    meta = mio.read_json(mio.join(art, "meta.json"))
+    want_fp = _corpus_fingerprint(corpus, "vec_id")
+    if meta is None or meta.get("corpus") != want_fp:
+        mio.remove_tree(art)
+        ensure_ivf_det_index(spark, base, art)
+        upsert_ivf_det_index(spark, delta, art)
+    return ann_ivf_det_topk_indexed(
+        spark, eio.query_vectors(spark, sf_dir), corpus, art, k=10, n_probe=4
+    )
+
+
 _IVF_SWEEP_SCORE = (
     "round(list_dot_product(q.qv, d.v) / "
     "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(d.v, d.v))), 6)"

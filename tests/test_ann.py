@@ -675,3 +675,38 @@ def test_ivfpq_det_indexed_matches_fresh_and_prunes(spark, tmp_path):
         if "cid" in seg[:160]
     ]
     assert pruned, "codes scan is not partition-pruned on cid"
+
+
+def test_ivf_det_upsert_equals_batch_build(spark, tmp_path):
+    """O(delta) det-IVF maintenance equals a full rebuild bit-for-bit
+    (frozen quantizer, deterministic assignment); a delta id matching
+    the centroid rule is rejected."""
+    import pytest as _pytest
+
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_ivf_det_topk_indexed,
+        ensure_ivf_det_index,
+        upsert_ivf_det_index,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR_MED
+
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    ensure_ivf_det_index(spark, c, full)
+    batch = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ann_ivf_det_topk_indexed(spark, q, c, full, k=10, n_probe=4).collect()
+    }
+    ensure_ivf_det_index(spark, c.filter((F.col("vec_id") % 37) != 5), inc)
+    upsert_ivf_det_index(spark, c.filter((F.col("vec_id") % 37) == 5), inc)
+    maintained = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ann_ivf_det_topk_indexed(spark, q, c, inc, k=10, n_probe=4).collect()
+    }
+    assert maintained == batch
+    with _pytest.raises(ValueError):
+        upsert_ivf_det_index(spark, c.filter(F.col("vec_id") == 1), inc)
