@@ -121,6 +121,9 @@ HEADLINE = [
     "ann_pq_det_topk_indexed",
     "price_histogram_equidepth",
     "method_comparison",
+    # round-5 session 2: the det-IVFPQ composition (probe-pruned
+    # compressed inverted lists)
+    "ann_ivfpq_det_topk_indexed",
 ]
 
 
