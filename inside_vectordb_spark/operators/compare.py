@@ -102,22 +102,24 @@ def speedup_ratios(perf: DataFrame, baseline: str = "exact", round_to: int = 4) 
 def summary_extrema(cmp: DataFrame) -> DataFrame:
     """A9: per-metric argmax rows — (stat, method, value), ties broken
     by method name for determinism (``005:493-503`` computes the same
-    best-of table)."""
-    pieces = []
-    for col in METRIC_COLS:
-        pieces.append(
-            cmp.orderBy(F.desc(col), F.asc("method"))
-            .limit(1)
-            .select(
-                F.lit(f"max_{col}").alias("stat"),
-                "method",
-                F.col(col).alias("value"),
-            )
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+    best-of table). One ``stack`` + one per-stat window — the
+    comparison subplan executes ONCE, not once per metric (the
+    union-of-limit(1) form re-ran the full three-arm comparison per
+    metric)."""
+    from pyspark.sql import Window
+
+    stack_args = ", ".join(
+        f"'max_{col}', {col}" for col in METRIC_COLS
+    )
+    long = cmp.selectExpr(
+        "method", f"stack({len(METRIC_COLS)}, {stack_args}) AS (stat, value)"
+    )
+    w = Window.partitionBy("stat").orderBy(F.desc("value"), F.asc("method"))
+    return (
+        long.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("stat", "method", "value")
+    )
 
 
 def run_comparison_pipeline(

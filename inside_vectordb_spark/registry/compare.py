@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from inside_vectordb_spark import io as eio
 from inside_vectordb_spark.io import QRELS_SQL
 from inside_vectordb_spark.operators import compare as cmp_ops
-from inside_vectordb_spark.operators.metrics import evaluation_report
 from inside_vectordb_spark.operators.topk import exact_cosine_topk
 from inside_vectordb_spark.registry import register
 from inside_vectordb_spark.registry.ann import (
@@ -74,12 +73,62 @@ def _method_topks(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def _comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wide row per method (method, recall@10, precision@10, mrr,
+    retention) computed in a SINGLE pass over the method-tagged union
+    of ranked results — the per-method ``evaluation_report`` chain
+    produced identical values through 3 separate metric subplans
+    (~166 exchanges in the dossier); tagging the arms and grouping by
+    method collapses that to a handful of small aggregations. Same
+    arithmetic as the registered oracle (skip-zero-relevant recall,
+    retrieved-count precision denominator, zero-filled MRR)."""
     qr = eio.qrels(spark, sf_dir)
-    reports = {
-        m: evaluation_report(topk, qr, k_values_recall=(_K,), k_values_precision=(_K,))
-        for m, topk in _method_topks(spark, sf_dir).items()
-    }
-    return cmp_ops.recall_retention(cmp_ops.method_comparison(reports), baseline="exact")
+    rel = qr.select("query_id", "doc_id").distinct()
+    nrel = rel.groupBy("query_id").agg(F.count("*").alias("n_relevant"))
+    tagged = None
+    for m, tk in _method_topks(spark, sf_dir).items():
+        t = tk.select(F.lit(m).alias("method"), "query_id", "doc_id", "rank")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = tagged.filter(F.col("rank") <= _K).join(
+        F.broadcast(rel), ["query_id", "doc_id"]
+    )
+    hc = hits.groupBy("method", "query_id").agg(
+        F.count("*").alias("n_hits"), F.min("rank").alias("fr")
+    )
+    retr = (
+        tagged.filter(F.col("rank") <= _K)
+        .groupBy("method", "query_id")
+        .agg(F.count("*").alias("n_retrieved"))
+    )
+    searched = tagged.select("method", "query_id").distinct()
+    perq = (
+        searched.join(hc, ["method", "query_id"], "left")
+        .join(retr, ["method", "query_id"], "left")
+        .join(F.broadcast(nrel), "query_id", "left")
+    )
+    recall = (
+        perq.filter(F.col("n_relevant").isNotNull())
+        .groupBy("method")
+        .agg(
+            F.round(
+                F.avg(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_relevant")), 6
+            ).alias("recall_at_10")
+        )
+    )
+    precision = perq.groupBy("method").agg(
+        F.round(
+            F.avg(
+                F.when(F.coalesce(F.col("n_retrieved"), F.lit(0)) == 0, 0.0).otherwise(
+                    F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_retrieved")
+                )
+            ),
+            6,
+        ).alias("precision_at_10")
+    )
+    mrr = perq.groupBy("method").agg(
+        F.round(F.avg(F.coalesce(1.0 / F.col("fr"), F.lit(0.0))), 6).alias("mrr")
+    )
+    cmp = recall.join(precision, "method").join(mrr, "method")
+    return cmp_ops.recall_retention(cmp, baseline="exact")
 
 
 # ---- oracle assembly -----------------------------------------------------
