@@ -1,0 +1,102 @@
+"""Semantic deduplication over embeddings (SemDeDup, Abbas et al.
+2023, arXiv:2303.09540): remove documents whose EMBEDDINGS are
+near-identical even when their text is not — the dedup layer that
+catches paraphrases and templated rewrites MinHash/SimHash miss, run
+by LLM-data pipelines after lexical dedup.
+
+Faithful to the paper's shape, made hash-verifiable:
+
+- The paper k-means-clusters the embeddings so the quadratic pairwise
+  comparison runs WITHIN clusters only; here the clustering is the
+  deterministic id-sampled quantizer the det-IVF tier uses (same
+  assignment rule, rounded tie-stable cosine argmax), so the whole
+  pipeline restates in SQL.
+- Within each cluster, pairs with rounded cosine ≥ threshold are
+  semantic duplicates.
+- Keeper rule: GREEDY SENIORITY — a document is dropped iff a
+  lower-id in-cluster near-twin exists (the same min-id keeper
+  convention as the engine's exact dedup); the transitive-closure
+  variant (groups, not pairs) is ``near_duplicate_clusters``'
+  territory and composes on top of the pair list.
+
+Scale shape — the paper's own argument: the cluster assignment is one
+broadcast-join pass; the quadratic cost is sharded per cluster (a
+cid-keyed self-join — both sides shuffle once on cid, no global
+cartesian), bounded by the largest cluster; at 100 TB you raise the
+centroid cap so clusters stay bounded (the knob is the same
+``stride``/``cap`` pair the det-IVF tier exposes), and a skewed giant
+cluster is exactly the AQE skew-join case. The pair list ships only
+(ids, cid, cos) — never embeddings — out of the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark.functions.vector import cosine_similarity
+from inside_vectordb_spark.operators.ivfpq_det import _assign, _coarse
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_a, doc_b, cid, sim): within-cluster pairs (doc_a < doc_b)
+    with rounded cosine ≥ threshold."""
+    cents = _coarse(emb, id_col, vec_col)
+    assign = _assign(emb, cents, id_col, vec_col)
+    withvec = assign.join(
+        emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__v")),
+        "doc_id",
+    )
+    a = withvec.select(
+        F.col("cid"), F.col("doc_id").alias("doc_a"), F.col("__v").alias("__va")
+    )
+    b = withvec.select(
+        F.col("cid"), F.col("doc_id").alias("doc_b"), F.col("__v").alias("__vb")
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "cid",
+            F.round(cosine_similarity("__va", "__vb"), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semantic_dedup_dropped(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_id, kept_twin, cid, sim): one row per DROPPED document —
+    its lowest-id senior near-twin as the witness (ties on witness id
+    resolve to that witness's pair cosine). Survivors are the
+    complement; the greedy-seniority rule means a doc survives iff no
+    lower-id in-cluster near-twin exists."""
+    pairs = semantic_dedup_pairs(emb, threshold, id_col, vec_col)
+    return (
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("cid"),
+            F.struct(
+                F.col("doc_a").alias("kept_twin"), F.col("sim").alias("sim")
+            ).alias("__w"),
+        )
+        .groupBy("doc_id", "cid")
+        .agg(F.min("__w").alias("__best"))
+        .select(
+            "doc_id",
+            F.col("__best.kept_twin").alias("kept_twin"),
+            "cid",
+            F.col("__best.sim").alias("sim"),
+        )
+    )

@@ -595,3 +595,41 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_correlations(
         eio.load_table(spark, sf_dir, "lineitem"), _CORR_PAIRS
     )
+
+
+@register(
+    "embedding_column_stats",
+    oracle="""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT CAST(i AS INT) AS pos, v[i + 1] AS x
+          FROM e CROSS JOIN range(0, 64) t(i))
+    SELECT pos, round(avg(x), 6) AS mean,
+           round(sqrt(greatest(0, avg(x * x) - avg(x) * avg(x))), 6) AS std,
+           round(min(x), 6) AS min_val, round(max(x), 6) AS max_val
+    FROM x GROUP BY pos ORDER BY pos
+    """,
+)
+def embedding_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION statistics of the embedding column (mean,
+    population std, min, max per position) — the drift/health monitor
+    a vector pipeline runs on every ingest batch (a dimension whose
+    distribution shifts signals encoder or preprocessing drift). One
+    posexplode + one partial-aggregated groupBy(pos): the shuffle
+    carries 64 partial tuples per task regardless of corpus size."""
+    from inside_vectordb_spark.functions.vector import as_double_array
+
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "x")
+    )
+    var = F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")
+    return (
+        x.groupBy("pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.sqrt(F.greatest(F.lit(0.0), var)), 6).alias("std"),
+            F.round(F.min("x"), 6).alias("min_val"),
+            F.round(F.max("x"), 6).alias("max_val"),
+        )
+        .orderBy("pos")
+    )

@@ -2002,3 +2002,53 @@ def bm25_upsert_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", toks).alias("qtext"),
     )
     return bm25_topk_indexed(spark, queries, art, k=10)
+
+
+
+_SEMDEDUP_COS_AB = (
+    "round(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+_SEMDEDUP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % 37 = 1 AND vec_id < 592),
+    assign AS (
+      SELECT vec_id AS doc_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                 c.cid) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1),
+    wv AS (SELECT a.doc_id, a.cid, e.v
+           FROM assign a JOIN e ON e.vec_id = a.doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.cid,
+             {_SEMDEDUP_COS_AB} AS sim
+      FROM wv a JOIN wv b ON a.cid = b.cid AND a.doc_id < b.doc_id),
+    f AS (SELECT * FROM p WHERE sim >= 0.35),
+    d AS (SELECT doc_b AS doc_id, cid, doc_a, sim,
+                 row_number() OVER (PARTITION BY doc_b, cid
+                                    ORDER BY doc_a, sim) AS rn
+          FROM f)
+    SELECT doc_id, doc_a AS kept_twin, cid, sim FROM d WHERE rn = 1
+"""
+
+
+@register("semantic_dedup", oracle=_SEMDEDUP_ORACLE)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-level near-duplicate
+    removal — catches paraphrases/templated rewrites that lexical
+    MinHash/SimHash miss. Deterministic quantizer shards the quadratic
+    pairwise pass per cluster (the paper's own k-means trick), greedy
+    min-id keeper; one row per dropped doc with its kept near-twin
+    witness. Fully oracle-backed end to end
+    (operators/semdedup.py)."""
+    from inside_vectordb_spark.operators.semdedup import semantic_dedup_dropped
+
+    return semantic_dedup_dropped(
+        eio.load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
