@@ -335,3 +335,96 @@ def method_speedups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         timings.append((method, time.perf_counter() - t0))
     perf = spark.createDataFrame(timings, "method string, latency_sec double")
     return cmp_ops.speedup_ratios(perf, baseline="exact").orderBy("method")
+
+
+def _recall_vs_exact_ctes() -> str:
+    """CTEs: exact top-10 + per-method overlap recall for all four
+    deterministic ANN tiers (the reference's headline ANN acceptance
+    number — recall retention vs brute force, ``005:469-487`` —
+    computed on NEIGHBOR ground truth rather than qrels)."""
+    from inside_vectordb_spark.registry.ann import (
+        _IVFPQ_DET_ORACLE,
+        _PQ_DET_ORACLE,
+    )
+
+    subs = {
+        "signlsh": _SIGN_SUB,
+        "ivfdet": _IVF_SUB,
+        "pqdet": f"({_PQ_DET_ORACLE})",
+        "ivfpqdet": f"({_IVFPQ_DET_ORACLE})",
+    }
+    parts = [f"exact_gt AS (SELECT query_id, doc_id FROM {_EXACT_SUB})"]
+    rows = []
+    for m, sub in subs.items():
+        parts.append(
+            f"""{m}_r AS (SELECT query_id, doc_id FROM {sub}),
+    {m}_ov AS (
+      SELECT g.query_id,
+             count(*) FILTER (WHERE r.doc_id IS NOT NULL) * 1.0 / {_K} AS rc
+      FROM exact_gt g
+      LEFT JOIN {m}_r r USING (query_id, doc_id)
+      GROUP BY g.query_id)"""
+        )
+        rows.append(
+            f"SELECT '{m}' AS method, "
+            f"(SELECT round(avg(rc), 6) FROM {m}_ov) AS recall_vs_exact"
+        )
+    return ",\n    ".join(parts), " UNION ALL ".join(rows)
+
+
+_RVE_CTES, _RVE_ROWS = _recall_vs_exact_ctes()
+
+_ANN_RECALL_ORACLE = f"""
+    WITH {_RVE_CTES}
+    SELECT method, recall_vs_exact FROM ({_RVE_ROWS}) ORDER BY method
+"""
+
+
+@register("ann_recall_vs_exact", oracle=_ANN_RECALL_ORACLE)
+def ann_recall_vs_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline ANN acceptance metric on the hard
+    signal: recall@10 of each DETERMINISTIC ANN tier against the
+    exact brute-force top-10 (neighbor ground truth, not qrels) —
+    sign-LSH, det-IVF, det-PQ, det-IVFPQ in one row set, every value
+    hash-checkable because every arm is deterministic. The stochastic
+    tiers' retention lives in tests/test_ann.py; this row pins the
+    same contract cross-engine (``005:469-487``)."""
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_ivf_det_topk_indexed,
+        ann_sign_topk_indexed,
+    )
+    from inside_vectordb_spark.operators.ivfpq_det import ann_ivfpq_det_topk
+    from inside_vectordb_spark.operators.pq_det import ann_pq_det_topk_indexed
+
+    q = eio.query_vectors(spark, sf_dir)
+    c = eio.load_table(spark, sf_dir, "embeddings")
+    exact = exact_cosine_topk(q, c, k=_K).select("query_id", "doc_id")
+    arms = {
+        "signlsh": ann_sign_topk_indexed(
+            spark, q, c, os.path.abspath(_sign_art(sf_dir)), k=_K
+        ),
+        "ivfdet": ann_ivf_det_topk_indexed(
+            spark, q, c, _idx_path("ivf_det", sf_dir), k=_K, n_probe=4
+        ),
+        "pqdet": ann_pq_det_topk_indexed(
+            spark, q, c, _idx_path("pq_det", sf_dir), k=_K
+        ),
+        "ivfpqdet": ann_ivfpq_det_topk(
+            spark, q, c, path=_idx_path("ivfpq_det", sf_dir), k=_K, n_probe=4
+        ),
+    }
+    out = None
+    for m, tk in arms.items():
+        ov = (
+            exact.join(
+                tk.select("query_id", "doc_id", F.lit(1).alias("__hit")),
+                ["query_id", "doc_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg((F.count("__hit") / F.lit(float(_K))).alias("rc"))
+            .agg(F.round(F.avg("rc"), 6).alias("recall_vs_exact"))
+            .select(F.lit(m).alias("method"), "recall_vs_exact")
+        )
+        out = ov if out is None else out.unionByName(ov)
+    return out.orderBy("method")
