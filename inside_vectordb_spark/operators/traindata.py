@@ -489,6 +489,21 @@ def _exact_merge_batch(
        inequality means no new/changed pair can out-rank (or tie-break
        against) a later batch member.
 
+    Symbol-collision caveat (round-4 advisory): the count bound in (3)
+    reasons about pairs by their SOURCE occurrences. When a pick's
+    concatenation ``l+r`` equals a symbol string that already exists
+    elsewhere (possible from merged-symbol states in later rounds),
+    the merge can ADD occurrences to a pre-existing pair's count
+    (old + gained). Those gained occurrences each consume one
+    occurrence of the pick itself, so the grown count stays bounded by
+    ``cnt(pick) + cnt(old)``; reachability keeps the combined count
+    under the strict boundary in every state hypothesis can construct
+    — pinned by the FULL multi-round batched-vs-sequential property
+    (``tests/test_properties.py:
+    test_multi_round_batched_learning_matches_sequential``), which
+    exercises exactly these merged-symbol states, not just the first
+    batch from character state.
+
     Falls back to a single pair (plain sequential step, trivially
     exact) when ties or overlaps allow nothing more.
     """

@@ -298,5 +298,14 @@ def snapshot_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(inbox)
     )
     run_merge_to_snapshot(changes, snap)
-    assert snapshot_versions(snap) == [1, 2, 3, 4]
+    got = snapshot_versions(snap)
+    if got != [1, 2, 3, 4]:
+        # explicit, not a bare assert: maxFilesPerTrigger=1 must have
+        # delivered one file per micro-batch (one CoW commit each); a
+        # mis-batched drain would otherwise read as a wrong-but-green
+        # fixture, and `python -O` would strip an assert entirely
+        raise RuntimeError(
+            f"stream merge committed versions {got}, expected [1, 2, 3, 4] "
+            "(micro-batch delivery drifted from maxFilesPerTrigger=1)"
+        )
     return read_snapshot(spark, snap)

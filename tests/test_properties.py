@@ -316,3 +316,58 @@ def test_exact_merge_batch_prefix_matches_sequential(freqs):
         seq.append((l, r, cnt))
         cur = _apply_merge(cur, l, r)
     assert batch == seq
+
+
+def _batched_learn_py(freqs, n_merges, batch_size):
+    """Pure-Python mirror of ``bpe_learn``'s driver loop: top-(want+1)
+    ranked pairs → ``_exact_merge_batch`` → apply the whole batch →
+    repeat."""
+    from inside_vectordb_spark.operators.traindata import _exact_merge_batch
+
+    syms = {w: list(w) for w in freqs}
+    rules = []
+    while len(rules) < n_merges:
+        want = min(batch_size, n_merges - len(rules))
+        c = _pair_counts(syms, freqs)
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: want + 1]
+        top = [
+            {"left_sym": l, "right_sym": r, "cnt": n} for (l, r), n in ranked
+        ]
+        if not top or top[0]["cnt"] < 2:
+            break
+        batch = _exact_merge_batch(top, want)
+        if not batch:
+            break
+        for l, r, _ in batch:
+            syms = _apply_merge(syms, l, r)
+        rules.extend(batch)
+    return rules
+
+
+def _sequential_learn_py(freqs, n_merges):
+    syms = {w: list(w) for w in freqs}
+    rules = []
+    while len(rules) < n_merges:
+        c = _pair_counts(syms, freqs)
+        if not c:
+            break
+        (l, r), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        rules.append((l, r, cnt))
+        syms = _apply_merge(syms, l, r)
+    return rules
+
+
+@given(freqs=_bpe_words, batch_size=st.integers(min_value=2, max_value=6))
+@settings(max_examples=300, deadline=None)
+def test_multi_round_batched_learning_matches_sequential(freqs, batch_size):
+    """The round-4 advisory's ask: batched-vs-sequential equality over
+    FULL multi-round learning, not just the first batch from character
+    state. Later rounds start from merged-symbol states where a pick's
+    concatenation can equal an existing symbol string (the
+    symbol-collision case) — this property run covers those states
+    for every corpus hypothesis generates."""
+    n_merges = 12
+    assert _batched_learn_py(freqs, n_merges, batch_size) == \
+        _sequential_learn_py(freqs, n_merges)
