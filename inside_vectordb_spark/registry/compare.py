@@ -81,54 +81,70 @@ def _comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     method collapses that to a handful of small aggregations. Same
     arithmetic as the registered oracle (skip-zero-relevant recall,
     retrieved-count precision denominator, zero-filled MRR)."""
+    from pyspark.sql import Window
+
     qr = eio.qrels(spark, sf_dir)
-    rel = qr.select("query_id", "doc_id").distinct()
-    nrel = rel.groupBy("query_id").agg(F.count("*").alias("n_relevant"))
+    rel = qr.select("query_id", "doc_id").distinct().withColumn(
+        "__rel", F.lit(1)
+    )
+    nrel = (
+        qr.select("query_id", "doc_id")
+        .distinct()
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_relevant"))
+    )
     tagged = None
     for m, tk in _method_topks(spark, sf_dir).items():
         t = tk.select(F.lit(m).alias("method"), "query_id", "doc_id", "rank")
         tagged = t if tagged is None else tagged.unionByName(t)
-    hits = tagged.filter(F.col("rank") <= _K).join(
-        F.broadcast(rel), ["query_id", "doc_id"]
-    )
-    hc = hits.groupBy("method", "query_id").agg(
-        F.count("*").alias("n_hits"), F.min("rank").alias("fr")
-    )
-    retr = (
-        tagged.filter(F.col("rank") <= _K)
-        .groupBy("method", "query_id")
-        .agg(F.count("*").alias("n_retrieved"))
-    )
-    searched = tagged.select("method", "query_id").distinct()
+    # ONE per-(method, query) aggregation over the tagged union — the
+    # arm subplans execute exactly once in the whole plan
     perq = (
-        searched.join(hc, ["method", "query_id"], "left")
-        .join(retr, ["method", "query_id"], "left")
+        tagged.filter(F.col("rank") <= _K)
+        .join(F.broadcast(rel), ["query_id", "doc_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(
+            F.count("*").alias("n_retrieved"),
+            F.count("__rel").alias("n_hits"),
+            F.min(F.when(F.col("__rel").isNotNull(), F.col("rank"))).alias("fr"),
+        )
         .join(F.broadcast(nrel), "query_id", "left")
     )
-    recall = (
-        perq.filter(F.col("n_relevant").isNotNull())
-        .groupBy("method")
-        .agg(
-            F.round(
-                F.avg(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_relevant")), 6
-            ).alias("recall_at_10")
-        )
-    )
-    precision = perq.groupBy("method").agg(
+    # avg() skips nulls, which IS the skip-zero-relevant recall rule
+    cmp = perq.groupBy("method").agg(
         F.round(
             F.avg(
-                F.when(F.coalesce(F.col("n_retrieved"), F.lit(0)) == 0, 0.0).otherwise(
-                    F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_retrieved")
+                F.when(
+                    F.col("n_relevant").isNotNull(),
+                    F.col("n_hits") / F.col("n_relevant"),
                 )
             ),
             6,
-        ).alias("precision_at_10")
+        ).alias("recall_at_10"),
+        F.round(
+            F.avg(
+                F.when(F.col("n_retrieved") == 0, 0.0).otherwise(
+                    F.col("n_hits") / F.col("n_retrieved")
+                )
+            ),
+            6,
+        ).alias("precision_at_10"),
+        F.round(F.avg(F.coalesce(1.0 / F.col("fr"), F.lit(0.0))), 6).alias("mrr"),
     )
-    mrr = perq.groupBy("method").agg(
-        F.round(F.avg(F.coalesce(1.0 / F.col("fr"), F.lit(0.0))), 6).alias("mrr")
+    # retention from a |methods|-row window frame (bounded by the
+    # method count), so cmp's subtree is not re-executed by a
+    # self-referencing crossJoin
+    w = Window.partitionBy(F.lit(1))
+    base = F.max(
+        F.when(F.col("method") == "exact", F.col("recall_at_10"))
+    ).over(w)
+    return cmp.select(
+        "method",
+        *cmp_ops.METRIC_COLS,
+        F.round(
+            F.when(base > 0, F.col("recall_at_10") / base), 6
+        ).alias("recall_retention"),
     )
-    cmp = recall.join(precision, "method").join(mrr, "method")
-    return cmp_ops.recall_retention(cmp, baseline="exact")
 
 
 # ---- oracle assembly -----------------------------------------------------
