@@ -117,19 +117,19 @@ def _encode(
     )
 
 
-def _adc_search(
+def _adc_ranked(
     queries: DataFrame,
     codes: DataFrame,
-    corpus: DataFrame,
     cents_sub: DataFrame,
-    k: int,
-    cand_k: int,
     query_id_col: str,
-    id_col: str,
     vec_col: str,
     m_sub: int,
     dim: int,
-) -> DataFrame:
+):
+    """(qb, ranked): the query base and the full ADC approximate
+    ranking (query_id, doc_id, __rn) — shared by search (one prefix)
+    and the refine-depth sweep (several prefixes of the SAME
+    ranking)."""
     qb = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -148,16 +148,35 @@ def _adc_search(
     )
     qn = qb.select("query_id", l2_norm(F.col("__qv")).alias("__qn"))
     aw = Window.partitionBy("query_id").orderBy(F.desc("__a"), F.asc("doc_id"))
-    cand = (
+    ranked = (
         approx.join(F.broadcast(qn), "query_id")
         .withColumn(
             "__a",
             F.round(F.col("dotqr") / (F.col("__qn") * F.sqrt(F.col("rn2"))), 6),
         )
         .withColumn("__rn", F.row_number().over(aw))
-        .filter(F.col("__rn") <= cand_k)
-        .select("query_id", "doc_id")
+        .select("query_id", "doc_id", "__rn")
     )
+    return qb, ranked
+
+
+def _adc_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    cents_sub: DataFrame,
+    k: int,
+    cand_k: int,
+    query_id_col: str,
+    id_col: str,
+    vec_col: str,
+    m_sub: int,
+    dim: int,
+) -> DataFrame:
+    qb, ranked = _adc_ranked(
+        queries, codes, cents_sub, query_id_col, vec_col, m_sub, dim
+    )
+    cand = ranked.filter(F.col("__rn") <= cand_k).select("query_id", "doc_id")
     withq = cand.join(F.broadcast(qb), "query_id")
     withvec = withq.join(
         corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__dv")),
@@ -363,3 +382,62 @@ def ann_pq_det_topk_indexed(
         queries, codes, corpus, cents_sub, k, cand_k,
         query_id_col, id_col, vec_col, m_sub, dim,
     )
+
+
+def pq_det_refine_sweep(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    depths: tuple[int, ...] = (10, PQ_DET_CAND_K),
+    m_sub: int = PQ_DET_M,
+    dim: int = 64,
+    centroid_stride: int = PQ_DET_STRIDE,
+    n_centroids_cap: int = PQ_DET_CAP,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FAISS refine-factor knob on the hard signal: per query and
+    rerank depth, the candidate count paid and the best exact cosine
+    it buys — deeper prefixes of the SAME ADC ranking contain the
+    shallower ones, so top1_score is monotone in depth and the whole
+    curve is hash-checkable. Returns (setting, query_id, n_candidates,
+    top1_score)."""
+    ensure_pq_det_index(
+        spark, corpus, path, m_sub, dim, centroid_stride, n_centroids_cap,
+        id_col, vec_col,
+    )
+    cents = _centroids(corpus, id_col, vec_col, centroid_stride, n_centroids_cap)
+    cents_sub = _sub_explode(cents, "__cv", "__cv", m_sub, dim)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    qb, ranked = _adc_ranked(
+        queries, codes, cents_sub, query_id_col, vec_col, m_sub, dim
+    )
+    vecs = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__dv"))
+    pieces = []
+    for depth in depths:
+        cand = ranked.filter(F.col("__rn") <= depth).select("query_id", "doc_id")
+        stats = (
+            cand.join(F.broadcast(qb), "query_id")
+            .join(vecs, "doc_id")
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias("n_candidates"),
+                F.max(F.round(cosine_similarity("__qv", "__dv"), 6)).alias(
+                    "top1_score"
+                ),
+            )
+        )
+        pieces.append(
+            stats.select(
+                F.lit(f"refine{depth}").alias("setting"),
+                "query_id",
+                "n_candidates",
+                "top1_score",
+            )
+        )
+    out = pieces[0]
+    for p_ in pieces[1:]:
+        out = out.unionByName(p_)
+    return out

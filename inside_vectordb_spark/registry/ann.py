@@ -1102,6 +1102,52 @@ def _pq_det_oracle(codes_filter: str = "") -> str:
 _PQ_DET_ORACLE = _pq_det_oracle()
 
 
+def _pq_sweep_arm(depth: int) -> str:
+    return f"""
+    r{depth} AS (SELECT query_id, doc_id FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY a DESC, doc_id) AS rn
+      FROM apx) WHERE rn <= {depth}),
+    s{depth} AS (
+      SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             max({_DET_COS_QD}) AS top1_score
+      FROM r{depth} r
+      JOIN q ON q.query_id = r.query_id
+      JOIN e d ON d.vec_id = r.doc_id
+      GROUP BY r.query_id)"""
+
+
+_PQ_SWEEP_PREFIX = _pq_det_oracle().split("cand AS (")[0].rstrip().rstrip(",")
+
+_PQ_DET_SWEEP_ORACLE = f"""
+    {_PQ_SWEEP_PREFIX},
+    {_pq_sweep_arm(10)},
+    {_pq_sweep_arm(50)}
+    SELECT 'refine10' AS setting, query_id, n_candidates, top1_score FROM s10
+    UNION ALL
+    SELECT 'refine50' AS setting, query_id, n_candidates, top1_score FROM s50
+"""
+
+
+@register("ann_pq_det_refine_sweep", oracle=_PQ_DET_SWEEP_ORACLE)
+def ann_pq_det_refine_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/B3 on the PQ tier: the FAISS refine-factor sweep with a
+    FULL oracle — per query, rerank depths 10 and 50 of the SAME ADC
+    ranking (deeper contains shallower, so the top1 curve is monotone
+    and the hash proves it). Reference: 004-faiss_demo.py:392-446
+    (operators/pq_det.py:pq_det_refine_sweep)."""
+    from inside_vectordb_spark.operators.pq_det import pq_det_refine_sweep
+
+    return pq_det_refine_sweep(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        _idx_path("pq_det", sf_dir),
+        depths=(10, 50),
+    )
+
+
 @register("ann_pq_det_topk", oracle=_PQ_DET_ORACLE)
 def ann_pq_det_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4/X2 PQ with a FULL oracle (the round-4 judge's rows-only→
