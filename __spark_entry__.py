@@ -112,6 +112,7 @@ WINDOW_PRIORITY = [
 # ann_ivfpq_det_topk, ann_ivfpq_det_topk_indexed,
 # ann_ivf_det_upsert_topk, semantic_dedup, embedding_column_stats,
 # ann_recall_vs_exact, ann_pq_det_refine_sweep,
+# ann_signlsh_stream_upsert,
 # method_candidate_costs, events_user_distinct, ann_ivf_det_topk,
 # range_search, events_user_journey, quality_percentile_gate,
 # repetition_stats, corpus_curation_clustered, temperature_mixture,

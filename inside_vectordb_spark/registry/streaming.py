@@ -309,3 +309,74 @@ def snapshot_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(micro-batch delivery drifted from maxFilesPerTrigger=1)"
         )
     return read_snapshot(spark, snap)
+
+
+from inside_vectordb_spark.registry.ann import _SIGN_ORACLE as _SIGN_STREAM_ORACLE  # noqa: E402
+
+
+@register("ann_signlsh_stream_upsert", oracle=_SIGN_STREAM_ORACLE)
+def ann_signlsh_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-index maintenance on the hard signal: build the
+    persisted sign-LSH index on 80% of the corpus, feed the other 20%
+    through a file stream (one micro-batch per file,
+    ``foreachBatch`` → O(delta) upsert), then search the maintained
+    index over the FULL corpus. Shares the plain sign-LSH search
+    oracle — the green hash certifies file-stream delivery →
+    per-batch index upsert → bit-identical-to-batch-build serving
+    (streaming/events.py:run_upsert_to_sign_index)."""
+    import glob
+    import os
+    import shutil
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_sign_topk_indexed,
+        ensure_sign_index,
+    )
+    from inside_vectordb_spark.streaming.events import run_upsert_to_sign_index
+
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "stream_sign_upsert",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    art = os.path.join(root, "index")
+    inbox = os.path.join(root, "inbox")
+    mio.remove_tree(root)
+    base = emb.filter(~((F.col("vec_id") % 10).isin(3, 7)))
+    ensure_sign_index(spark, base, art)
+
+    batches = [
+        emb.filter(F.col("vec_id") % 10 == 3),
+        emb.filter(F.col("vec_id") % 10 == 7),
+    ]
+    os.makedirs(inbox, exist_ok=True)
+    schema = None
+    for i, b in enumerate(batches):
+        tmp = os.path.join(root, f"__b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(inbox, f"batch_{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        schema = b.schema if schema is None else schema
+
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    run_upsert_to_sign_index(changes, art)
+    meta = mio.read_json(mio.join(art, "meta.json"))
+    want = _corpus_fingerprint(emb, "vec_id")
+    if meta.get("corpus") != want:
+        raise RuntimeError(
+            f"maintained index fingerprint {meta.get('corpus')} != full "
+            f"corpus {want} (micro-batch delivery drifted)"
+        )
+    return ann_sign_topk_indexed(
+        spark, eio.query_vectors(spark, sf_dir), emb, art, k=10
+    )

@@ -347,3 +347,52 @@ def run_merge_to_snapshot(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def run_upsert_to_sign_index(
+    changes_stream: DataFrame,
+    index_path: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming ANN-index maintenance — the vector-store ingest loop
+    (hnswlib ``add_items`` fed by a stream): every micro-batch of new
+    vectors upserts into the persisted sign-LSH index via
+    ``foreachBatch`` (O(delta) bucketing, parquet append into the
+    bucket partitions, merged fingerprint). Because the bucket
+    function is deterministic and upsert==batch-build is exact, an
+    index maintained from N micro-batches answers BIT-IDENTICALLY to
+    one built from the full corpus — which is what the registered
+    query's shared search oracle certifies.
+
+    Delivery contract: delta ids disjoint across batches and from the
+    base (the FAISS ``add`` contract); at-least-once replays are
+    guarded by the checkpoint — a replayed batch would violate
+    disjointness, so production deployments key the inbox files by
+    batch id exactly as the CDC merge does."""
+    import os
+    import shutil
+    import tempfile
+
+    from inside_vectordb_spark.operators.ann_sign import upsert_sign_index
+
+    ckpt = tempfile.mkdtemp(
+        prefix="ck_", dir=os.path.dirname(index_path) or None
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_sign_index(batch_df.sparkSession, batch_df, index_path)
+
+    q = (
+        changes_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
