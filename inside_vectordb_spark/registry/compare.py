@@ -133,8 +133,13 @@ def _comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # retention from a |methods|-row window frame (bounded by the
     # method count), so cmp's subtree is not re-executed by a
-    # self-referencing crossJoin
-    w = Window.partitionBy(F.lit(1))
+    # self-referencing crossJoin. The partition key must be a
+    # NON-FOLDABLE all-equal expression: partitionBy(F.lit(1)) (and
+    # even length(method)*0) gets optimized to an empty partition
+    # spec and WindowExec then logs the single-partition warning even
+    # though the input is the 3-row per-method aggregate.
+    # substring(method, 0, 0) survives the optimizer.
+    w = Window.partitionBy(F.substring("method", 0, 0))
     base = F.max(
         F.when(F.col("method") == "exact", F.col("recall_at_10"))
     ).over(w)
