@@ -328,6 +328,78 @@ def embedding_near_duplicates_lsh(
     return out.filter(F.col("cos_sim") >= threshold)
 
 
+def embedding_near_duplicates_det(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    n_tables: int = 4,
+    bits_per_table: int = 8,
+    dim: int = 64,
+    max_bucket_size: int | None = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hash-verifiable twin of ``embedding_near_duplicates_lsh``:
+    the same banded hyperplane-LSH blocking, but with DETERMINISTIC
+    ±1 sign planes (``operators/ann_sign.py``'s md5-parity Charikar
+    construction), so bucket assignment is pure Catalyst and the
+    whole candidate → verify pipeline restates as DuckDB SQL.
+
+    Table ``t`` uses planes ``[t*bits, (t+1)*bits)`` of one shared
+    ``sign_planes(n_tables*bits, dim)`` derivation — disjoint plane
+    sets per table, exactly the multi-table banding of the stochastic
+    sibling. Candidates share a bucket in ≥1 table (s-curve: at the
+    0.8-cosine threshold per-bit agreement is ≈ 1 − θ/π ≈ 0.8, so
+    P[pair collides] = 1 − (1 − 0.8^bits)^tables); exact cosine then
+    verifies. Scale shape: one narrow scan to bucket, a capped
+    bucket-keyed self-join (never all-pairs), rerank on candidates
+    only — vectors join back by id, signatures never carry text."""
+    from inside_vectordb_spark.operators.ann_sign import sign_bucket, sign_planes
+
+    planes = sign_planes(n_tables * bits_per_table, dim)
+    e = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    b = e.select(
+        F.col("__id").alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    sign_bucket(
+                        "__v", planes[t * bits_per_table : (t + 1) * bits_per_table]
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("table_idx", "bucket"),
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("table_idx", "bucket").orderBy("id")
+        b = (
+            b.withColumn("__bpos", F.row_number().over(w))
+            .filter(F.col("__bpos") <= max_bucket_size)
+            .drop("__bpos")
+        )
+    pairs = (
+        b.select(F.col("id").alias("id_a"), "table_idx", "bucket")
+        .join(
+            b.select(F.col("id").alias("id_b"), "table_idx", "bucket"),
+            ["table_idx", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        pairs.join(e.withColumnRenamed("__id", "id_a").withColumnRenamed("__v", "v_a"), "id_a")
+        .join(e.withColumnRenamed("__id", "id_b").withColumnRenamed("__v", "v_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("v_a", "v_b"), round_to).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",

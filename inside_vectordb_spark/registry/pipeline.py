@@ -301,10 +301,78 @@ def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_near_duplicates_lsh")
 def embedding_near_duplicates_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production blocking: LSH buckets instead of a label column
-    (rows-only — hyperplanes are not SQL-expressible; recall behavior
-    is asserted in tests/test_ann.py on a clustered corpus)."""
+    (rows-only — np.random hyperplanes are not SQL-expressible; the
+    hash-verifiable twin is ``embedding_near_duplicates_det``; recall
+    behavior is asserted in tests/test_ann.py on a clustered corpus)."""
     return dd.embedding_near_duplicates_lsh(
         eio.load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.8
+    )
+
+
+def _nd_det_oracle(
+    threshold: float = 0.8,
+    n_tables: int = 4,
+    bits_per_table: int = 8,
+    dim: int = 64,
+) -> str:
+    """Full SQL restatement of the deterministic banded sign-LSH
+    near-dup search: per-table md5-parity plane buckets (the exact
+    ``bucket_sql`` fold order ``sign_bucket`` uses), capped buckets,
+    bucket-keyed candidate pairs, exact-cosine verify."""
+    from inside_vectordb_spark.operators.ann_sign import bucket_sql, sign_planes
+
+    planes = sign_planes(n_tables * bits_per_table, dim)
+    per_table = " UNION ALL ".join(
+        f"SELECT id, {t} AS table_idx, "
+        f"{bucket_sql('v', planes[t * bits_per_table:(t + 1) * bits_per_table])}"
+        " AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    cos = (
+        "list_dot_product(ea.v, eb.v)"
+        " / (sqrt(list_dot_product(ea.v, ea.v))"
+        "  * sqrt(list_dot_product(eb.v, eb.v)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS ({per_table}),
+    capped AS (
+      SELECT id, table_idx, bucket,
+             row_number() OVER (PARTITION BY table_idx, bucket
+                                ORDER BY id) AS rn
+      FROM b),
+    c AS (SELECT id, table_idx, bucket FROM capped WHERE rn <= 2000),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+      FROM c a JOIN c bb USING (table_idx, bucket)
+      WHERE a.id < bb.id)
+    SELECT id_a, id_b, round({cos}, 6) AS cos_sim
+    FROM pairs
+    JOIN e ea ON ea.id = pairs.id_a
+    JOIN e eb ON eb.id = pairs.id_b
+    WHERE round({cos}, 6) >= {threshold}
+    """
+
+
+@register("embedding_near_duplicates_det", oracle=_nd_det_oracle(threshold=0.35))
+def embedding_near_duplicates_det_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup search blocked by DETERMINISTIC
+    banded sign-LSH (4 tables × 8 md5-parity planes) — the
+    hash-verifiable twin of ``embedding_near_duplicates_lsh``,
+    completing the det-twin program for the near-dup tier: every
+    stage (plane signs, bucket fold order, bucket cap, candidate
+    join, cosine verify) restates in the DuckDB oracle.
+
+    The registered threshold is 0.35, NOT the production 0.8 default:
+    the synthetic embeddings fixture has no true near-dups (max
+    pairwise cosine ≈ 0.51 at sf0.01), so at 0.8 every variant
+    hash-matches on the empty set — a trivial signal. At 0.35 the
+    banded blocking and the verify filter both do real work (14
+    surviving pairs at sf0.01) and the hash certifies actual
+    values."""
+    return dd.embedding_near_duplicates_det(
+        eio.load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
 
 

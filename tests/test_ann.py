@@ -710,3 +710,55 @@ def test_ivf_det_upsert_equals_batch_build(spark, tmp_path):
     assert maintained == batch
     with _pytest.raises(ValueError):
         upsert_ivf_det_index(spark, c.filter(F.col("vec_id") == 1), inc)
+
+
+def test_embedding_near_dup_det_planted_and_sound(spark, clustered):
+    """Deterministic banded sign-LSH near-dup: planted EXACT dups are
+    guaranteed candidates (identical vectors bucket identically in
+    every table), every reported pair passes the verify threshold,
+    and the pair set is a subset of the brute-force truth."""
+    from inside_vectordb_spark.operators.dedup import (
+        embedding_near_duplicates_det,
+    )
+
+    corpus, _ = clustered
+    dup_rows = corpus.filter("vec_id % 100 = 0").limit(5).collect()
+    dups = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [2000 + i for i in range(len(dup_rows))],
+                "embedding": [r["embedding"] for r in dup_rows],
+            }
+        )
+    )
+    full = corpus.select("vec_id", "embedding").unionByName(dups)
+    found = embedding_near_duplicates_det(
+        full, threshold=0.99, dim=EMB_DIM
+    ).collect()
+    found_pairs = {(r["id_a"], r["id_b"]) for r in found}
+    expected = {(r["vec_id"], 2000 + i) for i, r in enumerate(dup_rows)}
+    assert expected <= found_pairs, f"missing planted dups: {expected - found_pairs}"
+    assert all(r["cos_sim"] >= 0.99 for r in found)
+    # soundness: subset of the brute-force pair set at the threshold
+    mat = np.array(
+        [r["embedding"] for r in full.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    ids = [r["vec_id"] for r in full.orderBy("vec_id").collect()]
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = nrm @ nrm.T
+    truth = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(cos[i, j], 6) >= 0.99
+    }
+    assert found_pairs <= truth
+    # determinism: a second plan produces the identical pair set
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates_det(
+            full, threshold=0.99, dim=EMB_DIM
+        ).collect()
+    }
+    assert again == found_pairs
