@@ -154,6 +154,114 @@ def ngram_decontaminate(
     )
 
 
+def ngram_decontaminate_bloom(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """``ngram_decontaminate`` with a Bloom-filter prefilter — the
+    SAME exact output (the verify join removes Bloom false positives;
+    false negatives are impossible), but a different 100-TB scale
+    shape: the exact variant shuffles EVERY corpus gram hash into the
+    bench join, while here a fixed-size bitmap (``m_bits``/8 bytes,
+    128 KiB at the default) rides to every task and the shuffle
+    carries only the bloom-positive survivors — at a typical
+    ~0.1-1%% eval-overlap rate that is a 100-1000× cut in join input.
+    This is the standard "broadcast a compact sketch, shuffle only
+    candidates" pattern runtime row-level filtering applies inside
+    Spark joins; stated here as an explicit operator so the
+    decontamination gate can run it against a 100-TB corpus without
+    materializing the gram stream.
+
+    Mechanics: bench grams hash to ``n_hashes`` bit positions via
+    Catalyst ``xxhash64`` double hashing (h1 + i*h2 mod m — Kirsch &
+    Mitzenmacher 2006, so two hash evaluations serve all probes; both
+    hashes are reduced mod m FIRST so the probe arithmetic never
+    overflows int64 under ANSI mode, and the step is forced into
+    [1, m-1] so probes never degenerate to one bit); the
+    positions are collected once (the bench side is driver-sized by
+    the same contract that lets the exact variant broadcast it) into
+    a numpy bitmap carried in the prefilter's closure. The corpus
+    gram stream computes (h1, h2) JVM-side and ships only fixed-width
+    (id, counts, md5, h1, h2) columns through the Arrow prefilter —
+    raw gram text never leaves the JVM. Survivors verify against the
+    exact distinct bench-gram md5 set."""
+    import numpy as np
+    import pandas as pd
+
+    h1r = F.pmod(F.xxhash64("gram"), F.lit(m_bits))
+    h2r = F.pmod(F.xxhash64("gram", F.lit(1)), F.lit(m_bits - 1)) + F.lit(1)
+    bench_pos = (
+        bench.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(h1r + F.lit(i) * h2r, F.lit(m_bits))
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    bitmap = np.zeros(m_bits, dtype=bool)
+    bitmap[[r["pos"] for r in bench_pos.collect()]] = True
+
+    tr = (
+        train.select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(text_col, n).alias("grams"),
+        )
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.explode("grams").alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.md5("gram").alias("gh"),
+            h1r.alias("h1"),
+            h2r.alias("h2"),
+        )
+    )
+
+    def prefilter(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h1 = pdf["h1"].to_numpy(dtype=np.int64)
+            h2 = pdf["h2"].to_numpy(dtype=np.int64)
+            keep = np.ones(len(pdf), dtype=bool)
+            for i in range(n_hashes):
+                # h1 < m, h2 < m: the probe sum stays far under 2^63,
+                # and % on the nonnegative reduced hashes matches pmod
+                keep &= bitmap[(h1 + i * h2) % m_bits]
+            if keep.any():
+                yield pdf.loc[keep, ["doc_id", "n_grams", "gh"]]
+
+    survivors = tr.mapInPandas(
+        prefilter, schema="doc_id long, n_grams int, gh string"
+    )
+    bh = (
+        bench.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        .select(F.md5("gram").alias("gh"))
+        .distinct()
+    )
+    return (
+        survivors.join(bh, "gh")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").cast("int").alias("n_colliding"))
+        .select("doc_id", "n_grams", "n_colliding")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic splits / weighted sampling / batch packing
 # ---------------------------------------------------------------------------

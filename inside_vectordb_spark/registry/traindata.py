@@ -71,9 +71,7 @@ def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "decontamination_ngram",
-    oracle=f"""
+_DECON_NGRAM_ORACLE = f"""
     WITH g AS (
       SELECT doc_id, list_distinct(list_transform(
           range(1, greatest(len({_TOKS}) - 3, 0) + 1),
@@ -86,8 +84,10 @@ def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM g WHERE doc_id % 97 <> 0)
     SELECT t.doc_id, t.n_grams, CAST(count(*) AS INT) AS n_colliding
     FROM tre t JOIN ev USING (gram) GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("decontamination_ngram", oracle=_DECON_NGRAM_ORACLE)
 def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-overlap decontamination: flag any training doc sharing a
     word 4-gram with the held-out slice (doc_id % 97 == 0, the same
@@ -97,6 +97,22 @@ def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return td.ngram_decontaminate(train, bench, n=4)
+
+
+@register("decontamination_bloom", oracle=_DECON_NGRAM_ORACLE)
+def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact decontamination — byte-identical output
+    to ``decontamination_ngram`` (it SHARES that oracle: the verify
+    join removes Bloom false positives, false negatives are
+    impossible), but the corpus gram stream is prefiltered map-side
+    against a 128 KiB broadcast bitmap, so only bloom-positive
+    survivors reach the bench join. The scale shape a 100-TB corpus
+    needs: the exact variant's join input is O(all corpus grams);
+    here it is O(true collisions + FP rate x corpus grams)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return td.ngram_decontaminate_bloom(train, bench, n=4)
 
 
 # ---------------------------------------------------------------------------

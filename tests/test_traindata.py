@@ -85,6 +85,45 @@ def test_ngram_decontaminate_counts_distinct_gram_hits(spark):
     assert len(out) == 1 and out[0]["n_colliding"] == 2
 
 
+def test_bloom_decontaminate_equals_exact_on_real_corpus(spark):
+    """The Bloom prefilter must be output-identical to the exact
+    variant on the sf0.001 documents table (the registered shape)."""
+    from inside_vectordb_spark import io as eio
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    docs = eio.load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = {tuple(r) for r in td.ngram_decontaminate(train, bench, n=4).collect()}
+    bloom = {
+        tuple(r)
+        for r in td.ngram_decontaminate_bloom(train, bench, n=4).collect()
+    }
+    assert bloom == exact and len(exact) > 0
+
+
+def test_bloom_decontaminate_fp_stress_still_exact(spark):
+    """A deliberately tiny bitmap (64 bits, 2 probes) forces heavy
+    Bloom false positives; the verify join must still reduce the
+    output to the exact answer — the correctness of the operator may
+    not depend on the FP rate."""
+    bench = _docs(spark, [(100, "the quick brown fox jumps over lazy dogs")])
+    train = _docs(
+        spark,
+        [
+            (1, "prefix words the quick brown fox suffix words"),
+            (2, "quick brown fox sleeps near the river bank today"),
+            (3, "completely unrelated text with many different words here"),
+        ],
+    )
+    out = td.ngram_decontaminate_bloom(
+        train, bench, n=4, m_bits=64, n_hashes=2
+    ).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert out[0]["n_colliding"] == 1
+
+
 # ---------------------------------------------------------------------------
 # dataset_split / weighted_sample
 # ---------------------------------------------------------------------------
