@@ -843,6 +843,113 @@ def training_triples(
     )
 
 
+def _word_ngrams_all(col: Column | str, n: int) -> Column:
+    """Word n-grams WITH multiplicity (``word_shingles`` minus the
+    ``array_distinct``) — DSIR features are occurrence counts, not
+    set membership."""
+    toks = tokenize(col)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def dsir_scores(
+    train: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every training
+    doc by how much more likely its hashed n-gram bag is under the
+    TARGET distribution than under the RAW (training) distribution —
+    the published recipe for steering a web-scale corpus toward a
+    target domain without training a classifier.
+
+    Features = unigrams + bigrams WITH multiplicity, hashed into
+    ``n_buckets`` md5 buckets (the paper's hashing trick; md5 keeps
+    it engine-portable). Both categorical distributions get add-one
+    smoothing; ``dsir_score`` = Σ_occurrences ln(p_target(b)) −
+    ln(p_raw(b)), rounded for hash stability. Returns (doc_id,
+    n_feats, dsir_score) for train docs with ≥1 feature.
+
+    Scale shape: the corpus is scanned once into the feature stream;
+    bucket count tables are ≤ ``n_buckets`` rows, so the log-ratio
+    table broadcasts and scoring is map-side; only (doc_id, partial
+    sums) reach the final shuffle. The target side is small by
+    definition (it is the domain sample you are steering toward)."""
+
+    def feats(docs: DataFrame) -> DataFrame:
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.concat(
+                    _word_ngrams_all(text_col, 1), _word_ngrams_all(text_col, 2)
+                )
+            ).alias("feat"),
+        ).filter(F.col("feat") != "")
+        return base.select(
+            "doc_id", _md5_bucket(F.col("feat"), ":dsir", n_buckets).alias("bucket")
+        )
+
+    tr_feats = feats(train)
+    tg_counts = feats(target).groupBy("bucket").agg(F.count("*").alias("ct"))
+    tr_counts = tr_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tg_total = tg_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    tr_total = tr_counts.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("rt"))
+    lratio = (
+        tr_counts.join(tg_counts, "bucket", "left")
+        .crossJoin(F.broadcast(tg_total))
+        .crossJoin(F.broadcast(tr_total))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tt") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("rt") + F.lit(float(n_buckets)))
+                )
+            ).alias("__lr"),
+        )
+    )
+    return (
+        tr_feats.join(F.broadcast(lratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_feats"),
+            F.round(F.sum("__lr"), round_to).alias("dsir_score"),
+        )
+    )
+
+
+def dsir_select(
+    train: DataFrame,
+    target: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``budget`` highest-scoring
+    training docs (rounded-score rank, doc_id tie-break — the
+    deterministic twin of the paper's Gumbel-noise resampling, same
+    way ``seeded_sample`` twins ``rand()``)."""
+    scores = dsir_scores(train, target, id_col, text_col, n_buckets)
+    return scores.orderBy(
+        F.desc("dsir_score"), F.asc("doc_id")
+    ).limit(budget)
+
+
 def token_budget_select(
     docs: DataFrame,
     budget: int,

@@ -115,6 +115,55 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return td.ngram_decontaminate_bloom(train, bench, n=4)
 
 
+_DSIR_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS t
+                FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS feat FROM tk),
+    bi AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                         i -> concat_ws(' ', t[i], t[i+1]))) AS feat
+           FROM tk),
+    feats AS (SELECT doc_id,
+                     ('0x' || substr(md5(feat || ':dsir'), 1, 8))::BIGINT
+                       % 4096 AS bucket
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    tg AS (SELECT bucket, count(*) AS ct FROM feats
+           WHERE doc_id % 97 = 0 GROUP BY 1),
+    tr AS (SELECT bucket, count(*) AS cr FROM feats
+           WHERE doc_id % 97 <> 0 GROUP BY 1),
+    tt AS (SELECT COALESCE(sum(ct), 0) AS s FROM tg),
+    rt AS (SELECT COALESCE(sum(cr), 0) AS s FROM tr),
+    scored AS (
+      SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
+             round(sum( ln((COALESCE(tg.ct, 0) + 1.0) / (tt.s + 4096.0))
+                      - ln((tr.cr + 1.0) / (rt.s + 4096.0)) ), 6)
+               AS dsir_score
+      FROM feats f
+      LEFT JOIN tg USING (bucket)
+      JOIN tr USING (bucket)
+      CROSS JOIN tt CROSS JOIN rt
+      WHERE f.doc_id % 97 <> 0
+      GROUP BY f.doc_id)
+    SELECT doc_id, n_feats, dsir_score
+    FROM scored ORDER BY dsir_score DESC, doc_id LIMIT 50
+    """
+
+
+@register("dsir_select", oracle=_DSIR_ORACLE)
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram bag likelihood ratio between the target slice
+    (doc_id %% 97 == 0, the standing benchmark stand-in) and the raw
+    corpus, deterministic top-50 selection. The data-selection stage a
+    100-TB pretraining pipeline runs between dedup and tokenization;
+    fully oracle-backed (md5 bucket hashing, add-one smoothing, 6-dp
+    rounded scores)."""
+    docs = eio.load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return td.dsir_select(train, target, budget=50)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic split / weighted sample / batch packing
 # ---------------------------------------------------------------------------

@@ -705,3 +705,50 @@ def test_token_budget_select_distributed_prefix_sum(spark):
         want.append((did, acc))
     assert [(r["doc_id"], r["cum_tokens"]) for r in got] == want
     assert got[-1]["cum_tokens"] <= budget
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_ranks_target_domain_docs_first(spark):
+    """Training docs written in the target slice's vocabulary must
+    outscore docs from a disjoint vocabulary, and selection must
+    return them first."""
+    target = _docs(
+        spark,
+        [
+            (1000, "protein folding structure enzyme binding site model"),
+            (1001, "enzyme kinetics protein structure folding pathway"),
+        ],
+    )
+    train = _docs(
+        spark,
+        [
+            (1, "protein structure folding enzyme model binding"),  # in-domain
+            (2, "enzyme binding site kinetics structure protein"),  # in-domain
+            (3, "stock market futures trading options volatility"),  # off-domain
+            (4, "football match referee penalty goal keeper"),  # off-domain
+        ],
+    )
+    scores = {
+        r["doc_id"]: r["dsir_score"]
+        for r in td.dsir_scores(train, target).collect()
+    }
+    assert set(scores) == {1, 2, 3, 4}
+    assert min(scores[1], scores[2]) > max(scores[3], scores[4])
+    picked = {r["doc_id"] for r in td.dsir_select(train, target, budget=2).collect()}
+    assert picked == {1, 2}
+
+
+def test_dsir_deterministic_and_feature_counts(spark):
+    """Same inputs → identical scores; n_feats = unigrams + bigrams
+    with multiplicity."""
+    target = _docs(spark, [(10, "alpha beta gamma")])
+    train = _docs(spark, [(1, "alpha beta alpha")])
+    a = td.dsir_scores(train, target).collect()
+    b = td.dsir_scores(train, target).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # "alpha beta alpha": 3 unigrams + 2 bigrams = 5 feature occurrences
+    assert a[0]["n_feats"] == 5
