@@ -430,3 +430,46 @@ def test_equi_depth_no_single_partition_window(spark):
     plan = physical_plan(df)
     for seg in plan.split("Window [")[1:]:
         assert "__pid" in seg[:400], "window without __pid partition spec"
+
+
+def test_bloom_decontamination_join_sees_survivors_only(spark):
+    """The Bloom variant's bench join input is the mapInPandas
+    prefilter output, never the raw gram stream: the plan has exactly
+    one Python worker stage (the prefilter) feeding the join, and no
+    gram text crosses any hash exchange."""
+    df = QUERIES["decontamination_bloom"](spark, SF_DIR)
+    assert_in_plan(df, "MapInPandas")
+    for part, cols in shuffled_payloads(df):
+        if part.startswith("hashpartitioning"):
+            assert "gram" not in cols, (
+                f"gram text crosses a hash exchange ({part}): {cols}"
+            )
+
+
+def test_dsir_broadcasts_logratio_and_shuffles_partial_sums(spark):
+    """DSIR scoring: the per-bucket log-ratio table joins broadcast
+    (it is bounded by n_buckets), and the final per-doc reduce is a
+    partial-aggregated (doc_id, sums) shuffle — feature text never
+    leaves the map side."""
+    df = QUERIES["dsir_select"](spark, SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_in_plan(df, "partial_count")
+    assert_not_in_plan(df, "CartesianProduct")
+    for part, cols in shuffled_payloads(df):
+        if part.startswith("hashpartitioning"):
+            assert "feat" not in cols, (
+                f"feature text crosses a hash exchange ({part}): {cols}"
+            )
+
+
+def test_embedding_near_dup_det_no_vectors_in_band_shuffle(spark):
+    """The det banded sign-LSH near-dup: the candidate self-join
+    shuffles (table_idx, bucket, id) triples only — embedding vectors
+    rejoin by id afterward, and no cross product appears."""
+    df = QUERIES["embedding_near_duplicates_det"](spark, SF_DIR)
+    assert_not_in_plan(df, "CartesianProduct")
+    for part, cols in shuffled_payloads(df):
+        if "bucket" in part:
+            assert not any("embedding" in c or c in ("v", "__v") for c in cols), (
+                f"vectors cross the band exchange ({part}): {cols}"
+            )
