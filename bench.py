@@ -124,6 +124,12 @@ HEADLINE = [
     # round-5 session 2: the det-IVFPQ composition (probe-pruned
     # compressed inverted lists)
     "ann_ivfpq_det_topk_indexed",
+    # round-5 session 3: the Bloom-prefiltered decontamination (exact
+    # output, sketch-broadcast scale shape), DSIR importance
+    # resampling, and the hash-verifiable banded near-dup search
+    "decontamination_bloom",
+    "dsir_select",
+    "embedding_near_duplicates_det",
 ]
 
 

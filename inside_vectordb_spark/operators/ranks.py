@@ -59,3 +59,68 @@ def deterministic_range_ids(
         cmp = (F.col(key) > F.lit(b)) if ascending else (F.col(key) < F.lit(b))
         pid = pid + cmp.cast("int")
     return df.withColumn(pid_col, pid)
+
+
+def global_row_ranks(
+    df: DataFrame,
+    key: str,
+    tie: str,
+    n_parts: int | None = None,
+    rank_col: str = "__rank",
+) -> tuple[DataFrame, int]:
+    """Exact global 1-based ranks of ``(key, tie)`` order WITHOUT a
+    single-partition window: deterministic range buckets on the key,
+    per-bucket ``row_number`` (parallel, bounded windows), per-bucket
+    counts prefix-accumulated on the driver (one long per bucket) and
+    broadcast back as offsets. Returns (df + rank_col, total_rows).
+
+    This is the repo's standard distributed prefix-sum shape
+    (``token_budget_select``, ``equi_depth_histogram``); factored
+    here so every global-order operator shares one implementation."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = deterministic_range_ids(df, key, n_parts)
+    counts = sorted(
+        (r["__pid"], r["c"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, total = [], 0
+    for pid, c in counts:
+        offsets.append((pid, total))
+        total += c
+    off = spark.createDataFrame(
+        offsets or [(0, 0)],
+        StructType(
+            [StructField("__pid", LongType()), StructField("__off", LongType())]
+        ),
+    )
+    w = Window.partitionBy("__pid").orderBy(F.asc(key), F.asc(tie))
+    ranked = (
+        ranged.withColumn("__lr", F.row_number().over(w))
+        .join(F.broadcast(off), "__pid")
+        .withColumn(rank_col, F.col("__off") + F.col("__lr"))
+        .drop("__pid", "__lr", "__off")
+    )
+    return ranked, total
+
+
+def ntile_expr(rank_col: str, total: int, n: int) -> Column:
+    """0-based ``ntile(n)`` bucket from a 1-based global rank with
+    driver-known row count: the first ``total %% n`` buckets hold
+    ``total // n + 1`` rows, the rest ``total // n`` — exactly SQL
+    ntile semantics, with the N < n edge handled without a
+    div-by-zero branch under ANSI mode."""
+    q, r = divmod(total, n)
+    cut = r * (q + 1)
+    rank = F.col(rank_col)
+    if q == 0:
+        return rank - 1
+    if r == 0:
+        return F.floor((rank - 1) / F.lit(q))
+    return F.when(
+        rank <= cut, F.floor((rank - 1) / F.lit(q + 1))
+    ).otherwise(F.lit(r) + F.floor((rank - cut - 1) / F.lit(q)))

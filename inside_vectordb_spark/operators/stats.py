@@ -208,58 +208,17 @@ def equi_depth_histogram(
     no stage that moves the whole dataset to one task. The sort-free
     approximate alternative is percentile_approx
     (``doc_length_percentiles_approx``)."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    from inside_vectordb_spark.operators.ranks import global_row_ranks, ntile_expr
 
-    from inside_vectordb_spark.operators.ranks import deterministic_range_ids
-
-    spark = df.sparkSession
     vals = (
         df.select(
             F.col(col).cast("double").alias("__v"), F.col(id_col).alias("__id")
         )
         .filter(F.col("__v").isNotNull())
     )
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = deterministic_range_ids(vals, "__v", n_parts)
-    counts = sorted(
-        (r["__pid"], r["c"])
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
-    )
-    offsets, total = [], 0
-    for pid, c in counts:
-        offsets.append((pid, total))
-        total += c
-    off = spark.createDataFrame(
-        offsets or [(0, 0)],
-        StructType(
-            [StructField("__pid", LongType()), StructField("__off", LongType())]
-        ),
-    )
-    w = Window.partitionBy("__pid").orderBy(F.asc("__v"), F.asc("__id"))
-    ranks = (
-        ranged.withColumn("__lr", F.row_number().over(w))
-        .join(F.broadcast(off), "__pid")
-        .withColumn("__rank", F.col("__off") + F.col("__lr"))
-    )
-    # ntile(n) over N rows: the first r = N % n buckets hold q+1 rows
-    # (q = N // n), the rest hold q. N is driver-known, so the bucket
-    # expression is built per-case (avoids a div-by-zero branch when
-    # N < n under ANSI mode).
-    q, r = divmod(total, n_bins)
-    cut = r * (q + 1)
-    if q == 0:
-        bin_expr = F.col("__rank") - 1
-    elif r == 0:
-        bin_expr = F.floor((F.col("__rank") - 1) / F.lit(q))
-    else:
-        bin_expr = F.when(
-            F.col("__rank") <= cut,
-            F.floor((F.col("__rank") - 1) / F.lit(q + 1)),
-        ).otherwise(
-            F.lit(r) + F.floor((F.col("__rank") - cut - 1) / F.lit(q))
-        )
+    ranks, total = global_row_ranks(vals, "__v", "__id")
     return (
-        ranks.withColumn("bin", bin_expr.cast("int"))
+        ranks.withColumn("bin", ntile_expr("__rank", total, n_bins).cast("int"))
         .groupBy("bin")
         .agg(
             F.round(F.min("__v"), 6).alias("lo"),

@@ -404,11 +404,23 @@ def kmeans_lloyd(
         ).alias("v"),
     )
     # Deterministic init: k lowest ids, cluster = rank order.
+    # The rank window runs over the k-row limit() result — bounded by
+    # k, not the corpus. Partition on a non-foldable all-equal key
+    # (substring survives the optimizer; a literal key is folded to an
+    # empty partition spec and WindowExec logs the single-partition
+    # warning).
     init = (
         q.orderBy("vec_id")
         .limit(k)
         .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster"),
+            (
+                F.row_number().over(
+                    Window.partitionBy(
+                        F.substring(F.col("vec_id").cast("string"), 0, 0)
+                    ).orderBy("vec_id")
+                )
+                - 1
+            ).alias("cluster"),
             F.col("v").alias("c"),
         )
     )

@@ -1802,19 +1802,24 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     easy→hard stages by unigram-LM perplexity (low perplexity =
     corpus-typical = early stage), the pacing schedule curriculum
     training consumes. Deterministic total order (perplexity, doc_id);
-    both engines implement standard SQL ntile, so the assignment is
-    cross-engine exact. NOTE the ntile window is a global sort — fine
-    for stage ASSIGNMENT which is one pass at corpus-build time; a
-    100 TB run would reuse the distributed prefix-sum shape of
-    token_budget_select with rank/count instead."""
-    from pyspark.sql import Window as W
-
+    the oracle's SQL ntile is computed Spark-side WITHOUT the
+    single-partition global window — the shared distributed
+    prefix-sum ranks (``operators/ranks.py:global_row_ranks``, the
+    same shape as ``token_budget_select`` / ``equi_depth_histogram``)
+    plus the driver-known-N ntile expression, so the assignment
+    survives a 100-TB corpus."""
     from inside_vectordb_spark.operators.lm import unigram_lm_scores
+    from inside_vectordb_spark.operators.ranks import (
+        global_row_ranks,
+        ntile_expr,
+    )
 
     scores = unigram_lm_scores(eio.load_table(spark, sf_dir, "documents"))
-    w = W.orderBy(F.asc("perplexity"), F.asc("doc_id"))
-    return scores.select(
-        "doc_id", "perplexity", F.ntile(4).over(w).alias("stage")
+    ranked, total = global_row_ranks(scores, "perplexity", "doc_id")
+    return ranked.select(
+        "doc_id",
+        "perplexity",
+        (ntile_expr("__rank", total, 4) + 1).cast("int").alias("stage"),
     )
 
 

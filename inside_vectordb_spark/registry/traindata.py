@@ -622,22 +622,20 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_pair_counts,
         word_frequencies,
     )
-    from pyspark.sql import Window as W
 
     docs = eio.load_table(spark, sf_dir, "documents")
     syms = word_frequencies(docs).select(
         "w", "freq", F.split("w", "").alias("syms")
     )
-    cnts = bpe_pair_counts(syms)
+    # top-30 via orderBy+limit: Spark plans TakeOrderedAndProject
+    # (per-partition heaps + driver merge of 30-row buffers), not the
+    # single-partition global rank window a row_number() here would
+    # cost. The (cnt, left, right) order is total, so the row set is
+    # identical to the oracle's ranked form.
     return (
-        cnts.withColumn(
-            "rn",
-            F.row_number().over(
-                W.orderBy(F.desc("cnt"), "left_sym", "right_sym")
-            ),
-        )
-        .filter(F.col("rn") <= 30)
-        .select("left_sym", "right_sym", "cnt")
+        bpe_pair_counts(syms)
+        .orderBy(F.desc("cnt"), "left_sym", "right_sym")
+        .limit(30)
     )
 
 

@@ -473,3 +473,15 @@ def test_embedding_near_dup_det_no_vectors_in_band_shuffle(spark):
             assert not any("embedding" in c or c in ("v", "__v") for c in cols), (
                 f"vectors cross the band exchange ({part}): {cols}"
             )
+
+
+def test_curriculum_stages_no_single_partition_window(spark):
+    """Stage assignment must come from the shared distributed
+    prefix-rank (per-__pid windows + broadcast offsets), never a
+    global ntile over an empty partition spec — same pin as
+    equi-depth, applied to the curriculum query."""
+    df = QUERIES["curriculum_stages"](spark, SF_DIR)
+    assert_not_in_plan(df, "ntile")
+    plan = physical_plan(df)
+    for seg in plan.split("Window [")[1:]:
+        assert "__pid" in seg[:400], "window without __pid partition spec"
