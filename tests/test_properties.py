@@ -371,3 +371,61 @@ def test_multi_round_batched_learning_matches_sequential(freqs, batch_size):
     n_merges = 12
     assert _batched_learn_py(freqs, n_merges, batch_size) == \
         _sequential_learn_py(freqs, n_merges)
+
+
+# ---------------------------------------------------------------------------
+# global_row_ranks / ntile_expr: the distributed prefix-rank must equal
+# the single-window SQL semantics on any input
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(-50, 50), min_size=1, max_size=60
+    ),
+    n=st.integers(1, 7),
+)
+def test_global_row_ranks_and_ntile_match_window_twin(spark, vals, n):
+    """The distributed prefix-rank (range buckets + per-bucket windows
+    + broadcast offsets) must produce EXACTLY the ranks and ntile
+    buckets of the naive single-partition window, for any value
+    multiset (heavy ties included) and any bucket count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ranks import (
+        global_row_ranks,
+        ntile_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    ranked, total = global_row_ranks(df, "v", "id", n_parts=4)
+    got = {
+        r["id"]: (r["__rank"], b)
+        for r, b in (
+            (row, row["__b"])
+            for row in ranked.withColumn(
+                "__b", ntile_expr("__rank", total, n).cast("int")
+            ).collect()
+        )
+    }
+    w = Window.partitionBy(F.substring(F.col("id").cast("string"), 0, 0)).orderBy(
+        "v", "id"
+    )
+    want = {
+        r["id"]: (r["rank"], r["nt"] - 1)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rank"),
+            F.ntile(n).over(w).alias("nt"),
+        ).collect()
+    }
+    assert total == len(vals)
+    assert got == want
