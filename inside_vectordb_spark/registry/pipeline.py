@@ -898,6 +898,75 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=10)
 
 
+_RM3_ORACLE = f"""
+    WITH {_bm25_ctes(5)},
+    rel AS (
+      SELECT b.query_id, t.term,
+             round(sum((t.tf * 1.0 / d.dl) * b.bm25), 6) AS rw
+      FROM bm_r b
+      JOIN tf t ON t.doc_id = b.doc_id
+      JOIN dl d ON d.doc_id = b.doc_id
+      WHERE d.dl > 0
+      GROUP BY 1, 2),
+    fresh AS (
+      SELECT r.* FROM rel r
+      WHERE NOT EXISTS (SELECT 1 FROM qterms qt
+                        WHERE qt.query_id = r.query_id
+                          AND qt.term = r.term)),
+    expsel AS (
+      SELECT query_id, term, rw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rw DESC, term) AS trank
+      FROM fresh QUALIFY trank <= 10),
+    sumrw AS (SELECT query_id, sum(rw) AS s FROM expsel GROUP BY 1),
+    wts AS (
+      SELECT query_id, term, 0.6 AS mult FROM qterms
+      UNION ALL
+      SELECT e.query_id, e.term, round(0.4 * e.rw / s.s, 6) AS mult
+      FROM expsel e JOIN sumrw s USING (query_id)),
+    dfall AS (SELECT term, count(*) AS df FROM tf
+              WHERE term IN (SELECT DISTINCT term FROM wts) GROUP BY term),
+    per2 AS (
+      SELECT w.query_id, tf.doc_id,
+             ln(1 + (s.n_docs - dfall.df + 0.5) / (dfall.df + 0.5))
+             * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                        + {_BM25_B} * dl.dl / s.avgdl))
+             * w.mult AS w
+      FROM tf
+      JOIN wts w USING (term)
+      JOIN dfall USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s),
+    agg2 AS (SELECT query_id, doc_id, round(sum(w), 6) AS rm3
+             FROM per2 GROUP BY 1, 2),
+    r2 AS (SELECT query_id, doc_id, rm3,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rm3 DESC, doc_id) AS INT)
+                    AS rank
+           FROM agg2 QUALIFY rank <= 10)
+    SELECT query_id, doc_id, rm3, rank FROM r2
+    """
+
+
+@register("bm25_rm3_topk", oracle=_RM3_ORACLE)
+def bm25_rm3_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback over BM25 (Lavrenko & Croft; the
+    Anserini baseline): top-5 feedback docs per query, 10
+    score-weighted expansion terms, alpha=0.6 interpolated weighted
+    rescoring — the full two-pass pipeline (operators/rm3.py) with
+    every arithmetic step restated in one DuckDB oracle."""
+    from inside_vectordb_spark.operators.rm3 import bm25_rm3_topk
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    return bm25_rm3_topk(docs, queries, k=10, fb_docs=5, fb_terms=10, alpha=0.6)
+
+
 _COS_QC = (
     "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"

@@ -191,3 +191,60 @@ def test_lexical_upsert_matches_full_build(spark, tmp_path):
     mtime = os.path.getmtime(os.path.join(inc, "meta.json"))
     ensure_lexical_index(docs, inc)
     assert os.path.getmtime(os.path.join(inc, "meta.json")) == mtime
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback
+# ---------------------------------------------------------------------------
+
+
+def test_rm3_retrieves_expansion_only_docs(spark):
+    """The signature RM3 behavior: a doc sharing NO term with the
+    original query becomes retrievable through expansion terms mined
+    from the feedback docs; a doc sharing nothing with either stays
+    out."""
+    from inside_vectordb_spark.operators.rm3 import (
+        bm25_rm3_topk,
+        rm3_expansion_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry date"),  # feedback hit
+            (1, "apple banana cherry fig"),  # feedback hit
+            (2, "cherry date fig plum"),  # expansion-only reachable
+            (3, "totally unrelated words here"),  # unreachable
+        ],
+        "doc_id: long, text: string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "apple banana")], "query_id: long, qtext: string"
+    )
+    exp = rm3_expansion_terms(docs, queries, fb_docs=2, fb_terms=3).collect()
+    exp_terms = {r["term"] for r in exp}
+    assert exp_terms <= {"cherry", "date", "fig"}
+    assert "cherry" in exp_terms  # in both feedback docs → top weight
+    assert all(r["rw"] > 0 for r in exp)
+
+    out = bm25_rm3_topk(docs, queries, k=10, fb_docs=2, fb_terms=3).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert 2 in by_doc and by_doc[2]["rm3"] > 0
+    assert 3 not in by_doc
+    # original-term docs still dominate: alpha weight keeps them first
+    assert by_doc[0]["rank"] < by_doc[2]["rank"]
+    assert by_doc[1]["rank"] < by_doc[2]["rank"]
+
+
+def test_rm3_degrades_to_weighted_bm25_without_feedback(spark):
+    """A query matching nothing gets no feedback docs and no
+    expansion terms — RM3 must return exactly the alpha-scaled BM25
+    result (here: empty, since nothing matches at all)."""
+    from inside_vectordb_spark.operators.rm3 import bm25_rm3_topk
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id: long, text: string"
+    )
+    queries = spark.createDataFrame(
+        [(100, "zzz qqq")], "query_id: long, qtext: string"
+    )
+    assert bm25_rm3_topk(docs, queries, k=5).count() == 0
