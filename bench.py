@@ -130,6 +130,7 @@ HEADLINE = [
     "decontamination_bloom",
     "dsir_select",
     "embedding_near_duplicates_det",
+    "bm25_rm3_topk",
 ]
 
 

@@ -182,20 +182,34 @@ def bm25_rm3_topk(
         docs, queries, fb_docs, fb_terms, k1, b, id_col, text_col, qid_col,
         qtext_col, round_to,
     )
-    sums = exp.groupBy("query_id").agg(F.sum("rw").alias("__s"))
-    exp_w = (
-        exp.join(sums, "query_id")
-        .select(
-            "query_id",
-            "term",
-            F.round(F.lit(1 - alpha) * F.col("rw") / F.col("__s"), round_to)
-            .alias("mult"),
-        )
+    # normalization via a bounded per-query window (≤ fb_terms rows
+    # per partition), not a self-join that would re-execute the
+    # pass-1 subtree
+    wq = Window.partitionBy("query_id")
+    exp_w = exp.select(
+        "query_id",
+        "term",
+        F.round(
+            F.lit(1 - alpha) * F.col("rw") / F.sum("rw").over(wq), round_to
+        ).alias("mult"),
     )
     orig_w = _qterms(queries, qid_col, qtext_col).select(
         "query_id", "term", F.lit(float(alpha)).alias("mult")
     )
-    weights = orig_w.unionByName(exp_w)
+    # The weight table is query-sized (|Q| × (|q| + fb_terms) rows —
+    # the same driver-sized contract as the top-k query-matrix
+    # broadcast, operators/topk.py). Materializing it once here means
+    # pass 1 executes exactly ONE time; leaving it lazy duplicates
+    # the whole feedback subtree into every pass-2 reference (vocab
+    # filter + weight join → observed 60 exchanges vs ~20).
+    spark = docs.sparkSession
+    rows = [
+        (r["query_id"], r["term"], r["mult"])
+        for r in orig_w.unionByName(exp_w).collect()
+    ]
+    weights = spark.createDataFrame(
+        rows, "query_id long, term string, mult double"
+    )
     return bm25_weighted_topk(
         docs, weights, k, k1, b, id_col, text_col, "rm3", round_to
     )
