@@ -63,6 +63,61 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def _shingle_expr_over(toks: Column, n: int, distinct: bool) -> Column:
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+        ),
+    )
+    body = F.array_distinct(grams) if distinct else grams
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(body)
+
+
+def word_ngram_stream(
+    docs,
+    id_col: str,
+    text_col: str,
+    n: int,
+    distinct: bool = True,
+    with_count: bool = False,
+    extra_ns: tuple[int, ...] = (),
+):
+    """Exploded word n-gram stream ``(id, [n_grams,] gram)`` with the
+    tokenization HOISTED into its own projection.
+
+    The naive ``explode(word_shingles(text, n))`` inlines the
+    whitespace split into the generator, and Spark re-evaluates that
+    child expression per EMITTED row (and per sibling reference like
+    ``size(...)``), turning shingling O(len²) per document — measured
+    9.5-28 s vs ~1 s at sf0.1 for the identical result. Projecting
+    the token array first and referencing it many times blocks the
+    project collapse, so the split runs once per document and the
+    per-emission work is O(n) ``element_at`` + one concat.
+
+    ``extra_ns``: additional gram widths unioned into the same stream
+    (each from the SAME hoisted token array — DSIR's unigram+bigram
+    bag), multiplicity following ``distinct``. ``with_count`` adds
+    ``n_grams`` = size of the primary-width array."""
+    tk = docs.select(
+        F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__tk")
+    )
+    toks = F.col("__tk")
+    widths = (n, *extra_ns)
+    streams = []
+    for w in widths:
+        sh = _shingle_expr_over(toks, w, distinct)
+        cols = [F.col("__id").alias(id_col)]
+        if with_count:
+            cols.append(F.size(sh).alias("n_grams"))
+        streams.append(tk.select(*cols, F.explode(sh).alias("gram")))
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def char_ngrams(col: Column | str, n: int = 4) -> Column:
     """Distinct character n-grams (lowercased) as ``array<string>``."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)

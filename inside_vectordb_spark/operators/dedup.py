@@ -108,8 +108,16 @@ def minhash_signatures(
     ``shingle_sets`` relation to derive from instead of re-shingling
     ``docs``."""
     if sets is None:
-        sets = shingle_sets(docs, id_col, text_col, shingle_n)
-    sh = sets.select("doc_id", F.explode("shset").alias("sh"))
+        # hoisted-tokenization stream: explode over an inline shingle
+        # array re-evaluates the split per emitted shingle (see
+        # functions/text.py:word_ngram_stream; ~7× at sf0.1)
+        from inside_vectordb_spark.functions.text import word_ngram_stream
+
+        sh = word_ngram_stream(docs, id_col, text_col, shingle_n).select(
+            F.col(id_col).alias("doc_id"), F.col("gram").alias("sh")
+        )
+    else:
+        sh = sets.select("doc_id", F.explode("shset").alias("sh"))
     b = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
     based = sh.select(
         "doc_id", (b % _HALF).alias("b1"), F.shiftright(b, 30).alias("b2")

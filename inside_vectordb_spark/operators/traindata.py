@@ -132,17 +132,21 @@ def ngram_decontaminate(
     first (the eval suite is tiny next to the corpus — the join's
     build side); the corpus side explodes to (doc_id, gram_hash) so
     only 16-byte hashes shuffle, and AQE turns the join broadcast when
-    the bench side fits."""
-    tr = train.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(text_col, n).alias("grams"),
-    ).select(
-        "doc_id",
-        F.size("grams").alias("n_grams"),
-        F.explode("grams").alias("gram"),
-    ).select("doc_id", "n_grams", F.md5("gram").alias("gh"))
+    the bench side fits. Both sides shingle through
+    ``word_ngram_stream`` (hoisted tokenization — the inlined form
+    re-evaluates the split per emitted gram, measured ~10× slower)."""
+    from inside_vectordb_spark.functions.text import word_ngram_stream
+
+    tr = (
+        word_ngram_stream(train, id_col, text_col, n, with_count=True)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "n_grams",
+            F.md5("gram").alias("gh"),
+        )
+    )
     bh = (
-        bench.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        word_ngram_stream(bench, id_col, text_col, n)
         .select(F.md5("gram").alias("gh"))
         .distinct()
     )
@@ -182,75 +186,56 @@ def ngram_decontaminate_bloom(
     Mitzenmacher 2006, so two hash evaluations serve all probes; both
     hashes are reduced mod m FIRST so the probe arithmetic never
     overflows int64 under ANSI mode, and the step is forced into
-    [1, m-1] so probes never degenerate to one bit); the
-    positions are collected once (the bench side is driver-sized by
-    the same contract that lets the exact variant broadcast it) into
-    a numpy bitmap carried in the prefilter's closure. The corpus
-    gram stream computes (h1, h2) JVM-side and ships only fixed-width
-    (id, counts, md5, h1, h2) columns through the Arrow prefilter —
-    raw gram text never leaves the JVM. Survivors verify against the
-    exact distinct bench-gram md5 set."""
-    import numpy as np
-    import pandas as pd
+    [1, m-1] so probes never degenerate to one bit). The filter's SET
+    BIT POSITIONS — at most ``m_bits`` distinct longs however large
+    the bench side grows, which is the Bloom fixed-budget property —
+    are materialized once and broadcast; the membership test is then
+    ``n_hashes`` broadcast LEFT SEMI joins on the corpus gram
+    stream's probe positions, i.e. the bitmap lookup expressed as
+    hash-table probes that stay entirely inside whole-stage codegen
+    (an earlier Arrow/numpy-bitmap formulation shipped the whole
+    2M-row gram stream to Python at sf0.1 and ran 10× slower than
+    the exact join it was meant to beat). Survivors verify against
+    the exact distinct bench-gram md5 set."""
 
-    h1r = F.pmod(F.xxhash64("gram"), F.lit(m_bits))
-    h2r = F.pmod(F.xxhash64("gram", F.lit(1)), F.lit(m_bits - 1)) + F.lit(1)
+    def probes(col: str) -> list:
+        h1r = F.pmod(F.xxhash64(col), F.lit(m_bits))
+        h2r = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m_bits - 1)) + F.lit(1)
+        return [
+            F.pmod(h1r + F.lit(i) * h2r, F.lit(m_bits)) for i in range(n_hashes)
+        ]
+
+    from inside_vectordb_spark.functions.text import word_ngram_stream
+
+    # dedupe AFTER hashing (duplicate grams set the same bits), so no
+    # exchange anywhere in the pipeline ever carries gram text
     bench_pos = (
-        bench.select(F.explode(word_shingles(text_col, n)).alias("gram"))
-        .distinct()
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(h1r + F.lit(i) * h2r, F.lit(m_bits))
-                        for i in range(n_hashes)
-                    ]
-                )
-            ).alias("pos")
-        )
+        word_ngram_stream(bench, id_col, text_col, n)
+        .select(F.explode(F.array(*probes("gram"))).alias("pos"))
         .distinct()
     )
-    bitmap = np.zeros(m_bits, dtype=bool)
-    bitmap[[r["pos"] for r in bench_pos.collect()]] = True
 
     tr = (
-        train.select(
+        word_ngram_stream(train, id_col, text_col, n, with_count=True)
+        .select(
             F.col(id_col).alias("doc_id"),
-            word_shingles(text_col, n).alias("grams"),
-        )
-        .select(
-            "doc_id",
-            F.size("grams").alias("n_grams"),
-            F.explode("grams").alias("gram"),
-        )
-        .select(
-            "doc_id",
             "n_grams",
-            F.md5("gram").alias("gh"),
-            h1r.alias("h1"),
-            h2r.alias("h2"),
+            "gram",
+            *[p.alias(f"__p{i}") for i, p in enumerate(probes("gram"))],
         )
     )
-
-    def prefilter(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            h1 = pdf["h1"].to_numpy(dtype=np.int64)
-            h2 = pdf["h2"].to_numpy(dtype=np.int64)
-            keep = np.ones(len(pdf), dtype=bool)
-            for i in range(n_hashes):
-                # h1 < m, h2 < m: the probe sum stays far under 2^63,
-                # and % on the nonnegative reduced hashes matches pmod
-                keep &= bitmap[(h1 + i * h2) % m_bits]
-            if keep.any():
-                yield pdf.loc[keep, ["doc_id", "n_grams", "gh"]]
-
-    survivors = tr.mapInPandas(
-        prefilter, schema="doc_id long, n_grams int, gh string"
-    )
+    survivors = tr
+    for i in range(n_hashes):
+        survivors = survivors.join(
+            F.broadcast(bench_pos.withColumnRenamed("pos", f"__p{i}")),
+            f"__p{i}",
+            "left_semi",
+        )
+    # md5 only for bloom-positive survivors; the raw gram never
+    # reaches a shuffle (the semi joins are broadcast, map-side)
+    survivors = survivors.select("doc_id", "n_grams", F.md5("gram").alias("gh"))
     bh = (
-        bench.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        word_ngram_stream(bench, id_col, text_col, n)
         .select(F.md5("gram").alias("gh"))
         .distinct()
     )
@@ -898,15 +883,19 @@ def dsir_scores(
     sums) reach the final shuffle. The target side is small by
     definition (it is the domain sample you are steering toward)."""
 
+    from inside_vectordb_spark.functions.text import word_ngram_stream
+
     def feats(docs: DataFrame) -> DataFrame:
-        base = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.concat(
-                    _word_ngrams_all(text_col, 1), _word_ngrams_all(text_col, 2)
-                )
-            ).alias("feat"),
-        ).filter(F.col("feat") != "")
+        # one hoisted token array feeds both gram widths (the inlined
+        # concat-of-transforms form re-evaluates the split per emitted
+        # feature; see word_ngram_stream)
+        base = (
+            word_ngram_stream(
+                docs, id_col, text_col, 1, distinct=False, extra_ns=(2,)
+            )
+            .filter(F.col("gram") != "")
+            .select(F.col(id_col).alias("doc_id"), F.col("gram").alias("feat"))
+        )
         return base.select(
             "doc_id", _md5_bucket(F.col("feat"), ":dsir", n_buckets).alias("bucket")
         )

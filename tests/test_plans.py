@@ -433,12 +433,15 @@ def test_equi_depth_no_single_partition_window(spark):
 
 
 def test_bloom_decontamination_join_sees_survivors_only(spark):
-    """The Bloom variant's bench join input is the mapInPandas
-    prefilter output, never the raw gram stream: the plan has exactly
-    one Python worker stage (the prefilter) feeding the join, and no
-    gram text crosses any hash exchange."""
+    """The Bloom membership test is pure JVM: the probe-position
+    semi joins are broadcast (no Python worker stage, no shuffle for
+    the prefilter), and no gram text crosses any hash exchange — the
+    bench join input is bloom-positive survivors only."""
     df = QUERIES["decontamination_bloom"](spark, SF_DIR)
-    assert_in_plan(df, "MapInPandas")
+    assert_not_in_plan(df, "MapInPandas")
+    plan = physical_plan(df)
+    assert plan.count("LeftSemi") >= 4, "expected 4 broadcast probe semi-joins"
+    assert_not_in_plan(df, "SortMergeJoin")
     for part, cols in shuffled_payloads(df):
         if part.startswith("hashpartitioning"):
             assert "gram" not in cols, (
