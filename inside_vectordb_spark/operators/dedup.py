@@ -266,8 +266,13 @@ def simhash(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(text_col)).alias("tok"),
     )
-    h = _hex15_to_long(F.md5(F.col("tok")))
-    bit_sums = toks.groupBy("doc_id").agg(
+    # hash ONCE into a column: inlining the md5 into every per-bit
+    # aggregate would evaluate it ``bits`` times per token row
+    hashed = toks.select(
+        "doc_id", _hex15_to_long(F.md5(F.col("tok"))).alias("__h")
+    )
+    h = F.col("__h")
+    bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
                 (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)

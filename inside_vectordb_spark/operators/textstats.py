@@ -302,15 +302,16 @@ def decontaminate(
     branch and scan the corpus twice."""
     from pyspark.sql.functions import broadcast
 
-    from inside_vectordb_spark.functions.text import word_shingles
+    from inside_vectordb_spark.functions.text import word_ngram_stream
 
     ev = (
-        eval_docs.select(F.explode(word_shingles(text_col, n)).alias("sh"))
+        word_ngram_stream(eval_docs, id_col, text_col, n)
+        .select(F.col("gram").alias("sh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, n)).alias("sh")
+    ex = word_ngram_stream(docs, id_col, text_col, n).select(
+        F.col(id_col).alias("doc_id"), F.col("gram").alias("sh")
     )
     return (
         ex.join(broadcast(ev), "sh", "left")
