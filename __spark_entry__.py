@@ -108,7 +108,8 @@ WINDOW_PRIORITY = [
 # Oracle-backed queries never driver-checked after this window —
 # the round-6 rotation pool (all local-parity green via
 # check_gate --only at sf0.01): embedding_near_duplicates_det,
-# decontamination_bloom, dsir_select, bm25_rm3_topk, ann_pq_det_topk,
+# decontamination_bloom, dsir_select, bm25_rm3_topk,
+# events_cohort_retention, events_funnel, ann_pq_det_topk,
 # ann_pq_det_upsert_topk, ann_pq_det_topk_deleted,
 # ann_ivfpq_det_topk, ann_ivfpq_det_topk_indexed,
 # ann_ivf_det_upsert_topk, semantic_dedup, embedding_column_stats,

@@ -110,6 +110,138 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cohort_retention",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                  FROM events),
+    first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+    act AS (SELECT f.cohort_day,
+                   CAST(d.day - f.cohort_day AS INT) AS day_offset,
+                   d.user_id
+            FROM days d JOIN first f USING (user_id)),
+    ret AS (SELECT cohort_day, day_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM act GROUP BY 1, 2),
+    base AS (SELECT cohort_day, n_users AS cohort_size FROM ret
+             WHERE day_offset = 0)
+    SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+           r.day_offset, r.n_users, b.cohort_size,
+           round(r.n_users * 1.0 / b.cohort_size, 6) AS retention
+    FROM ret r JOIN base b ON b.cohort_day = r.cohort_day
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    retention = distinct active users per (cohort, day-offset) over
+    the cohort's size — the standard product-analytics rollup.
+
+    Plan shape: distinct (user, day) with map-side partial agg →
+    first-touch min keyed on user → count-distinct keyed on
+    (cohort, offset); cohort size rides a window PARTITIONED by
+    cohort_day (bounded per-cohort frames, no self-join that would
+    re-execute the activity subtree, no global window)."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = days.join(first, "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"),
+        "user_id",
+    )
+    ret = act.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    w = Window.partitionBy("cohort_day")
+    size = F.max(
+        F.when(F.col("day_offset") == 0, F.col("n_users"))
+    ).over(w)
+    return ret.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+        size.alias("cohort_size"),
+        F.round(F.col("n_users") / size, 6).alias("retention"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+    n AS (SELECT (SELECT count(*) FROM v) AS nv,
+                 (SELECT count(*) FROM c) AS nc,
+                 (SELECT count(*) FROM p) AS np)
+    SELECT 'view' AS stage, nv AS n_users,
+           CASE WHEN nv > 0 THEN 1.0 END AS conversion FROM n
+    UNION ALL
+    SELECT 'click', nc,
+           CASE WHEN nv > 0 THEN round(nc * 1.0 / nv, 6) END FROM n
+    UNION ALL
+    SELECT 'purchase', np,
+           CASE WHEN nv > 0 THEN round(np * 1.0 / nv, 6) END FROM n
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view → first subsequent click
+    → first subsequent purchase per user (strict time order, so a
+    click BEFORE any view does not count), with per-stage user counts
+    and conversion vs the funnel head.
+
+    Plan shape: three per-user min aggregations chained by join —
+    each stage keyed on user_id with map-side partial mins, stage N's
+    input pre-filtered by the (already aggregated, user-sized) stage
+    N-1 relation; the final stage table is a single 1-row aggregate
+    stacked into rows. No window over the event stream at all."""
+    ev = eio.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n = (
+        v.agg(F.count("*").alias("nv"))
+        .crossJoin(c.agg(F.count("*").alias("nc")))
+        .crossJoin(p.agg(F.count("*").alias("np")))
+    )
+    return n.select(
+        F.expr(
+            """stack(3,
+               'view', nv,
+                 CASE WHEN nv > 0 THEN CAST(1.0 AS DOUBLE) END,
+               'click', nc,
+                 CASE WHEN nv > 0
+                      THEN round(nc / CAST(nv AS DOUBLE), 6) END,
+               'purchase', np,
+                 CASE WHEN nv > 0
+                      THEN round(np / CAST(nv AS DOUBLE), 6) END)"""
+        ).alias("stage", "n_users", "conversion")
+    )
+
+
+@register(
     "events_moving_avg",
     oracle="""
     SELECT event_id, user_id, ts,
