@@ -429,3 +429,59 @@ def test_global_row_ranks_and_ntile_match_window_twin(spark, vals, n):
     }
     assert total == len(vals)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# word_ngram_stream must be semantically identical to the naive
+# explode(word_shingles(...)) it replaces for performance
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c\td\n")), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(1, 4),
+)
+def test_word_ngram_stream_matches_naive_explode(spark, texts, n):
+    """For any documents (whitespace runs, empties, short docs) and
+    any gram width: the hoisted stream yields exactly the naive
+    exploded word_shingles multiset, and with_count's n_grams equals
+    the shingle-set size."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.functions.text import (
+        word_ngram_stream,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    naive = sorted(
+        (r["doc_id"], r["gram"])
+        for r in docs.select(
+            "doc_id", F.explode(word_shingles("text", n)).alias("gram")
+        ).collect()
+    )
+    got_rows = word_ngram_stream(
+        docs, "doc_id", "text", n, with_count=True
+    ).collect()
+    got = sorted((r["doc_id"], r["gram"]) for r in got_rows)
+    assert got == naive
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(word_shingles("text", n)).alias("n")
+        ).collect()
+    }
+    assert all(r["n_grams"] == sizes[r["doc_id"]] for r in got_rows)
