@@ -401,3 +401,95 @@ def winnowing_fingerprints(
             "fp_csv"
         ),
     )
+
+
+def distinct_ngram_ratios(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus diversity: distinct-n ratios (Li et al. '16 distinct-1/2;
+    the standard repetitiveness/diversity number corpus datasheets
+    report). One row per gram width: (n, total_grams, distinct_grams,
+    distinct_ratio). Distinctness counts md5s, not gram strings, so
+    the count-distinct shuffle carries 32-char hashes — never gram
+    text (md5 collisions are formally part of the metric; the oracle
+    counts the same md5s)."""
+    from inside_vectordb_spark.functions.text import word_ngram_stream
+
+    out = None
+    for n in range(1, max_n + 1):
+        g = (
+            word_ngram_stream(docs, id_col, text_col, n, distinct=False)
+            .filter(F.col("gram") != "")
+            .select(F.md5("gram").alias("gh"))
+        )
+        row = g.agg(
+            F.lit(n).alias("n"),
+            F.count("*").alias("total_grams"),
+            F.count_distinct("gh").alias("distinct_grams"),
+        ).select(
+            "n",
+            "total_grams",
+            "distinct_grams",
+            F.round(
+                F.col("distinct_grams") / F.col("total_grams"), round_to
+            ).alias("distinct_ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def source_term_kl(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-source domain skew: KL(P_source || P_corpus) over
+    md5-bucketed unigram distributions with add-alpha smoothing — the
+    number a mixture designer reads before setting per-source
+    sampling temperatures (pairs with ``temperature_mixture``).
+
+    The smoothed sum runs over the FULL bucket lattice (sources ×
+    range(n_buckets), all broadcast-scale) — not just observed
+    buckets: both smoothed distributions then normalize to 1 over the
+    same support, so Gibbs' inequality holds and kl_nats ≥ 0 by
+    construction. Returns (source, n_tokens, kl_nats)."""
+    from inside_vectordb_spark.operators.traindata import _md5_bucket
+
+    spark = docs.sparkSession
+    toks = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokenize(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select("source", _md5_bucket(F.col("term"), ":kl", n_buckets).alias("b"))
+    )
+    cb = toks.groupBy("b").agg(F.count("*").alias("cc"))
+    ctot = toks.agg(F.count("*").alias("nc"))
+    sb = toks.groupBy("source", "b").agg(F.count("*").alias("cs"))
+    stot = toks.groupBy("source").agg(F.count("*").alias("ns"))
+    buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
+    lattice = (
+        stot.crossJoin(F.broadcast(buckets))
+        .join(F.broadcast(cb), "b", "left")
+        .crossJoin(F.broadcast(ctot))
+    )
+    full = lattice.join(F.broadcast(sb), ["source", "b"], "left")
+    ps = (F.coalesce(F.col("cs"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("ns") + F.lit(alpha * n_buckets)
+    )
+    pc = (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("nc") + F.lit(alpha * n_buckets)
+    )
+    return (
+        full.groupBy("source", "ns")
+        .agg(F.round(F.sum(ps * F.log(ps / pc)), round_to).alias("kl_nats"))
+        .select("source", F.col("ns").alias("n_tokens"), "kl_nats")
+    )

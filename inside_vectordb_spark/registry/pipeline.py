@@ -1892,6 +1892,76 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_G_SQL = {
+    1: "SELECT unnest(t) AS gram FROM tk",
+    2: """SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+          i -> concat_ws(' ', t[i], t[i+1]))) AS gram FROM tk""",
+    3: """SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram FROM tk""",
+}
+
+_DIVERSITY_ORACLE = f"""
+    WITH tk AS (SELECT list_filter({_TOKS}, t -> t <> '') AS t
+                FROM documents),
+    g1 AS ({_G_SQL[1]}), g2 AS ({_G_SQL[2]}), g3 AS ({_G_SQL[3]})
+    """ + " UNION ALL ".join(
+    f"""
+    SELECT CAST({n} AS INT) AS n, count(*) AS total_grams,
+           count(DISTINCT md5(gram)) AS distinct_grams,
+           round(count(DISTINCT md5(gram)) * 1.0 / count(*), 6)
+             AS distinct_ratio
+    FROM g{n}"""
+    for n in (1, 2, 3)
+)
+
+
+@register("corpus_distinct_ngrams", oracle=_DIVERSITY_ORACLE)
+def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity datasheet row: distinct-1/2/3 ratios (Li et
+    al. '16) — the repetitiveness number reported next to dedup
+    rates. Distinctness counted over md5s so only fixed-width hashes
+    shuffle."""
+    return ts.distinct_ngram_ratios(eio.load_table(spark, sf_dir, "documents"))
+
+
+_KL_BUCKET = "('0x' || substr(md5(term || ':kl'), 1, 8))::BIGINT % 1024"
+
+_SOURCE_KL_ORACLE = f"""
+    WITH toks AS (SELECT source,
+                         unnest(list_filter({_TOKS}, t -> t <> '')) AS term
+                  FROM documents),
+    tb AS (SELECT source, {_KL_BUCKET} AS b FROM toks),
+    cb AS (SELECT b, count(*) AS cc FROM tb GROUP BY 1),
+    ctot AS (SELECT count(*) AS nc FROM tb),
+    sb AS (SELECT source, b, count(*) AS cs FROM tb GROUP BY 1, 2),
+    stot AS (SELECT source, count(*) AS ns FROM tb GROUP BY 1),
+    buckets AS (SELECT unnest(range(0, 1024)) AS b),
+    lattice AS (SELECT s.source, s.ns, k.b, COALESCE(cb.cc, 0) AS cc
+                FROM stot s CROSS JOIN buckets k
+                LEFT JOIN cb ON cb.b = k.b),
+    filled AS (SELECT l.source, l.ns, l.b, l.cc, COALESCE(sb.cs, 0) AS cs
+               FROM lattice l
+               LEFT JOIN sb ON sb.source = l.source AND sb.b = l.b)
+    SELECT source, ns AS n_tokens,
+           round(sum( ((cs + 0.5) / (ns + 512.0))
+                      * ln( ((cs + 0.5) / (ns + 512.0))
+                          / ((cc + 0.5) / (nc + 512.0)) ) ), 6) AS kl_nats
+    FROM filled CROSS JOIN ctot GROUP BY 1, 2
+    """
+
+
+@register("source_term_kl", oracle=_SOURCE_KL_ORACLE)
+def source_term_kl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain skew: KL(P_source || P_corpus) over 1024
+    md5-bucketed unigram buckets with add-0.5 smoothing — the number
+    a mixture designer reads before setting per-source temperatures
+    (pairs with ``temperature_mixture``). Complete smoothed sum over
+    the full bucket lattice (both distributions normalize over the
+    same support, so kl_nats >= 0 by Gibbs); everything broadcast-scale except
+    the one token-bucket aggregation."""
+    return ts.source_term_kl(eio.load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "corpus_datasheet",
     oracle="""

@@ -216,3 +216,40 @@ def test_perplexity_gate_keeps_low_tail(spark):
     cut = (max(v for k, v in scores.items() if k < 8) + scores[8]) / 2
     kept = {r["doc_id"] for r in perplexity_gate(docs, cut).collect()}
     assert kept == set(range(8))
+
+
+# ---------------------------------------------------------------------------
+# corpus diversity + per-source KL
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_ngram_ratios_hand_check(spark):
+    from inside_vectordb_spark.operators.textstats import distinct_ngram_ratios
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {r["n"]: r for r in distinct_ngram_ratios(docs).collect()}
+    # unigrams: a a a a b → 5 total, 2 distinct
+    assert rows[1]["total_grams"] == 5 and rows[1]["distinct_grams"] == 2
+    assert rows[1]["distinct_ratio"] == 0.4
+    # bigrams: "a a","a a","a b" → 3 total, 2 distinct
+    assert rows[2]["total_grams"] == 3 and rows[2]["distinct_grams"] == 2
+    # trigrams: "a a a" only
+    assert rows[3]["total_grams"] == 1 and rows[3]["distinct_grams"] == 1
+    assert rows[3]["distinct_ratio"] == 1.0
+
+
+def test_source_term_kl_flags_the_skewed_source(spark):
+    """A source whose vocabulary matches the corpus bulk has near-zero
+    KL; a source from a disjoint vocabulary has markedly higher KL."""
+    from inside_vectordb_spark.operators.textstats import source_term_kl
+
+    bulk = [(i, "bulk", "common words shared by every doc here") for i in range(20)]
+    skew = [(100 + i, "weird", "zzz qqq xxx yyy www vvv uuu ttt") for i in range(2)]
+    docs = spark.createDataFrame(
+        bulk + skew, "doc_id long, source string, text string"
+    )
+    kl = {r["source"]: r["kl_nats"] for r in source_term_kl(docs).collect()}
+    assert kl["weird"] > kl["bulk"] * 5
+    assert kl["bulk"] >= 0.0
