@@ -131,6 +131,12 @@ HEADLINE = [
     "dsir_select",
     "embedding_near_duplicates_det",
     "bm25_rm3_topk",
+    # round-5 session 3 (continued): events analytics + corpus
+    # datasheet metrics
+    "events_cohort_retention",
+    "events_funnel",
+    "corpus_distinct_ngrams",
+    "source_term_kl",
 ]
 
 
