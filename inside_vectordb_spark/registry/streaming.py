@@ -380,3 +380,87 @@ def ann_signlsh_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_sign_topk_indexed(
         spark, eio.query_vectors(spark, sf_dir), emb, art, k=10
     )
+
+
+from inside_vectordb_spark.registry.pipeline import (  # noqa: E402
+    _JACCARD as _MH_JACCARD,
+    _PAIRS_CTE as _MH_PAIRS_CTE,
+    _SIG_CTE as _MH_SIG_CTE,
+)
+
+_MINHASH_STREAM_ORACLE = f"""
+    WITH {_MH_SIG_CTE}, {_MH_PAIRS_CTE}
+    SELECT p.doc_a, p.doc_b, round({_MH_JACCARD}, 6) AS jaccard
+    FROM pairs p
+    JOIN shs sa ON sa.doc_id = p.doc_a
+    JOIN shs sb ON sb.doc_id = p.doc_b
+    WHERE round({_MH_JACCARD}, 6) >= 0.2
+    """
+
+
+@register("minhash_stream_pairs", oracle=_MINHASH_STREAM_ORACLE)
+def minhash_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INCREMENTAL near-dup detection: build the MinHash
+    band table + base pairs on 80% of the corpus, feed the other 20%
+    through a file stream in two micro-batches (foreachBatch:
+    batch-vs-stored band join ∪ batch-internal join → exact-Jaccard
+    verify → append pairs, append band keys — the O(delta)
+    maintenance production dedup runs per crawl), then return every
+    pair found. The union across base + batches provably equals the
+    one-shot batch near-dup over the full corpus (see
+    streaming/dedup_stream.py), so this query SHARES the batch
+    minhash oracle — the green hash certifies stream delivery →
+    incremental index maintenance → batch-identical pairs."""
+    import glob
+    import os
+    import shutil
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.streaming.dedup_stream import (
+        base_near_dup_build,
+        run_incremental_near_dup,
+    )
+
+    docs = eio.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+        "stream_neardup",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    band_store = os.path.join(root, "bands")
+    pairs_store = os.path.join(root, "pairs")
+    inbox = os.path.join(root, "inbox")
+    mio.remove_tree(root)
+    os.makedirs(inbox, exist_ok=True)
+
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    base_near_dup_build(base, band_store, pairs_store, threshold=0.2)
+
+    deltas = [
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 == 5),
+    ]
+    schema = None
+    for i, b in enumerate(deltas):
+        tmp = os.path.join(root, f"__b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(inbox, f"batch_{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        schema = b.schema if schema is None else schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    run_incremental_near_dup(
+        stream,
+        os.path.join(sf_dir, "documents.parquet"),
+        band_store,
+        pairs_store,
+        threshold=0.2,
+    )
+    return spark.read.parquet(pairs_store).orderBy("doc_a", "doc_b")

@@ -1,0 +1,145 @@
+"""Streaming incremental near-duplicate detection.
+
+Production corpora don't re-dedupe from scratch per crawl: new
+documents arrive continuously and must be checked against EVERYTHING
+already ingested. This module maintains a persisted MinHash BAND
+TABLE (doc_id, band_idx, band_key — the LSH index of the ingested
+corpus) and, per micro-batch of new docs:
+
+1. computes the batch's band keys (the same 12-hash / 4-band family
+   as the batch operator, `operators/dedup.py`);
+2. generates candidates = batch-vs-stored band join ∪ batch-internal
+   band self-join (the stored side is parquet partitioned data the
+   join reads by band key — new docs never rescan old TEXT, only the
+   band table);
+3. verifies candidates by exact shingle-set Jaccard and appends the
+   surviving pairs to the result store;
+4. appends the batch's band keys to the band table (the O(delta)
+   index maintenance step).
+
+EXACTNESS: the union of pairs across the initial build and all
+micro-batches equals the one-shot batch `minhash_near_duplicates`
+over the full corpus. Proof shape: a banded pair (a, b) with a
+ingested no later than b is emitted exactly when b's batch runs —
+a's bands are in the table by then (base build or an earlier append),
+b's are in the batch — and batch-internal pairs are covered by the
+self-join; no other emission site exists, and the verify filter is
+the same exact-Jaccard rule both times. That's why the registered
+streaming query can SHARE the batch operator's DuckDB oracle: a green
+hash certifies file-stream delivery → per-batch candidate generation
+against the maintained index → verification → the batch-identical
+pair set.
+
+Delivery contract (same as the CDC merge and sign-LSH upsert
+streams): doc ids are disjoint across batches and from the base;
+at-least-once replays are guarded by the checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inside_vectordb_spark.operators.dedup import (
+    minhash_band_keys,
+    minhash_signatures,
+    ngram_jaccard,
+)
+
+
+def base_near_dup_build(
+    base_docs: DataFrame,
+    band_store: str,
+    pairs_store: str,
+    threshold: float = 0.2,
+) -> None:
+    """Initialize the stores: band table + base-internal verified
+    pairs (the one-time full build the stream then maintains)."""
+    keys = minhash_band_keys(minhash_signatures(base_docs))
+    keys.write.mode("overwrite").parquet(band_store)
+    a = keys.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    b = keys.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = ngram_jaccard(base_docs, cand).filter(
+        F.col("jaccard") >= threshold
+    )
+    verified.write.mode("overwrite").parquet(pairs_store)
+
+
+def run_incremental_near_dup(
+    delta_stream: DataFrame,
+    all_docs_path: str,
+    band_store: str,
+    pairs_store: str,
+    threshold: float = 0.2,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain the delta stream with Trigger.AvailableNow, applying the
+    incremental near-dup step per micro-batch. ``all_docs_path`` is
+    the document table candidates verify against (in production the
+    snapshot the ingest also appends to)."""
+    ckpt = tempfile.mkdtemp(prefix="ck_", dir=os.path.dirname(band_store) or None)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        keys_new = minhash_band_keys(minhash_signatures(batch_df))
+        # materialize the delta's band keys once: they feed the
+        # old-vs-new join, the internal self-join, and the append
+        keys_new = spark.createDataFrame(
+            keys_new.collect(), keys_new.schema
+        )
+        stored = spark.read.parquet(band_store)
+        new_side = keys_new.select(
+            F.col("doc_id").alias("id_new"), "band_idx", "band_key"
+        )
+        old_side = stored.select(
+            F.col("doc_id").alias("id_old"), "band_idx", "band_key"
+        )
+        c_cross = (
+            old_side.join(F.broadcast(new_side), ["band_idx", "band_key"])
+            .select(
+                F.least("id_old", "id_new").alias("doc_a"),
+                F.greatest("id_old", "id_new").alias("doc_b"),
+            )
+        )
+        a = keys_new.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+        b = keys_new.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+        c_int = (
+            a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cand = c_cross.unionByName(c_int).distinct()
+        # shingle ONLY candidate endpoints — the verify step must not
+        # rescan the whole corpus text per micro-batch
+        ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        docs_needed = spark.read.parquet(all_docs_path).join(
+            F.broadcast(ids), "doc_id"
+        )
+        verified = ngram_jaccard(docs_needed, cand).filter(
+            F.col("jaccard") >= threshold
+        )
+        verified.write.mode("append").parquet(pairs_store)
+        keys_new.write.mode("append").parquet(band_store)
+
+    q = (
+        delta_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -40,3 +40,25 @@ def test_stream_is_incremental(spark):
     """The plan really is a streaming plan (not a batch rewrite)."""
     s = hourly_stream(read_events_stream(spark, SF_DIR))
     assert s.isStreaming
+
+
+def test_minhash_stream_pairs_equals_batch(spark):
+    """The incremental near-dup drain must produce exactly the batch
+    operator's pair set over the full corpus (the sharing-the-oracle
+    exactness claim, re-proven in-suite at sf0.001)."""
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators import dedup as dd
+    from inside_vectordb_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in QUERIES["minhash_stream_pairs"](spark, SF_DIR).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.minhash_near_duplicates(
+            eio.load_table(spark, SF_DIR, "documents"), threshold=0.2
+        ).collect()
+    }
+    assert got == want and len(want) > 0
