@@ -110,7 +110,7 @@ WINDOW_PRIORITY = [
 # check_gate --only at sf0.01): embedding_near_duplicates_det,
 # decontamination_bloom, dsir_select, bm25_rm3_topk,
 # events_cohort_retention, events_funnel, corpus_distinct_ngrams,
-# source_term_kl, minhash_stream_pairs, ann_pq_det_topk,
+# source_term_kl, minhash_stream_pairs, zipf_fit, ann_pq_det_topk,
 # ann_pq_det_upsert_topk, ann_pq_det_topk_deleted,
 # ann_ivfpq_det_topk, ann_ivfpq_det_topk_indexed,
 # ann_ivf_det_upsert_topk, semantic_dedup, embedding_column_stats,

@@ -493,3 +493,54 @@ def source_term_kl(
         .agg(F.round(F.sum(ps * F.log(ps / pc)), round_to).alias("kl_nats"))
         .select("source", F.col("ns").alias("n_tokens"), "kl_nats")
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the top-``top_k`` vocabulary: least-squares
+    slope/intercept of ln(freq) against ln(rank) — natural text sits
+    near slope −1; strong deviation flags templated or synthetic
+    corpora (a datasheet companion to ``distinct_ngram_ratios``).
+
+    Returns one row (n_terms, zipf_slope, zipf_intercept). Rank is
+    deterministic: (freq desc, term asc). The top-k extraction is
+    orderBy+limit (TakeOrdered heaps, no global-rank window); the
+    ranking window then runs over ≤ top_k rows behind a non-foldable
+    all-equal partition key."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = tf.orderBy(F.desc("cnt"), F.asc("term")).limit(top_k)
+    w = Window.partitionBy(F.substring("term", 0, 0)).orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").cast("int").alias("n_terms"),
+        F.round(slope, round_to).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), round_to
+        ).alias("zipf_intercept"),
+    )

@@ -1962,6 +1962,38 @@ def source_term_kl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.source_term_kl(eio.load_table(spark, sf_dir, "documents"))
 
 
+_ZIPF_ORACLE = f"""
+    WITH tf AS (
+      SELECT term, count(*) AS cnt FROM (
+        SELECT unnest(list_filter({_TOKS}, t -> t <> '')) AS term
+        FROM documents) GROUP BY term),
+    top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 100),
+    xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term)
+                          AS DOUBLE)) AS x,
+                  ln(CAST(cnt AS DOUBLE)) AS y
+           FROM top),
+    agg AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                   sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM xy)
+    SELECT CAST(n AS INT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS zipf_intercept
+    FROM agg
+    """
+
+
+@register("zipf_fit", oracle=_ZIPF_ORACLE)
+def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope/intercept over the top-100 vocabulary — the
+    datasheet check that term frequencies follow the rank law natural
+    corpora obey (slope ≈ −1); deviations flag templated/synthetic
+    text. Closed-form least squares as one aggregation, full
+    oracle."""
+    return ts.zipf_fit(eio.load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "corpus_datasheet",
     oracle="""

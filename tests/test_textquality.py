@@ -253,3 +253,21 @@ def test_source_term_kl_flags_the_skewed_source(spark):
     kl = {r["source"]: r["kl_nats"] for r in source_term_kl(docs).collect()}
     assert kl["weird"] > kl["bulk"] * 5
     assert kl["bulk"] >= 0.0
+
+
+def test_zipf_fit_slope_is_negative_rank_law(spark):
+    """On the real corpus the top-100 rank/frequency fit must produce
+    a negative slope (frequencies fall with rank) with the intercept
+    anchoring the head frequency; determinism across runs."""
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.textstats import zipf_fit
+    from tests.conftest import SF_DIR
+
+    docs = eio.load_table(spark, SF_DIR, "documents")
+    a = zipf_fit(docs).collect()[0]
+    # sf0.001's synthetic vocabulary is smaller than top_k
+    assert 1 < a["n_terms"] <= 100
+    assert a["zipf_slope"] < -0.05
+    assert a["zipf_intercept"] > 0
+    b = zipf_fit(docs).collect()[0]
+    assert tuple(a) == tuple(b)
