@@ -534,13 +534,18 @@ def zipf_fit(
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # degenerate fits (0 or 1 terms: den == 0) yield NULL, not a
+    # cross-engine NaN/inf coin flip
+    slope = F.when(
+        den != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
     )
     return agg.select(
         F.col("n").cast("int").alias("n_terms"),
         F.round(slope, round_to).alias("zipf_slope"),
         F.round(
-            (F.col("sy") - slope * F.col("sx")) / F.col("n"), round_to
+            F.when(F.col("n") > 0, (F.col("sy") - slope * F.col("sx")) / F.col("n")),
+            round_to,
         ).alias("zipf_intercept"),
     )

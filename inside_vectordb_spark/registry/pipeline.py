@@ -1976,10 +1976,12 @@ _ZIPF_ORACLE = f"""
                    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
             FROM xy)
     SELECT CAST(n AS INT) AS n_terms,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           round(CASE WHEN (n * sxx - sx * sx) <> 0
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
              AS zipf_slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                 / n, 6) AS zipf_intercept
+           round(CASE WHEN n > 0 AND (n * sxx - sx * sx) <> 0
+                 THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                      / n END, 6) AS zipf_intercept
     FROM agg
     """
 

@@ -271,3 +271,17 @@ def test_zipf_fit_slope_is_negative_rank_law(spark):
     assert a["zipf_intercept"] > 0
     b = zipf_fit(docs).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_zipf_fit_degenerate_corpora_yield_null_not_nan(spark):
+    from inside_vectordb_spark.operators.textstats import zipf_fit
+
+    one_term = spark.createDataFrame(
+        [(1, "word word word")], "doc_id long, text string"
+    )
+    r = zipf_fit(one_term).collect()[0]
+    assert r["n_terms"] == 1
+    assert r["zipf_slope"] is None and r["zipf_intercept"] is None
+    empty = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    r2 = zipf_fit(empty).collect()[0]
+    assert r2["n_terms"] == 0 and r2["zipf_slope"] is None

@@ -752,3 +752,14 @@ def test_dsir_deterministic_and_feature_counts(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     # "alpha beta alpha": 3 unigrams + 2 bigrams = 5 feature occurrences
     assert a[0]["n_feats"] == 5
+
+
+def test_dsir_empty_target_is_uniformly_negative_prior(spark):
+    """With an EMPTY target slice every bucket falls back to the
+    uniform alpha prior: scoring must not error (no div-by-zero under
+    ANSI) and every doc still gets a finite score."""
+    target = _docs(spark, [])
+    train = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+    rows = td.dsir_scores(train, target).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert all(r["dsir_score"] is not None for r in rows)
