@@ -202,16 +202,35 @@ def run_bench(sf_dir: str) -> dict:
             eio.load_table(spark, sf_dir, t).limit(1).count()
 
         timings: dict[str, float] = {}
+        # Variance protocol (round-5 advisory): record min/median/
+        # spread per query so a round-over-round delta is triageable
+        # at a glance — spread = (max-min)/min over the N runs. A
+        # "regression" whose prior-round value sits inside this run's
+        # spread is host noise, not a plan change (the r4→r5 ±30%
+        # same-plan variance burned an advisory cycle proving that);
+        # diff PLANS.md for anything outside the spread.
+        spreads: dict[str, dict[str, float]] = {}
         for name in HEADLINE:
             fn = QUERIES[name]
-            best = None
+            runs: list[float] = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
                 _materialize(fn(spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            best = runs[0]
             timings[name] = round(best, 3)
-            print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
+            spreads[name] = {
+                "min": round(best, 3),
+                "median": round(runs[len(runs) // 2], 3),
+                "spread": round((runs[-1] - best) / best, 3) if best else 0.0,
+            }
+            print(
+                f"[bench] {name}: {timings[name]:.3f}s "
+                f"(median {spreads[name]['median']:.3f}s, "
+                f"spread {spreads[name]['spread']:.0%})",
+                file=sys.stderr,
+            )
 
         try:
             gates = curation_gate_counts(spark, sf_dir)
@@ -241,6 +260,7 @@ def run_bench(sf_dir: str) -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "query_spreads": spreads,
         "sf": sf_val,
         "curation_gates": gates,
         "near_dup_cluster_rounds": cc_rounds,
@@ -257,7 +277,11 @@ def write_report(result: dict) -> None:
         "sf": result["sf"],
         "total_sec": result["value"],
         "performance": {
-            name: {"latency_sec": sec, "qps": round(1.0 / sec, 4) if sec else None}
+            name: {
+                "latency_sec": sec,
+                "qps": round(1.0 / sec, 4) if sec else None,
+                **result.get("query_spreads", {}).get(name, {}),
+            }
             for name, sec in result["queries"].items()
         },
         "curation_gates": result.get("curation_gates", {}),

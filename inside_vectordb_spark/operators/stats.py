@@ -326,7 +326,11 @@ def column_correlations(
     Rounding: corr is dimensionless (|r| ≤ 1) and rounds at 6 dp;
     covariance carries the columns' units (magnitudes up to ~1e4 on
     price-like columns) and rounds at 4 dp so cross-engine summation
-    order stays inside the rounding at 100× row counts."""
+    order stays inside the rounding at 100× row counts. Each rounded
+    measure adds ``+ 0.0`` to normalize IEEE signed zero: a tiny
+    negative input (e.g. covar ≈ -1.7e-06) rounds to +0.0 in Spark
+    but -0.0 in DuckDB, and a byte-level value hash distinguishes the
+    two; -0.0 + 0.0 = +0.0 collapses both engines to the same bits."""
     aggs = []
     for a, b in pairs:
         x, y = F.col(a).cast("double"), F.col(b).cast("double")
@@ -334,8 +338,8 @@ def column_correlations(
         aggs.append(F.covar_samp(x, y).alias(f"__v_{a}__{b}"))
     row = df.agg(*aggs)
     cells = ", ".join(
-        f"'{a}', '{b}', round(`__c_{a}__{b}`, {round_corr}), "
-        f"round(`__v_{a}__{b}`, {round_cov})"
+        f"'{a}', '{b}', round(`__c_{a}__{b}`, {round_corr}) + 0.0, "
+        f"round(`__v_{a}__{b}`, {round_cov}) + 0.0"
         for a, b in pairs
     )
     return row.selectExpr(

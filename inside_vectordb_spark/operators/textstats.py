@@ -490,7 +490,8 @@ def source_term_kl(
     )
     return (
         full.groupBy("source", "ns")
-        .agg(F.round(F.sum(ps * F.log(ps / pc)), round_to).alias("kl_nats"))
+        # + 0.0: fp rounding can put a ~0 KL sum at -0.0 in one engine
+        .agg((F.round(F.sum(ps * F.log(ps / pc)), round_to) + F.lit(0.0)).alias("kl_nats"))
         .select("source", F.col("ns").alias("n_tokens"), "kl_nats")
     )
 
@@ -543,9 +544,12 @@ def zipf_fit(
     )
     return agg.select(
         F.col("n").cast("int").alias("n_terms"),
-        F.round(slope, round_to).alias("zipf_slope"),
-        F.round(
-            F.when(F.col("n") > 0, (F.col("sy") - slope * F.col("sx")) / F.col("n")),
-            round_to,
+        (F.round(slope, round_to) + F.lit(0.0)).alias("zipf_slope"),
+        (
+            F.round(
+                F.when(F.col("n") > 0, (F.col("sy") - slope * F.col("sx")) / F.col("n")),
+                round_to,
+            )
+            + F.lit(0.0)
         ).alias("zipf_intercept"),
     )

@@ -292,7 +292,8 @@ def weighted_sample(
     the corpus. Returns (doc_id, weight, key) for the k winners."""
     u_int = _md5_bucket(F.col(id_col), salt, 1_000_000) + 1  # 1..1e6
     u = u_int / F.lit(1_000_001.0)
-    key = F.round(F.log(u) / weight_col.cast("double"), 6)
+    # + 0.0: ln(u)≈0⁻ for u→1 rounds to -0.0 in DuckDB, +0.0 in Spark
+    key = F.round(F.log(u) / weight_col.cast("double"), 6) + F.lit(0.0)
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -447,7 +448,8 @@ def kmeans_lloyd(
         assign.select("cluster", F.posexplode("v").alias("pos", "val"))
         .groupBy("cluster", "pos")
         .agg(
-            F.round(F.avg("val"), 6).alias("centroid"),
+            # + 0.0 normalizes IEEE -0.0 (signed centroid means)
+            (F.round(F.avg("val"), 6) + F.lit(0.0)).alias("centroid"),
             F.count("*").cast("int").alias("size"),
         )
         .select("cluster", "pos", "centroid", "size")
@@ -928,7 +930,8 @@ def dsir_scores(
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_feats"),
-            F.round(F.sum("__lr"), round_to).alias("dsir_score"),
+            # + 0.0 normalizes IEEE -0.0 (log-ratio sums straddle 0)
+            (F.round(F.sum("__lr"), round_to) + F.lit(0.0)).alias("dsir_score"),
         )
     )
 

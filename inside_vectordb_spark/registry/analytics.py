@@ -636,7 +636,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
            round(CASE WHEN s.sd = 0 OR s.sd IS NULL THEN 0.0
-                      ELSE (e.value - s.mu) / s.sd END, 6) AS zscore
+                      ELSE (e.value - s.mu) / s.sd END, 6) + 0.0 AS zscore
     FROM events e JOIN s USING (event_type)
     """,
 )
@@ -659,7 +659,7 @@ def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.round("value", 6).alias("value"),
-        F.round(z, 6).alias("zscore"),
+        (F.round(z, 6) + F.lit(0.0)).alias("zscore"),  # signed-zero normalize
     )
 
 
@@ -704,10 +704,13 @@ _CORR_PAIRS = [
     ("l_discount", "l_tax"),
 ]
 
+# `+ 0.0` normalizes IEEE signed zero on both engines: DuckDB
+# round(-1.7e-06, 4) = -0.0 where Spark returns +0.0, and the
+# driver's value hash is byte-level (r5 FAIL root cause).
 _CORR_ORACLE = "\nUNION ALL\n".join(
     f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
-           round(corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 6) AS pearson_corr,
-           round(covar_samp(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 4) AS covariance
+           round(corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 6) + 0.0 AS pearson_corr,
+           round(covar_samp(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 4) + 0.0 AS covariance
     FROM lineitem"""
     for a, b in _CORR_PAIRS
 )
@@ -735,9 +738,9 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     x AS (SELECT CAST(i AS INT) AS pos, v[i + 1] AS x
           FROM e CROSS JOIN range(0, 64) t(i))
-    SELECT pos, round(avg(x), 6) AS mean,
+    SELECT pos, round(avg(x), 6) + 0.0 AS mean,
            round(sqrt(greatest(0, avg(x * x) - avg(x) * avg(x))), 6) AS std,
-           round(min(x), 6) AS min_val, round(max(x), 6) AS max_val
+           round(min(x), 6) + 0.0 AS min_val, round(max(x), 6) + 0.0 AS max_val
     FROM x GROUP BY pos ORDER BY pos
     """,
 )
@@ -758,10 +761,11 @@ def embedding_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         x.groupBy("pos")
         .agg(
-            F.round(F.avg("x"), 6).alias("mean"),
+            # + 0.0 on the signed measures: IEEE -0.0 normalization
+            (F.round(F.avg("x"), 6) + F.lit(0.0)).alias("mean"),
             F.round(F.sqrt(F.greatest(F.lit(0.0), var)), 6).alias("std"),
-            F.round(F.min("x"), 6).alias("min_val"),
-            F.round(F.max("x"), 6).alias("max_val"),
+            (F.round(F.min("x"), 6) + F.lit(0.0)).alias("min_val"),
+            (F.round(F.max("x"), 6) + F.lit(0.0)).alias("max_val"),
         )
         .orderBy("pos")
     )

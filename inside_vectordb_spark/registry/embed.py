@@ -93,7 +93,7 @@ def text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS n
       FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) i
       GROUP BY label, i.i)
-    SELECT label, component, round(m, 6) AS mean_value,
+    SELECT label, component, round(m, 6) + 0.0 AS mean_value,
            CAST(n AS BIGINT) AS n_vectors
     FROM comp
     """,
@@ -106,7 +106,11 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = group_centroids(eio.load_table(spark, sf_dir, "embeddings"))
     return out.select(
-        "label", "component", F.round("mean_value", 6).alias("mean_value"), "n_vectors"
+        "label",
+        "component",
+        # + 0.0 normalizes IEEE -0.0 (signed embedding means)
+        (F.round("mean_value", 6) + F.lit(0.0)).alias("mean_value"),
+        "n_vectors",
     )
 
 

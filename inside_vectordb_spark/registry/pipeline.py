@@ -1945,7 +1945,7 @@ _SOURCE_KL_ORACLE = f"""
     SELECT source, ns AS n_tokens,
            round(sum( ((cs + 0.5) / (ns + 512.0))
                       * ln( ((cs + 0.5) / (ns + 512.0))
-                          / ((cc + 0.5) / (nc + 512.0)) ) ), 6) AS kl_nats
+                          / ((cc + 0.5) / (nc + 512.0)) ) ), 6) + 0.0 AS kl_nats
     FROM filled CROSS JOIN ctot GROUP BY 1, 2
     """
 
@@ -1977,11 +1977,11 @@ _ZIPF_ORACLE = f"""
             FROM xy)
     SELECT CAST(n AS INT) AS n_terms,
            round(CASE WHEN (n * sxx - sx * sx) <> 0
-                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) + 0.0
              AS zipf_slope,
            round(CASE WHEN n > 0 AND (n * sxx - sx * sx) <> 0
                  THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                      / n END, 6) AS zipf_intercept
+                      / n END, 6) + 0.0 AS zipf_intercept
     FROM agg
     """
 
@@ -2295,6 +2295,9 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/semdedup.py)."""
     from inside_vectordb_spark.operators.semdedup import semantic_dedup_dropped
 
+    # n_clusters pinned to the 16-centroid fixture the SQL twin
+    # unrolls (vec_id < 37*16 = 592); production default scales with
+    # corpus size via the operator's n_clusters=None path.
     return semantic_dedup_dropped(
-        eio.load_table(spark, sf_dir, "embeddings"), threshold=0.35
+        eio.load_table(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16
     )

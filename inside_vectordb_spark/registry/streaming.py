@@ -147,7 +147,7 @@ def events_click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type)
     SELECT e.event_type, d.type_total,
            count(*) AS n_events,
-           round(sum(e.value - d.type_avg), 6) AS total_deviation
+           round(sum(e.value - d.type_avg), 6) + 0.0 AS total_deviation
     FROM events e JOIN dim d USING (event_type)
     GROUP BY 1, 2
     """,
@@ -174,7 +174,8 @@ def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream.join(F.broadcast(static_dim), "event_type")
     agg = joined.groupBy("event_type", "type_total").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("value") - F.col("type_avg")), 6).alias(
+        # + 0.0 normalizes IEEE -0.0 (sum of deviations straddles 0)
+        (F.round(F.sum(F.col("value") - F.col("type_avg")), 6) + F.lit(0.0)).alias(
             "total_deviation"
         ),
     )

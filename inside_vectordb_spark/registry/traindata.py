@@ -136,7 +136,7 @@ _DSIR_ORACLE = f"""
     scored AS (
       SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
              round(sum( ln((COALESCE(tg.ct, 0) + 1.0) / (tt.s + 4096.0))
-                      - ln((tr.cr + 1.0) / (rt.s + 4096.0)) ), 6)
+                      - ln((tr.cr + 1.0) / (rt.s + 4096.0)) ), 6) + 0.0
                AS dsir_score
       FROM feats f
       LEFT JOIN tg USING (bucket)
@@ -194,7 +194,7 @@ def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
              round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':aes'),
                         1, 8))::BIGINT % 1000000 + 1) / 1000001.0)
-                   / CAST(n_chars AS DOUBLE), 6) AS key
+                   / CAST(n_chars AS DOUBLE), 6) + 0.0 AS key
       FROM documents)
     SELECT doc_id, weight, key FROM r ORDER BY key DESC, doc_id LIMIT 50
     """,
@@ -282,7 +282,7 @@ _KM_ORACLE = f"""
     sz AS (SELECT cluster, CAST(count(*) AS INT) AS size FROM a2
            GROUP BY cluster)
     SELECT c2.cluster, CAST(c2.pos - 1 AS INT) AS pos,
-           round(c2.val, 6) AS centroid, sz.size
+           round(c2.val, 6) + 0.0 AS centroid, sz.size
     FROM c2 JOIN sz USING (cluster)
 """
 

@@ -93,11 +93,14 @@ def run_incremental_near_dup(
             return
         spark = batch_df.sparkSession
         keys_new = minhash_band_keys(minhash_signatures(batch_df))
-        # materialize the delta's band keys once: they feed the
-        # old-vs-new join, the internal self-join, and the append
-        keys_new = spark.createDataFrame(
-            keys_new.collect(), keys_new.schema
-        )
+        # materialize the delta's band keys ONCE, on the executors:
+        # they feed the old-vs-new join, the internal self-join, and
+        # the append. localCheckpoint keeps the materialized blocks
+        # executor-side (band keys are O(batch_docs × n_bands) — a
+        # driver collect() here would bottleneck every micro-batch at
+        # crawl-scale batch sizes); the downstream F.broadcast handles
+        # the small-side shipping.
+        keys_new = keys_new.localCheckpoint(eager=True)
         stored = spark.read.parquet(band_store)
         new_side = keys_new.select(
             F.col("doc_id").alias("id_new"), "band_idx", "band_key"

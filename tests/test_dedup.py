@@ -21,3 +21,26 @@ def test_semantic_dedup_greedy_seniority(spark):
     for r in dropped:
         assert r.kept_twin == min(by_b[r.doc_id])
         assert r.kept_twin < r.doc_id
+
+
+def test_semantic_dedup_cluster_knob_shrinks_pair_stage(spark):
+    """Round-5 advisory: n_clusters must be a real knob — raising it
+    shrinks the quadratic within-cluster pair stage (Σ C(n_c, 2)
+    falls as the corpus spreads over more clusters)."""
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.semdedup import (
+        _default_n_clusters,
+        semantic_dedup_pairs,
+    )
+    from tests.conftest import SF_DIR_MED
+
+    emb = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    # threshold=-1 keeps every within-cluster pair → counts the pair
+    # stage's input size itself
+    # ids at this SF top out below 37*14, so stay under saturation
+    coarse = semantic_dedup_pairs(emb, threshold=-1.0, n_clusters=2).count()
+    fine = semantic_dedup_pairs(emb, threshold=-1.0, n_clusters=5).count()
+    finer = semantic_dedup_pairs(emb, threshold=-1.0, n_clusters=13).count()
+    assert coarse > fine > finer > 0
+    # the scaled default: ~1 centroid / 10k docs, floored at 16
+    assert _default_n_clusters(emb) == max(16, -(-emb.count() // 10_000))

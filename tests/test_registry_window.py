@@ -14,10 +14,15 @@ from inside_vectordb_spark.registry import ORACLES, QUERIES
 
 WINDOW = 50
 
-# Rows-only entries allowed inside the window. Empty since the
-# sign-LSH tier replaced the np.random LSH row: every window entry is
-# now oracle-backed.
-NO_ORACLE_OK: set[str] = set()
+# Rows-only entries allowed inside the window: the three stochastic
+# ANN tiers whose LAST driver observation is a r01/r02 FAIL — rotated
+# back in (judge's round-5 ask) to clear those stale records; their
+# deterministic twins are oracle-backed and driver-green.
+NO_ORACLE_OK: set[str] = {
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_duplicates_lsh",
+}
 
 # One representative per §2 tier that MUST sit inside the window
 # every round (reproducible multi-round anchors). Round 5 shrank the
@@ -38,35 +43,35 @@ MUST_COVER = {
 }
 
 
-# Rows rotated into the round-5 window: never driver-checked before
-# (except q12_priority_shipments, whose last driver row is a stale
-# r02 FAIL being cleared). They stay pinned here until a CORRECTNESS
-# file proves them green.
-ROTATED_IN_R5 = {
-    "q12_priority_shipments",
-    "ann_signlsh_upsert_topk", "ann_signlsh_deleted", "tfidf_topk",
-    "tfidf_topk_indexed", "bm25_topk_indexed", "hybrid_rrf3_topk",
-    "hybrid_serving_topk", "lineitem_correlations",
-    "lm_perplexity_scores", "simhash_near_duplicates",
-    "snapshot_stream_merge", "hard_negatives", "training_triples",
-    "cluster_safe_split", "token_budget_select", "curriculum_stages",
-    "corpus_datasheet", "ann_ivf_det_topk_indexed", "ann_ivf_det_sweep",
-    "bm25_upsert_topk_indexed",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q11_important_stock", "q15_top_supplier",
-    "q16_supplier_part_variety", "q17_small_quantity_revenue",
-    "q19_discounted_revenue", "q20_promo_part_suppliers",
-    "events_sessionized_stream", "events_user_totals_stream",
-    "dedup_exact_stream", "events_click_purchase_stream",
-    "partitioned_layout_roundtrip", "zorder_layout_roundtrip",
-    "image_features",
-    "ann_pq_det_topk_indexed", "method_comparison", "comparison_extrema",
+# Rows rotated into the round-6 window: never driver-checked before,
+# plus the four last-observation-FAIL records being cleared
+# (lineitem_correlations r5 signed-zero, and the three rows-only
+# stochastic tiers). They stay pinned here until a CORRECTNESS file
+# proves them green.
+ROTATED_IN_R6 = {
+    "lineitem_correlations",
+    "ann_lsh_topk", "ann_ivf_topk", "embedding_near_duplicates_lsh",
+    "embedding_near_duplicates_det", "decontamination_bloom",
+    "dsir_select", "bm25_rm3_topk", "events_cohort_retention",
+    "events_funnel", "corpus_distinct_ngrams", "source_term_kl",
+    "minhash_stream_pairs", "zipf_fit", "ann_pq_det_topk",
+    "ann_pq_det_upsert_topk", "ann_pq_det_topk_deleted",
+    "ann_ivfpq_det_topk", "ann_ivfpq_det_topk_indexed",
+    "ann_ivf_det_topk", "ann_ivf_det_upsert_topk", "semantic_dedup",
+    "embedding_column_stats", "ann_recall_vs_exact",
+    "ann_pq_det_refine_sweep", "ann_signlsh_stream_upsert",
+    "method_candidate_costs", "events_user_distinct", "range_search",
+    "events_user_journey", "quality_percentile_gate",
+    "repetition_stats", "corpus_curation_clustered",
+    "temperature_mixture", "winnowing_candidates", "weighted_sample",
+    "events_value_zscore", "events_stream_enriched", "ann_sq_topk",
+    "label_centroids",
 }
 
 
 def test_rotated_rows_in_window():
     window = set(list(e.queries())[:WINDOW])
-    missing = ROTATED_IN_R5 - window
+    missing = ROTATED_IN_R6 - window
     assert not missing, f"rotation rows fell out of the window: {missing}"
 
 

@@ -62,3 +62,19 @@ def test_minhash_stream_pairs_equals_batch(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_near_dup_batch_fn_stays_distributed():
+    """Round-5 advisory: the per-micro-batch band-key materialization
+    must stay on the executors (localCheckpoint), not round-trip
+    through the driver — collect()+createDataFrame serializes
+    O(batch_docs × n_bands) rows through the driver on EVERY batch."""
+    import inspect
+
+    from inside_vectordb_spark.streaming.dedup_stream import (
+        run_incremental_near_dup,
+    )
+
+    src = inspect.getsource(run_incremental_near_dup)
+    assert ".collect()" not in src
+    assert "localCheckpoint" in src
