@@ -103,7 +103,7 @@ WINDOW_PRIORITY = [
     "repetition_stats",          # repetition/boilerplate stats
     "corpus_curation_clustered", # curation + cluster-dedup DAG
     "temperature_mixture",       # per-source temperature weights
-    "winnowing_candidates",      # winnowing fingerprint candidates
+    "ann_stochastic_recall_floor",  # stochastic-tier recall envelope
     "weighted_sample",           # A-ES weighted sample (ln-key fix)
     "events_value_zscore",       # z-score normalize (signed-zero fix)
     "events_stream_enriched",    # stream-static join (deviation fix)
@@ -112,8 +112,8 @@ WINDOW_PRIORITY = [
 ]
 
 # Queries never driver-checked after this window — the round-7
-# rotation pool (42 left; all covered by check_gate --all locally):
-# ann_brp_topk, ann_hnsw_vendored, ann_ivf_topk_indexed,
+# rotation pool (43 left; all covered by check_gate --all locally):
+# winnowing_candidates, ann_brp_topk, ann_hnsw_vendored, ann_ivf_topk_indexed,
 # ann_ivf_upsert_topk, ann_ivfpq_topk_indexed, ann_knob_sweep,
 # ann_lsh_topk_indexed, ann_pq_topk, ann_pq_topk_indexed,
 # audio_features, bpe_encoded_tokens, bpe_pair_counts, bpe_vocab,

@@ -1370,3 +1370,85 @@ def ann_ivfpq_det_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_probe=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stochastic-tier quality envelope (round-5 verdict item 7)
+# ---------------------------------------------------------------------------
+
+# Floors chosen with wide margin under the measured recalls at both
+# test scales (sf0.001 / sf0.01, seed-fixed so deterministic in-engine:
+# lsh 0.915-0.94, ivf 0.785-0.795, pq 0.805-0.83, brp 0.99-0.995,
+# hnsw 1.0) — the reference's own acceptance style states retention
+# floors, not point values (BENCHMARK_SUMMARY.txt:36-44).
+_STOCH_FLOORS = {
+    "brp": 0.90,
+    "hnsw": 0.90,
+    "ivf": 0.65,
+    "lsh": 0.80,
+    "pq": 0.65,
+}
+
+_STOCH_FLOOR_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{m}' AS method, 10 AS k, CAST({f} AS DOUBLE) AS recall_floor, "
+    "true AS floor_ok"
+    for m, f in sorted(_STOCH_FLOORS.items())
+)
+
+
+@register("ann_stochastic_recall_floor", oracle=_STOCH_FLOOR_ORACLE)
+def ann_stochastic_recall_floor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard quality signal for the five rows-only stochastic ANN
+    tiers: recall@10 of each tier vs the exact engine, asserted
+    against a pinned floor AS DATA — the oracle is the floor table
+    itself, so a driver hash match proves in-engine that every
+    stochastic tier still clears its recall envelope (the reference's
+    recall-retention acceptance, restated as a checkable row set
+    rather than a point value that would fake determinism).
+
+    One tagged-union pass: all five arms union with a method tag, one
+    semi-join against the exact ground truth, one groupBy(method) —
+    the per-arm search plans dominate; the envelope math adds a
+    broadcast join and a 5-row aggregate."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+
+    q = eio.query_vectors(spark, sf_dir)
+    c = eio.load_table(spark, sf_dir, "embeddings")
+    exact = exact_cosine_topk(q, c, k=10).select("query_id", "doc_id")
+    n_gt = exact.count()  # |Q|·10 ground-truth pairs (driver literal)
+    arms = {
+        "brp": ann_brp_topk_q,
+        "hnsw": ann_hnsw_vendored_q,
+        "ivf": ann_ivf_topk_q,
+        "lsh": ann_lsh_topk_q,
+        "pq": ann_pq_topk_q,
+    }
+    tagged = None
+    for m, fn in arms.items():
+        part = fn(spark, sf_dir).select(
+            F.lit(m).alias("method"), "query_id", "doc_id"
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    hits = (
+        tagged.join(exact, ["query_id", "doc_id"])
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    floors = spark.createDataFrame(
+        sorted(_STOCH_FLOORS.items()), "method string, recall_floor double"
+    )
+    return (
+        floors.join(F.broadcast(hits), "method", "left")
+        .select(
+            "method",
+            F.lit(10).alias("k"),
+            "recall_floor",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(n_gt))
+                >= F.col("recall_floor")
+            ).alias("floor_ok"),
+        )
+        .orderBy("method")
+    )

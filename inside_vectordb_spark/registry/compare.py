@@ -295,6 +295,12 @@ def method_candidate_costs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs exact brute force — the sublinearity number ANN papers quote.
     Exact = |Q|·|corpus|; sign-LSH = bucket-join pairs; det-IVF =
     probed-list pairs. Fully deterministic, full oracle."""
+    return _candidate_costs(spark, sf_dir)
+
+
+def _candidate_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, n_candidates, work_fraction) — shared by the oracle
+    query above and ``method_speedups``' work-ratio columns."""
     from pyspark.sql import Window
 
     from inside_vectordb_spark.functions.vector import cosine_similarity
@@ -346,16 +352,22 @@ def method_candidate_costs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def method_speedups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1+B2+A10: wall-clock each method's full search plan (noop
     materialization — executes everything, collects nothing), then
-    latency / QPS / speedup-vs-exact. Values vary run to run (it's a
-    measurement); the row set and schema are the stable contract —
-    the deterministic work-ratio twin is ``method_candidate_costs``."""
+    latency / QPS / speedup-vs-exact — now carrying the DETERMINISTIC
+    work-ratio columns (n_candidates, work_fraction — the same values
+    ``method_candidate_costs`` pins with a full oracle) next to the
+    measured numbers, so a reader sees measured speedup against the
+    work actually eliminated. The wall-clock columns vary run to run
+    (it's a measurement); the row set, schema, and the two work
+    columns are the stable contract."""
     timings = []
     for method, topk in _method_topks(spark, sf_dir).items():
         t0 = time.perf_counter()
         topk.write.format("noop").mode("overwrite").save()
         timings.append((method, time.perf_counter() - t0))
     perf = spark.createDataFrame(timings, "method string, latency_sec double")
-    return cmp_ops.speedup_ratios(perf, baseline="exact").orderBy("method")
+    ratios = cmp_ops.speedup_ratios(perf, baseline="exact")
+    work = _candidate_costs(spark, sf_dir)
+    return ratios.join(F.broadcast(work), "method").orderBy("method")
 
 
 def _recall_vs_exact_ctes() -> str:

@@ -63,7 +63,8 @@ ROTATED_IN_R6 = {
     "method_candidate_costs", "events_user_distinct", "range_search",
     "events_user_journey", "quality_percentile_gate",
     "repetition_stats", "corpus_curation_clustered",
-    "temperature_mixture", "winnowing_candidates", "weighted_sample",
+    "temperature_mixture", "ann_stochastic_recall_floor",
+    "weighted_sample",
     "events_value_zscore", "events_stream_enriched", "ann_sq_topk",
     "label_centroids",
 }
