@@ -137,6 +137,10 @@ HEADLINE = [
     "events_funnel",
     "corpus_distinct_ngrams",
     "source_term_kl",
+    # round-6: SemDeDup with the scaled cluster knob, and IVF with the
+    # k-means-TRAINED coarse quantizer (balanced lists, full oracle)
+    "semantic_dedup",
+    "ann_ivf_km_topk",
 ]
 
 

@@ -747,3 +747,208 @@ def ann_ivf_det_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def ann_ivf_km_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    km_k: int = 8,
+    km_iters: int = 2,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer — Lloyd k-means centroids
+    instead of the id-sampled rule, which is how FAISS actually
+    builds an IVF (train_coarse via k-means, then assign; reference
+    ``004-faiss_demo.py`` nlist/nprobe path). Stays fully
+    hash-verifiable because the training runs on the deterministic
+    fixed-point ``kmeans_lloyd`` (quantized integer distances,
+    rounded centroid updates, id tie-breaks) — the one k-means two
+    engines reproduce bit-for-bit.
+
+    A trained quantizer BALANCES the inverted lists (id-sampling makes
+    list sizes data-independent luck): at scale, balanced lists mean
+    probing n_probe of k lists touches ~n_probe/k of the corpus with
+    low variance — the property that keeps IVF latency flat as the
+    corpus grows. Assignment/probing use cosine against the quantized
+    centroids (cosine is scale-invariant, so the ×quant training
+    space needs no un-scaling), rounded at 6 dp with cid tie-breaks;
+    rerank is exact cosine on the raw vectors over candidates only.
+
+    Scale shape: training = km_iters broadcast-assignment passes (the
+    MLlib KMeans shape); index assignment = one corpus ×
+    broadcast(k×dim) pass; probes touch n_probe lists; only
+    candidates reach the exact rerank."""
+    from inside_vectordb_spark.operators.traindata import kmeans_lloyd
+
+    km = kmeans_lloyd(corpus, k=km_k, iters=km_iters, id_col=id_col, vec_col=vec_col)
+    cents = (
+        km.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("__cv")
+        )
+        .select(F.col("cluster").alias("cid"), "__cv")
+    )
+    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
+    assign = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__s").alias("__best"))
+        .select("doc_id", F.col("__best.cid").alias("cid"))
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("__pc"), F.asc("cid"))
+    probes = (
+        qb.crossJoin(F.broadcast(cents))
+        .withColumn("__pc", F.round(cosine_similarity("__qv", "__cv"), 6))
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cid")
+    )
+    cand = probes.join(assign, "cid").select("query_id", "__qv", "doc_id")
+    withvec = cand.join(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__dv")),
+        "doc_id",
+    )
+    scored = withvec.select(
+        "query_id",
+        "doc_id",
+        F.round(cosine_similarity("__qv", "__dv"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def ensure_ivf_km_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    km_k: int = 8,
+    km_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Persist the TRAINED-quantizer IVF: the Lloyd centroids
+    (FAISS's trained coarse quantizer — unlike the det-IVF rule they
+    cannot be re-derived at serving time without re-training, so the
+    k×dim table IS part of the index artifact, exactly as FAISS
+    serializes its quantizer) plus the assignment table partitioned
+    by cid (inverted lists as directory layout → probing = parquet
+    partition pruning). meta.json written LAST as the completeness
+    marker; deterministic training makes rebuilds bit-identical."""
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+    from inside_vectordb_spark.operators.traindata import kmeans_lloyd
+
+    want = {
+        "kind": "ivf_km",
+        "km_k": km_k,
+        "km_iters": km_iters,
+        "corpus": _corpus_fingerprint(corpus, id_col),
+    }
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is not None and all(meta.get(k) == v for k, v in want.items()):
+        return path
+    km = kmeans_lloyd(corpus, k=km_k, iters=km_iters, id_col=id_col, vec_col=vec_col)
+    cents = (
+        km.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("__cv")
+        )
+        .select(F.col("cluster").alias("cid"), "__cv")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "cents"))
+    stored_cents = spark.read.parquet(os.path.join(path, "cents"))
+    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
+    assign = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(stored_cents))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__s").alias("__best"))
+        .select("doc_id", F.col("__best.cid").alias("cid"))
+    )
+    assign.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, "lists")
+    )
+    mio.write_json(mio.join(path, "meta.json"), want)
+    return path
+
+
+def ann_ivf_km_topk_indexed(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    km_k: int = 8,
+    km_iters: int = 2,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained-quantizer IVF served from the persisted index: the
+    stored k×dim centroid table broadcasts into probe selection
+    (training never reruns at query time — the FAISS serve path),
+    the probed cid set prunes the lists scan at the parquet partition
+    level, and only candidates reach the exact rerank. Deterministic
+    training + assignment ⇒ bit-identical to the in-memory
+    ``ann_ivf_km_topk`` (the registered query shares its oracle)."""
+    ensure_ivf_km_index(spark, corpus, path, km_k, km_iters, id_col, vec_col)
+    cents = spark.read.parquet(os.path.join(path, "cents"))
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("__pc"), F.asc("cid"))
+    probes = (
+        qb.crossJoin(F.broadcast(cents))
+        .withColumn("__pc", F.round(cosine_similarity("__qv", "__cv"), 6))
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cid")
+    )
+    probed = sorted({r["cid"] for r in probes.select("cid").distinct().collect()})
+    lists = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .filter(F.col("cid").isin(probed))
+    )
+    cand = probes.join(lists, "cid").select("query_id", "__qv", "doc_id")
+    withvec = cand.join(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__dv")),
+        "doc_id",
+    )
+    scored = withvec.select(
+        "query_id",
+        "doc_id",
+        F.round(cosine_similarity("__qv", "__dv"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

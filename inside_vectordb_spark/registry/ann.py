@@ -1452,3 +1452,91 @@ def ann_stochastic_recall_floor_q(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with a TRAINED (Lloyd k-means) coarse quantizer — round 6
+# ---------------------------------------------------------------------------
+
+from inside_vectordb_spark.registry.traindata import _KM_CTES  # noqa: E402
+
+_KM_COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+
+_IVF_KM_ORACLE = f"""
+    WITH {_KM_CTES},
+    c2l AS (SELECT cluster AS cid, list(val ORDER BY pos) AS cv
+            FROM c2 GROUP BY cluster),
+    re AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    kassign AS (
+      SELECT vec_id AS doc_id, cid FROM (
+        SELECT re.vec_id, c.cid,
+               row_number() OVER (PARTITION BY re.vec_id
+                 ORDER BY {_KM_COS.format(a="re.v", b="c.cv")} DESC, c.cid) AS rn
+        FROM re CROSS JOIN c2l c) WHERE rn = 1),
+    kq AS (SELECT vec_id AS query_id, v AS qv FROM re
+           WHERE vec_id < {eio.N_QUERY_VECTORS}),
+    kprobes AS (
+      SELECT query_id, cid FROM (
+        SELECT kq.query_id, c.cid,
+               row_number() OVER (PARTITION BY kq.query_id
+                 ORDER BY {_KM_COS.format(a="kq.qv", b="c.cv")} DESC, c.cid) AS rn
+        FROM kq CROSS JOIN c2l c) WHERE rn <= 4),
+    kcand AS (SELECT p.query_id, a.doc_id
+              FROM kprobes p JOIN kassign a USING (cid)),
+    kscored AS (
+      SELECT kcand.query_id, kcand.doc_id,
+             {_KM_COS.format(a="kq.qv", b="d.v")} AS score
+      FROM kcand
+      JOIN kq ON kq.query_id = kcand.query_id
+      JOIN re d ON d.vec_id = kcand.doc_id)
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM kscored) WHERE rn <= 10
+"""
+
+
+@register("ann_ivf_km_topk", oracle=_IVF_KM_ORACLE)
+def ann_ivf_km_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF whose coarse quantizer is TRAINED with Lloyd k-means — how
+    FAISS actually builds an IVF index (train, then assign; the
+    id-sampled det-IVF is the training-free variant) — and still
+    fully hash-verifiable, because training runs on the deterministic
+    fixed-point ``kmeans_lloyd`` whose own oracle is driver-green. A
+    trained quantizer balances the inverted lists, the property that
+    keeps n_probe/k scan fractions flat as the corpus grows
+    (operators/ann_sign.py:ann_ivf_km_topk)."""
+    from inside_vectordb_spark.operators.ann_sign import ann_ivf_km_topk
+
+    return ann_ivf_km_topk(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        n_probe=4,
+        km_k=8,
+        km_iters=2,
+    )
+
+
+@register("ann_ivf_km_topk_indexed", oracle=_IVF_KM_ORACLE)
+def ann_ivf_km_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-quantizer IVF AT REST: Lloyd centroids persisted
+    as part of the index artifact (FAISS serializes its quantizer —
+    trained centroids cannot be re-derived at serving time), inverted
+    lists partitioned by cid for probe-level partition pruning.
+    Deterministic training ⇒ stored == fresh, so the indexed serve
+    shares the in-memory variant's oracle — the hash match IS the
+    round-trip proof (operators/ann_sign.py:ensure_ivf_km_index)."""
+    from inside_vectordb_spark.operators.ann_sign import ann_ivf_km_topk_indexed
+
+    return ann_ivf_km_topk_indexed(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        path=_idx_path("ivf_km", sf_dir),
+        k=10,
+        n_probe=4,
+        km_k=8,
+        km_iters=2,
+    )

@@ -245,8 +245,12 @@ def length_bucketed_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_DIST = "round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) ^ 2)), 6)"
 
-_KM_ORACLE = f"""
-    WITH e AS (
+# The k-means CTE chain (quantized inputs -> two unrolled Lloyd
+# iterations -> final per-(cluster, pos) centroids c2 + sizes sz) is
+# shared: _KM_ORACLE's final select below, and the km-trained IVF
+# tier's oracle (registry/ann.py) which consumes the c2 centroid
+# lists as its coarse quantizer.
+_KM_CTES = f"""e AS (
       SELECT vec_id,
              list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS v
       FROM embeddings),
@@ -280,7 +284,10 @@ _KM_ORACLE = f"""
     c2 AS (SELECT cluster, pos, round(avg(val), 6) AS val
            FROM x2 GROUP BY 1, 2),
     sz AS (SELECT cluster, CAST(count(*) AS INT) AS size FROM a2
-           GROUP BY cluster)
+           GROUP BY cluster)"""
+
+_KM_ORACLE = f"""
+    WITH {_KM_CTES}
     SELECT c2.cluster, CAST(c2.pos - 1 AS INT) AS pos,
            round(c2.val, 6) + 0.0 AS centroid, sz.size
     FROM c2 JOIN sz USING (cluster)
