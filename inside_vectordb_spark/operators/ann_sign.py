@@ -952,3 +952,49 @@ def ann_ivf_km_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def upsert_ivf_km_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """FAISS ``add`` on the trained-quantizer tier: assign ONLY the
+    delta against the STORED centroids (the quantizer is frozen by
+    the artifact itself — FAISS never retrains on add) and append
+    into the cid-partitioned lists — O(delta) work. Unlike the
+    rule-derived det-IVF there is no delta-id restriction: new rows
+    cannot perturb a quantizer that is already serialized; drift is
+    the retrain decision (rebuild via ensure_ivf_km_index), exactly
+    FAISS's train/add split."""
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+        _merge_fingerprint,
+    )
+
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "ivf_km":
+        raise FileNotFoundError(f"no complete ivf_km index at {path}")
+    cents = spark.read.parquet(os.path.join(path, "cents"))
+    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
+    assign = (
+        new_vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__s").alias("__best"))
+        .select("doc_id", F.col("__best.cid").alias("cid"))
+    )
+    assign.repartition("cid").write.mode("append").partitionBy("cid").parquet(
+        os.path.join(path, "lists")
+    )
+    meta["corpus"] = _merge_fingerprint(
+        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+    )
+    mio.write_json(mio.join(path, "meta.json"), meta)
+    return meta

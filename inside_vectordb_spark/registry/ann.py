@@ -1458,12 +1458,18 @@ def ann_stochastic_recall_floor_q(spark: SparkSession, sf_dir: str) -> DataFrame
 # IVF with a TRAINED (Lloyd k-means) coarse quantizer — round 6
 # ---------------------------------------------------------------------------
 
-from inside_vectordb_spark.registry.traindata import _KM_CTES  # noqa: E402
+from inside_vectordb_spark.registry.traindata import _km_ctes  # noqa: E402
 
 _KM_COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 
-_IVF_KM_ORACLE = f"""
-    WITH {_KM_CTES},
+
+def _ivf_km_oracle(train_src: str = "embeddings") -> str:
+    """The trained-quantizer IVF restated in SQL: k-means CTEs over
+    ``train_src`` (the full corpus for plain build; the base subset
+    for the frozen-quantizer upsert lifecycle), assignment + probing
+    + exact rerank over the full corpus."""
+    return f"""
+    WITH {_km_ctes(train_src)},
     c2l AS (SELECT cluster AS cid, list(val ORDER BY pos) AS cv
             FROM c2 GROUP BY cluster),
     re AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1494,6 +1500,9 @@ _IVF_KM_ORACLE = f"""
                                    ORDER BY score DESC, doc_id) AS rn
       FROM kscored) WHERE rn <= 10
 """
+
+
+_IVF_KM_ORACLE = _ivf_km_oracle()
 
 
 @register("ann_ivf_km_topk", oracle=_IVF_KM_ORACLE)
@@ -1539,4 +1548,44 @@ def ann_ivf_km_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
         km_k=8,
         km_iters=2,
+    )
+
+
+@register(
+    "ann_ivf_km_upsert_topk",
+    oracle=_ivf_km_oracle("(SELECT * FROM embeddings WHERE vec_id % 37 <> 5)"),
+)
+def ann_ivf_km_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS train/add split on the trained-quantizer tier,
+    hash-verified: train k-means and build lists on the BASE
+    partition (vec_id % 37 != 5), then ``add`` the delta against the
+    STORED frozen centroids (O(delta) append — no retraining, exactly
+    FAISS semantics), then search the maintained index. The oracle
+    restates that lifecycle faithfully: k-means CTEs over the base
+    subset, assignment/search over the full corpus — so the green
+    hash proves the maintained lists answer exactly like the
+    train-on-base/add-delta index they claim to be
+    (operators/ann_sign.py:upsert_ivf_km_index)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_ivf_km_topk_indexed,
+        ensure_ivf_km_index,
+        upsert_ivf_km_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    base = corpus.filter((F.col("vec_id") % 37) != 5)
+    delta = corpus.filter((F.col("vec_id") % 37) == 5)
+    art = _idx_path("ivf_km_upsert", sf_dir)
+    meta = mio.read_json(mio.join(art, "meta.json"))
+    want_fp = _corpus_fingerprint(corpus, "vec_id")
+    if meta is None or meta.get("corpus") != want_fp:
+        mio.remove_tree(art)
+        ensure_ivf_km_index(spark, base, art)
+        upsert_ivf_km_index(spark, delta, art)
+    return ann_ivf_km_topk_indexed(
+        spark, eio.query_vectors(spark, sf_dir), corpus, art, k=10, n_probe=4
     )

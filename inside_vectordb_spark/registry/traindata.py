@@ -250,10 +250,13 @@ _KM_DIST = "round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) ^
 # shared: _KM_ORACLE's final select below, and the km-trained IVF
 # tier's oracle (registry/ann.py) which consumes the c2 centroid
 # lists as its coarse quantizer.
-_KM_CTES = f"""e AS (
+# {src} placeholder = the training relation: "embeddings" for the
+# full-corpus fit; a filtered subquery for the frozen-quantizer
+# upsert lifecycle (train on base, add delta without retraining).
+_KM_CTES_TMPL = """e AS (
       SELECT vec_id,
              list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS v
-      FROM embeddings),
+      FROM {src}),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
              v AS c
@@ -285,6 +288,15 @@ _KM_CTES = f"""e AS (
            FROM x2 GROUP BY 1, 2),
     sz AS (SELECT cluster, CAST(count(*) AS INT) AS size FROM a2
            GROUP BY cluster)"""
+
+
+def _km_ctes(src: str = "embeddings") -> str:
+    """The shared k-means CTE chain over a caller-chosen training
+    relation (kept brace-safe: _KM_DIST is substituted here)."""
+    return _KM_CTES_TMPL.replace("{src}", src).replace("{_KM_DIST}", _KM_DIST)
+
+
+_KM_CTES = _km_ctes()
 
 _KM_ORACLE = f"""
     WITH {_KM_CTES}
