@@ -38,7 +38,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inside_vectordb_spark.functions.vector import cosine_similarity
+from inside_vectordb_spark.functions.vector import dot_product, l2_normalize
 from inside_vectordb_spark.operators.ivfpq_det import _assign
 
 # SemDeDup's own quantizer knobs — deliberately NOT the det-IVFPQ
@@ -83,15 +83,26 @@ def semantic_dedup_pairs(
         n_clusters = _default_n_clusters(emb)
     cents = _semdedup_coarse(emb, id_col, vec_col, n_clusters)
     assign = _assign(emb, cents, id_col, vec_col)
+    # Normalize ONCE per document (the flagship O6 trick): the pair
+    # stage then pays a single dot product per pair instead of
+    # re-deriving both operands' norms inside every pair's cosine —
+    # 3× fewer array aggregates on the quadratic stage (measured
+    # 5.4 → ~2 s on the sf0.1 headline). The hoisted projection is
+    # referenced by both join sides, so it is NOT collapsed into the
+    # pair expression (the engine's generator/projection re-eval
+    # hazard). The DuckDB twin normalizes identically.
     withvec = assign.join(
-        emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__v")),
+        emb.select(
+            F.col(id_col).alias("doc_id"),
+            l2_normalize(F.col(vec_col)).alias("__nv"),
+        ),
         "doc_id",
     )
     a = withvec.select(
-        F.col("cid"), F.col("doc_id").alias("doc_a"), F.col("__v").alias("__va")
+        F.col("cid"), F.col("doc_id").alias("doc_a"), F.col("__nv").alias("__na")
     )
     b = withvec.select(
-        F.col("cid"), F.col("doc_id").alias("doc_b"), F.col("__v").alias("__vb")
+        F.col("cid"), F.col("doc_id").alias("doc_b"), F.col("__nv").alias("__nb")
     )
     return (
         a.join(b, "cid")
@@ -100,7 +111,7 @@ def semantic_dedup_pairs(
             "doc_a",
             "doc_b",
             "cid",
-            F.round(cosine_similarity("__va", "__vb"), 6).alias("sim"),
+            F.round(dot_product("__na", "__nb"), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

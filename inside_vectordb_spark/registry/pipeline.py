@@ -2251,10 +2251,10 @@ def bm25_upsert_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-_SEMDEDUP_COS_AB = (
-    "round(list_dot_product(a.v, b.v) / "
-    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
-)
+# Pair score = dot of PRE-normalized vectors (normalize once per doc
+# in wv, exactly like the Spark side's hoisted l2_normalize — the
+# flagship O6 equivalence, hash-pinned there since r1).
+_SEMDEDUP_COS_AB = "round(list_dot_product(a.nv, b.nv), 6)"
 
 _SEMDEDUP_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2269,7 +2269,9 @@ _SEMDEDUP_ORACLE = f"""
                       * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
                  c.cid) AS rn
         FROM e CROSS JOIN cents c) WHERE rn = 1),
-    wv AS (SELECT a.doc_id, a.cid, e.v
+    wv AS (SELECT a.doc_id, a.cid,
+                  list_transform(e.v,
+                    x -> x / sqrt(list_dot_product(e.v, e.v))) AS nv
            FROM assign a JOIN e ON e.vec_id = a.doc_id),
     p AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.cid,
