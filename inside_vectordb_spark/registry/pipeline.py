@@ -2303,3 +2303,76 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_dropped(
         eio.load_table(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16
     )
+
+
+_SEMDECON_ORACLE = """
+    WITH e AS (SELECT vec_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(
+                               CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])))) AS nv
+               FROM embeddings),
+    tgt AS (SELECT vec_id AS bench_id, nv FROM e WHERE vec_id % 97 = 0),
+    trn AS (SELECT vec_id, nv FROM e WHERE vec_id % 97 <> 0),
+    scored AS (
+      SELECT t.vec_id, g.bench_id,
+             round(list_dot_product(t.nv, g.nv), 6) AS cos
+      FROM trn t CROSS JOIN tgt g),
+    best AS (
+      SELECT vec_id, bench_id, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, bench_id) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT vec_id, bench_id AS nearest_bench, cos AS max_cos
+    FROM best WHERE cos >= 0.35
+    """
+
+
+@register("decontamination_semantic", oracle=_SEMDECON_ORACLE)
+def decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination family's third member, EMBEDDING-level:
+    flag training vectors whose cosine against ANY held-out benchmark
+    vector (vec_id % 97 == 0, the standing benchmark stand-in)
+    reaches the leak threshold — the paraphrase-leak check n-gram
+    rules miss (`decontamination_ngram` is exact overlap;
+    `decontamination_bloom` its sketch-prefiltered twin; this one
+    catches rewrites). One row per flagged doc with its nearest
+    benchmark witness.
+
+    Scale shape — the decisive asymmetry: the benchmark side is SMALL
+    by definition, so it broadcasts (normalized once); the training
+    corpus never shuffles — the scan streams past a k×dim table
+    exactly like the flagship exact search, and the per-row argmax is
+    a map-side struct-min aggregate. At 100 TB this is one pass over
+    the training embeddings with zero exchanges on the big side."""
+    from inside_vectordb_spark.functions.vector import (
+        dot_product,
+        l2_normalize,
+    )
+
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("__nv")
+    )
+    tgt = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("__nv").alias("__bv")
+    )
+    trn = e.filter(F.col("vec_id") % 97 != 0)
+    cos = F.round(dot_product("__nv", "__bv"), 6)
+    return (
+        trn.crossJoin(F.broadcast(tgt))
+        .select(
+            "vec_id",
+            F.struct(
+                (-cos).alias("negc"), F.col("bench_id").alias("bench_id")
+            ).alias("__s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("__s").alias("__best"))
+        .select(
+            "vec_id",
+            F.col("__best.bench_id").alias("nearest_bench"),
+            (-F.col("__best.negc")).alias("max_cos"),
+        )
+        .filter(F.col("max_cos") >= 0.35)
+    )
