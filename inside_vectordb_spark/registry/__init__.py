@@ -47,5 +47,6 @@ from inside_vectordb_spark.registry import streaming  # noqa: E402,F401
 from inside_vectordb_spark.registry import multimodal  # noqa: E402,F401
 from inside_vectordb_spark.registry import analytics  # noqa: E402,F401
 from inside_vectordb_spark.registry import traindata  # noqa: E402,F401
+from inside_vectordb_spark.registry import pyfuncs  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
