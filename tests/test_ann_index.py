@@ -291,3 +291,19 @@ def test_ivf_km_ensure_skips_retrain_when_complete(spark, corpus, tmp_path_facto
     t0 = os.path.getmtime(meta)
     ensure_ivf_km_index(spark, corpus, path)
     assert os.path.getmtime(meta) == t0
+
+
+def test_ivf_km_probe_prunes_partitions(spark, corpus, tmp_path_factory):
+    """The km-IVF serve path's lists scan must prune unprobed cid
+    partitions at the parquet level (the filter arrives as a
+    PartitionFilter, not a post-scan predicate)."""
+    from inside_vectordb_spark.operators.ann_sign import ensure_ivf_km_index
+
+    path = str(tmp_path_factory.mktemp("ivfkm_prune") / "idx")
+    ensure_ivf_km_index(spark, corpus, path)
+    scan = spark.read.parquet(os.path.join(path, "lists")).filter(
+        "cid IN (0, 2)"
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:200]
