@@ -356,3 +356,46 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "label")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "jsonl_pyds_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def jsonl_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 PYTHON DataSource surface (S3 via the plug-in API):
+    documents → BEIR corpus JSONL (native writer) → read back through
+    the registered custom ``jsonl_corpus`` Python data source
+    (``sources/pyds.py`` — schema declaration, one InputPartition per
+    file, per-task streaming parse). Shares the round-trip oracle
+    discipline: a green hash proves the custom source reproduces the
+    original selection losslessly. The JVM-native JSONL reader
+    (``jsonl_roundtrip``) stays the production path; this pins the
+    extension point a format Spark lacks would actually use."""
+    from inside_vectordb_spark.sources.pyds import register_jsonl_corpus_source
+
+    docs = (
+        eio.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.lit("").alias("title"),
+            "text",
+            F.create_map(
+                F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+            ).alias("metadata"),
+        )
+    )
+    path = _rt_path("corpus_jsonl_pyds", sf_dir)
+    src.write_corpus_jsonl(docs, path)
+    register_jsonl_corpus_source(spark)
+    back = spark.read.format("jsonl_corpus").load(path)
+    return back.select(
+        "doc_id",
+        "text",
+        F.col("metadata")["lang"].alias("lang"),
+        F.col("metadata")["source"].alias("source"),
+    )

@@ -1,0 +1,94 @@
+"""Custom PYTHON DataSource (Spark 4 ``pyspark.sql.datasource``):
+the engine's extension point for file formats Spark has no native
+reader for. Demonstrated on the BEIR corpus-JSONL layout so its
+round-trip query can share the established oracle discipline
+(reference reads the same layout imperatively, ``000:360-420``).
+
+Scale shape: ``partitions()`` returns one InputPartition per data
+file, so a directory of N files reads with N-way parallelism and no
+driver materialization — each task streams its file line by line.
+This is the *correct* way to bring an unsupported format into the
+engine (vs. collecting to the driver and parallelizing), and the
+registered round-trip pins the whole contract: registration, schema
+declaration, partition planning, per-task iteration, and value
+fidelity."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("title", StringType()),
+        StructField("text", StringType()),
+        StructField("metadata", MapType(StringType(), StringType())),
+    ]
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonlCorpusReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("jsonl_corpus: 'path' option is required")
+
+    def partitions(self):
+        if os.path.isdir(self._path):
+            files = sorted(
+                os.path.join(self._path, f)
+                for f in os.listdir(self._path)
+                if f.endswith((".jsonl", ".json"))
+            )
+        else:
+            files = [self._path]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                meta = rec.get("metadata") or {}
+                yield (
+                    int(rec["_id"]),
+                    rec.get("title", ""),
+                    rec.get("text", ""),
+                    {str(k): str(v) for k, v in meta.items()},
+                )
+
+
+class JsonlCorpusDataSource(DataSource):
+    """``spark.read.format("jsonl_corpus").load(path)`` after
+    ``spark.dataSource.register(JsonlCorpusDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_corpus"
+
+    def schema(self):
+        return CORPUS_SCHEMA
+
+    def reader(self, schema):
+        return JsonlCorpusReader(self.options)
+
+
+def register_jsonl_corpus_source(spark) -> None:
+    spark.dataSource.register(JsonlCorpusDataSource)
