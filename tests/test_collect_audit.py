@@ -1,0 +1,69 @@
+"""Standing audit of driver-side ``.collect()`` sites.
+
+Every collect() ships rows through the driver; at 100 TB that is a
+bottleneck or an OOM unless the relation is BOUNDED by construction.
+Each budgeted site below has been audited as driver-sized (1-row
+stats literals, k-row centroid/codebook tables, per-query probe-cid
+lists, bounded BPE argmax batches, |Q|-row query matrices under a
+documented broadcast contract). Adding a NEW collect() fails this
+test on purpose: update the budget only with the same justification,
+or keep the work on the executors (persist/localCheckpoint — see
+streaming/dedup_stream.py, which this audit forced off a per-batch
+driver round-trip in round 6).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "inside_vectordb_spark")
+
+# file (relative to package root) -> audited number of .collect() sites
+COLLECT_BUDGET = {
+    "operators/ann.py": 1,            # k-row centroid table (bounded k)
+    "operators/ann_index.py": 7,      # meta fingerprints (1-row aggs), k-row centroids
+    "operators/ann_sign.py": 6,       # probed-cid lists (≤ |Q|·n_probe), 1-row meta
+    "operators/bm25.py": 1,           # 1-row corpus stats literal (N, avgdl)
+    "operators/compare.py": 2,        # per-method 1-row metric tables
+    "operators/ivfpq_det.py": 1,      # probed-cid list (≤ |Q|·n_probe)
+    "operators/lexical_index.py": 4,  # 1-row stats + per-bucket offset rows
+    "operators/partitioned_ann.py": 1,  # per-partition top-k merge (≤ parts·Q·k)
+    "operators/pq.py": 1,             # ≤8192-row training sample (documented cap)
+    "operators/pq_det.py": 1,         # bounded codebook rows (caps in module consts)
+    "operators/ranks.py": 2,          # quantile-boundary literals (≤ n_buckets rows)
+    "operators/rm3.py": 2,            # |Q|×fb_terms weight table (bounded knobs)
+    "operators/sq.py": 1,             # 1-row min/max stats literal
+    "operators/topk.py": 1,           # query-matrix broadcast (documented contract)
+    "operators/traindata.py": 2,      # BPE argmax batches (≤30 rows/round)
+    "registry/ann.py": 1,             # ann_stochastic_recall_floor n_gt (1-row count)
+    "registry/pipeline.py": 1,        # lexical fixture staging (bounded slice)
+    "registry/traindata.py": 1,       # fixture staging (bounded slice)
+}
+
+
+def _count_collects() -> dict[str, int]:
+    out: dict[str, int] = {}
+    pat = re.compile(r"\.collect\(\)")
+    for root, _dirs, files in os.walk(PKG):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(root, f)
+            rel = os.path.relpath(p, PKG)
+            n = 0
+            for line in open(p, encoding="utf-8"):
+                stripped = line.split("#", 1)[0]
+                n += len(pat.findall(stripped))
+            if n:
+                out[rel] = n
+    return out
+
+
+def test_no_new_driver_collect_sites():
+    got = _count_collects()
+    assert got == COLLECT_BUDGET, (
+        "driver-side collect() sites changed — audit the new/removed "
+        f"sites and update COLLECT_BUDGET.\n got={got}\n want={COLLECT_BUDGET}"
+    )
