@@ -51,3 +51,48 @@ def rrf_fuse(
     return agg.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def linear_fuse(
+    runs: list[tuple[DataFrame, float, str]],
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score-based hybrid fusion — the calibrated complement to RRF:
+    each run's scores are min-max normalized PER QUERY over its own
+    candidate list, then combined as a weighted sum
+    (``fused(d) = Σ_runs w_run · norm_run(d)``, missing docs
+    contribute 0; a degenerate list where max == min normalizes to
+    1.0). ``runs`` = (dataframe, weight, score_col) triples, each
+    frame (query_id, doc_id, <score_col>, rank).
+
+    Same scale shape as ``rrf_fuse``: inputs are Q·k candidate lists,
+    the per-(query, run) min/max is a tiny aggregate broadcast back,
+    fusion cost is corpus-scale-independent. Normalization runs on
+    the arms' ROUNDED output scores, so the fused value restates
+    cross-engine exactly."""
+    if not runs:
+        raise ValueError("linear_fuse: no runs")
+    contribs = None
+    for r, wgt, sc in runs:
+        stats = r.groupBy("query_id").agg(
+            F.min(sc).alias("__lo"), F.max(sc).alias("__hi")
+        )
+        nrm = F.when(
+            F.col("__hi") > F.col("__lo"),
+            (F.col(sc) - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
+        ).otherwise(F.lit(1.0))
+        s = (
+            r.join(F.broadcast(stats), "query_id")
+            .select(
+                "query_id", "doc_id", (F.lit(float(wgt)) * nrm).alias("contrib")
+            )
+        )
+        contribs = s if contribs is None else contribs.unionByName(s)
+    agg = contribs.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("contrib"), round_to).alias("fused")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("fused"), F.asc("doc_id"))
+    return agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -2376,3 +2376,66 @@ def decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_cos") >= 0.35)
     )
+
+
+@register(
+    "hybrid_linear_topk",
+    oracle=f"""
+    WITH {{BM25_CTES}},
+    qv AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 6),
+    vscored AS (
+      SELECT q.query_id, c.vec_id AS doc_id, {_COS_QC} AS score
+      FROM qv q CROSS JOIN embeddings c),
+    vr AS (SELECT query_id, doc_id, round(score, 6) AS vscore,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+           FROM vscored QUALIFY rank <= 50),
+    ls AS (SELECT query_id, min(bm25) AS lo, max(bm25) AS hi
+           FROM bm_r GROUP BY 1),
+    vs AS (SELECT query_id, min(vscore) AS lo, max(vscore) AS hi
+           FROM vr GROUP BY 1),
+    contrib AS (
+      SELECT b.query_id, b.doc_id,
+             0.4 * CASE WHEN s.hi > s.lo THEN (b.bm25 - s.lo) / (s.hi - s.lo)
+                        ELSE 1.0 END AS c
+      FROM bm_r b JOIN ls s USING (query_id)
+      UNION ALL
+      SELECT v.query_id, v.doc_id,
+             0.6 * CASE WHEN s.hi > s.lo THEN (v.vscore - s.lo) / (s.hi - s.lo)
+                        ELSE 1.0 END AS c
+      FROM vr v JOIN vs s USING (query_id)),
+    agg AS (SELECT query_id, doc_id, round(sum(c), 6) AS fused
+            FROM contrib GROUP BY 1, 2),
+    fr AS (SELECT query_id, doc_id, fused,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY fused DESC, doc_id) AS INT)
+                    AS rank
+           FROM agg QUALIFY rank <= 10)
+    SELECT query_id, doc_id, fused, rank FROM fr
+    """.replace("{BM25_CTES}", _bm25_ctes(50)),
+)
+def hybrid_linear_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-based hybrid fusion (the calibrated complement to the
+    rank-based RRF family): per-query min-max normalization of each
+    arm's rounded scores, weighted 0.6 dense / 0.4 lexical, top-10 —
+    the convex-combination fusion production systems use when score
+    calibration is available. Arms and fusion both restated in the
+    oracle; fusion touches only the Q·50 candidate lists
+    (operators/hybrid.py:linear_fuse)."""
+    from inside_vectordb_spark.operators.bm25 import bm25_topk
+    from inside_vectordb_spark.operators.hybrid import linear_fuse
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    tqueries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    vqueries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bm_run = bm25_topk(docs, tqueries, k=50)
+    vec_run = exact_cosine_topk(vqueries, emb, k=50)
+    return linear_fuse([(bm_run, 0.4, "bm25"), (vec_run, 0.6, "score")], k=10)
