@@ -488,3 +488,34 @@ def test_curriculum_stages_no_single_partition_window(spark):
     plan = physical_plan(df)
     for seg in plan.split("Window [")[1:]:
         assert "__pid" in seg[:400], "window without __pid partition spec"
+
+
+def test_semantic_decon_broadcasts_benchmark_side(spark):
+    """decontamination_semantic: the benchmark side must BROADCAST
+    (it is small by definition) and the training corpus must reach
+    the argmax as a map-side partial aggregate — no sort-merge join,
+    no corpus shuffle keyed by row."""
+    df = QUERIES["decontamination_semantic"](spark, SF_DIR)
+    assert_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "SortMergeJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+    # map-side partial_min before the one vec_id exchange (struct-min
+    # lowers to SortAggregate, not HashAggregate)
+    assert_in_plan(df, "partial_min")
+
+
+def test_linear_fusion_no_text_in_shuffle(spark):
+    """hybrid_linear_topk: fusion operates on candidate lists; raw
+    document text must never ride an exchange."""
+    df = QUERIES["hybrid_linear_topk"](spark, SF_DIR)
+    for payload in shuffled_payloads(df):
+        assert "text" not in payload, payload
+
+
+def test_ivf_km_assignment_broadcasts_centroids(spark):
+    """ann_ivf_km_topk: every centroid-side join (assignment, probe)
+    is a broadcast — the corpus never shuffles to meet the k×dim
+    quantizer."""
+    df = QUERIES["ann_ivf_km_topk"](spark, SF_DIR)
+    assert count_in_plan(df, "BroadcastNestedLoopJoin") >= 2
+    assert_not_in_plan(df, "CartesianProduct")
