@@ -141,6 +141,10 @@ HEADLINE = [
     # k-means-TRAINED coarse quantizer (balanced lists, full oracle)
     "semantic_dedup",
     "ann_ivf_km_topk",
+    # round-6 (continued): score-based hybrid fusion and the
+    # embedding-level decontamination pass
+    "hybrid_linear_topk",
+    "decontamination_semantic",
 ]
 
 
