@@ -25,7 +25,7 @@ and reduces per doc — two inherent shuffles, text never shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from inside_vectordb_spark.functions.text import tokenize
@@ -66,6 +66,55 @@ def unigram_lm_scores(
         F.count("*").alias("n_tokens"),
         F.round(-F.avg("__lp"), round_to).alias("cross_entropy"),
         F.round(F.exp(-F.avg("__lp")), 4).alias("perplexity"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet's head/middle/tail partitioning (Wenzek et al. '19 §4.4):
+    within each source, scored docs split into perplexity terciles —
+    'head' (lowest third, cleanest), 'middle', 'tail' — so downstream
+    mixes can weight the clean head up without dropping the tail
+    outright. Returns one row per (source, bucket): doc count, mean
+    and max perplexity.
+
+    Bucket rule is explicit rank arithmetic, not engine ntile():
+    rk ≤ ⌊n/3⌋ → head, rk ≤ ⌊2n/3⌋ → middle, else tail, with rk the
+    row_number over (rounded perplexity, doc_id) — identical semantics
+    in any engine, and ranking on ROUNDED values with an id tie-break
+    keeps the assignment cross-engine stable.
+
+    Scale shape: scoring is the two-pass unigram LM (text never
+    shuffles); rank + per-source count share ONE (source)-keyed window
+    exchange over the tiny scored projection (id, source, ppl). CCNet
+    partitions per language — thousands of shards in production — so
+    window partitions stay bounded; only the 3-rows-per-source
+    aggregate leaves the stage."""
+    scores = unigram_lm_scores(docs, id_col, text_col, alpha)
+    scored = scores.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")),
+        "doc_id",
+    )
+    w = Window.partitionBy("source")
+    rk = F.row_number().over(w.orderBy(F.asc("perplexity"), F.asc("doc_id")))
+    n = F.count("*").over(w)
+    bucketed = scored.select(
+        "source",
+        "perplexity",
+        F.when(rk <= F.floor(n / 3), F.lit("head"))
+        .when(rk <= F.floor(2 * n / 3), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("perplexity"), 4).alias("mean_ppl"),
+        F.round(F.max("perplexity"), 4).alias("max_ppl"),
     )
 
 

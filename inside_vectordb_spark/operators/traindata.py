@@ -273,6 +273,45 @@ def dataset_split(
     )
 
 
+def source_cap(
+    docs: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = ":cap",
+) -> DataFrame:
+    """Per-source (per-domain) document quota: keep at most ``cap``
+    docs from each source — the web-pipeline rule that stops a single
+    crawled domain from dominating the training mix (C4/RefinedWeb
+    apply the same cap at the URL-host level; ``source`` is this
+    corpus's host analogue).
+
+    Selection within a source is a deterministic uniform sample: docs
+    rank by an md5 priority (salted, id-derived), so the kept set is
+    stable under reruns, repartitioning, and corpus growth — a new doc
+    displaces at most one old one, never reshuffles the survivor set
+    the way ``rand()`` ordering would.
+
+    Scale shape: rank ≤ cap over a (source)-partitioned window is
+    Catalyst's WindowGroupLimit pushdown — each map task pre-trims its
+    partition to its local top-``cap`` per source BEFORE the exchange,
+    so at most cap·n_partitions rows per source ever shuffle, not the
+    domain's full document set (exactly the flagship top-k shape, T1).
+    Web-scale source counts (millions of hosts) keep post-shuffle
+    partitions small; no source's full contents ever sort globally.
+    Returns (doc_id, source, keep_rank) for the kept docs only."""
+    prio = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(source_col).orderBy(prio.asc(), F.col(id_col).asc())
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.row_number().over(w).alias("keep_rank"),
+        )
+        .filter(F.col("keep_rank") <= cap)
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     weight_col: Column,

@@ -1256,6 +1256,78 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_quota_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id)
+                 AS keep_rank
+      FROM documents)
+    SELECT doc_id, source, CAST(keep_rank AS INT) AS keep_rank
+    FROM ranked WHERE keep_rank <= 10
+    """,
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (the C4/RefinedWeb per-host cap): at
+    most 10 docs survive from each source, chosen by a deterministic
+    md5 priority so the kept set is rerun- and growth-stable. The
+    rank ≤ cap predicate rides Catalyst's WindowGroupLimit pushdown —
+    map tasks pre-trim to their local top-10 per source before the
+    exchange, so no domain's full contents ever shuffle (the flagship
+    top-k shape applied to curation)."""
+    from inside_vectordb_spark.operators.traindata import source_cap
+
+    return source_cap(eio.load_table(spark, sf_dir, "documents"), cap=10)
+
+
+_PPL_BUCKET_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    counts AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+    stats AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM counts),
+    lp AS (
+      SELECT t.doc_id,
+             ln((c.cnt + 0.5) / (s.total + 0.5 * s.vocab)) AS lp
+      FROM t JOIN counts c USING (term) CROSS JOIN stats s),
+    scores AS (
+      SELECT doc_id, round(exp(-avg(lp)), 4) AS perplexity
+      FROM lp GROUP BY doc_id),
+    scored AS (
+      SELECT d.source, s.perplexity,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY s.perplexity, s.doc_id) AS rk,
+             count(*) OVER (PARTITION BY d.source) AS n
+      FROM scores s JOIN documents d USING (doc_id))
+    SELECT source,
+           CASE WHEN rk <= CAST(floor(n / 3.0) AS BIGINT) THEN 'head'
+                WHEN rk <= CAST(floor(2.0 * n / 3.0) AS BIGINT) THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(perplexity), 4) AS mean_ppl,
+           round(max(perplexity), 4) AS max_ppl
+    FROM scored GROUP BY 1, 2
+"""
+
+
+@register("perplexity_buckets", oracle=_PPL_BUCKET_ORACLE)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles (Wenzek et al. '19 §4.4): each
+    source's scored docs split into perplexity thirds by explicit rank
+    arithmetic on ROUNDED scores with id tie-breaks (cross-engine
+    stable; no engine ntile()). Rank + per-source count share one
+    (source)-keyed window exchange over the tiny scored projection;
+    only 3 rows per source leave the stage (operators/lm.py)."""
+    from inside_vectordb_spark.operators.lm import perplexity_buckets as pb
+
+    return pb(eio.load_table(spark, sf_dir, "documents"))
+
+
 _WINNOW_CTES = """
     WITH h AS (
       SELECT doc_id,

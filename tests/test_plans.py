@@ -519,3 +519,27 @@ def test_ivf_km_assignment_broadcasts_centroids(spark):
     df = QUERIES["ann_ivf_km_topk"](spark, SF_DIR)
     assert count_in_plan(df, "BroadcastNestedLoopJoin") >= 2
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_source_cap_window_group_limit_pushdown(spark):
+    """source_quota_cap: rank <= cap must plan as a Partial
+    WindowGroupLimit BEFORE the source exchange — map tasks pre-trim
+    to their local top-cap per source, so no domain's full contents
+    ever shuffle. A plain Window would sort every source's documents
+    post-exchange (the per-domain scale-killer)."""
+    df = QUERIES["source_quota_cap"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    for payload in shuffled_payloads(df):
+        assert "text" not in payload, payload
+
+
+def test_perplexity_buckets_single_window_exchange(spark):
+    """perplexity_buckets: rank and per-source count share ONE
+    (source)-keyed window stage over the scored projection; document
+    text never rides an exchange."""
+    df = QUERIES["perplexity_buckets"](spark, SF_DIR)
+    assert count_in_plan(df, "Window ") <= 2  # rank+count fused per spec
+    for payload in shuffled_payloads(df):
+        assert "text" not in payload, payload

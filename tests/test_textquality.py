@@ -285,3 +285,33 @@ def test_zipf_fit_degenerate_corpora_yield_null_not_nan(spark):
     empty = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
     r2 = zipf_fit(empty).collect()[0]
     assert r2["n_terms"] == 0 and r2["zipf_slope"] is None
+
+
+def test_perplexity_buckets_tercile_sizes_and_order(spark):
+    """CCNet terciles: per-source bucket sizes follow the explicit
+    floor-rank rule, and mean perplexity is monotone head <= middle
+    <= tail (the whole point of the partitioning)."""
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.lm import perplexity_buckets, unigram_lm_scores
+    from tests.conftest import SF_DIR
+
+    docs = eio.load_table(spark, SF_DIR, "documents")
+    scored_n = (
+        unigram_lm_scores(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    n_by_src = {r["source"]: r["count"] for r in scored_n}
+    rows = perplexity_buckets(docs).collect()
+    by_src: dict[str, dict[str, tuple[int, float]]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["bucket"]] = (r["n_docs"], r["mean_ppl"])
+    for src, buckets in by_src.items():
+        n = n_by_src[src]
+        head, mid = n // 3, (2 * n) // 3 - n // 3
+        assert buckets["head"][0] == head, src
+        assert buckets["middle"][0] == mid, src
+        assert buckets["tail"][0] == n - head - mid, src
+        assert buckets["head"][1] <= buckets["middle"][1] <= buckets["tail"][1], src

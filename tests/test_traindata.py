@@ -763,3 +763,27 @@ def test_dsir_empty_target_is_uniformly_negative_prior(spark):
     rows = td.dsir_scores(train, target).collect()
     assert {r["doc_id"] for r in rows} == {1, 2}
     assert all(r["dsir_score"] is not None for r in rows)
+
+
+def test_source_cap_quota_and_monotone_growth(spark):
+    """Per-source cap: exactly min(cap, n_source) survivors per
+    source, and a larger cap strictly extends the kept set (md5
+    priorities are fixed, so rank <= 10 is a prefix of rank <= 15)."""
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.traindata import source_cap
+    from tests.conftest import SF_DIR
+
+    docs = eio.load_table(spark, SF_DIR, "documents")
+    per_source = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept10 = source_cap(docs, cap=10).collect()
+    counts10: dict[str, int] = {}
+    for r in kept10:
+        assert r["keep_rank"] <= 10
+        counts10[r["source"]] = counts10.get(r["source"], 0) + 1
+    for src, n in per_source.items():
+        assert counts10.get(src, 0) == min(10, n), src
+    ids10 = {(r["source"], r["doc_id"]) for r in kept10}
+    ids15 = {(r["source"], r["doc_id"]) for r in source_cap(docs, cap=15).collect()}
+    assert ids10 <= ids15
+    # deterministic across runs
+    assert ids10 == {(r["source"], r["doc_id"]) for r in source_cap(docs, cap=10).collect()}
