@@ -762,3 +762,21 @@ def test_embedding_near_dup_det_planted_and_sound(spark, clustered):
         ).collect()
     }
     assert again == found_pairs
+
+
+def test_mrl_recall_retention_and_prefix_monotone(spark, exact_sets):
+    """MRL funnel: 16-dim prefix + 50-candidate rerank keeps high
+    recall@10 at the registry knobs (32-dim prefix, 100 candidates),
+    and a wider prefix can only help (candidate quality is monotone
+    in prefix informativeness on this data)."""
+    from inside_vectordb_spark.operators.mrl import ann_mrl_topk
+
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    r16 = _recall_vs_exact(ann_mrl_topk(q, c, k=K, prefix_dim=16), exact_sets)
+    r32 = _recall_vs_exact(ann_mrl_topk(q, c, k=K, prefix_dim=32), exact_sets)
+    assert r32 >= 0.85, f"MRL recall@{K} {r32:.3f} < 0.85 (registry knobs)"
+    assert r32 >= r16 - 0.05, (r16, r32)
+    # full-width prefix with C >= k candidates IS exact search
+    r64 = _recall_vs_exact(ann_mrl_topk(q, c, k=K, prefix_dim=64), exact_sets)
+    assert r64 == 1.0
