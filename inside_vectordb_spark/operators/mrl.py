@@ -92,3 +92,123 @@ def ann_mrl_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def build_mrl_index(
+    corpus: DataFrame,
+    path: str,
+    prefix_dim: int = MRL_PREFIX_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the Matryoshka prefix table: (doc_id, prefix) parquet
+    holding only the first ``prefix_dim`` dims — the narrow artifact
+    stage 1 scans instead of the full-width vectors (prefix_dim/dim of
+    the vector bytes; a storage-level column prune the main table
+    can't express because the slice is INSIDE the array column).
+    Extraction is deterministic, so stored prefixes ≡ fresh slices and
+    the indexed search shares the in-memory query's full oracle."""
+    import os
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+        _write_meta,
+    )
+
+    mio.makedirs(path)
+    (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.slice(vec_col, 1, prefix_dim).alias("prefix"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "prefixes"))
+    )
+    meta = {
+        "kind": "mrl",
+        "prefix_dim": prefix_dim,
+        "corpus": _corpus_fingerprint(corpus, id_col),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def ensure_mrl_index(corpus: DataFrame, path: str, **params) -> dict:
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+        _read_meta,
+    )
+
+    meta = _read_meta(path)
+    want = {
+        "kind": "mrl",
+        **{k: v for k, v in params.items() if k not in ("id_col", "vec_col")},
+        "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
+    }
+    if meta is not None and all(meta.get(k) == v for k, v in want.items()):
+        return meta
+    return build_mrl_index(corpus, path, **params)
+
+
+def ann_mrl_topk_indexed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 10,
+    n_candidates: int = MRL_CANDIDATES,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """MRL funnel against the persisted prefix table: stage 1 scans
+    the prefixes parquet (narrow), stage 2 broadcast-joins the
+    candidate list into the full-width corpus for the exact rerank —
+    vectors never shuffle in either stage."""
+    import os
+
+    from inside_vectordb_spark.operators.ann_index import _read_meta
+
+    meta = _read_meta(path)
+    if meta is None or meta.get("kind") != "mrl":
+        raise FileNotFoundError(f"no complete MRL index at {path}")
+    spark = queries.sparkSession
+    prefix_dim = int(meta["prefix_dim"])
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.slice(query_vec, 1, prefix_dim).alias("__qpre"),
+    )
+    pre_tab = spark.read.parquet(os.path.join(path, "prefixes"))
+    coarse = (
+        F.broadcast(q.select("query_id", "__qpre"))
+        .crossJoin(pre_tab)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine_similarity("__qpre", "prefix"), 6).alias("__ps"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("__ps"), F.asc("doc_id"))
+    cand = (
+        coarse.withColumn("__crn", F.row_number().over(wc))
+        .filter(F.col("__crn") <= n_candidates)
+        .select("query_id", "doc_id")
+    )
+    rescored = (
+        corpus.select(F.col(corpus_id).alias("doc_id"), F.col(corpus_vec).alias("__cv"))
+        .join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(q.select("query_id", "__qv")), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine_similarity("__qv", "__cv"), 6).alias("score"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -1639,3 +1639,24 @@ def ann_mrl_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         eio.load_table(spark, sf_dir, "embeddings"),
         k=10,
     )
+
+
+@register("ann_mrl_topk_indexed", oracle=_MRL_ORACLE)
+def ann_mrl_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRL funnel against a PERSISTED prefix table: stage 1 scans a
+    (doc_id, first-32-dims) parquet — a storage-level prune of the
+    array column that a plain column projection can't express — and
+    stage 2 reranks at full width from the main table. Deterministic
+    extraction ⇒ stored prefixes ≡ fresh slices ⇒ shares the
+    in-memory query's full oracle (operators/mrl.py)."""
+    from inside_vectordb_spark.operators.mrl import (
+        ann_mrl_topk_indexed,
+        ensure_mrl_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    path = _idx_path("mrl", sf_dir)
+    ensure_mrl_index(corpus, path)
+    return ann_mrl_topk_indexed(
+        eio.query_vectors(spark, sf_dir), corpus, path, k=10
+    )

@@ -307,3 +307,29 @@ def test_ivf_km_probe_prunes_partitions(spark, corpus, tmp_path_factory):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cid" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_mrl_indexed_matches_inmemory_and_skips_rebuild(
+    spark, corpus, queries, tmp_path_factory
+):
+    """Persisted prefix table answers exactly like the in-memory
+    funnel; a second ensure() on the same corpus reuses the artifact
+    (mtime-stable), and the narrow stage-1 scan reads the prefixes
+    parquet, not the full-width corpus."""
+    import os
+
+    from inside_vectordb_spark.operators.mrl import (
+        ann_mrl_topk,
+        ann_mrl_topk_indexed,
+        ensure_mrl_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("mrl_idx"))
+    ensure_mrl_index(corpus, path)
+    fresh = ann_mrl_topk(queries, corpus, k=10)
+    stored = ann_mrl_topk_indexed(queries, corpus, path, k=10)
+    assert _rows(stored) == _rows(fresh)
+    meta_path = os.path.join(path, "meta.json")
+    before = os.path.getmtime(meta_path)
+    ensure_mrl_index(corpus, path)
+    assert os.path.getmtime(meta_path) == before
