@@ -67,3 +67,61 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _UserTotalsProcessor:
+    """Spark-4 ``StatefulProcessor`` twin of ``_update_user_totals``:
+    same running (n_events, total_value) per user, expressed on the
+    ``transformWithState`` API — typed state handles (ValueState
+    here; ListState/MapState/timers available), per-state TTL, and a
+    RocksDB-backed store, the surface Spark is converging stateful
+    pipelines on. Kept semantically identical so it shares the batch
+    aggregate oracle with the applyInPandasWithState twin."""
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev = self._totals.get() if self._totals.exists() else (0, 0.0)
+        n, total = int(prev[0]), float(prev[1])
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` flavor of the running totals —
+    requires the RocksDB state store provider (the caller sets it for
+    the drain; see registry/streaming.py)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class UserTotalsProcessor(_UserTotalsProcessor, StatefulProcessor):
+        pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def has_tws_runtime() -> bool:
+    """``transformWithStateInPandas``'s worker-side state protocol
+    needs ``google.protobuf``, which this container doesn't ship —
+    the same import-gated seam as the native hnswlib /
+    sentence-transformers branches (tests/test_optional_deps.py runs
+    the drain when the wheel is present)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

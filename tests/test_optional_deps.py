@@ -74,3 +74,54 @@ def test_gated_branches_raise_cleanly_when_absent():
 
     with pytest.raises(NotImplementedError, match="sentence-transformers"):
         _sentence_transformer_encoder("any-model")
+
+
+def test_transform_with_state_twin(spark):
+    """Spark-4 transformWithStateInPandas twin of the running
+    per-user totals: semantically identical to the oracle-checked
+    applyInPandasWithState path. The worker-side state protocol
+    needs google.protobuf (not shipped in this container) — skipped
+    until the wheel is present, exactly like the hnswlib /
+    sentence-transformers branches."""
+    from inside_vectordb_spark.streaming.stateful import (
+        has_tws_runtime,
+        running_user_totals_tws,
+    )
+
+    if not has_tws_runtime():
+        pytest.skip("google.protobuf absent; transformWithState worker protocol unavailable")
+
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.streaming import read_events_stream, run_to_memory
+    from tests.conftest import SF_DIR
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory(
+            running_user_totals_tws(read_events_stream(spark, SF_DIR)),
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exp = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    got = {}
+    for r in out.collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+    assert got == exp
