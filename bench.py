@@ -145,6 +145,12 @@ HEADLINE = [
     # embedding-level decontamination pass
     "hybrid_linear_topk",
     "decontamination_semantic",
+    # round-6 session 2: curation-mix operators (per-domain quota,
+    # CCNet perplexity terciles) and the Matryoshka funnel against
+    # its persisted prefix table
+    "source_quota_cap",
+    "perplexity_buckets",
+    "ann_mrl_topk_indexed",
 ]
 
 

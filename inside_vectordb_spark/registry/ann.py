@@ -1660,3 +1660,86 @@ def ann_mrl_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_mrl_topk_indexed(
         eio.query_vectors(spark, sf_dir), corpus, path, k=10
     )
+
+
+def _mrl_arm_sql(pd_: int) -> str:
+    return f"""
+      SELECT query_id, {pd_} AS prefix_dim,
+             max(fs) AS top1_score, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM (
+        SELECT query_id, doc_id, fs FROM (
+          SELECT p.query_id, p.doc_id, p.fs,
+                 row_number() OVER (PARTITION BY p.query_id
+                                    ORDER BY p.ps DESC, p.doc_id) AS rn
+          FROM (
+            SELECT q.query_id, e.vec_id AS doc_id,
+                   round(list_dot_product(q.qv[1:{pd_}], e.v[1:{pd_}]) /
+                         (sqrt(list_dot_product(q.qv[1:{pd_}], q.qv[1:{pd_}])) *
+                          sqrt(list_dot_product(e.v[1:{pd_}], e.v[1:{pd_}]))), 6) AS ps,
+                   round(list_dot_product(q.qv, e.v) /
+                         (sqrt(list_dot_product(q.qv, q.qv)) *
+                          sqrt(list_dot_product(e.v, e.v))), 6) AS fs
+            FROM q CROSS JOIN e) p) WHERE rn <= 100)
+      GROUP BY query_id
+    """
+
+
+_MRL_SWEEP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {eio.N_QUERY_VECTORS})
+    {_mrl_arm_sql(16)}
+    UNION ALL
+    {_mrl_arm_sql(32)}
+"""
+
+
+@register("ann_mrl_sweep", oracle=_MRL_SWEEP_ORACLE)
+def ann_mrl_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix-depth knob sweep on the Matryoshka tier (B3/X3
+    parity with the det-IVF/signlsh sweeps, full oracle): per query
+    and prefix width (16, 32), the candidate count paid and the best
+    FULL-width cosine the funnel's candidate set contains — the
+    accuracy-vs-flops trade the MRL paper's adaptive retrieval tunes,
+    as hash-verifiable data."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.functions.vector import cosine_similarity
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    queries = eio.query_vectors(spark, sf_dir)
+    qb = queries.select("query_id", F.col("embedding").alias("__qv"))
+    cb = corpus.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("__dv"))
+    pieces = []
+    for pd_ in (16, 32):
+        pw = W.partitionBy("query_id").orderBy(F.desc("__ps"), F.asc("doc_id"))
+        scored = (
+            F.broadcast(qb)
+            .crossJoin(cb)
+            .select(
+                "query_id",
+                "doc_id",
+                F.round(
+                    cosine_similarity(
+                        F.slice("__qv", 1, pd_), F.slice("__dv", 1, pd_)
+                    ),
+                    6,
+                ).alias("__ps"),
+                F.round(cosine_similarity("__qv", "__dv"), 6).alias("__fs"),
+            )
+        )
+        arm = (
+            scored.withColumn("__rn", F.row_number().over(pw))
+            .filter(F.col("__rn") <= 100)
+            .groupBy("query_id")
+            .agg(
+                F.lit(pd_).cast("int").alias("prefix_dim"),
+                F.max("__fs").alias("top1_score"),
+                F.count("*").cast("bigint").alias("n_candidates"),
+            )
+            .select("query_id", "prefix_dim", "top1_score", "n_candidates")
+        )
+        pieces.append(arm)
+    out = pieces[0].unionByName(pieces[1])
+    return out
