@@ -34,6 +34,8 @@ refined ids back against the corpus — candidate-keyed, like
 
 from __future__ import annotations
 
+import math
+
 from typing import Iterator
 
 import numpy as np
@@ -263,11 +265,26 @@ def ann_pq_topk(
     round_to: int | None = 6,
     codes: DataFrame | None = None,
     codebooks: np.ndarray | None = None,
+    min_candidate_fraction: float = 0.075,
 ) -> DataFrame:
     """PQ-ADC ANN top-k with exact refine: ADC ranks the compressed
-    corpus, the top ``k·refine`` candidates per query are re-ranked
-    with exact cosine. ``refine`` is this tier's ef-analogue knob
-    (X3): higher refine ⇒ higher recall, more exact work.
+    corpus, the top ``max(k·refine, ceil(frac·N))`` candidates per
+    query are re-ranked with exact cosine. ``refine`` is this tier's
+    ef-analogue knob (X3): higher refine ⇒ higher recall, more exact
+    work.
+
+    ``min_candidate_fraction`` keeps the over-fetch proportional to
+    the corpus: a FIXED candidate count silently starves recall as N
+    grows (measured: recall@10 0.83 at N=500 → 0.615 at N=2000 with
+    k·refine=80 — the sf0.1 scale sweep caught it). With a 4-bit/
+    subquantizer codebook the quantization error is constant while
+    true-neighbor margins shrink with N, so the candidate FRACTION,
+    not count, is what recall tracks (FAISS's k_factor guidance).
+    Production corpora instead raise bits/vector — the det-PQ tier's
+    256-centroid codebooks — or shard via IVF-PQ; this knob keeps the
+    small-codebook tier honest meanwhile (7.5% of N exact-reranked =
+    still 13× less exact work than brute force; measured 0.775 at
+    N=2000).
 
     ``codes``/``codebooks`` accept a pre-encoded corpus (the persisted
     -index path — encode once, search many)."""
@@ -286,7 +303,8 @@ def ann_pq_topk(
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
 
-    n_refine = k * refine
+    n_corpus = codes.count()
+    n_refine = max(k * refine, math.ceil(min_candidate_fraction * n_corpus))
     partials = pq_adc_candidates(codes, qids, qmat, codebooks, n_refine)
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("doc_id"))
     cand = (
