@@ -212,3 +212,37 @@ def ann_mrl_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def upsert_mrl_index(corpus_delta: DataFrame, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> dict:
+    """O(delta) maintenance of the prefix table: slice ONLY the new
+    vectors at the stored width and append — prefix extraction has no
+    trained state, so (unlike a quantizer) an upsert can never drift
+    from a rebuild; the merged artifact is byte-equivalent to
+    build-from-scratch over the union (pinned in tests)."""
+    import os
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+        _merge_fingerprint,
+        _write_meta,
+    )
+
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "mrl":
+        raise FileNotFoundError(f"no complete MRL index at {path}")
+    prefix_dim = int(meta["prefix_dim"])
+    (
+        corpus_delta.select(
+            F.col(id_col).alias("doc_id"),
+            F.slice(vec_col, 1, prefix_dim).alias("prefix"),
+        )
+        .write.mode("append")
+        .parquet(os.path.join(path, "prefixes"))
+    )
+    meta["corpus"] = _merge_fingerprint(
+        meta.get("corpus"), _corpus_fingerprint(corpus_delta, id_col)
+    )
+    _write_meta(path, meta)
+    return meta

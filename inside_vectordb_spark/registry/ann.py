@@ -1743,3 +1743,36 @@ def ann_mrl_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         pieces.append(arm)
     out = pieces[0].unionByName(pieces[1])
     return out
+
+
+@register("ann_mrl_upsert_topk", oracle=_MRL_ORACLE)
+def ann_mrl_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRL index lifecycle: build the prefix table on the base slice
+    (vec_id % 37 != 5), O(delta)-append the rest, search the
+    maintained artifact. Prefix extraction has no trained state, so
+    the upserted table is byte-equivalent to a full rebuild and the
+    query SHARES the full-corpus oracle — the green hash proves the
+    maintained index answers exactly like one built from scratch."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+    from inside_vectordb_spark.operators.mrl import (
+        ann_mrl_topk_indexed,
+        build_mrl_index,
+        upsert_mrl_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    base = corpus.filter((F.col("vec_id") % 37) != 5)
+    delta = corpus.filter((F.col("vec_id") % 37) == 5)
+    art = _idx_path("mrl_upsert", sf_dir)
+    meta = mio.read_json(mio.join(art, "meta.json"))
+    want_fp = _corpus_fingerprint(corpus, "vec_id")
+    if meta is None or meta.get("corpus") != want_fp:
+        mio.remove_tree(art)
+        build_mrl_index(base, art)
+        upsert_mrl_index(delta, art)
+    return ann_mrl_topk_indexed(
+        eio.query_vectors(spark, sf_dir), corpus, art, k=10
+    )

@@ -333,3 +333,36 @@ def test_mrl_indexed_matches_inmemory_and_skips_rebuild(
     before = os.path.getmtime(meta_path)
     ensure_mrl_index(corpus, path)
     assert os.path.getmtime(meta_path) == before
+
+
+def test_mrl_upsert_equals_full_build(spark, corpus, queries, tmp_path_factory):
+    """build(base) + upsert(delta) answers byte-identically to
+    build(base ∪ delta): prefix extraction has no trained state, so
+    the O(delta) append can never drift from a rebuild. A later
+    ensure() over the full corpus must also recognize the upserted
+    artifact as current (merged fingerprint)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.mrl import (
+        ann_mrl_topk_indexed,
+        build_mrl_index,
+        ensure_mrl_index,
+        upsert_mrl_index,
+    )
+
+    base = corpus.filter((F.col("vec_id") % 37) != 5)
+    delta = corpus.filter((F.col("vec_id") % 37) == 5)
+    p_up = str(tmp_path_factory.mktemp("mrl_up"))
+    p_full = str(tmp_path_factory.mktemp("mrl_full"))
+    build_mrl_index(base, p_up)
+    upsert_mrl_index(delta, p_up)
+    build_mrl_index(corpus, p_full)
+    got = ann_mrl_topk_indexed(queries, corpus, p_up, k=10)
+    want = ann_mrl_topk_indexed(queries, corpus, p_full, k=10)
+    assert _rows(got) == _rows(want)
+    meta_path = os.path.join(p_up, "meta.json")
+    before = os.path.getmtime(meta_path)
+    ensure_mrl_index(corpus, p_up)
+    assert os.path.getmtime(meta_path) == before
