@@ -112,13 +112,14 @@ WINDOW_PRIORITY = [
 ]
 
 # Queries never driver-checked after this window — the round-7
-# rotation pool (58 left; all covered by check_gate --all locally):
+# rotation pool (59 left; all covered by check_gate --all locally):
 # ann_ivf_km_topk / ann_ivf_km_topk_indexed / ann_ivf_km_upsert_topk
 # / decontamination_semantic / embedding_norms_pandas_udf /
 # label_mean_norm_pandas_udf / doc_chunks_udtf /
 # jsonl_pyds_roundtrip / hybrid_linear_topk / source_quota_cap /
 # perplexity_buckets / ann_mrl_topk / ann_mrl_topk_indexed /
-# ann_mrl_sweep / ann_mrl_upsert_topk (new r6, full oracle),
+# ann_mrl_sweep / ann_mrl_upsert_topk / ndcg_at_k (new r6, full
+# oracle),
 # winnowing_candidates,
 # ann_brp_topk, ann_hnsw_vendored, ann_ivf_topk_indexed,
 # ann_ivf_upsert_topk, ann_ivfpq_topk_indexed, ann_knob_sweep,

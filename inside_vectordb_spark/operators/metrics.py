@@ -167,3 +167,54 @@ def evaluation_report(
         F.col("mrr").alias("value"),
     )
     return r.unionByName(p).unionByName(m)
+
+
+K_VALUES_NDCG = (5, 10, 100)
+
+
+def ndcg_at_k(
+    topk: DataFrame,
+    qrels: DataFrame,
+    k_values: tuple[int, ...] = K_VALUES_NDCG,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """nDCG@K over the GRADED judgments — the metric the reference's
+    qrels carry grades for but its utils never compute (beyond-
+    reference member; BEIR's headline metric, Järvelin & Kekäläinen
+    gains): per query DCG@K = Σ (2^rel − 1)/log2(rank+1) over judged
+    hits, normalized by the ideal DCG of that query's own judgment
+    set, mean over searched-and-judged queries (the A5 skip rule).
+
+    Same scale shape as the A5-A7 chain: qrels broadcast, one
+    (query,k) aggregate over k·Q rows — metrics run on search OUTPUT,
+    never the corpus. Returns (k INT, ndcg DOUBLE) ordered by k."""
+    kd = _k_dim(topk, k_values)
+    gain = F.pow(F.lit(2.0), F.col("relevance").cast("double")) - F.lit(1.0)
+    dcg = (
+        topk.join(F.broadcast(qrels), ["query_id", "doc_id"])
+        .crossJoin(F.broadcast(kd))
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("query_id", "k")
+        .agg(F.sum(gain / F.log2(F.col("rank") + F.lit(1.0))).alias("dcg"))
+    )
+    from pyspark.sql import Window
+
+    iw = Window.partitionBy("query_id").orderBy(
+        F.desc("relevance"), F.asc("doc_id")
+    )
+    ideal = (
+        qrels.withColumn("__ir", F.row_number().over(iw))
+        .crossJoin(F.broadcast(kd))
+        .filter(F.col("__ir") <= F.col("k"))
+        .groupBy("query_id", "k")
+        .agg(F.sum(gain / F.log2(F.col("__ir") + F.lit(1.0))).alias("idcg"))
+    )
+    base = _searched(topk).join(F.broadcast(ideal), "query_id")
+    per_query = base.join(F.broadcast(dcg), ["query_id", "k"], "left").select(
+        "k",
+        (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias("nd"),
+    )
+    out = per_query.groupBy("k").agg(F.avg("nd").alias("ndcg"))
+    if round_to is not None:
+        out = out.withColumn("ndcg", F.round("ndcg", round_to))
+    return out.orderBy("k")

@@ -215,6 +215,40 @@ def mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mrr(_topk_for_metrics(spark, sf_dir), eio.qrels(spark, sf_dir))
 
 
+@register(
+    "ndcg_at_k",
+    oracle=f"""
+    WITH {_METRIC_BASE},
+    ks AS (SELECT CAST(unnest([5,10,100]) AS INT) AS k),
+    dcg AS (
+      SELECT t.query_id, ks.k,
+             sum((pow(2.0, qr.relevance) - 1.0) / log2(t.rank + 1.0)) AS dcg
+      FROM topk t JOIN qrels qr USING (query_id, doc_id)
+      CROSS JOIN ks WHERE t.rank <= ks.k GROUP BY 1, 2),
+    ideal AS (
+      SELECT query_id, ks.k,
+             sum((pow(2.0, relevance) - 1.0) / log2(ir + 1.0)) AS idcg
+      FROM (SELECT query_id, relevance,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY relevance DESC, doc_id) AS ir
+            FROM qrels) CROSS JOIN ks
+      WHERE ir <= ks.k GROUP BY 1, 2),
+    perq AS (
+      SELECT i.k, COALESCE(d.dcg, 0.0) / i.idcg AS nd
+      FROM searched s
+      JOIN ideal i USING (query_id)
+      LEFT JOIN dcg d ON d.query_id = s.query_id AND d.k = i.k)
+    SELECT k, round(avg(nd), 6) AS ndcg FROM perq GROUP BY k ORDER BY k
+    """,
+)
+def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@K over the graded qrels (beyond-reference metric member —
+    BEIR's headline metric; the reference stores grades but its utils
+    only check membership). Same skip rule and scale shape as A5-A7
+    (operators/metrics.py:ndcg_at_k)."""
+    return m.ndcg_at_k(_topk_for_metrics(spark, sf_dir), eio.qrels(spark, sf_dir))
+
+
 @register("qrels_table", oracle=QRELS_SQL)
 def qrels_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/S5: the flattened relational qrels table itself."""

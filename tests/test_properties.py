@@ -485,3 +485,46 @@ def test_word_ngram_stream_matches_naive_explode(spark, texts, n):
         ).collect()
     }
     assert all(r["n_grams"] == sizes[r["doc_id"]] for r in got_rows)
+
+
+def _ref_ndcg(results, qrels, k):
+    """Independent pure-Python nDCG@k (Järvelin-Kekäläinen gains,
+    A5 skip rule: judged-and-searched queries only)."""
+    import math as _m
+
+    vals = []
+    for qid, ranked in results.items():
+        graded = qrels.get(qid, {})
+        if not graded:
+            continue  # skip rule
+        dcg = sum(
+            (2.0 ** graded[did] - 1.0) / _m.log2(pos + 1.0)
+            for pos, did in enumerate(ranked[:k], start=1)
+            if did in graded
+        )
+        ideal = sorted(graded.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        idcg = sum(
+            (2.0 ** rel - 1.0) / _m.log2(pos + 1.0)
+            for pos, (_, rel) in enumerate(ideal, start=1)
+        )
+        if idcg > 0:
+            vals.append(dcg / idcg)
+    return sum(vals) / len(vals) if vals else None
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(results=results_strategy, qrels=qrels_strategy)
+def test_ndcg_matches_reference_semantics(spark, results, qrels):
+    from inside_vectordb_spark.operators.metrics import ndcg_at_k
+
+    # grade-0 judgments contribute zero gain on both sides; a query
+    # whose judgments are ALL grade-0 has idcg == 0 and is skipped by
+    # both (Spark: 0/0 -> null -> dropped by avg; Python: idcg > 0)
+    topk, qr = _to_dfs(spark, results, qrels)
+    k = 5
+    got = {r["k"]: r["ndcg"] for r in ndcg_at_k(topk, qr, (k,), round_to=None).collect()}
+    want = _ref_ndcg(results, qrels, k)
+    if want is None:
+        assert k not in got or got[k] is None or math.isnan(got[k]) or got[k] == 0.0
+    else:
+        assert math.isclose(got[k], want, abs_tol=1e-9)
