@@ -209,7 +209,11 @@ def ndcg_at_k(
         .groupBy("query_id", "k")
         .agg(F.sum(gain / F.log2(F.col("__ir") + F.lit(1.0))).alias("idcg"))
     )
-    base = _searched(topk).join(F.broadcast(ideal), "query_id")
+    # all-grade-0 judgment sets have idcg == 0: skipped, explicitly —
+    # ANSI mode (Spark 4 default) makes 0/0 an error, not a null
+    base = _searched(topk).join(
+        F.broadcast(ideal.filter(F.col("idcg") > 0)), "query_id"
+    )
     per_query = base.join(F.broadcast(dcg), ["query_id", "k"], "left").select(
         "k",
         (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias("nd"),
