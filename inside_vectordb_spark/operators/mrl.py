@@ -39,31 +39,24 @@ MRL_PREFIX_DIM = 32
 MRL_CANDIDATES = 100
 
 
-def ann_mrl_topk(
-    queries: DataFrame,
+def _funnel(
+    q: DataFrame,
+    prefix_side: DataFrame,
     corpus: DataFrame,
-    k: int = 10,
-    prefix_dim: int = MRL_PREFIX_DIM,
-    n_candidates: int = MRL_CANDIDATES,
-    query_id: str = "query_id",
-    query_vec: str = "embedding",
-    corpus_id: str = "vec_id",
-    corpus_vec: str = "embedding",
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    n_candidates: int,
 ) -> DataFrame:
-    """(query_id, doc_id, score, rank): top-k by full-width cosine
-    among the ``n_candidates`` best prefix-cosine docs per query."""
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).alias("__qv"),
-        F.slice(query_vec, 1, prefix_dim).alias("__qpre"),
-    )
-    c_pre = corpus.select(
-        F.col(corpus_id).alias("doc_id"),
-        F.slice(corpus_vec, 1, prefix_dim).alias("__cpre"),
-    )
+    """The shared two-stage funnel: coarse prefix cosine over
+    ``prefix_side`` (doc_id, __cpre) with a WindowGroupLimit cut at
+    ``n_candidates``, then broadcast-joined full-width exact rerank.
+    ONE implementation for the in-memory and persisted-index paths so
+    tie-break/rounding semantics can never drift from the shared
+    oracle. ``q`` carries (query_id, __qv, __qpre)."""
     coarse = (
         F.broadcast(q.select("query_id", "__qpre"))
-        .crossJoin(c_pre)
+        .crossJoin(prefix_side)
         .select(
             "query_id",
             "doc_id",
@@ -92,6 +85,31 @@ def ann_mrl_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def ann_mrl_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    prefix_dim: int = MRL_PREFIX_DIM,
+    n_candidates: int = MRL_CANDIDATES,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): top-k by full-width cosine
+    among the ``n_candidates`` best prefix-cosine docs per query."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.slice(query_vec, 1, prefix_dim).alias("__qpre"),
+    )
+    c_pre = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        F.slice(corpus_vec, 1, prefix_dim).alias("__cpre"),
+    )
+    return _funnel(q, c_pre, corpus, corpus_id, corpus_vec, k, n_candidates)
 
 
 def build_mrl_index(
@@ -180,38 +198,10 @@ def ann_mrl_topk_indexed(
         F.col(query_vec).alias("__qv"),
         F.slice(query_vec, 1, prefix_dim).alias("__qpre"),
     )
-    pre_tab = spark.read.parquet(os.path.join(path, "prefixes"))
-    coarse = (
-        F.broadcast(q.select("query_id", "__qpre"))
-        .crossJoin(pre_tab)
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(cosine_similarity("__qpre", "prefix"), 6).alias("__ps"),
-        )
+    pre_tab = spark.read.parquet(os.path.join(path, "prefixes")).select(
+        "doc_id", F.col("prefix").alias("__cpre")
     )
-    wc = Window.partitionBy("query_id").orderBy(F.desc("__ps"), F.asc("doc_id"))
-    cand = (
-        coarse.withColumn("__crn", F.row_number().over(wc))
-        .filter(F.col("__crn") <= n_candidates)
-        .select("query_id", "doc_id")
-    )
-    rescored = (
-        corpus.select(F.col(corpus_id).alias("doc_id"), F.col(corpus_vec).alias("__cv"))
-        .join(F.broadcast(cand), "doc_id")
-        .join(F.broadcast(q.select("query_id", "__qv")), "query_id")
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(cosine_similarity("__qv", "__cv"), 6).alias("score"),
-        )
-    )
-    wf = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    return _funnel(q, pre_tab, corpus, corpus_id, corpus_vec, k, n_candidates)
 
 
 def upsert_mrl_index(corpus_delta: DataFrame, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> dict:

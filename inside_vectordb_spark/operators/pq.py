@@ -296,6 +296,12 @@ def ann_pq_topk(
         )
     if codes is None:
         codes = pq_encode(corpus, corpus_id, corpus_vec, codebooks)
+        # encoding is 1:1 — count the parquet-backed corpus (metadata
+        # count), never the lazy mapInPandas encode (counting it would
+        # execute the most expensive stage twice per search)
+        n_corpus = corpus.count()
+    else:
+        n_corpus = codes.count()  # stored codes table: columnar count
 
     qrows = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("v")
@@ -303,7 +309,6 @@ def ann_pq_topk(
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
 
-    n_corpus = codes.count()
     n_refine = max(k * refine, math.ceil(min_candidate_fraction * n_corpus))
     partials = pq_adc_candidates(codes, qids, qmat, codebooks, n_refine)
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("doc_id"))

@@ -1654,9 +1654,13 @@ def ann_mrl_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_mrl_index,
     )
 
+    from inside_vectordb_spark.operators.mrl import MRL_PREFIX_DIM
+
     corpus = eio.load_table(spark, sf_dir, "embeddings")
     path = _idx_path("mrl", sf_dir)
-    ensure_mrl_index(corpus, path)
+    # prefix_dim in the ensure() fingerprint: a knob retune must
+    # rebuild the artifact, not silently serve stale-width prefixes
+    ensure_mrl_index(corpus, path, prefix_dim=MRL_PREFIX_DIM)
     return ann_mrl_topk_indexed(
         eio.query_vectors(spark, sf_dir), corpus, path, k=10
     )
@@ -1766,10 +1770,16 @@ def ann_mrl_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = eio.load_table(spark, sf_dir, "embeddings")
     base = corpus.filter((F.col("vec_id") % 37) != 5)
     delta = corpus.filter((F.col("vec_id") % 37) == 5)
+    from inside_vectordb_spark.operators.mrl import MRL_PREFIX_DIM
+
     art = _idx_path("mrl_upsert", sf_dir)
     meta = mio.read_json(mio.join(art, "meta.json"))
     want_fp = _corpus_fingerprint(corpus, "vec_id")
-    if meta is None or meta.get("corpus") != want_fp:
+    if (
+        meta is None
+        or meta.get("corpus") != want_fp
+        or meta.get("prefix_dim") != MRL_PREFIX_DIM
+    ):
         mio.remove_tree(art)
         build_mrl_index(base, art)
         upsert_mrl_index(delta, art)

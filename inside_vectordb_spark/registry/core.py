@@ -237,7 +237,8 @@ def mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i.k, COALESCE(d.dcg, 0.0) / i.idcg AS nd
       FROM searched s
       JOIN ideal i USING (query_id)
-      LEFT JOIN dcg d ON d.query_id = s.query_id AND d.k = i.k)
+      LEFT JOIN dcg d ON d.query_id = s.query_id AND d.k = i.k
+      WHERE i.idcg > 0)
     SELECT k, round(avg(nd), 6) AS ndcg FROM perq GROUP BY k ORDER BY k
     """,
 )

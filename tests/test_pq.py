@@ -53,7 +53,12 @@ def test_pq_refine_sweep_monotone(spark, exact_sets):
     c = eio.load_table(spark, SF_DIR_MED, "embeddings")
     rs = []
     for refine in (1, 4, 16):
-        ann = ann_pq_topk(q, c, dim=EMB_DIM, k=K, m=8, ks=16, refine=refine)
+        # fraction floor off: the sweep measures the RAW knob (the
+        # floor would clamp the low arms to ceil(0.075*N) candidates)
+        ann = ann_pq_topk(
+            q, c, dim=EMB_DIM, k=K, m=8, ks=16, refine=refine,
+            min_candidate_fraction=0.0,
+        )
         rs.append(_recall_vs_exact(ann, exact_sets))
     assert rs == sorted(rs), f"refine sweep not monotone: {rs}"
     assert rs[-1] >= rs[0] + 0.2, f"refine knob has no effect: {rs}"
