@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -236,7 +237,7 @@ def run_bench(sf_dir: str) -> dict:
             timings[name] = round(best, 3)
             spreads[name] = {
                 "min": round(best, 3),
-                "median": round(runs[len(runs) // 2], 3),
+                "median": round(statistics.median(runs), 3),
                 "spread": round((runs[-1] - best) / best, 3) if best else 0.0,
             }
             print(

@@ -965,10 +965,15 @@ def upsert_ivf_km_index(
     delta against the STORED centroids (the quantizer is frozen by
     the artifact itself — FAISS never retrains on add) and append
     into the cid-partitioned lists — O(delta) work. Unlike the
-    rule-derived det-IVF there is no delta-id restriction: new rows
-    cannot perturb a quantizer that is already serialized; drift is
-    the retrain decision (rebuild via ensure_ivf_km_index), exactly
-    FAISS's train/add split."""
+    rule-derived det-IVF the delta needs no id RULE, but the ids must
+    be DISJOINT from the stored ones (the append-only contract every
+    upsert in this repo shares): re-adding an id would duplicate its
+    list entry and serve the same doc twice in a top-k. Enforced here
+    with a broadcast semi-join against the stored lists (delta is
+    small by contract) — a retried maintenance job fails loudly
+    instead of corrupting served results. Drift stays the retrain
+    decision (rebuild via ensure_ivf_km_index), exactly FAISS's
+    train/add split."""
     from inside_vectordb_spark.operators.ann_index import (
         _corpus_fingerprint,
         _merge_fingerprint,
@@ -977,6 +982,21 @@ def upsert_ivf_km_index(
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None or meta.get("kind") != "ivf_km":
         raise FileNotFoundError(f"no complete ivf_km index at {path}")
+    n_dup = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .join(
+            F.broadcast(new_vectors.select(F.col(id_col).alias("doc_id"))),
+            "doc_id",
+            "left_semi",
+        )
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"upsert_ivf_km_index: {n_dup} delta id(s) already in the "
+            f"index at {path} — upserts are append-only (rebuild to "
+            "replace existing vectors)"
+        )
     cents = spark.read.parquet(os.path.join(path, "cents"))
     ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
     assign = (

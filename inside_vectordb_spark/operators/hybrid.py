@@ -66,27 +66,23 @@ def linear_fuse(
     1.0). ``runs`` = (dataframe, weight, score_col) triples, each
     frame (query_id, doc_id, <score_col>, rank).
 
-    Same scale shape as ``rrf_fuse``: inputs are Q·k candidate lists,
-    the per-(query, run) min/max is a tiny aggregate broadcast back,
-    fusion cost is corpus-scale-independent. Normalization runs on
-    the arms' ROUNDED output scores, so the fused value restates
-    cross-engine exactly."""
+    Same scale shape as ``rrf_fuse``: inputs are Q·k candidate lists
+    and fusion cost is corpus-scale-independent. The per-(query, run)
+    min/max comes from a window over the SAME partitioning the fuse
+    aggregation needs — one traversal per arm; the earlier
+    aggregate-and-join-back form consumed each arm's (corpus-scale)
+    search plan twice. Normalization runs on the arms' ROUNDED output
+    scores, so the fused value restates cross-engine exactly."""
     if not runs:
         raise ValueError("linear_fuse: no runs")
     contribs = None
     for r, wgt, sc in runs:
-        stats = r.groupBy("query_id").agg(
-            F.min(sc).alias("__lo"), F.max(sc).alias("__hi")
-        )
-        nrm = F.when(
-            F.col("__hi") > F.col("__lo"),
-            (F.col(sc) - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
-        ).otherwise(F.lit(1.0))
-        s = (
-            r.join(F.broadcast(stats), "query_id")
-            .select(
-                "query_id", "doc_id", (F.lit(float(wgt)) * nrm).alias("contrib")
-            )
+        qw = Window.partitionBy("query_id")
+        lo = F.min(sc).over(qw)
+        hi = F.max(sc).over(qw)
+        nrm = F.when(hi > lo, (F.col(sc) - lo) / (hi - lo)).otherwise(F.lit(1.0))
+        s = r.select(
+            "query_id", "doc_id", (F.lit(float(wgt)) * nrm).alias("contrib")
         )
         contribs = s if contribs is None else contribs.unionByName(s)
     agg = contribs.groupBy("query_id", "doc_id").agg(

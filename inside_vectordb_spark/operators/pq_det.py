@@ -322,27 +322,38 @@ def upsert_pq_det_index(
 
 
 def delete_from_pq_det_index(
-    spark: SparkSession, path: str, ids: list[int]
+    spark: SparkSession, path: str, ids: "list[int] | DataFrame"
 ) -> dict:
     """FAISS ``remove_ids`` on the PQ tier: tombstone doc ids WITHOUT
     rewriting codes — deletes append to a tiny ``tombstones`` parquet
     that search anti-joins (broadcast) out of the ADC scan. The
     codebook is untouched (FAISS never retrains on remove). O(deleted)
-    bytes; a rebuild compacts tombstones away. Idempotent per id."""
+    bytes; a rebuild compacts tombstones away. Idempotent per id.
+
+    ``ids`` is a DataFrame with one LONG column (stays on the
+    executors end to end — a delete set can be O(corpus) at crawl
+    scale and must never round-trip the driver) or a small list."""
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None or meta.get("kind") != "pq_det":
         raise FileNotFoundError(f"no complete pq_det index at {path}")
     tomb = os.path.join(path, "tombstones")
-    existing: set[int] = set()
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(ids.columns[0]).toDF("id").distinct()
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], "id long"
+        ).distinct()
     if mio.is_dir(tomb):
-        existing = {r["id"] for r in spark.read.parquet(tomb).collect()}
-    fresh = sorted(set(int(i) for i in ids) - existing)
-    if fresh:
-        spark.createDataFrame(
-            [(i,) for i in fresh], "id long"
-        ).write.mode("append").parquet(tomb)
-        meta["n_deleted"] = meta.get("n_deleted", 0) + len(fresh)
+        ids_df = ids_df.join(
+            F.broadcast(spark.read.parquet(tomb)), "id", "left_anti"
+        )
+    fresh_rows = ids_df.persist()
+    n_fresh = fresh_rows.count()
+    if n_fresh:
+        fresh_rows.write.mode("append").parquet(tomb)
+        meta["n_deleted"] = meta.get("n_deleted", 0) + n_fresh
         mio.write_json(mio.join(path, "meta.json"), meta)
+    fresh_rows.unpersist()
     return meta
 
 

@@ -1245,11 +1245,9 @@ def ann_pq_det_topk_deleted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = eio.load_table(spark, sf_dir, "embeddings")
     art = _idx_path("pq_det_del", sf_dir)
     ensure_pq_det_index(spark, corpus, art)
-    dead = [
-        r["vec_id"]
-        for r in corpus.filter((F.col("vec_id") % 50) == 3)
-        .select("vec_id").collect()
-    ]
+    # the delete set stays a DataFrame — a crawl-scale tombstone batch
+    # must never round-trip the driver (collect-audit r6 session 2)
+    dead = corpus.filter((F.col("vec_id") % 50) == 3).select("vec_id")
     delete_from_pq_det_index(spark, art, dead)
     return ann_pq_det_topk_indexed(
         spark, eio.query_vectors(spark, sf_dir), corpus, art, k=10
@@ -1417,7 +1415,10 @@ def ann_stochastic_recall_floor_q(spark: SparkSession, sf_dir: str) -> DataFrame
     q = eio.query_vectors(spark, sf_dir)
     c = eio.load_table(spark, sf_dir, "embeddings")
     exact = exact_cosine_topk(q, c, k=10).select("query_id", "doc_id")
-    n_gt = exact.count()  # |Q|·10 ground-truth pairs (driver literal)
+    # |Q|·10 ground-truth pairs: counting `exact` would execute the
+    # full |Q|×|corpus| search a second time; the query count is a
+    # metadata-cheap scan and corpus >> k guarantees 10 rows/query
+    n_gt = q.count() * 10
     arms = {
         "brp": ann_brp_topk_q,
         "hnsw": ann_hnsw_vendored_q,

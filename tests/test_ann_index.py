@@ -241,34 +241,74 @@ def test_ivf_km_indexed_matches_inmemory(spark, corpus, queries, tmp_path_factor
     assert _rows(mem) == _rows(idx)
 
 
-def test_ivf_km_upsert_equals_full_build(spark, corpus, queries, tmp_path_factory):
-    """FAISS train/add split: train on base, add delta against the
-    STORED centroids — the maintained lists must answer exactly like
-    assigning the full corpus against the same base-trained quantizer
-    (the quantizer is frozen by the artifact, so build-on-base +
-    add-delta == build-base-then-assign-all)."""
+def test_ivf_km_upsert_assigns_against_stored_centroids(
+    spark, corpus, queries, tmp_path_factory
+):
+    """FAISS train/add split, pinned against an INDEPENDENT numpy
+    expectation (the earlier twin-artifact form built both sides with
+    the same pipeline, so it could never fail): every delta row's
+    stored cid must equal the cosine argmax against the centroids AS
+    SERIALIZED IN THE ARTIFACT — if upsert ever retrained instead of
+    reading the frozen quantizer, the tamper step below would expose
+    it, because the on-disk centroids are mutated after training."""
+    import numpy as np
     from pyspark.sql import functions as F
 
     from inside_vectordb_spark.operators.ann_sign import (
-        ann_ivf_km_topk_indexed,
         ensure_ivf_km_index,
         upsert_ivf_km_index,
     )
 
     base = corpus.filter((F.col("vec_id") % 37) != 5)
     delta = corpus.filter((F.col("vec_id") % 37) == 5)
-    p_up = str(tmp_path_factory.mktemp("ivfkm_up") / "idx")
-    ensure_ivf_km_index(spark, base, p_up)
-    upsert_ivf_km_index(spark, delta, p_up)
-    # reference: same base training, then one-shot assignment of ALL
-    # rows against the stored centroids via a second upsert-only path
-    p_ref = str(tmp_path_factory.mktemp("ivfkm_ref") / "idx")
-    ensure_ivf_km_index(spark, base, p_ref)
-    upsert_ivf_km_index(spark, corpus.subtract(base), p_ref)
-    up = ann_ivf_km_topk_indexed(spark, queries, corpus, p_up, k=10, n_probe=4)
-    ref = ann_ivf_km_topk_indexed(spark, queries, corpus, p_ref, k=10, n_probe=4)
-    assert _rows(up) == _rows(ref)
-    assert len(_rows(up)) > 0
+    path = str(tmp_path_factory.mktemp("ivfkm_up") / "idx")
+    ensure_ivf_km_index(spark, base, path)
+    # tamper: replace the trained centroids with 4 KNOWN delta vectors
+    # (cids 0..3) — a retraining upsert would ignore this table
+    import os as _os
+
+    planted = delta.orderBy("vec_id").limit(4).collect()
+    cents_dir = _os.path.join(path, "cents")
+    spark.createDataFrame(
+        [(i, list(r["embedding"])) for i, r in enumerate(planted)],
+        "cid int, __cv array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(cents_dir)
+    upsert_ivf_km_index(spark, delta, path)
+    lists = {
+        r["doc_id"]: r["cid"]
+        for r in spark.read.parquet(_os.path.join(path, "lists")).collect()
+        if r["doc_id"] % 37 == 5  # the delta rows this upsert appended
+    }
+    cents = np.array([r["embedding"] for r in planted], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for r in delta.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        cos = np.round(cents @ v, 6)  # operator rounds before argmax
+        best = int(np.flatnonzero(cos == cos.max()).min())  # tie -> min cid
+        assert lists[r["vec_id"]] == best, r["vec_id"]
+    # each planted centroid is its own nearest: cids 0..3 all hit
+    assert {lists[r["vec_id"]] for r in planted} == {0, 1, 2, 3}
+
+
+def test_ivf_km_upsert_rejects_duplicate_ids(spark, corpus, tmp_path_factory):
+    """Append-only contract: re-adding an existing id must fail
+    loudly (a duplicate list entry would serve the same doc twice in
+    a top-k)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_sign import (
+        ensure_ivf_km_index,
+        upsert_ivf_km_index,
+    )
+
+    base = corpus.filter((F.col("vec_id") % 37) != 5)
+    delta = corpus.filter((F.col("vec_id") % 37) == 5)
+    path = str(tmp_path_factory.mktemp("ivfkm_dup") / "idx")
+    ensure_ivf_km_index(spark, base, path)
+    upsert_ivf_km_index(spark, delta, path)
+    with pytest.raises(ValueError, match="already in the index"):
+        upsert_ivf_km_index(spark, delta, path)
 
 
 def test_ivf_km_upsert_requires_complete_index(spark, corpus, tmp_path_factory):

@@ -2,6 +2,11 @@
 
 Every collect() ships rows through the driver; at 100 TB that is a
 bottleneck or an OOM unless the relation is BOUNDED by construction.
+Round-6 session 2: the labels below were re-audited against the
+actual sites (several had drifted), the pq_det tombstone path and
+the pq_det-deleted registry fixture moved to executor-side
+DataFrames (a crawl-scale delete set must never round-trip the
+driver), leaving registry/ann.py and operators/pq_det.py at zero.
 Each budgeted site below has been audited as driver-sized (1-row
 stats literals, k-row centroid/codebook tables, per-query probe-cid
 lists, bounded BPE argmax batches, |Q|-row query matrices under a
@@ -31,15 +36,13 @@ COLLECT_BUDGET = {
     "operators/lexical_index.py": 4,  # 1-row stats + per-bucket offset rows
     "operators/partitioned_ann.py": 1,  # per-partition top-k merge (≤ parts·Q·k)
     "operators/pq.py": 1,             # ≤8192-row training sample (documented cap)
-    "operators/pq_det.py": 1,         # bounded codebook rows (caps in module consts)
     "operators/ranks.py": 2,          # quantile-boundary literals (≤ n_buckets rows)
     "operators/rm3.py": 2,            # |Q|×fb_terms weight table (bounded knobs)
     "operators/sq.py": 1,             # 1-row min/max stats literal
     "operators/topk.py": 1,           # query-matrix broadcast (documented contract)
     "operators/traindata.py": 2,      # BPE argmax batches (≤30 rows/round)
-    "registry/ann.py": 1,             # ann_stochastic_recall_floor n_gt (1-row count)
-    "registry/pipeline.py": 1,        # lexical fixture staging (bounded slice)
-    "registry/traindata.py": 1,       # fixture staging (bounded slice)
+    "registry/pipeline.py": 1,        # temperature_mixture 1-row max-weight agg
+    "registry/traindata.py": 1,       # bpe_vocab 8-row learned merge table
 }
 
 
