@@ -156,6 +156,32 @@ def minhash_band_keys(
     ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
 
 
+def band_pairs(keys: DataFrame, other: DataFrame | None = None) -> DataFrame:
+    """Canonical distinct (doc_a < doc_b) pairs sharing ≥1
+    (band_idx, band_key) — THE banding join, shared by the batch
+    candidate generator and both streaming sites so the
+    pair-canonicalization rule can never diverge between the batch
+    oracle and the maintained index.
+
+    One argument: self-join of ``keys``. Two arguments: cross pairs
+    between ``keys`` (stored side) and ``other`` (delta side, small
+    by contract → broadcast)."""
+    if other is None:
+        a = keys.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+        b = keys.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+        joined = a.join(b, ["band_idx", "band_key"]).select("doc_a", "doc_b")
+    else:
+        a = keys.select(F.col("doc_id").alias("id_old"), "band_idx", "band_key")
+        b = other.select(F.col("doc_id").alias("id_new"), "band_idx", "band_key")
+        joined = a.join(F.broadcast(b), ["band_idx", "band_key"]).select(
+            F.least("id_old", "id_new").alias("doc_a"),
+            F.greatest("id_old", "id_new").alias("doc_b"),
+        )
+    return joined.filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    ).distinct()
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -174,18 +200,7 @@ def minhash_candidate_pairs(
         bands,
         k,
     )
-    a = keys.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
-    )
-    b = keys.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
-    )
-    return (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return band_pairs(keys)
 
 
 def ngram_jaccard(

@@ -20,8 +20,9 @@ ONCE at index time and never again. This module is that index-at-rest
   atomic meta write is the commit point for dictionary swaps, so a
   crash mid-upsert can never pair a new dictionary with old meta or
   vice versa (the ``_meta_io`` seam the module advertises).
-- ``doclen``: (doc_id, dl) — kept for introspection/stats; the
-  serving path no longer reads it.
+- ``doclen``: (doc_id, dl) generation + delta dirs named by
+  ``meta.doclen_rels`` — kept for introspection/stats; the serving
+  path no longer reads it.
 - ``meta.json`` (via the atomic ``_meta_io`` seam): k-invariant
   corpus stats (n_docs, avgdl) + a corpus fingerprint (count, id
   range, AND total chars — in-place text edits at unchanged ids
@@ -54,6 +55,48 @@ def _term_bucket(col) -> F.Column:
     return F.pmod(F.hash(col), F.lit(N_TERM_BUCKETS))
 
 
+def _fresh_gen(path: str) -> int:
+    """Smallest generation n whose build dirs don't exist yet — a
+    rebuild NEVER writes into a directory a live meta could name, so
+    the old index stays fully servable until the meta commit."""
+    n = 1
+    while any(
+        os.path.isdir(os.path.join(path, f"{fam}_b{n}"))
+        for fam in ("postings", "df", "doclen")
+    ) or os.path.isdir(os.path.join(path, f"df_v{n}")):
+        n += 1
+    return n
+
+
+def _docnorm_dir(path: str, meta: dict) -> str:
+    """The live docnorm generation, resolved through meta — upserts
+    invalidate by POINTING meta at a new (not-yet-built) name instead
+    of deleting, so a crash between steps can never pair a new meta
+    with stale norms (or vice versa)."""
+    return os.path.join(path, meta.get("docnorm_rel", "docnorm"))
+
+
+def _validate_serving(meta: dict | None, path: str) -> dict:
+    """Shared gate for every read path: kind, layout, AND bucket
+    count — a layout-1 index or one bucketed under a different
+    N_TERM_BUCKETS would otherwise be pruned with the wrong modulus
+    and silently drop matching postings buckets."""
+    if meta is None or meta.get("kind") != "lexical":
+        raise FileNotFoundError(f"no complete lexical index at {path}")
+    if meta.get("layout") != LEXICAL_LAYOUT:
+        raise ValueError(
+            f"lexical index at {path} has layout {meta.get('layout')} "
+            f"(expected {LEXICAL_LAYOUT}); rebuild via build_lexical_index"
+        )
+    if meta.get("n_term_buckets") != N_TERM_BUCKETS:
+        raise ValueError(
+            f"lexical index at {path} bucketed with "
+            f"{meta.get('n_term_buckets')} term buckets (engine expects "
+            f"{N_TERM_BUCKETS}); rebuild via build_lexical_index"
+        )
+    return meta
+
+
 def _df_dir(path: str, meta: dict) -> str:
     """Resolve the live dictionary directory through meta.json — the
     versioned name makes the atomic meta write the commit point for
@@ -62,16 +105,22 @@ def _df_dir(path: str, meta: dict) -> str:
 
 
 def _gc_dirs(path: str, keep: set[str]) -> None:
-    """Remove superseded df_v* / postings_d* dirs (runs AFTER the
-    meta commit, so a crash here leaves only harmless orphans, never
-    a torn index)."""
+    """Remove superseded index relations (runs AFTER the meta commit,
+    so a crash here leaves only harmless orphans, never a torn
+    index). Covers every directory family this index owns — a
+    rebuild's old generation, superseded dictionaries, and derived
+    docnorm generations."""
     try:
         entries = os.listdir(path)
     except FileNotFoundError:
         return
     for name in entries:
         versioned = (
-            name == "df" or name.startswith("df_v") or name.startswith("postings_d")
+            name in ("df", "postings", "doclen", "docnorm")
+            or name.startswith("df_")
+            or name.startswith("postings_")
+            or name.startswith("doclen_")
+            or name.startswith("docnorm_")
         )
         if versioned and name not in keep:
             mio.remove_tree(os.path.join(path, name))
@@ -107,6 +156,9 @@ def build_lexical_index(
     count), so serving never joins an O(corpus) side."""
     from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
 
+    mio.makedirs(path)
+    gen = _fresh_gen(path)
+    post_rel, df_rel, dl_rel = f"postings_b{gen}", f"df_b{gen}", f"doclen_b{gen}"
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
     )
@@ -118,33 +170,42 @@ def build_lexical_index(
         .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
         .withColumn("pb", _term_bucket(F.col("term")))
     )
+    # every relation of a rebuild lands in FRESH generation dirs: the
+    # live index (named by the current meta) is never overwritten in
+    # place, so a crash anywhere before the meta commit leaves the old
+    # index fully servable (review r6s2: the in-place overwrite paired
+    # old meta with torn data)
     tf.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
-        os.path.join(path, "postings")
+        os.path.join(path, post_rel)
     )
     spark = docs.sparkSession
-    postings = spark.read.parquet(os.path.join(path, "postings"))
+    postings = spark.read.parquet(os.path.join(path, post_rel))
     dft = postings.groupBy("term").agg(F.count("*").alias("df")).withColumn(
         "pb", _term_bucket(F.col("term"))
     )
-    df_rel = "df_v1"
     dft.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
         os.path.join(path, df_rel)
     )
     dl = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
-    dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    dl.write.mode("overwrite").parquet(os.path.join(path, dl_rel))
     row = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     meta = {
         "kind": "lexical",
         "layout": LEXICAL_LAYOUT,
         "n_term_buckets": N_TERM_BUCKETS,
         "df_rel": df_rel,
+        "doclen_rels": [dl_rel],
+        # derived norms are VERSIONED per dictionary generation: a
+        # rebuild repoints this name, so norms computed against the
+        # previous corpus can never be served against the new meta
+        "docnorm_rel": f"docnorm_{df_rel}",
         "n_docs": int(row["n"]),
         "avgdl": float(row["avgdl"]),
         "corpus": _corpus_fingerprint(docs, id_col, content_col=text_col),
     }
-    meta["postings_rels"] = ["postings"]
+    meta["postings_rels"] = [post_rel]
     mio.write_json(mio.join(path, "meta.json"), meta)
-    _gc_dirs(path, {df_rel, "postings"})
+    _gc_dirs(path, {df_rel, post_rel, dl_rel})
     return meta
 
 
@@ -185,9 +246,7 @@ def bm25_topk_indexed(
     aggregation — nothing O(corpus) moves. Identical scoring
     arithmetic to ``bm25_scores``, so results match the fresh path
     bit-for-bit."""
-    meta = mio.read_json(mio.join(path, "meta.json"))
-    if meta is None or meta.get("kind") != "lexical":
-        raise FileNotFoundError(f"no complete lexical index at {path}")
+    meta = _validate_serving(mio.read_json(mio.join(path, "meta.json")), path)
     q = queries.select(
         F.col(qid_col).alias("query_id"), F.lower(F.col(qtext_col)).alias("__qt")
     )
@@ -237,9 +296,7 @@ def build_tfidf_norms(spark: SparkSession, path: str) -> None:
     the quantity cosine TF-IDF needs over the FULL vocabulary, which
     is exactly why engines precompute it at index time. Derived from
     the stored postings + dictionary (no corpus re-scan)."""
-    meta = mio.read_json(mio.join(path, "meta.json"))
-    if meta is None or meta.get("kind") != "lexical":
-        raise FileNotFoundError(f"no complete lexical index at {path}")
+    meta = _validate_serving(mio.read_json(mio.join(path, "meta.json")), path)
     postings = _read_postings(spark, path, meta)
     dft = spark.read.parquet(_df_dir(path, meta)).select("term", "df")
     n_docs = float(meta["n_docs"])
@@ -251,7 +308,7 @@ def build_tfidf_norms(spark: SparkSession, path: str) -> None:
         .groupBy("doc_id")
         .agg(F.sqrt(F.sum("w2")).alias("dnorm"))
         .write.mode("overwrite")
-        .parquet(os.path.join(path, "docnorm"))
+        .parquet(_docnorm_dir(path, meta))
     )
 
 
@@ -269,10 +326,8 @@ def tfidf_topk_indexed(
     precomputed ``docnorm`` relation (built once from the full
     dictionary), and the query side stays a broadcast. Same
     arithmetic as ``operators/tfidf.py:tfidf_scores``."""
-    meta = mio.read_json(mio.join(path, "meta.json"))
-    if meta is None or meta.get("kind") != "lexical":
-        raise FileNotFoundError(f"no complete lexical index at {path}")
-    if not mio.is_dir(os.path.join(path, "docnorm")):
+    meta = _validate_serving(mio.read_json(mio.join(path, "meta.json")), path)
+    if not mio.is_dir(_docnorm_dir(path, meta)):
         build_tfidf_norms(spark, path)
     n_docs = float(meta["n_docs"])
     q = queries.select(
@@ -317,7 +372,7 @@ def tfidf_topk_indexed(
     docw = postings.join(F.broadcast(dft_q), "term").select(
         "doc_id", "term", ((1.0 + F.log("tf")) * idf).alias("wd")
     )
-    dnorm = spark.read.parquet(os.path.join(path, "docnorm"))
+    dnorm = spark.read.parquet(_docnorm_dir(path, meta))
     matched = docw.join(F.broadcast(qw), "term").join(dnorm, "doc_id")
     agg = (
         matched.select(
@@ -353,10 +408,14 @@ def upsert_lexical_index(
       O(vocab) merge, never a postings re-aggregation), written to
       the next ``df_v<N>`` dir;
     - stats: n_docs and avgdl recombine from counts (additive);
-    - tfidf ``docnorm`` is INVALIDATED (norms depend on global df,
-      which just changed for the delta's terms) and lazily rebuilt
-      from the stored postings on the next TF-IDF search — the
-      classic refresh-on-read for derived index artifacts.
+    - tfidf norms are INVALIDATED (they depend on global df, which
+      just changed for the delta's terms) by repointing meta's
+      ``docnorm_rel`` at the next generation name — lazily rebuilt
+      from the stored postings on the next TF-IDF search, the classic
+      refresh-on-read for derived index artifacts, with the pointer
+      swap itself riding the atomic commit;
+    - doclen: the delta lands in a fresh ``doclen_d<N>`` dir named by
+      meta, never an in-place append (retry-safe).
 
     The ATOMIC meta.json write is the single commit point: readers
     resolve both the dictionary dir and the postings dir list through
@@ -372,14 +431,7 @@ def upsert_lexical_index(
         _merge_fingerprint,
     )
 
-    meta = mio.read_json(mio.join(path, "meta.json"))
-    if meta is None or meta.get("kind") != "lexical":
-        raise FileNotFoundError(f"no complete lexical index at {path}")
-    if meta.get("layout") != LEXICAL_LAYOUT:
-        raise ValueError(
-            f"lexical index at {path} has layout {meta.get('layout')}; "
-            f"rebuild via build_lexical_index (expected {LEXICAL_LAYOUT})"
-        )
+    meta = _validate_serving(mio.read_json(mio.join(path, "meta.json")), path)
     spark = new_docs.sparkSession
     d = new_docs.select(
         F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
@@ -417,7 +469,12 @@ def upsert_lexical_index(
         os.path.join(path, new_df_rel)
     )
     dl = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
-    dl.write.mode("append").parquet(os.path.join(path, "doclen"))
+    # the doclen delta is its own dir, named by meta at the commit —
+    # an in-place append would mutate the pre-upsert index before the
+    # commit point and double-append on a retried crash
+    dl_rels = list(meta.get("doclen_rels", ["doclen"]))
+    dl_delta_rel = f"doclen_d{len(dl_rels)}"
+    dl.write.mode("overwrite").parquet(os.path.join(path, dl_delta_rel))
     row = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
     n_new, sum_new = int(row["n"]), float(row["s"] or 0.0)
     tf.unpersist()
@@ -431,7 +488,15 @@ def upsert_lexical_index(
     )
     meta["postings_rels"] = rels + [delta_rel]
     meta["df_rel"] = new_df_rel
-    mio.remove_tree(os.path.join(path, "docnorm"))  # df changed → stale
+    meta["doclen_rels"] = dl_rels + [dl_delta_rel]
+    # df changed → the derived norms are stale: invalidate by
+    # REPOINTING meta at the next docnorm generation (no fs mutation
+    # before the commit — a crash here leaves the old index intact,
+    # old docnorm included; the old dir becomes a post-commit orphan)
+    meta["docnorm_rel"] = f"docnorm_{new_df_rel}"
     mio.write_json(mio.join(path, "meta.json"), meta)  # the commit point
-    _gc_dirs(path, set(meta["postings_rels"]) | {new_df_rel})
+    _gc_dirs(
+        path,
+        set(meta["postings_rels"]) | set(meta["doclen_rels"]) | {new_df_rel},
+    )
     return meta

@@ -44,10 +44,18 @@ def merge_upsert(
     A key may appear at most once in ``changes`` (MERGE's standard
     cardinality precondition; violations would make the result
     order-dependent).
+
+    Op semantics: exactly ``'delete'`` deletes; ANY other value —
+    including NULL or a case-drifted ``'UPDATE'`` from a malformed
+    CDC feed — upserts the row. The guard must be null-safe: a plain
+    ``op != 'delete'`` filter evaluates NULL ops to NULL and silently
+    HARD-DELETES the row (its key is already anti-joined out of the
+    base) — data loss where ANSI MERGE would apply the row.
     """
     changed_keys = changes.select(key).distinct()
     survivors = base.join(F.broadcast(changed_keys), key, "left_anti")
-    applied = changes.filter(F.col(op_col) != "delete").drop(op_col)
+    is_delete = F.coalesce(F.col(op_col) == "delete", F.lit(False))
+    applied = changes.filter(~is_delete).drop(op_col)
     return survivors.unionByName(applied.select(*base.columns))
 
 

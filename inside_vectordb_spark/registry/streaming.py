@@ -464,4 +464,6 @@ def minhash_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs_store,
         threshold=0.2,
     )
-    return spark.read.parquet(pairs_store).orderBy("doc_a", "doc_b")
+    # DISTINCT at read: foreachBatch appends are at-least-once, so a
+    # replayed batch may duplicate rows — never produce wrong pairs
+    return spark.read.parquet(pairs_store).distinct().orderBy("doc_a", "doc_b")

@@ -9,9 +9,10 @@ corpus) and, per micro-batch of new docs:
 1. computes the batch's band keys (the same 12-hash / 4-band family
    as the batch operator, `operators/dedup.py`);
 2. generates candidates = batch-vs-stored band join ∪ batch-internal
-   band self-join (the stored side is parquet partitioned data the
-   join reads by band key — new docs never rescan old TEXT, only the
-   band table);
+   band self-join (the stored side is a (band_idx)-partitioned
+   parquet band table; the delta side broadcasts, so the join is a
+   broadcast-hash probe of the stored table — new docs never rescan
+   old TEXT, only the O(index) band table);
 3. verifies candidates by exact shingle-set Jaccard and appends the
    surviving pairs to the result store;
 4. appends the batch's band keys to the band table (the O(delta)
@@ -31,8 +32,15 @@ against the maintained index → verification → the batch-identical
 pair set.
 
 Delivery contract (same as the CDC merge and sign-LSH upsert
-streams): doc ids are disjoint across batches and from the base;
-at-least-once replays are guarded by the checkpoint.
+streams): doc ids are disjoint across batches and from the base.
+``foreachBatch`` is at-least-once: a batch that crashes between the
+two appends and the checkpoint commit can replay, so the stores may
+hold duplicate ROWS (never wrong pairs — both sinks are append-only
+sets); readers take ``DISTINCT`` (the registered query does), which
+makes the pipeline idempotent-at-read, the standard contract for
+at-least-once appends. Each drain call uses a caller-suppliable
+checkpoint (``checkpoint_dir``) — pass the same directory to resume
+an interrupted drain without reprocessing its finished files.
 """
 
 from __future__ import annotations
@@ -44,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from inside_vectordb_spark.operators.dedup import (
+    band_pairs,
     minhash_band_keys,
     minhash_signatures,
     ngram_jaccard,
@@ -59,15 +68,8 @@ def base_near_dup_build(
     """Initialize the stores: band table + base-internal verified
     pairs (the one-time full build the stream then maintains)."""
     keys = minhash_band_keys(minhash_signatures(base_docs))
-    keys.write.mode("overwrite").parquet(band_store)
-    a = keys.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-    b = keys.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
-    cand = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    keys.write.mode("overwrite").partitionBy("band_idx").parquet(band_store)
+    cand = band_pairs(keys)
     verified = ngram_jaccard(base_docs, cand).filter(
         F.col("jaccard") >= threshold
     )
@@ -81,12 +83,20 @@ def run_incremental_near_dup(
     pairs_store: str,
     threshold: float = 0.2,
     timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Drain the delta stream with Trigger.AvailableNow, applying the
     incremental near-dup step per micro-batch. ``all_docs_path`` is
     the document table candidates verify against (in production the
-    snapshot the ingest also appends to)."""
-    ckpt = tempfile.mkdtemp(prefix="ck_", dir=os.path.dirname(band_store) or None)
+    snapshot the ingest also appends to). Pass the same
+    ``checkpoint_dir`` to RESUME an interrupted drain (finished files
+    are not reprocessed); the default fresh directory is the
+    one-shot-fixture mode. Raises TimeoutError if the drain outlives
+    ``timeout_sec`` — the query is stopped first, so a timeout never
+    leaks a live stream mutating the stores behind the caller."""
+    ckpt = checkpoint_dir or tempfile.mkdtemp(
+        prefix="ck_", dir=os.path.dirname(band_store) or None
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -102,27 +112,9 @@ def run_incremental_near_dup(
         # the small-side shipping.
         keys_new = keys_new.localCheckpoint(eager=True)
         stored = spark.read.parquet(band_store)
-        new_side = keys_new.select(
-            F.col("doc_id").alias("id_new"), "band_idx", "band_key"
-        )
-        old_side = stored.select(
-            F.col("doc_id").alias("id_old"), "band_idx", "band_key"
-        )
-        c_cross = (
-            old_side.join(F.broadcast(new_side), ["band_idx", "band_key"])
-            .select(
-                F.least("id_old", "id_new").alias("doc_a"),
-                F.greatest("id_old", "id_new").alias("doc_b"),
-            )
-        )
-        a = keys_new.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-        b = keys_new.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
-        c_int = (
-            a.join(b, ["band_idx", "band_key"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        cand = c_cross.unionByName(c_int).distinct()
+        cand = band_pairs(stored, keys_new).unionByName(
+            band_pairs(keys_new)
+        ).distinct()
         # shingle ONLY candidate endpoints — the verify step must not
         # rescan the whole corpus text per micro-batch
         ids = (
@@ -137,7 +129,7 @@ def run_incremental_near_dup(
             F.col("jaccard") >= threshold
         )
         verified.write.mode("append").parquet(pairs_store)
-        keys_new.write.mode("append").parquet(band_store)
+        keys_new.write.mode("append").partitionBy("band_idx").parquet(band_store)
 
     q = (
         delta_stream.writeStream.foreachBatch(_apply)
@@ -145,4 +137,9 @@ def run_incremental_near_dup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"incremental near-dup drain still running after {timeout_sec}s"
+        )

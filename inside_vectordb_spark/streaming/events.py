@@ -391,7 +391,13 @@ def run_upsert_to_sign_index(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # surface the partial drain — returning silently would
+            # serve an index missing the undrained micro-batches
+            raise TimeoutError(
+                f"sign-index upsert drain still running after {timeout_sec}s"
+            )
     finally:
         if q.isActive:
             q.stop()

@@ -175,10 +175,18 @@ def test_lexical_upsert_matches_full_build(spark, tmp_path):
     inc = str(tmp_path / "inc")
     build_lexical_index(docs.filter("doc_id % 3 != 0"), inc)
     # materialize the norms so the upsert's invalidation is observable
+    import json
+
     tfidf_topk_indexed(spark, queries, inc, k=10).collect()
-    assert os.path.isdir(os.path.join(inc, "docnorm"))
+    rel_before = json.load(open(os.path.join(inc, "meta.json")))["docnorm_rel"]
+    assert os.path.isdir(os.path.join(inc, rel_before))
     upsert_lexical_index(docs.filter("doc_id % 3 = 0"), inc)
-    assert not os.path.isdir(os.path.join(inc, "docnorm"))  # invalidated
+    meta_after = json.load(open(os.path.join(inc, "meta.json")))
+    # invalidated by REPOINTING meta at the next generation (the old
+    # dir is a gc'd orphan; the new one builds lazily on next read)
+    assert meta_after["docnorm_rel"] != rel_before
+    assert not os.path.isdir(os.path.join(inc, rel_before))
+    assert not os.path.isdir(os.path.join(inc, meta_after["docnorm_rel"]))
     got_bm = {
         tuple(r) for r in bm25_topk_indexed(spark, queries, inc, k=10).collect()
     }
@@ -248,3 +256,56 @@ def test_rm3_degrades_to_weighted_bm25_without_feedback(spark):
         [(100, "zzz qqq")], "query_id: long, qtext: string"
     )
     assert bm25_rm3_topk(docs, queries, k=5).count() == 0
+
+
+def test_lexical_rebuild_is_atomic_and_invalidates_norms(spark, tmp_path):
+    """A rebuild over a CHANGED corpus must (a) never write into the
+    directories the live meta names (crash-before-commit leaves the
+    old index servable), (b) repoint docnorm so stale norms can't be
+    served against the new dictionary (review r6s2: the old in-place
+    overwrite + surviving docnorm made tfidf silently drop every doc
+    added since the previous corpus), and (c) serve results identical
+    to a from-scratch index of the new corpus."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.lexical_index import (
+        build_lexical_index,
+        tfidf_topk_indexed,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = eio.load_table(spark, SF_DIR, "documents")
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    path = str(tmp_path / "idx")
+    build_lexical_index(docs.filter("doc_id % 3 != 0"), path)
+    tfidf_topk_indexed(spark, queries, path, k=10).collect()  # norms gen 1
+    meta1 = json.load(open(os.path.join(path, "meta.json")))
+    assert os.path.isdir(os.path.join(path, meta1["docnorm_rel"]))
+
+    build_lexical_index(docs, path)  # rebuild on the FULL corpus
+    meta2 = json.load(open(os.path.join(path, "meta.json")))
+    # fresh generation names — nothing the old meta pointed at was
+    # written in place, and the old generation is gc'd post-commit
+    assert meta2["postings_rels"] != meta1["postings_rels"]
+    assert meta2["df_rel"] != meta1["df_rel"]
+    assert meta2["docnorm_rel"] != meta1["docnorm_rel"]
+    for rel in (
+        meta1["postings_rels"][0],
+        meta1["df_rel"],
+        meta1["docnorm_rel"],
+    ):
+        assert not os.path.isdir(os.path.join(path, rel)), rel
+    # and the rebuilt index answers exactly like a from-scratch one
+    fresh = str(tmp_path / "fresh")
+    build_lexical_index(docs, fresh)
+    got = {tuple(r) for r in tfidf_topk_indexed(spark, queries, path, k=10).collect()}
+    want = {tuple(r) for r in tfidf_topk_indexed(spark, queries, fresh, k=10).collect()}
+    assert got == want and len(got) > 0

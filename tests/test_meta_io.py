@@ -72,3 +72,21 @@ def test_snapshot_fixture_reused_across_invocations(spark):
     art2 = _ensure_snapshot_history(spark, SF_DIR)
     assert art2 == art
     assert os.path.getmtime(log) > mtime
+
+
+def test_merge_upsert_null_or_unknown_op_upserts_not_deletes(spark):
+    """Op semantics: only exactly 'delete' deletes. A NULL op (torn
+    CDC record) or a case-drifted 'UPDATE' must apply the row — the
+    old `op != 'delete'` filter evaluated NULL to NULL and silently
+    hard-deleted the key (anti-joined out of base, never re-inserted)."""
+    from inside_vectordb_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    changes = spark.createDataFrame(
+        [(1, "a2", None), (2, "b2", "UPDATE"), (3, None, "delete"), (4, "d", "insert")],
+        "doc_id long, text string, op string",
+    )
+    got = {r["doc_id"]: r["text"] for r in merge_upsert(base, changes).collect()}
+    assert got == {1: "a2", 2: "b2", 4: "d"}
