@@ -54,6 +54,41 @@ def _read_meta(path: str) -> dict[str, Any] | None:
     return mio.read_json(mio.join(path, "meta.json"))
 
 
+def _begin_rebuild(path: str) -> None:
+    """Invalidate the completeness marker BEFORE any data dir is
+    touched: a rebuild overwrites the live relations in place, so a
+    crash mid-rebuild must leave "no complete index" (forcing a clean
+    rebuild) rather than a stale meta that validates torn data —
+    meta.json written last is only a completeness marker if it is
+    also REMOVED first (review r6s2; the lexical index solves the
+    same problem with generation dirs, which its multi-relation
+    layout needs — a single-relation ANN artifact only needs the
+    marker discipline)."""
+    try:
+        os.remove(os.path.join(path, "meta.json"))
+    except FileNotFoundError:
+        pass
+
+
+def _assert_disjoint_delta(
+    stored_ids: DataFrame, delta_ids: DataFrame, path: str
+) -> None:
+    """Enforce the append-only contract every upsert in this repo
+    shares (FAISS ``add``): re-adding a stored id would duplicate its
+    index row and serve the same doc twice in a top-k. Both inputs
+    are single-column id frames; the delta is small by contract →
+    broadcast semi-join, one count."""
+    a = stored_ids.toDF("__sid")
+    b = delta_ids.toDF("__sid")
+    n_dup = a.join(F.broadcast(b), "__sid", "left_semi").count()
+    if n_dup:
+        raise ValueError(
+            f"upsert: {n_dup} delta id(s) already in the index at "
+            f"{path} — upserts are append-only (rebuild to replace "
+            "existing vectors)"
+        )
+
+
 def _write_meta(path: str, meta: dict[str, Any]) -> None:
     mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
 
@@ -110,6 +145,7 @@ def build_lsh_index(
 ) -> dict[str, Any]:
     """X1-analogue build + S9 sink: signature scan → capped bucket
     table → parquet. One corpus pass, no joins."""
+    _begin_rebuild(path)
     cb = lsh_bucket_ids(corpus, id_col, vec_col, dim, n_tables, n_bits, seed)
     if max_bucket_size is not None:
         w = Window.partitionBy("table_idx", "bucket").orderBy("id")
@@ -146,7 +182,11 @@ def ensure_lsh_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, A
     meta = _read_meta(path)
     want = {
         "kind": "lsh",
-        **params,
+        # id_col/vec_col are caller-side names, never stored in meta —
+        # including them would fail the compare and force a silent
+        # full rebuild on EVERY call (the ensure_sq_index fix, applied
+        # to all tiers in r6s2)
+        **{k: v for k, v in params.items() if k not in ("id_col", "vec_col")},
         "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
     }
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
@@ -204,6 +244,11 @@ def upsert_lsh_index(
         raise FileNotFoundError(f"no complete LSH index at {path}")
     spark = new_vectors.sparkSession
     buckets_path = os.path.join(path, "buckets")
+    _assert_disjoint_delta(
+        spark.read.parquet(buckets_path).select("id").distinct(),
+        new_vectors.select(id_col),
+        path,
+    )
     nb = lsh_bucket_ids(
         new_vectors, id_col, vec_col,
         meta["dim"], meta["n_tables"], meta["n_bits"], meta["seed"],
@@ -250,6 +295,11 @@ def upsert_ivf_index(
     if meta is None or meta.get("kind") != "ivf":
         raise FileNotFoundError(f"no complete IVF index at {path}")
     spark = new_vectors.sparkSession
+    _assert_disjoint_delta(
+        spark.read.parquet(os.path.join(path, "assignments")).select("id"),
+        new_vectors.select(id_col),
+        path,
+    )
     cents = load_ivf_centroids(spark, path)
     (
         ivf_assign(new_vectors, id_col, vec_col, cents)
@@ -320,6 +370,7 @@ def build_ivf_index(
     assign every vector, land centroids + assignments with the
     inverted lists as parquet partitions."""
     spark = corpus.sparkSession
+    _begin_rebuild(path)
     cents = kmeans_centroids(corpus, vec_col, n_centroids, seed, id_col=id_col)
     os.makedirs(path, exist_ok=True)
     cents_pdf = pd.DataFrame(
@@ -354,7 +405,11 @@ def ensure_ivf_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, A
     meta = _read_meta(path)
     want = {
         "kind": "ivf",
-        **params,
+        # id_col/vec_col are caller-side names, never stored in meta —
+        # including them would fail the compare and force a silent
+        # full rebuild on EVERY call (the ensure_sq_index fix, applied
+        # to all tiers in r6s2)
+        **{k: v for k, v in params.items() if k not in ("id_col", "vec_col")},
         "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
     }
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
@@ -399,6 +454,7 @@ def build_ivfpq_index(
     from inside_vectordb_spark.operators.pq import pq_encode, pq_train
 
     spark = corpus.sparkSession
+    _begin_rebuild(path)
     cents = kmeans_centroids(corpus, vec_col, n_centroids, seed, id_col=id_col)
     books = pq_train(corpus, vec_col, dim, m, ks, seed, id_col=id_col)
     os.makedirs(path, exist_ok=True)
@@ -452,7 +508,11 @@ def ensure_ivfpq_index(corpus: DataFrame, path: str, **params: Any) -> dict[str,
     meta = _read_meta(path)
     want = {
         "kind": "ivfpq",
-        **params,
+        # id_col/vec_col are caller-side names, never stored in meta —
+        # including them would fail the compare and force a silent
+        # full rebuild on EVERY call (the ensure_sq_index fix, applied
+        # to all tiers in r6s2)
+        **{k: v for k, v in params.items() if k not in ("id_col", "vec_col")},
         "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
     }
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
@@ -544,6 +604,7 @@ def build_pq_index(
     from inside_vectordb_spark.operators.pq import pq_encode, pq_train
 
     spark = corpus.sparkSession
+    _begin_rebuild(path)
     books = pq_train(corpus, vec_col, dim, m, ks, seed, id_col=id_col)
     os.makedirs(path, exist_ok=True)
     books_pdf = pd.DataFrame(
@@ -579,7 +640,11 @@ def ensure_pq_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, An
     meta = _read_meta(path)
     want = {
         "kind": "pq",
-        **params,
+        # id_col/vec_col are caller-side names, never stored in meta —
+        # including them would fail the compare and force a silent
+        # full rebuild on EVERY call (the ensure_sq_index fix, applied
+        # to all tiers in r6s2)
+        **{k: v for k, v in params.items() if k not in ("id_col", "vec_col")},
         "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
     }
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
@@ -710,6 +775,7 @@ def build_sq_index(
     from inside_vectordb_spark.operators.sq import sq_encode_col, sq_train
 
     spark = corpus.sparkSession
+    _begin_rebuild(path)
     mins, spans = sq_train(corpus, vec_col)
     mio.makedirs(path)
     # a rebuild starts a fresh index lifecycle: tombstones from the

@@ -53,6 +53,13 @@ def sign_planes(bits: int = SIGN_BITS, dim: int = SIGN_DIM) -> tuple[tuple[int, 
     functions of (bit, j), so any two processes (Spark executors, the
     DuckDB oracle generator, a future rebuild) derive identical planes
     without shipping an artifact."""
+    if bits < 2:
+        raise ValueError(
+            f"sign_planes: bits must be >= 2 (got {bits}) — the probe "
+            "argmin needs at least one comparable pair of planes, and "
+            "a 1-bit index degenerates to two buckets of half the "
+            "corpus each"
+        )
     return tuple(tuple(_sign(b, j) for j in range(dim)) for b in range(bits))
 
 
@@ -128,6 +135,12 @@ def ensure_sign_index(
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
         return path
+    from inside_vectordb_spark.operators.ann_index import _begin_rebuild
+
+    # invalidate the completeness marker BEFORE touching any data dir:
+    # a crash mid-rebuild must leave "no index" rather than a stale
+    # meta validating torn buckets (with the tombstones already gone)
+    _begin_rebuild(path)
     planes = sign_planes(bits, dim)
     # fresh lifecycle: tombstones from a prior index must not leak
     # into the rebuilt one (same contract as the SQ tier)
@@ -431,8 +444,12 @@ def upsert_sign_index(
     full rebuild over base ∪ delta — which is why the registered
     upsert query shares the plain search oracle.
 
-    Contract (FAISS ``add``): delta ids disjoint from stored ids."""
+    Contract (FAISS ``add``): delta ids disjoint from stored ids —
+    ENFORCED (including against tombstones: a re-added deleted id
+    would stay permanently masked by the surviving tombstone while
+    the merged fingerprint counted it — silently unsearchable)."""
     from inside_vectordb_spark.operators.ann_index import (
+        _assert_disjoint_delta,
         _corpus_fingerprint,
         _merge_fingerprint,
     )
@@ -440,6 +457,13 @@ def upsert_sign_index(
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None or meta.get("kind") != "sign_lsh":
         raise FileNotFoundError(f"no complete sign-LSH index at {path}")
+    stored_ids = spark.read.parquet(os.path.join(path, "buckets")).select("id")
+    tomb = mio.join(path, "tombstones")
+    if mio.is_dir(tomb):
+        stored_ids = stored_ids.unionByName(
+            spark.read.parquet(tomb).select("id")
+        )
+    _assert_disjoint_delta(stored_ids, new_vectors.select(id_col), path)
     planes = sign_planes(meta["bits"], meta["dim"])
     (
         new_vectors.select(
@@ -604,10 +628,24 @@ def ensure_ivf_det_index(
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
         return path
+    from inside_vectordb_spark.operators.ann_index import _begin_rebuild
+
+    _begin_rebuild(path)  # no stale completeness marker over torn data
     cents = corpus.filter(
         ((F.col(id_col) % centroid_stride) == 1)
         & (F.col(id_col) < centroid_stride * n_centroids_cap)
     ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"))
+    # the id-rule assumes ids intersect [1, stride*cap): an offset id
+    # space (snowflake/partition-encoded) selects NOTHING — fail loudly
+    # instead of persisting an empty "complete" index that serves
+    # empty top-k forever (the one count is build-path-only cost)
+    if cents.limit(1).count() == 0:
+        raise ValueError(
+            f"ivf_det centroid rule (id % {centroid_stride} == 1, id < "
+            f"{centroid_stride * n_centroids_cap}) selects no corpus rows "
+            "— ids don't intersect the rule range; use the km tier or "
+            "adjust stride/cap"
+        )
     ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
     assign = (
         corpus.select(id_col, vec_col)
@@ -665,6 +703,13 @@ def upsert_ivf_det_index(
             f"{bad} delta ids match the centroid rule (id % {stride} == 1, "
             f"id < {stride * cap}); rebuild via ensure_ivf_det_index instead"
         )
+    from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
+
+    _assert_disjoint_delta(
+        spark.read.parquet(os.path.join(path, "lists")).select("doc_id"),
+        new_vectors.select(id_col),
+        path,
+    )
     cents = spark.read.parquet(os.path.join(path, "cents"))
     ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
     assign = (
@@ -866,6 +911,9 @@ def ensure_ivf_km_index(
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
         return path
+    from inside_vectordb_spark.operators.ann_index import _begin_rebuild
+
+    _begin_rebuild(path)  # no stale completeness marker over torn data
     km = kmeans_lloyd(corpus, k=km_k, iters=km_iters, id_col=id_col, vec_col=vec_col)
     cents = (
         km.groupBy("cluster")
@@ -982,21 +1030,13 @@ def upsert_ivf_km_index(
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None or meta.get("kind") != "ivf_km":
         raise FileNotFoundError(f"no complete ivf_km index at {path}")
-    n_dup = (
-        spark.read.parquet(os.path.join(path, "lists"))
-        .join(
-            F.broadcast(new_vectors.select(F.col(id_col).alias("doc_id"))),
-            "doc_id",
-            "left_semi",
-        )
-        .count()
+    from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
+
+    _assert_disjoint_delta(
+        spark.read.parquet(os.path.join(path, "lists")).select("doc_id"),
+        new_vectors.select(id_col),
+        path,
     )
-    if n_dup:
-        raise ValueError(
-            f"upsert_ivf_km_index: {n_dup} delta id(s) already in the "
-            f"index at {path} — upserts are append-only (rebuild to "
-            "replace existing vectors)"
-        )
     cents = spark.read.parquet(os.path.join(path, "cents"))
     ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
     assign = (

@@ -157,6 +157,9 @@ def ensure_ivfpq_det_index(
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is not None and all(meta.get(kk) == v for kk, v in want.items()):
         return path
+    from inside_vectordb_spark.operators.ann_index import _begin_rebuild
+
+    _begin_rebuild(path)  # no stale completeness marker over torn data
     cents = _coarse(corpus, id_col, vec_col)
     res = _residuals(corpus, cents, id_col, vec_col)
     rcb_sub = _res_codebook(res, m_sub, dim)

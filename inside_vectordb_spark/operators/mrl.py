@@ -134,7 +134,10 @@ def build_mrl_index(
         _write_meta,
     )
 
+    from inside_vectordb_spark.operators.ann_index import _begin_rebuild
+
     mio.makedirs(path)
+    _begin_rebuild(path)  # no stale completeness marker over torn data
     (
         corpus.select(
             F.col(id_col).alias("doc_id"),
@@ -219,9 +222,18 @@ def upsert_mrl_index(corpus_delta: DataFrame, path: str, id_col: str = "vec_id",
         _write_meta,
     )
 
+    from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
+
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None or meta.get("kind") != "mrl":
         raise FileNotFoundError(f"no complete MRL index at {path}")
+    _assert_disjoint_delta(
+        corpus_delta.sparkSession.read.parquet(
+            os.path.join(path, "prefixes")
+        ).select("doc_id"),
+        corpus_delta.select(id_col),
+        path,
+    )
     prefix_dim = int(meta["prefix_dim"])
     (
         corpus_delta.select(

@@ -252,6 +252,9 @@ def ensure_pq_det_index(
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is not None and all(meta.get(kk) == v for kk, v in want.items()):
         return path
+    from inside_vectordb_spark.operators.ann_index import _begin_rebuild
+
+    _begin_rebuild(path)  # no stale completeness marker over torn data
     cents = _centroids(corpus, id_col, vec_col, centroid_stride, n_centroids_cap)
     cents_sub = _sub_explode(cents, "__cv", "__cv", m_sub, dim)
     codes = _encode(corpus, cents_sub, id_col, vec_col, m_sub, dim)
@@ -305,6 +308,13 @@ def upsert_pq_det_index(
             f"id < {stride * cap}); they would retrain the codebook — "
             "rebuild via ensure_pq_det_index instead"
         )
+    from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
+
+    _assert_disjoint_delta(
+        spark.read.parquet(os.path.join(path, "codes")).select("doc_id"),
+        new_vectors.select(id_col),
+        path,
+    )
     # encode the delta against the FROZEN codebook: the centroid rows
     # live in the stored corpus, which the caller passes as new_vectors'
     # sibling — re-derive them from the codes' source by the rule is

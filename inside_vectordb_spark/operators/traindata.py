@@ -73,7 +73,9 @@ def span_dedup(
     only at its first occurrence (lowest (doc_id, pos)); documents are
     rebuilt from their surviving spans in original order.
 
-    Returns (doc_id, n_chunks, n_kept, text_clean) for every doc;
+    Returns (doc_id, n_chunks, n_kept, text_clean) for every doc WITH
+    at least one span (empty/whitespace docs yield no spans and no
+    row — join back to the corpus if row preservation matters);
     fully-deduplicated docs keep n_kept = 0 and empty text_clean.
 
     100 TB plan shape: the keeper election groups by ``md5(span)``
@@ -333,6 +335,11 @@ def weighted_sample(
     u = u_int / F.lit(1_000_001.0)
     # + 0.0: ln(u)≈0⁻ for u→1 rounds to -0.0 in DuckDB, +0.0 in Spark
     key = F.round(F.log(u) / weight_col.cast("double"), 6) + F.lit(0.0)
+    # A-ES is defined for w > 0: a zero weight is a divide-by-zero
+    # (a query-aborting ERROR under ANSI mode), and a negative one
+    # flips ln(u)/w positive — outranking every valid doc instead of
+    # being excluded. Non-positive weights are never selected.
+    docs = docs.filter(weight_col.cast("double") > 0)
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -379,12 +386,19 @@ def length_bucketed_batches(
             F.count("*").cast("int").alias("n_docs"),
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens"),
-            F.round(
-                1.0
-                - F.sum("n_tokens")
-                / (F.count("*") * F.max("n_tokens")).cast("double"),
-                6,
-            ).alias("padding_frac"),
+            # max == 0 (a batch of empty docs) pads nothing: guard
+            # the 0/0, which ANSI mode turns into a query-aborting
+            # error rather than a null
+            F.when(F.max("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    1.0
+                    - F.sum("n_tokens")
+                    / (F.count("*") * F.max("n_tokens")).cast("double"),
+                    6,
+                )
+            )
+            .alias("padding_frac"),
         )
     )
 
@@ -941,7 +955,13 @@ def dsir_scores(
             "doc_id", _md5_bucket(F.col("feat"), ":dsir", n_buckets).alias("bucket")
         )
 
-    tr_feats = feats(train)
+    # persist the (doc_id, bucket) feature stream: it feeds BOTH the
+    # raw-count aggregate (inside the broadcast log-ratio table) and
+    # the final scoring join — without the cache the corpus-scale
+    # tokenize+explode (the module's dominant cost) executes twice
+    # per invocation. MEMORY_AND_DISK default; ~16 bytes/occurrence,
+    # far smaller than the raw text it derives from.
+    tr_feats = feats(train).persist()
     tg_counts = feats(target).groupBy("bucket").agg(F.count("*").alias("ct"))
     tr_counts = tr_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
     tg_total = tg_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))

@@ -195,7 +195,7 @@ def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':aes'),
                         1, 8))::BIGINT % 1000000 + 1) / 1000001.0)
                    / CAST(n_chars AS DOUBLE), 6) + 0.0 AS key
-      FROM documents)
+      FROM documents WHERE n_chars > 0)
     SELECT doc_id, weight, key FROM r ORDER BY key DESC, doc_id LIMIT 50
     """,
 )
@@ -226,8 +226,10 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM b2)
     SELECT bucket, batch_id, CAST(count(*) AS INT) AS n_docs,
            min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
-           round(1.0 - sum(n_tokens) / CAST(count(*) * max(n_tokens) AS DOUBLE),
-                 6) AS padding_frac
+           CASE WHEN max(n_tokens) = 0 THEN 0.0
+                ELSE round(1.0 - sum(n_tokens) /
+                           CAST(count(*) * max(n_tokens) AS DOUBLE), 6)
+           END AS padding_frac
     FROM rb GROUP BY 1, 2
     """,
 )
