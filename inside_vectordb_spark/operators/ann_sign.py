@@ -518,6 +518,29 @@ def sign_deleted_ids(spark: SparkSession, path: str) -> set[int]:
     return {r["id"] for r in spark.read.parquet(tomb).collect()}
 
 
+def _assign_nearest(
+    vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(doc_id, cid): each vector's nearest centroid by rounded
+    cosine with cid tie-break — argmax expressed as
+    min(struct(-score, cid)) so it partial-aggregates map-side. THE
+    assignment rule for every IVF tier (det and km, build and
+    O(delta) upsert); one implementation so the rounding/tie-break
+    can never diverge between the six call sites (review r6s2)."""
+    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
+    return (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__s").alias("__best"))
+        .select("doc_id", F.col("__best.cid").alias("cid"))
+    )
+
+
 def ann_ivf_det_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -556,18 +579,7 @@ def ann_ivf_det_topk(
     ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"))
     # corpus -> nearest centroid: argmax rounded cosine, cid tie-break,
     # expressed as min(struct(-score, cid)) so it partial-aggregates
-    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
-    assign = (
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
-        )
-        .groupBy("doc_id")
-        .agg(F.min("__s").alias("__best"))
-        .select("doc_id", F.col("__best.cid").alias("cid"))
-    )
+    assign = _assign_nearest(corpus, cents, id_col, vec_col)
     # queries -> n_probe nearest centroids (query side is small; a
     # per-query window over cap rows is bounded work)
     qb = queries.select(
@@ -646,18 +658,7 @@ def ensure_ivf_det_index(
             "— ids don't intersect the rule range; use the km tier or "
             "adjust stride/cap"
         )
-    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
-    assign = (
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
-        )
-        .groupBy("doc_id")
-        .agg(F.min("__s").alias("__best"))
-        .select("doc_id", F.col("__best.cid").alias("cid"))
-    )
+    assign = _assign_nearest(corpus, cents, id_col, vec_col)
     assign.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(path, "lists")
     )
@@ -711,18 +712,7 @@ def upsert_ivf_det_index(
         path,
     )
     cents = spark.read.parquet(os.path.join(path, "cents"))
-    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
-    assign = (
-        new_vectors.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
-        )
-        .groupBy("doc_id")
-        .agg(F.min("__s").alias("__best"))
-        .select("doc_id", F.col("__best.cid").alias("cid"))
-    )
+    assign = _assign_nearest(new_vectors, cents, id_col, vec_col)
     assign.repartition("cid").write.mode("append").partitionBy("cid").parquet(
         os.path.join(path, "lists")
     )
@@ -841,18 +831,7 @@ def ann_ivf_km_topk(
         )
         .select(F.col("cluster").alias("cid"), "__cv")
     )
-    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
-    assign = (
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
-        )
-        .groupBy("doc_id")
-        .agg(F.min("__s").alias("__best"))
-        .select("doc_id", F.col("__best.cid").alias("cid"))
-    )
+    assign = _assign_nearest(corpus, cents, id_col, vec_col)
     qb = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -927,18 +906,7 @@ def ensure_ivf_km_index(
     )
     cents.write.mode("overwrite").parquet(os.path.join(path, "cents"))
     stored_cents = spark.read.parquet(os.path.join(path, "cents"))
-    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
-    assign = (
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(stored_cents))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
-        )
-        .groupBy("doc_id")
-        .agg(F.min("__s").alias("__best"))
-        .select("doc_id", F.col("__best.cid").alias("cid"))
-    )
+    assign = _assign_nearest(corpus, stored_cents, id_col, vec_col)
     assign.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(path, "lists")
     )
@@ -1038,18 +1006,7 @@ def upsert_ivf_km_index(
         path,
     )
     cents = spark.read.parquet(os.path.join(path, "cents"))
-    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
-    assign = (
-        new_vectors.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
-        )
-        .groupBy("doc_id")
-        .agg(F.min("__s").alias("__best"))
-        .select("doc_id", F.col("__best.cid").alias("cid"))
-    )
+    assign = _assign_nearest(new_vectors, cents, id_col, vec_col)
     assign.repartition("cid").write.mode("append").partitionBy("cid").parquet(
         os.path.join(path, "lists")
     )
