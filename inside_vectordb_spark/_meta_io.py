@@ -47,6 +47,18 @@ def remove_tree(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def remove_file(path: str) -> None:
+    """Remove a single control file if present (no-op when missing).
+    Invalidating a completeness marker MUST go through the seam: on an
+    object-store deployment a raw ``os.remove`` would silently no-op
+    and revive the stale-meta-over-torn-data window the marker
+    protocol exists to close (advice r6)."""
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
+
+
 def read_json(path: str) -> dict[str, Any] | None:
     """Load a JSON control file; None if absent."""
     if not os.path.exists(path):

@@ -63,11 +63,11 @@ def _begin_rebuild(path: str) -> None:
     also REMOVED first (review r6s2; the lexical index solves the
     same problem with generation dirs, which its multi-relation
     layout needs — a single-relation ANN artifact only needs the
-    marker discipline)."""
-    try:
-        os.remove(os.path.join(path, "meta.json"))
-    except FileNotFoundError:
-        pass
+    marker discipline). Goes through the _meta_io seam like every
+    other control-file touch: a raw os.remove would silently no-op on
+    an object-store deployment and leave the stale marker standing
+    (advice r6)."""
+    mio.remove_file(mio.join(path, "meta.json"))
 
 
 def _assert_disjoint_delta(
@@ -819,8 +819,9 @@ def delete_from_sq_index(
     """FAISS ``remove_ids`` / hnswlib ``mark_deleted`` analogue:
     tombstone a set of doc ids in the persisted SQ index WITHOUT
     rewriting the codes table. Deletes append to a tiny ``tombstones``
-    parquet; search anti-joins it (broadcast — the tombstone set is
-    small relative to the corpus by contract). At 100 TB this is the
+    parquet; search anti-joins it (no broadcast hint — the set grows
+    until the next rebuild, AQE broadcasts only while it is actually
+    small). At 100 TB this is the
     only viable shape: a delete touches O(deleted) bytes, and the
     codes table is compacted away lazily by a rebuild, not eagerly.
 
@@ -902,7 +903,7 @@ def ann_sq_topk_indexed(
     tomb = mio.join(path, "tombstones")
     if mio.is_dir(tomb):
         codes = codes.join(
-            F.broadcast(spark.read.parquet(tomb)), "doc_id", "left_anti"
+            spark.read.parquet(tomb), "doc_id", "left_anti"
         )
     return ann_sq_topk(
         queries,

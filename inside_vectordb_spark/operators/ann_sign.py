@@ -161,8 +161,9 @@ def ensure_sign_index(
 def _index_scan(spark: SparkSession, path: str, probed: list[int]) -> DataFrame:
     """The pruned (id, bucket) scan every sign-LSH search shares:
     partition-pruned to the probed buckets, with tombstoned ids
-    anti-joined out (broadcast — the tombstone set is small by
-    contract), so deleted vectors can never reach candidate
+    anti-joined out (no broadcast hint — tombstones accumulate until
+    the next rebuild, so AQE picks broadcast only while the set is
+    actually small), so deleted vectors can never reach candidate
     generation or the rerank."""
     idx = (
         spark.read.parquet(os.path.join(path, "buckets"))
@@ -170,9 +171,7 @@ def _index_scan(spark: SparkSession, path: str, probed: list[int]) -> DataFrame:
     )
     tomb = mio.join(path, "tombstones")
     if mio.is_dir(tomb):
-        idx = idx.join(
-            F.broadcast(spark.read.parquet(tomb)), "id", "left_anti"
-        )
+        idx = idx.join(spark.read.parquet(tomb), "id", "left_anti")
     return idx
 
 
@@ -487,7 +486,8 @@ def delete_from_sign_index(
     """hnswlib ``mark_deleted`` analogue on the sign-LSH tier:
     tombstone doc ids WITHOUT rewriting the bucket table — deletes
     append to a tiny ``tombstones`` parquet that search anti-joins
-    (broadcast) out of the candidate scan. O(deleted) bytes written;
+    out of the candidate scan (AQE-chosen strategy). O(deleted)
+    bytes written;
     a rebuild (``ensure_sign_index`` on a changed corpus/params)
     compacts tombstones away. Idempotent per id."""
     import numpy as np

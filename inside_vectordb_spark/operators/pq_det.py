@@ -354,8 +354,13 @@ def delete_from_pq_det_index(
             [(int(i),) for i in ids], "id long"
         ).distinct()
     if mio.is_dir(tomb):
+        # No broadcast hint: the ACCUMULATED tombstone table is
+        # O(total deleted) — after crawl-scale delete campaigns it can
+        # be corpus-sized, and a forced broadcast would blow the
+        # driver. AQE picks broadcast while it is actually small
+        # (advice r6).
         ids_df = ids_df.join(
-            F.broadcast(spark.read.parquet(tomb)), "id", "left_anti"
+            spark.read.parquet(tomb), "id", "left_anti"
         )
     fresh_rows = ids_df.persist()
     n_fresh = fresh_rows.count()
@@ -398,7 +403,9 @@ def ann_pq_det_topk_indexed(
     tomb = os.path.join(path, "tombstones")
     if mio.is_dir(tomb):
         dead = spark.read.parquet(tomb).select(F.col("id").alias("doc_id"))
-        codes = codes.join(F.broadcast(dead), "doc_id", "left_anti")
+        # no broadcast hint: tombstones grow until the next rebuild —
+        # AQE broadcasts while small, shuffles when they aren't
+        codes = codes.join(dead, "doc_id", "left_anti")
     return _adc_search(
         queries, codes, corpus, cents_sub, k, cand_k,
         query_id_col, id_col, vec_col, m_sub, dim,

@@ -53,11 +53,27 @@ def _semdedup_coarse(
     emb: DataFrame, id_col: str, vec_col: str, n_clusters: int
 ) -> DataFrame:
     """Deterministic id-sampled coarse centroids (same rule as the
-    det-IVF tier, but with a caller-controlled cluster count)."""
-    return emb.filter(
+    det-IVF tier, but with a caller-controlled cluster count).
+
+    Fails LOUDLY when the id rule selects nothing (an id space that
+    does not intersect ``{i : i % stride == 1, i < stride·k}``):
+    zero centroids would make ``_assign`` drop every document and
+    semantic dedup silently report zero pairs / zero drops — the same
+    guard ``ensure_ivf_det_index`` grew in r6 (advice r6)."""
+    cents = emb.filter(
         ((F.col(id_col) % SEMDEDUP_COARSE_STRIDE) == 1)
         & (F.col(id_col) < SEMDEDUP_COARSE_STRIDE * n_clusters)
     ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"))
+    if not cents.limit(1).count():
+        raise ValueError(
+            "semantic dedup: the deterministic centroid rule "
+            f"(id % {SEMDEDUP_COARSE_STRIDE} == 1 AND id < "
+            f"{SEMDEDUP_COARSE_STRIDE}*{n_clusters}) selected no rows "
+            f"from column {id_col!r} — the corpus id space does not "
+            "intersect the sampling rule; remap ids or raise "
+            "n_clusters"
+        )
+    return cents
 
 
 def _default_n_clusters(emb: DataFrame) -> int:

@@ -955,18 +955,25 @@ def dsir_scores(
             "doc_id", _md5_bucket(F.col("feat"), ":dsir", n_buckets).alias("bucket")
         )
 
-    # persist the (doc_id, bucket) feature stream: it feeds BOTH the
-    # raw-count aggregate (inside the broadcast log-ratio table) and
-    # the final scoring join — without the cache the corpus-scale
-    # tokenize+explode (the module's dominant cost) executes twice
-    # per invocation. MEMORY_AND_DISK default; ~16 bytes/occurrence,
-    # far smaller than the raw text it derives from.
-    tr_feats = feats(train).persist()
+    # The per-bucket log-ratio table is bounded by n_buckets (≤4096
+    # rows), so it is materialized EAGERLY to the driver and the
+    # returned plan joins the literal relation broadcast. Two designs
+    # were rejected: (a) leaving lratio as a subplan re-executes the
+    # corpus-scale tokenize+explode twice inside ONE job, and (b) a
+    # .persist() on the feature stream (the r6 shape) caches ~16
+    # bytes/occurrence — ~5× the raw text at 100 TB, all of it
+    # spilled — and leaked its blocks for the session lifetime
+    # because the consuming action runs in the caller (advice r6).
+    # Eager counts pass + single-scan lazy plan costs the same IO as
+    # cache-fill + cache-read, with zero block-manager footprint.
+    # F.log stays JVM-side in BOTH passes, so scores are bit-identical
+    # to the subplan form.
+    tr_feats = feats(train)
     tg_counts = feats(target).groupBy("bucket").agg(F.count("*").alias("ct"))
     tr_counts = tr_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
     tg_total = tg_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
     tr_total = tr_counts.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("rt"))
-    lratio = (
+    lratio_rows = (
         tr_counts.join(tg_counts, "bucket", "left")
         .crossJoin(F.broadcast(tg_total))
         .crossJoin(F.broadcast(tr_total))
@@ -983,7 +990,9 @@ def dsir_scores(
                 )
             ).alias("__lr"),
         )
-    )
+    ).collect()
+    spark = train.sparkSession
+    lratio = spark.createDataFrame(lratio_rows, "bucket long, __lr double")
     return (
         tr_feats.join(F.broadcast(lratio), "bucket")
         .groupBy("doc_id")

@@ -44,3 +44,23 @@ def test_semantic_dedup_cluster_knob_shrinks_pair_stage(spark):
     assert coarse > fine > finer > 0
     # the scaled default: ~1 centroid / 10k docs, floored at 16
     assert _default_n_clusters(emb) == max(16, -(-emb.count() // 10_000))
+
+
+def test_semantic_dedup_raises_on_disjoint_id_space(spark):
+    """Advice r6: an id space that never intersects the deterministic
+    centroid rule must fail LOUDLY, not silently report zero pairs /
+    zero drops (the guard ensure_ivf_det_index already has)."""
+    import pytest
+
+    from inside_vectordb_spark.operators.semdedup import (
+        SEMDEDUP_COARSE_STRIDE,
+        semantic_dedup_pairs,
+    )
+
+    # ids ≡ 0 (mod stride): the `id % stride == 1` rule selects none
+    emb = spark.createDataFrame(
+        [(i * SEMDEDUP_COARSE_STRIDE, [1.0, 0.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="selected no rows"):
+        semantic_dedup_pairs(emb, threshold=0.0)

@@ -24,6 +24,27 @@ def test_write_json_atomic_and_clean(tmp_path):
         assert json.load(f)["versions"][-1] == 19
 
 
+def test_remove_file_through_seam(tmp_path, monkeypatch):
+    """Control-file removal goes through the seam (advice r6): a
+    marker invalidation must be swappable for an object-store delete,
+    and removing a missing marker is a no-op, not an error."""
+    p = str(tmp_path / "meta.json")
+    mio.remove_file(p)  # missing → no-op
+    mio.write_json(p, {"kind": "x"})
+    mio.remove_file(p)
+    assert mio.read_json(p) is None
+    # _begin_rebuild (the ANN completeness-marker invalidation) must
+    # call the seam, not raw os.remove
+    from inside_vectordb_spark.operators import ann_index
+
+    calls: list[str] = []
+    monkeypatch.setattr(
+        ann_index.mio, "remove_file", lambda q: calls.append(q)
+    )
+    ann_index._begin_rebuild(str(tmp_path))
+    assert calls == [mio.join(str(tmp_path), "meta.json")]
+
+
 def test_snapshot_log_roundtrip_through_seam(spark, tmp_path):
     from inside_vectordb_spark.operators.merge import (
         read_snapshot,

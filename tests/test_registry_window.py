@@ -14,15 +14,11 @@ from inside_vectordb_spark.registry import ORACLES, QUERIES
 
 WINDOW = 50
 
-# Rows-only entries allowed inside the window: the three stochastic
-# ANN tiers whose LAST driver observation is a r01/r02 FAIL — rotated
-# back in (judge's round-5 ask) to clear those stale records; their
-# deterministic twins are oracle-backed and driver-green.
-NO_ORACLE_OK: set[str] = {
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_duplicates_lsh",
-}
+# Rows-only entries allowed inside the window. Round 6 cleared the
+# three stale-FAIL stochastic tiers (ann_lsh_topk, ann_ivf_topk,
+# embedding_near_duplicates_lsh — all rows-only-green in r6), so the
+# round-7 window is 100% oracle-backed.
+NO_ORACLE_OK: set[str] = set()
 
 # One representative per §2 tier that MUST sit inside the window
 # every round (reproducible multi-round anchors). Round 5 shrank the
@@ -43,36 +39,34 @@ MUST_COVER = {
 }
 
 
-# Rows rotated into the round-6 window: never driver-checked before,
-# plus the four last-observation-FAIL records being cleared
-# (lineitem_correlations r5 signed-zero, and the three rows-only
-# stochastic tiers). They stay pinned here until a CORRECTNESS file
-# proves them green.
-ROTATED_IN_R6 = {
-    "lineitem_correlations",
-    "ann_lsh_topk", "ann_ivf_topk", "embedding_near_duplicates_lsh",
-    "embedding_near_duplicates_det", "decontamination_bloom",
-    "dsir_select", "bm25_rm3_topk", "events_cohort_retention",
-    "events_funnel", "corpus_distinct_ngrams", "source_term_kl",
-    "minhash_stream_pairs", "zipf_fit", "ann_pq_det_topk",
-    "ann_pq_det_upsert_topk", "ann_pq_det_topk_deleted",
-    "ann_ivfpq_det_topk", "ann_ivfpq_det_topk_indexed",
-    "ann_ivf_det_topk", "ann_ivf_det_upsert_topk", "semantic_dedup",
-    "embedding_column_stats", "ann_recall_vs_exact",
-    "ann_pq_det_refine_sweep", "ann_signlsh_stream_upsert",
-    "method_candidate_costs", "events_user_distinct", "range_search",
-    "events_user_journey", "quality_percentile_gate",
-    "repetition_stats", "corpus_curation_clustered",
-    "temperature_mixture", "ann_stochastic_recall_floor",
-    "weighted_sample",
-    "events_value_zscore", "events_stream_enriched", "ann_sq_topk",
-    "label_centroids",
+# Rows rotated into the round-7 window: never driver-checked before
+# (the round-6 window came back 50/50 green, so all its rotation rows
+# moved past the prefix). They stay pinned here until a CORRECTNESS
+# file proves them green.
+ROTATED_IN_R7 = {
+    "ann_ivf_km_topk", "ann_ivf_km_topk_indexed",
+    "ann_ivf_km_upsert_topk", "ann_mrl_topk", "ann_mrl_topk_indexed",
+    "ann_mrl_sweep", "ann_mrl_upsert_topk",
+    "decontamination_semantic", "ndcg_at_k", "winnowing_candidates",
+    "hybrid_linear_topk", "source_quota_cap", "perplexity_buckets",
+    "embedding_norms_pandas_udf", "label_mean_norm_pandas_udf",
+    "doc_chunks_udtf", "jsonl_pyds_roundtrip",
+    "bucketed_join_roundtrip", "compaction_roundtrip",
+    "dataset_split", "doc_length_percentiles", "events_cooccurrence",
+    "events_hourly_stream_sink", "events_sliding_window",
+    "events_time_rollup", "events_value_winsorized", "filtered_topk",
+    "length_bucketed_batches", "lineitem_column_stats",
+    "media_chunks", "nearest_centroid_assign",
+    "schema_evolution_roundtrip", "skewed_join_salted",
+    "stratified_sample", "snapshot_vacuum", "text_normalize",
+    "text_search_e2e", "audio_features", "video_frame_sample",
+    "vocab_top_terms",
 }
 
 
 def test_rotated_rows_in_window():
     window = set(list(e.queries())[:WINDOW])
-    missing = ROTATED_IN_R6 - window
+    missing = ROTATED_IN_R7 - window
     assert not missing, f"rotation rows fell out of the window: {missing}"
 
 
