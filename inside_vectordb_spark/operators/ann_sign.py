@@ -423,6 +423,75 @@ def ann_sign_probe_stats(
     )
 
 
+def ann_sign_probe_sweep(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = SIGN_BITS,
+    dim: int = SIGN_DIM,
+) -> DataFrame:
+    """Both probe settings of the knob sweep in ONE candidate pass:
+    (setting ∈ {probe1, probe2}, query_id, n_candidates, top1_score).
+
+    ``ann_sign_probe_stats`` per setting scans/scores its full
+    candidate set, and probe2's candidates are a superset of probe1's
+    — two calls score every base-bucket candidate twice and collect
+    the probed-bucket list twice. Here each query explodes to its
+    (probe_rank, bucket) pairs ONCE (rank 0 = base, 1 = margin flip;
+    a doc lives in exactly one bucket, so the two probe sets are
+    disjoint), one pruned index scan + one corpus join scores every
+    candidate exactly once, and a per-(query, rank) partial aggregate
+    rolls up to both settings: probe1 = the rank-0 rows, probe2 =
+    sum/max across ranks. Candidate scoring work drops ~40% and the
+    driver round-trips halve (one probed-bucket collect)."""
+    ensure_sign_index(
+        spark, corpus, path, id_col=id_col, vec_col=vec_col, bits=bits, dim=dim
+    )
+    planes = sign_planes(bits, dim)
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.posexplode(sign_bucket_probes(vec_col, planes)).alias("__p", "bucket"),
+    )
+    probed = sorted({r["bucket"] for r in qb.select("bucket").distinct().collect()})
+    idx = _index_scan(spark, path, probed)
+    withvec = (
+        qb.join(idx, "bucket")
+        .select("query_id", "__qv", "__p", F.col("id").alias("doc_id"))
+        .join(
+            corpus.select(
+                F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__cv")
+            ),
+            "doc_id",
+        )
+    )
+    per_rank = withvec.groupBy("query_id", "__p").agg(
+        F.count("*").alias("n_candidates"),
+        F.max(F.round(cosine_similarity("__qv", "__cv"), 6)).alias("top1_score"),
+    )
+    probe1 = per_rank.filter(F.col("__p") == 0).select(
+        F.lit("probe1").alias("setting"), "query_id", "n_candidates", "top1_score"
+    )
+    probe2 = (
+        per_rank.groupBy("query_id")
+        .agg(
+            F.sum("n_candidates").alias("n_candidates"),
+            F.max("top1_score").alias("top1_score"),
+        )
+        .select(
+            F.lit("probe2").alias("setting"),
+            "query_id",
+            "n_candidates",
+            "top1_score",
+        )
+    )
+    return probe1.unionByName(probe2)
+
+
 def upsert_sign_index(
     spark: SparkSession,
     new_vectors: DataFrame,

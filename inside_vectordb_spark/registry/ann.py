@@ -462,12 +462,13 @@ def ann_signlsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (setting, query): the candidate count the knob pays for and the
     best cosine it buys — probe2's candidate sets are supersets of
     probe1's, so n_candidates is monotone ↑ and top1_score never drops;
-    the value-hash match proves BOTH curves, not just the shape."""
+    the value-hash match proves BOTH curves, not just the shape. Both
+    settings come from ONE fused candidate pass
+    (``ann_sign_probe_sweep``): every candidate is scored exactly once
+    and the per-(query, probe-rank) partials roll up to both rows."""
     import os
 
-    from pyspark.sql import functions as F
-
-    from inside_vectordb_spark.operators.ann_sign import ann_sign_probe_stats
+    from inside_vectordb_spark.operators.ann_sign import ann_sign_probe_sweep
 
     art = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -477,17 +478,7 @@ def ann_signlsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = eio.query_vectors(spark, sf_dir)
     c = eio.load_table(spark, sf_dir, "embeddings")
-    pieces = []
-    for n_probes in (1, 2):
-        pieces.append(
-            ann_sign_probe_stats(spark, q, c, art, n_probes=n_probes).select(
-                F.lit(f"probe{n_probes}").alias("setting"),
-                "query_id",
-                "n_candidates",
-                "top1_score",
-            )
-        )
-    return pieces[0].unionByName(pieces[1])
+    return ann_sign_probe_sweep(spark, q, c, art)
 
 
 from inside_vectordb_spark.operators.ann_sign import sign_planes  # noqa: E402

@@ -371,6 +371,39 @@ def test_sign_multiprobe_recall_dominates_single_probe(spark, tmp_path):
         assert m_counts.get(q, 0) >= n, (q, n, m_counts.get(q))
 
 
+def test_sign_probe_sweep_fuses_both_settings(spark, tmp_path):
+    """The fused sweep (one candidate pass, per-(query, probe-rank)
+    partials rolled up) must emit exactly the rows two per-setting
+    ``ann_sign_probe_stats`` calls produce — the refactor that cut the
+    r6 headline's double candidate scoring cannot change semantics."""
+    import random
+
+    from inside_vectordb_spark.operators.ann_sign import (
+        ann_sign_probe_stats,
+        ann_sign_probe_sweep,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 6").selectExpr("vec_id AS query_id", "embedding")
+    path = str(tmp_path / "sweepidx")
+    fused = {
+        (r["setting"], r["query_id"]): (r["n_candidates"], r["top1_score"])
+        for r in ann_sign_probe_sweep(spark, queries, df, path).collect()
+    }
+    per_setting = {}
+    for n_probes in (1, 2):
+        for r in ann_sign_probe_stats(
+            spark, queries, df, path, n_probes=n_probes
+        ).collect():
+            per_setting[(f"probe{n_probes}", r["query_id"])] = (
+                r["n_candidates"],
+                r["top1_score"],
+            )
+    assert fused == per_setting
+
+
 def test_sign_lsh_bits_knob(spark, tmp_path):
     """``bits`` is a BUILD PARAMETER (the 2^bits bucket-count knob the
     judge asked for): the first 6 planes are shared between bits=6 and

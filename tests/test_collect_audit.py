@@ -29,7 +29,7 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 COLLECT_BUDGET = {
     "operators/ann.py": 1,            # k-row centroid table (bounded k)
     "operators/ann_index.py": 7,      # meta fingerprints (1-row aggs), k-row centroids
-    "operators/ann_sign.py": 6,       # probed-cid lists (≤ |Q|·n_probe), 1-row meta
+    "operators/ann_sign.py": 7,       # probed-cid lists (≤ |Q|·n_probe), 1-row meta
     "operators/bm25.py": 1,           # 1-row corpus stats literal (N, avgdl)
     "operators/compare.py": 2,        # per-method 1-row metric tables
     "operators/ivfpq_det.py": 1,      # probed-cid list (≤ |Q|·n_probe)
@@ -40,7 +40,10 @@ COLLECT_BUDGET = {
     "operators/rm3.py": 2,            # |Q|×fb_terms weight table (bounded knobs)
     "operators/sq.py": 1,             # 1-row min/max stats literal
     "operators/topk.py": 1,           # query-matrix broadcast (documented contract)
-    "operators/traindata.py": 2,      # BPE argmax batches (≤30 rows/round)
+    "operators/traindata.py": 3,      # BPE argmax batches (≤30 rows/round);
+                                      # DSIR log-ratio table (≤ n_buckets
+                                      # = 4096 rows — replaced the leaked
+                                      # O(occurrences) persist, advice r6)
     "registry/pipeline.py": 1,        # temperature_mixture 1-row max-weight agg
     "registry/traindata.py": 1,       # bpe_vocab 8-row learned merge table
 }
