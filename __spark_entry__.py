@@ -107,12 +107,14 @@ WINDOW_PRIORITY = [
 
 # Queries never driver-checked after this window — the round-8
 # rotation pool (19 left; all covered by check_gate --all locally).
-# Oracle-backed (5): bpe_pair_counts, doc_chunks, events_moving_avg,
-# orc_roundtrip, price_histogram_equiwidth.
-# Rows-only (14, each justified in COVERAGE.md): ann_brp_topk,
+# Oracle-backed (7): bpe_pair_counts, bpe_vocab, bpe_encoded_tokens
+# (the BPE pair both gained full unrolled-loop oracles in r7),
+# doc_chunks, events_moving_avg, orc_roundtrip,
+# price_histogram_equiwidth.
+# Rows-only (12, each justified in COVERAGE.md): ann_brp_topk,
 # ann_hnsw_vendored, ann_ivf_topk_indexed, ann_ivf_upsert_topk,
 # ann_ivfpq_topk_indexed, ann_knob_sweep, ann_lsh_topk_indexed,
-# ann_pq_topk, ann_pq_topk_indexed, bpe_encoded_tokens, bpe_vocab,
+# ann_pq_topk, ann_pq_topk_indexed,
 # doc_length_percentiles_approx, events_user_sketch, method_speedups
 
 

@@ -335,8 +335,10 @@ def delete_from_pq_det_index(
     spark: SparkSession, path: str, ids: "list[int] | DataFrame"
 ) -> dict:
     """FAISS ``remove_ids`` on the PQ tier: tombstone doc ids WITHOUT
-    rewriting codes — deletes append to a tiny ``tombstones`` parquet
-    that search anti-joins (broadcast) out of the ADC scan. The
+    rewriting codes — deletes append to a ``tombstones`` parquet that
+    search anti-joins out of the ADC scan (AQE-chosen strategy: the
+    accumulated set can be corpus-sized after crawl-scale delete
+    campaigns, so no forced broadcast). The
     codebook is untouched (FAISS never retrains on remove). O(deleted)
     bytes; a rebuild compacts tombstones away. Idempotent per id.
 

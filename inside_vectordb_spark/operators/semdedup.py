@@ -64,7 +64,9 @@ def _semdedup_coarse(
         ((F.col(id_col) % SEMDEDUP_COARSE_STRIDE) == 1)
         & (F.col(id_col) < SEMDEDUP_COARSE_STRIDE * n_clusters)
     ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"))
-    if not cents.limit(1).count():
+    if not cents.limit(1).count() and emb.limit(1).count():
+        # dedup over an EMPTY corpus is well-defined (no pairs) — only
+        # a non-empty corpus the rule cannot see is the silent no-op
         raise ValueError(
             "semantic dedup: the deterministic centroid rule "
             f"(id % {SEMDEDUP_COARSE_STRIDE} == 1 AND id < "

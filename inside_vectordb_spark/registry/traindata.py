@@ -611,11 +611,17 @@ def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WORDPAIR_CTES = """
-    words AS (
+# The (word, corpus frequency) table every BPE oracle starts from —
+# ONE definition so the pair-count and learn/encode oracles cannot
+# silently diverge on tokenization (same rule as Spark's
+# word_frequencies: trim+lower, \\s+ split, drop empties).
+_WORDS_WC_CTES = """words AS (
       SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
       FROM documents WHERE trim(text) <> ''),
-    wc AS (SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+    wc AS (SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w)"""
+
+_WORDPAIR_CTES = f"""
+    {_WORDS_WC_CTES},
     prs AS (
       SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
              substr(w, CAST(i AS INT) + 1, 1) AS right_sym, freq
@@ -655,10 +661,7 @@ def _bpe_merge_ctes(n_merges: int = 8) -> str:
     learn loop's stopping rule."""
     d, dd = _BPE_D, _BPE_D * 2
     ctes = [
-        f"""words AS (
-      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
-      FROM documents WHERE trim(text) <> ''),
-    wc AS (SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+        f"""{_WORDS_WC_CTES},
     s0 AS (SELECT w, freq,
              '{dd}' || array_to_string(string_split(w, ''), '{dd}') || '{dd}' AS s
            FROM wc)"""

@@ -64,3 +64,7 @@ def test_semantic_dedup_raises_on_disjoint_id_space(spark):
     )
     with pytest.raises(ValueError, match="selected no rows"):
         semantic_dedup_pairs(emb, threshold=0.0)
+    # an EMPTY corpus is well-defined (no pairs), not an error — a
+    # curation stage may legitimately drop every document upstream
+    empty = emb.filter("vec_id < 0")
+    assert semantic_dedup_pairs(empty, threshold=0.0).count() == 0
