@@ -444,9 +444,13 @@ def ann_sign_probe_sweep(
     (probe_rank, bucket) pairs ONCE (rank 0 = base, 1 = margin flip;
     a doc lives in exactly one bucket, so the two probe sets are
     disjoint), one pruned index scan + one corpus join scores every
-    candidate exactly once, and a per-(query, rank) partial aggregate
-    rolls up to both settings: probe1 = the rank-0 rows, probe2 =
-    sum/max across ranks. Candidate scoring work drops ~40% and the
+    candidate exactly once, and a ROLLUP on (query, rank) produces
+    both grains in a single aggregation pass: the (query, rank=0)
+    rows are the probe1 setting, the rank-collapsed rows are probe2
+    (their count/max over both disjoint probe sets ≡ the two-bucket
+    search). No union of re-planned subtrees, no reliance on runtime
+    exchange reuse — the plan has exactly one candidate join.
+    Candidate scoring work drops ~40% vs the two-call form and the
     driver round-trips halve (one probed-bucket collect)."""
     ensure_sign_index(
         spark, corpus, path, id_col=id_col, vec_col=vec_col, bits=bits, dim=dim
@@ -469,27 +473,22 @@ def ann_sign_probe_sweep(
             "doc_id",
         )
     )
-    per_rank = withvec.groupBy("query_id", "__p").agg(
+    per = withvec.rollup("query_id", "__p").agg(
         F.count("*").alias("n_candidates"),
         F.max(F.round(cosine_similarity("__qv", "__cv"), 6)).alias("top1_score"),
+        F.grouping("__p").alias("__gp"),
+        F.grouping("query_id").alias("__gq"),
     )
-    probe1 = per_rank.filter(F.col("__p") == 0).select(
-        F.lit("probe1").alias("setting"), "query_id", "n_candidates", "top1_score"
+    return per.filter(
+        (F.col("__gq") == 0) & ((F.col("__gp") == 1) | (F.col("__p") == 0))
+    ).select(
+        F.when(F.col("__gp") == 1, F.lit("probe2"))
+        .otherwise(F.lit("probe1"))
+        .alias("setting"),
+        "query_id",
+        "n_candidates",
+        "top1_score",
     )
-    probe2 = (
-        per_rank.groupBy("query_id")
-        .agg(
-            F.sum("n_candidates").alias("n_candidates"),
-            F.max("top1_score").alias("top1_score"),
-        )
-        .select(
-            F.lit("probe2").alias("setting"),
-            "query_id",
-            "n_candidates",
-            "top1_score",
-        )
-    )
-    return probe1.unionByName(probe2)
 
 
 def upsert_sign_index(

@@ -450,6 +450,21 @@ def test_bloom_decontamination_join_sees_survivors_only(spark):
             )
 
 
+def test_signlsh_sweep_single_candidate_pass(spark):
+    """The fused probe sweep: BOTH knob settings come from ONE
+    candidate join — exactly one pruned scan of the persisted bucket
+    table and one Expand-backed rollup aggregation, no union of
+    re-planned per-setting subtrees (the r6 shape scanned and scored
+    everything twice)."""
+    df = QUERIES["ann_signlsh_sweep"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("ann_sign") == 1, "bucket table scanned more than once"
+    assert "Union" not in plan
+    assert "Expand" in plan  # the rollup's two grouping sets
+    # the probed-bucket partition pruning survives the fusion
+    assert "INSET" in plan or "PartitionFilters: [bucket" in plan
+
+
 def test_dsir_broadcasts_logratio_and_shuffles_partial_sums(spark):
     """DSIR scoring: the per-bucket log-ratio table joins broadcast
     (it is bounded by n_buckets), and the final per-doc reduce is a
