@@ -72,7 +72,10 @@ def recall_retention(cmp: DataFrame, baseline: str = "exact", round_to: int = 6)
     base = cmp.filter(F.col("method") == baseline).select(
         F.col("recall_at_10").alias("__base_recall")
     )
-    return cmp.crossJoin(F.broadcast(base)).select(
+    # LEFT join on TRUE, not crossJoin: an absent baseline method must
+    # degrade to NULL retention for every row ('n/a' in the summary),
+    # not silently drop the whole comparison (review r7)
+    return cmp.join(F.broadcast(base), F.lit(True), "left").select(
         "method",
         *METRIC_COLS,
         F.round(
@@ -89,7 +92,9 @@ def speedup_ratios(perf: DataFrame, baseline: str = "exact", round_to: int = 4) 
     base = perf.filter(F.col("method") == baseline).select(
         F.col("latency_sec").alias("__base_lat")
     )
-    return perf.crossJoin(F.broadcast(base)).select(
+    # same absent-baseline degradation as recall_retention: NULL
+    # speedup, never zero output rows
+    return perf.join(F.broadcast(base), F.lit(True), "left").select(
         "method",
         "latency_sec",
         F.round(F.lit(1.0) / F.col("latency_sec"), round_to).alias("qps"),
@@ -166,6 +171,14 @@ def run_comparison_pipeline(
     return summary_text(cmp.collect())
 
 
+def _fmt(v, spec: str, suffix: str = "") -> str:
+    """'n/a' for NULL metrics: a method's report may legitimately lack
+    a metric (legacy shapes normalize_report supports) and
+    method_comparison then yields NULL — the summary must render it,
+    not crash on NoneType.__format__ (review r7)."""
+    return f"{v:{spec}}{suffix}" if v is not None else "n/a"
+
+
 def summary_text(cmp_rows: list, perf_rows: list | None = None) -> str:
     """B6: the formatted comparison summary (``005:430-520``), built
     driver-side from collected comparison rows."""
@@ -176,16 +189,29 @@ def summary_text(cmp_rows: list, perf_rows: list | None = None) -> str:
     for r in sorted(cmp_rows, key=lambda r: r["method"]):
         ret = r["recall_retention"]
         lines.append(
-            f"{r['method']:<12} {r['recall_at_10']:>10.4f} {r['precision_at_10']:>10.4f} "
-            f"{r['mrr']:>8.4f} {(f'{ret:.1%}' if ret is not None else 'n/a'):>10}"
+            f"{r['method']:<12} {_fmt(r['recall_at_10'], '.4f'):>10} "
+            f"{_fmt(r['precision_at_10'], '.4f'):>10} "
+            f"{_fmt(r['mrr'], '.4f'):>8} "
+            f"{(f'{ret:.1%}' if ret is not None else 'n/a'):>10}"
         )
     if perf_rows:
         lines += ["", f"{'method':<12} {'latency_s':>10} {'qps':>10} {'speedup':>10}"]
         for r in sorted(perf_rows, key=lambda r: r["method"]):
             lines.append(
-                f"{r['method']:<12} {r['latency_sec']:>10.3f} {r['qps']:>10.2f} "
-                f"{r['speedup_vs_baseline']:>10.2f}x"
+                f"{r['method']:<12} {_fmt(r['latency_sec'], '.3f'):>10} "
+                f"{_fmt(r['qps'], '.2f'):>10} "
+                f"{_fmt(r['speedup_vs_baseline'], '.2f', 'x'):>10}"
             )
-    best = max(cmp_rows, key=lambda r: (r["recall_at_10"], r["method"]))
-    lines += ["", f"KEY FINDING: best recall@10 = {best['recall_at_10']:.4f} ({best['method']})"]
+    best = max(
+        cmp_rows,
+        key=lambda r: (
+            r["recall_at_10"] if r["recall_at_10"] is not None else float("-inf"),
+            r["method"],
+        ),
+    )
+    lines += [
+        "",
+        f"KEY FINDING: best recall@10 = {_fmt(best['recall_at_10'], '.4f')} "
+        f"({best['method']})",
+    ]
     return "\n".join(lines)

@@ -60,7 +60,10 @@ def recall_at_k(
     k_values: tuple[int, ...] = K_VALUES_RECALL,
     round_to: int | None = 6,
 ) -> DataFrame:
-    """Returns (k INT, recall DOUBLE), one row per K, ordered by k."""
+    """Returns (k INT, recall DOUBLE), one row per K, ordered by k —
+    ALWAYS one row per K: when no searched query has judgments (the
+    skip rule removes everyone) recall is 0.0, the reference's
+    documented fallback (``utils.py:15-46``), not an empty frame."""
     n_rel = (
         qrels.groupBy("query_id")
         .agg(F.countDistinct("doc_id").alias("n_relevant"))
@@ -81,7 +84,12 @@ def recall_at_k(
         "k",
         (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_relevant")).alias("r"),
     )
-    out = per_query.groupBy("k").agg(F.avg("r").alias("recall"))
+    agg = per_query.groupBy("k").agg(F.avg("r").alias("recall"))
+    out = (
+        _k_dim(topk, k_values)
+        .join(F.broadcast(agg), "k", "left")
+        .select("k", F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall"))
+    )
     if round_to is not None:
         out = out.withColumn("recall", F.round("recall", round_to))
     return out.orderBy("k")
@@ -187,8 +195,17 @@ def ndcg_at_k(
 
     Same scale shape as the A5-A7 chain: qrels broadcast, one
     (query,k) aggregate over k·Q rows — metrics run on search OUTPUT,
-    never the corpus. Returns (k INT, ndcg DOUBLE) ordered by k."""
+    never the corpus. Returns (k INT, ndcg DOUBLE) ordered by k.
+
+    Like ``_hits`` (P5), qrels are deduped on (query_id, doc_id)
+    first — duplicate judgment rows (merged/updated qrels files)
+    would otherwise double-count in BOTH the DCG join and the ideal
+    ranking. Grade conflicts resolve to MAX (a doc's strongest
+    judgment wins); the oracle restates the same rule."""
     kd = _k_dim(topk, k_values)
+    qrels = qrels.groupBy("query_id", "doc_id").agg(
+        F.max("relevance").alias("relevance")
+    )
     gain = F.pow(F.lit(2.0), F.col("relevance").cast("double")) - F.lit(1.0)
     dcg = (
         topk.join(F.broadcast(qrels), ["query_id", "doc_id"])

@@ -63,12 +63,16 @@ def mmr_rerank(
     per query. ``score`` is the relevance arm; the redundancy arm is
     cosine between candidate embeddings, computed inside the group
     kernel on unit-normalized vectors."""
-    cand = candidates.join(
-        corpus.select(
-            F.col(corpus_id).alias("doc_id"), F.col(corpus_vec).alias("__cv")
-        ),
-        "doc_id",
-    ).select("query_id", "doc_id", "score", "__cv")
+    # candidates are Q·N rows (post-top-k) but sit behind a window, so
+    # Catalyst has no small-size estimate — broadcast them explicitly
+    # or this plans as a sort-merge join that shuffles the ENTIRE
+    # embedding corpus by doc_id (review r7; cross_encoder_rerank
+    # already used this shape)
+    cand = corpus.select(
+        F.col(corpus_id).alias("doc_id"), F.col(corpus_vec).alias("__cv")
+    ).join(F.broadcast(candidates), "doc_id").select(
+        "query_id", "doc_id", "score", "__cv"
+    )
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

@@ -54,26 +54,35 @@ def asof_join(
     together, and take ``last(struct, ignorenulls)`` over a running
     window — one shuffle on the key, no inequality join anywhere.
     """
+    from pyspark.sql.types import StructType
+
+    def _q(name: str):
+        # backtick-quoted reference: names with dashes/spaces/dots
+        # (the BEIR files keep 'corpus-id' verbatim) would otherwise
+        # be mis-parsed as nested refs (review r7)
+        return F.col("`" + name.replace("`", "``") + "`")
+
     payload = [ts_col] + [c for c in right_cols if c != ts_col]
-    r_struct = F.struct(*[F.col(c).alias(c) for c in payload])
-    null_struct = F.lit(None).cast(
-        "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in payload) + ">"
-    )
+    # cast against StructType OBJECTS, not a concatenated DDL string
+    # (unparseable for such names; schema[] also cannot collapse
+    # duplicate names the way dict(df.dtypes) silently does)
+    r_struct = F.struct(*[_q(c).alias(c) for c in payload])
+    null_r = F.lit(None).cast(StructType([right.schema[c] for c in payload]))
 
     lcols = list(left.columns)
     l_tagged = left.select(
-        F.col(key_col).alias("__key"),
-        F.col(ts_col).alias("__ts"),
+        _q(key_col).alias("__key"),
+        _q(ts_col).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.struct(*[F.col(c).alias(c) for c in lcols]).alias("__l"),
-        null_struct.alias("__r"),
+        F.struct(*[_q(c).alias(c) for c in lcols]).alias("__l"),
+        null_r.alias("__r"),
     )
     r_tagged = right.select(
-        F.col(key_col).alias("__key"),
-        F.col(ts_col).alias("__ts"),
+        _q(key_col).alias("__key"),
+        _q(ts_col).alias("__ts"),
         F.lit(0).alias("__side"),
         F.lit(None)
-        .cast("struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in lcols) + ">")
+        .cast(StructType([left.schema[c] for c in lcols]))
         .alias("__l"),
         r_struct.alias("__r"),
     )
@@ -86,8 +95,8 @@ def asof_join(
     u = l_tagged.unionByName(r_tagged).withColumn(
         "__match", F.last("__r", ignorenulls=True).over(w)
     )
-    out_cols = [F.col(f"__l.{c}").alias(c) for c in lcols] + [
-        F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in payload
+    out_cols = [F.col("__l")[c].alias(c) for c in lcols] + [
+        F.col("__match")[c].alias(f"{prefix}{c}") for c in payload
     ]
     return u.filter(F.col("__side") == 1).select(*out_cols)
 

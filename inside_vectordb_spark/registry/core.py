@@ -169,8 +169,10 @@ def _topk_for_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     perq AS (SELECT ks.k,
                     COALESCE(hc.n_hits, 0) * 1.0 / b.n_relevant AS r
              FROM base b CROSS JOIN ks
-             LEFT JOIN hitc hc ON hc.query_id = b.query_id AND hc.k = ks.k)
-    SELECT k, round(avg(r), 6) AS recall FROM perq GROUP BY k ORDER BY k
+             LEFT JOIN hitc hc ON hc.query_id = b.query_id AND hc.k = ks.k),
+    agg AS (SELECT k, avg(r) AS recall FROM perq GROUP BY k)
+    SELECT ks.k, round(COALESCE(a.recall, 0.0), 6) AS recall
+    FROM ks LEFT JOIN agg a USING (k) ORDER BY ks.k
     """,
 )
 def recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,10 +222,12 @@ def mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_METRIC_BASE},
     ks AS (SELECT CAST(unnest([5,10,100]) AS INT) AS k),
+    qrd AS (SELECT query_id, doc_id, max(relevance) AS relevance
+            FROM qrels GROUP BY 1, 2),
     dcg AS (
       SELECT t.query_id, ks.k,
              sum((pow(2.0, qr.relevance) - 1.0) / log2(t.rank + 1.0)) AS dcg
-      FROM topk t JOIN qrels qr USING (query_id, doc_id)
+      FROM topk t JOIN qrd qr USING (query_id, doc_id)
       CROSS JOIN ks WHERE t.rank <= ks.k GROUP BY 1, 2),
     ideal AS (
       SELECT query_id, ks.k,
@@ -231,7 +235,7 @@ def mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT query_id, relevance,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY relevance DESC, doc_id) AS ir
-            FROM qrels) CROSS JOIN ks
+            FROM qrd) CROSS JOIN ks
       WHERE ir <= ks.k GROUP BY 1, 2),
     perq AS (
       SELECT i.k, COALESCE(d.dcg, 0.0) / i.idcg AS nd

@@ -393,8 +393,11 @@ def jsonl_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.write_corpus_jsonl(docs, path)
     register_jsonl_corpus_source(spark)
     back = spark.read.format("jsonl_corpus").load(path)
+    # the source yields `_id` as STRING (BEIR-faithful: real corpus
+    # ids are often non-numeric); this fixture's ids are numeric, so
+    # the cast back to the documents key type is exact
     return back.select(
-        "doc_id",
+        F.col("_id").cast("long").alias("doc_id"),
         "text",
         F.col("metadata")["lang"].alias("lang"),
         F.col("metadata")["source"].alias("source"),

@@ -19,22 +19,13 @@ import json
 import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import (
-    LongType,
-    MapType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-CORPUS_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("title", StringType()),
-        StructField("text", StringType()),
-        StructField("metadata", MapType(StringType(), StringType())),
-    ]
-)
+# The SAME schema the JVM-native BEIR reader declares
+# (files.CORPUS_SCHEMA): `_id` stays a STRING because real BEIR
+# corpus ids are frequently non-numeric ('MED-10', 'ug7v899j') —
+# a reader that int()s them fails on every actual BEIR dataset
+# (review r7). Callers with numeric ids cast downstream.
+from inside_vectordb_spark.sources.files import CORPUS_SCHEMA
 
 
 class _FilePartition(InputPartition):
@@ -67,8 +58,9 @@ class JsonlCorpusReader(DataSourceReader):
                     continue
                 rec = json.loads(line)
                 meta = rec.get("metadata") or {}
+                rid = rec.get("_id")
                 yield (
-                    int(rec["_id"]),
+                    str(rid) if rid is not None else None,
                     rec.get("title", ""),
                     rec.get("text", ""),
                     {str(k): str(v) for k, v in meta.items()},

@@ -141,7 +141,7 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: st
 
 def run_to_memory(
     streaming_df: DataFrame,
-    output_mode: str = "complete",
+    output_mode: str | None = None,
     timeout_sec: int = 300,
     state_partitions: int | None = 8,
 ) -> DataFrame:
@@ -149,6 +149,13 @@ def run_to_memory(
     memory sink; returns the result as a BATCH DataFrame. This is the
     bridge that lets the driver's (batch) correctness gate
     oracle-check the streaming plans.
+
+    ``output_mode=None`` (default) resolves per plan: ``complete``
+    for aggregations, falling back to ``append`` when Spark rejects
+    it at ``start()`` (stream-stream joins and ``dropDuplicates``
+    don't support complete; the rejection happens before any
+    processing, so the retry is clean). Pass a mode explicitly to
+    pin it — ``update`` is never auto-chosen.
 
     ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
     stream's lifetime — in Structured Streaming this is THE state
@@ -167,13 +174,27 @@ def run_to_memory(
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     name = f"stream_{uuid.uuid4().hex[:12]}"
     try:
-        q = (
-            streaming_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        def _start(mode: str):
+            return (
+                streaming_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        if output_mode is None:
+            from pyspark.errors import AnalysisException
+
+            try:
+                q = _start("complete")
+            except AnalysisException:
+                # non-aggregating plan (stream-stream join,
+                # dropDuplicates): complete is rejected at start(),
+                # before any processing — append is the right mode
+                q = _start("append")
+        else:
+            q = _start(output_mode)
         try:
             if not q.awaitTermination(timeout_sec):
                 raise TimeoutError(
@@ -353,6 +374,7 @@ def run_upsert_to_sign_index(
     changes_stream: DataFrame,
     index_path: str,
     timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Streaming ANN-index maintenance — the vector-store ingest loop
     (hnswlib ``add_items`` fed by a stream): every micro-batch of new
@@ -366,16 +388,21 @@ def run_upsert_to_sign_index(
 
     Delivery contract: delta ids disjoint across batches and from the
     base (the FAISS ``add`` contract); at-least-once replays are
-    guarded by the checkpoint — a replayed batch would violate
-    disjointness, so production deployments key the inbox files by
-    batch id exactly as the CDC merge does."""
+    guarded by the checkpoint, so a FAILED drain must keep its
+    checkpoint: pass the same ``checkpoint_dir`` to resume without
+    reprocessing applied micro-batches (the path is in the
+    TimeoutError message when the default fresh directory was used —
+    deleting it on failure, the pre-r7 behavior, made every retry
+    replay batch 0 into an append-only index). The auto-created
+    directory is removed only after a SUCCESSFUL drain."""
     import os
     import shutil
     import tempfile
 
     from inside_vectordb_spark.operators.ann_sign import upsert_sign_index
 
-    ckpt = tempfile.mkdtemp(
+    auto_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(
         prefix="ck_", dir=os.path.dirname(index_path) or None
     )
 
@@ -396,9 +423,15 @@ def run_upsert_to_sign_index(
             # surface the partial drain — returning silently would
             # serve an index missing the undrained micro-batches
             raise TimeoutError(
-                f"sign-index upsert drain still running after {timeout_sec}s"
+                f"sign-index upsert drain still running after "
+                f"{timeout_sec}s; resume with checkpoint_dir={ckpt!r}"
             )
-    finally:
+    except BaseException:
         if q.isActive:
             q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+        raise  # keep the checkpoint: the retry must not replay
+    else:
+        if q.isActive:
+            q.stop()
+        if auto_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)

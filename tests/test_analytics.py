@@ -42,6 +42,24 @@ def test_asof_join_semantics(spark):
     assert out["l5"] == (None, None)  # key with no right rows at all
 
 
+def test_asof_join_non_identifier_column_names(spark):
+    """Review r7: names with dashes/dots/spaces (BEIR keeps
+    'corpus-id' verbatim) must survive the struct pack/unpack — the
+    old DDL-string cast and F.col refs mis-parsed them."""
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (2, 3, "L2")],
+        "`corpus-id` long, ts long, `left val` string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 7.5)], "`corpus-id` long, ts long, `px.rate` double"
+    )
+    out = sorted(
+        asof_join(left, right, "corpus-id", "ts", ["px.rate"]).collect()
+    )
+    assert out[0]["left val"] == "L1" and out[0]["asof_px.rate"] == 7.5
+    assert out[1]["asof_px.rate"] is None
+
+
 def test_asof_join_keeps_all_left_rows(spark):
     res = QUERIES["events_asof_join"](spark, SF_DIR)
     ev = eio.load_table(spark, SF_DIR, "events")

@@ -90,6 +90,48 @@ def test_summary_text(cmp_df):
     assert "KEY FINDING: best recall@10 = 0.8000 (exact)" in txt
 
 
+def test_absent_baseline_degrades_to_null_not_empty(spark, cmp_df):
+    """Review r7: a missing baseline method must yield NULL
+    retention/speedup for every row (summary prints 'n/a'), never an
+    empty comparison that crashes summary_text downstream."""
+    rows = recall_retention(
+        method_comparison(
+            {
+                "lsh": _long_report(
+                    spark,
+                    [("recall", 10, 0.6), ("precision", 10, 0.3), ("mrr", None, 0.5)],
+                )
+            }
+        ),
+        baseline="exact",
+    ).collect()
+    assert len(rows) == 1 and rows[0]["recall_retention"] is None
+    perf = spark.createDataFrame(
+        [("lsh", 0.5)], "method string, latency_sec double"
+    )
+    prow = speedup_ratios(perf, "exact").collect()
+    assert len(prow) == 1 and prow[0]["speedup_vs_baseline"] is None
+    txt = summary_text(rows, prow)
+    assert "n/a" in txt and "lsh" in txt
+
+
+def test_summary_text_renders_null_metrics(cmp_df):
+    """A legacy report without recall@10 yields NULL metric cells —
+    the summary renders 'n/a' instead of raising on format."""
+    rows = [
+        {
+            "method": "legacy",
+            "recall_at_10": None,
+            "precision_at_10": None,
+            "mrr": 0.4,
+            "recall_retention": None,
+        }
+    ]
+    txt = summary_text(rows)
+    assert "legacy" in txt and "n/a" in txt
+    assert "best recall@10 = n/a (legacy)" in txt
+
+
 def test_run_comparison_pipeline_through_files(spark, tmp_path):
     """B4/B5/B6 + S11/S12 composed: reports written to disk, re-read,
     normalized, pivoted, summarized."""

@@ -512,6 +512,45 @@ def _ref_ndcg(results, qrels, k):
     return sum(vals) / len(vals) if vals else None
 
 
+def test_ndcg_dedups_duplicate_judgments(spark):
+    """Review r7: duplicate (query, doc) judgment rows must not
+    double-count in DCG or occupy two ideal positions; grade
+    conflicts resolve to MAX."""
+    from inside_vectordb_spark.operators.metrics import ndcg_at_k
+
+    topk = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    dup = spark.createDataFrame(
+        [(1, 10, 3), (1, 10, 3), (1, 10, 1), (1, 11, 1)],
+        "query_id long, doc_id long, relevance int",
+    )
+    uniq = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 1)],
+        "query_id long, doc_id long, relevance int",
+    )
+    got_dup = {r["k"]: r["ndcg"] for r in ndcg_at_k(topk, dup, (5,)).collect()}
+    got_uniq = {r["k"]: r["ndcg"] for r in ndcg_at_k(topk, uniq, (5,)).collect()}
+    assert got_dup == got_uniq
+    assert got_uniq[5] == 1.0  # ideal ordering retrieved → exactly 1
+
+
+def test_recall_zero_fills_when_no_query_judged(spark):
+    """Review r7: the reference returns 0.0 when the skip rule removes
+    every query — the DataFrame twin must emit (k, 0.0) rows, not an
+    empty frame that downstream reports misread as 'no metric'."""
+    from inside_vectordb_spark.operators.metrics import recall_at_k
+
+    topk = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(99, 10, 1)], "query_id long, doc_id long, relevance int"
+    )
+    rows = recall_at_k(topk, qrels, (1, 5)).collect()
+    assert [(r["k"], r["recall"]) for r in rows] == [(1, 0.0), (5, 0.0)]
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(results=results_strategy, qrels=qrels_strategy)
 def test_ndcg_matches_reference_semantics(spark, results, qrels):

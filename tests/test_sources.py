@@ -63,6 +63,60 @@ def test_beir_download_url_and_cache(tmp_path):
     assert download_beir_dataset("msmarco", str(tmp_path)) == str(cached)
 
 
+def test_beir_extract_is_atomic(tmp_path, monkeypatch):
+    """Review r7: a killed extraction must not leave a directory the
+    isdir cache check mistakes for a complete dataset — extraction
+    stages to a temp dir and renames into place on success only."""
+    import zipfile
+
+    from inside_vectordb_spark.sources import beir
+
+    def fake_fetch(url, zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            zf.writestr("scifact/corpus.jsonl", '{"_id": "MED-10"}\n')
+
+    monkeypatch.setattr(beir.urllib.request, "urlretrieve", fake_fetch)
+    out = beir.download_beir_dataset("scifact", str(tmp_path))
+    assert out == str(tmp_path / "scifact")
+    assert (tmp_path / "scifact" / "corpus.jsonl").exists()
+    # no staging droppings, zip consumed
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["scifact"]
+
+    def boom(url, zip_path):
+        with open(zip_path, "wb") as f:
+            f.write(b"not a zip")
+
+    monkeypatch.setattr(beir.urllib.request, "urlretrieve", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(zipfile.BadZipFile):
+        beir.download_beir_dataset("nfcorpus", str(tmp_path))
+    # the failed dataset did NOT commit: a retry will re-download
+    assert not (tmp_path / "nfcorpus").exists()
+
+
+def test_pyds_reads_non_numeric_beir_ids(spark, tmp_path):
+    """Review r7: real BEIR corpus ids are strings ('MED-10') — the
+    custom Python DataSource must keep `_id` as STRING like the
+    JVM-native reader, and tolerate a missing _id as null."""
+    from inside_vectordb_spark.sources.pyds import (
+        register_jsonl_corpus_source,
+    )
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"_id": "MED-10", "title": "t", "text": "x"}\n'
+        '{"_id": 7, "text": "y"}\n'
+        '{"text": "orphan"}\n'
+    )
+    register_jsonl_corpus_source(spark)
+    rows = {
+        r["_id"]: r["text"]
+        for r in spark.read.format("jsonl_corpus").load(str(p)).collect()
+    }
+    assert rows == {"MED-10": "x", "7": "y", None: "orphan"}
+
+
 def test_zorder_layout_skipping_property(spark, tmp_path):
     """Z-order clustering must make BOTH key columns' per-file value
     ranges narrow — the data-skipping property itself, measured on the

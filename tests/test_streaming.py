@@ -42,6 +42,19 @@ def test_stream_is_incremental(spark):
     assert s.isStreaming
 
 
+def test_run_to_memory_auto_mode_handles_non_aggregating_plans(spark):
+    """Review r7: the default drain mode must work for plans that
+    reject 'complete' (dropDuplicates here) by falling back to
+    append — callers should not need to know each plan's supported
+    modes for the generic batch-gate bridge."""
+    dedup = read_events_stream(spark, SF_DIR).select("user_id").dropDuplicates(
+        ["user_id"]
+    )
+    out = run_to_memory(dedup)  # no output_mode → auto
+    batch = QUERIES["events_user_distinct"](spark, SF_DIR)
+    assert out.count() == batch.collect()[0]["n_users"]
+
+
 def test_minhash_stream_pairs_equals_batch(spark):
     """The incremental near-dup drain must produce exactly the batch
     operator's pair set over the full corpus (the sharing-the-oracle
