@@ -122,13 +122,18 @@ def minhash_signatures(
     based = sh.select(
         "doc_id", (b % _HALF).alias("b1"), F.shiftright(b, 30).alias("b2")
     )
+    # generate exactly k parameter triples: slicing the module-level
+    # k=12 table silently truncated any k > 12 to a 12-wide signature
+    # (review r7) — _minhash_params is deterministic, so the first 12
+    # are always the same triples
+    params = MINHASH_PARAMS[:k] if k <= MINHASH_K else _minhash_params(k)
     return based.groupBy("doc_id").agg(
         *[
             F.min(
                 (F.col("b1") * F.lit(a) + F.col("b2") * F.lit(c) + F.lit(d))
                 % F.lit(MINHASH_PRIME)
             ).alias(f"mh{i}")
-            for i, (a, c, d) in enumerate(MINHASH_PARAMS[:k])
+            for i, (a, c, d) in enumerate(params)
         ]
     )
 
@@ -137,7 +142,15 @@ def minhash_band_keys(
     signatures: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K
 ) -> DataFrame:
     """(doc_id, band_idx, band_key): band_key concatenates the band's
-    row hashes — the LSH bucket id."""
+    row hashes — the LSH bucket id. ``bands`` must divide ``k``
+    evenly: integer division would otherwise silently drop the
+    trailing ``k % bands`` hashes and flatten the s-curve to the
+    truncated signature's (review r7; same rule simhash enforces)."""
+    if k % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide the signature length k ({k}) "
+            f"evenly — {k % bands} trailing hash(es) would be ignored"
+        )
     rows_per_band = k // bands
     band_structs = F.array(
         *[
@@ -276,10 +289,21 @@ def simhash(
 ) -> DataFrame:
     """(doc_id, simhash): weighted-majority bit signature over token
     hashes — token multiplicity IS the weight (classic Charikar
-    simhash). One explode + one groupBy; no joins."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize(text_col)).alias("tok"),
+    simhash). One explode + one groupBy; no joins. Empty/whitespace
+    docs tokenize to [''] — that phantom token is FILTERED, so such
+    docs get no signature row instead of a shared md5('')-derived
+    signature that would make every empty doc a near-dup candidate
+    of every other (review r7; same rule every other token consumer
+    in the engine applies). Tokens come through the hoisted
+    ``word_ngram_stream`` (n=1, with multiplicity) — an inline
+    ``explode(tokenize(...))`` re-evaluates the split per emitted
+    token, the engine's documented O(len²) generator hazard."""
+    from inside_vectordb_spark.functions.text import word_ngram_stream
+
+    toks = (
+        word_ngram_stream(docs, id_col, text_col, 1, distinct=False)
+        .select(F.col(id_col).alias("doc_id"), F.col("gram").alias("tok"))
+        .filter(F.col("tok") != "")
     )
     # hash ONCE into a column: inlining the md5 into every per-bit
     # aggregate would evaluate it ``bits`` times per token row
@@ -321,13 +345,29 @@ def embedding_near_duplicates_lsh(
     bucket-join shape as ``ann_lsh_topk`` — never a cross product;
     high-threshold near-dups collide with high probability (cosine
     ≥ 0.8 ⇒ sign-agreement per plane ≈ 1 - θ/π ≈ 0.8)."""
-    from pyspark.sql import Window as _W
-
     from inside_vectordb_spark.operators.ann import lsh_bucket_ids
 
     b = lsh_bucket_ids(embeddings, id_col, vec_col, dim, n_tables, n_bits, seed)
+    e = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    return _bucketed_cosine_pairs(b, e, max_bucket_size, threshold, round_to)
+
+
+def _bucketed_cosine_pairs(
+    b: DataFrame,
+    e: DataFrame,
+    max_bucket_size: int | None,
+    threshold: float,
+    round_to: int,
+) -> DataFrame:
+    """The candidate → verify tail BOTH embedding near-dup variants
+    share (review r7 — previously copy-pasted, so a cap/tie-rule fix
+    could silently reach only one): cap each (table, bucket) at
+    ``max_bucket_size`` by id order, self-join within buckets for
+    canonical (id_a < id_b) distinct pairs, then exact rounded cosine
+    on candidate vectors only. ``b`` = (id, table_idx, bucket);
+    ``e`` = (__id, __v)."""
     if max_bucket_size is not None:
-        w = _W.partitionBy("table_idx", "bucket").orderBy("id")
+        w = Window.partitionBy("table_idx", "bucket").orderBy("id")
         b = (
             b.withColumn("__bpos", F.row_number().over(w))
             .filter(F.col("__bpos") <= max_bucket_size)
@@ -343,17 +383,22 @@ def embedding_near_duplicates_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    e = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    out = (
-        pairs.join(e.withColumnRenamed("__id", "id_a").withColumnRenamed("__v", "v_a"), "id_a")
-        .join(e.withColumnRenamed("__id", "id_b").withColumnRenamed("__v", "v_b"), "id_b")
+    return (
+        pairs.join(
+            e.withColumnRenamed("__id", "id_a").withColumnRenamed("__v", "v_a"),
+            "id_a",
+        )
+        .join(
+            e.withColumnRenamed("__id", "id_b").withColumnRenamed("__v", "v_b"),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
             F.round(cosine_similarity("v_a", "v_b"), round_to).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= threshold)
     )
-    return out.filter(F.col("cos_sim") >= threshold)
 
 
 def embedding_near_duplicates_det(
@@ -421,33 +466,7 @@ def embedding_near_duplicates_det(
             )
         ).alias("table_idx", "bucket"),
     )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("table_idx", "bucket").orderBy("id")
-        b = (
-            b.withColumn("__bpos", F.row_number().over(w))
-            .filter(F.col("__bpos") <= max_bucket_size)
-            .drop("__bpos")
-        )
-    pairs = (
-        b.select(F.col("id").alias("id_a"), "table_idx", "bucket")
-        .join(
-            b.select(F.col("id").alias("id_b"), "table_idx", "bucket"),
-            ["table_idx", "bucket"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return (
-        pairs.join(e.withColumnRenamed("__id", "id_a").withColumnRenamed("__v", "v_a"), "id_a")
-        .join(e.withColumnRenamed("__id", "id_b").withColumnRenamed("__v", "v_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity("v_a", "v_b"), round_to).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    return _bucketed_cosine_pairs(b, e, max_bucket_size, threshold, round_to)
 
 
 def connected_components(

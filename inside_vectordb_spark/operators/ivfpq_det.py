@@ -62,20 +62,14 @@ def _coarse(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _assign(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str):
-    """(doc_id, cid): rounded tie-stable cosine argmax as a map-side
-    combinable struct-min — same rule as det-IVF."""
-    ac = F.round(cosine_similarity(vec_col, "__cv"), 6)
-    return (
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.struct((-ac).alias("negs"), F.col("cid").alias("cid")).alias("__s"),
-        )
-        .groupBy("doc_id")
-        .agg(F.min("__s").alias("__best"))
-        .select("doc_id", F.col("__best.cid").alias("cid"))
-    )
+    """(doc_id, cid): delegates to THE shared nearest-centroid rule
+    (``ann_sign._assign_nearest``) — this was a byte-identical copy
+    the r6s2 consolidation missed, and a drift here would silently
+    diverge the det-IVFPQ and SemDeDup tiers from the IVF tiers
+    (review r7)."""
+    from inside_vectordb_spark.operators.ann_sign import _assign_nearest
+
+    return _assign_nearest(corpus, cents, id_col, vec_col)
 
 
 def _residuals(

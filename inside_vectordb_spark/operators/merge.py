@@ -172,23 +172,37 @@ def snapshot_diff(
 
     One full outer join keyed on ``key`` (both sides must be read —
     that's inherent to a diff); change detection compares the
-    non-key columns as a struct, so adding columns never needs new
-    code here."""
+    non-key columns as a struct over the UNION of both versions'
+    columns (a side missing a column contributes typed NULLs), so
+    schema evolution between the versions diffs correctly: a row
+    whose only change is a newly added column IS an update, and a
+    dropped column neither crashes the select nor hides changes
+    (review r7 — the from-side column set alone did both). Struct
+    comparison is null-safe (``eqNullSafe``) for the same reason: a
+    NULL in any field must count as a difference from a value, not
+    poison the comparison."""
     a = read_snapshot(spark, path, v_from)
     b = read_snapshot(spark, path, v_to)
-    cols = [c for c in a.columns if c != key]
-    fa = a.select(
-        F.col(key).alias("__k"), F.struct(*cols).alias("__a")
-    )
-    fb = b.select(
-        F.col(key).alias("__k"), F.struct(*cols).alias("__b")
-    )
+    a_cols = [c for c in a.columns if c != key]
+    b_cols = [c for c in b.columns if c != key]
+    cols = a_cols + [c for c in b_cols if c not in a_cols]
+
+    def _packed(df: DataFrame, have: list[str], other: DataFrame, alias: str):
+        fields = [
+            (F.col(c) if c in have else F.lit(None).cast(other.schema[c].dataType)).alias(c)
+            for c in cols
+        ]
+        return df.select(F.col(key).alias("__k"), F.struct(*fields).alias(alias))
+
+    fa = _packed(a, a_cols, b, "__a")
+    fb = _packed(b, b_cols, a, "__b")
     j = fa.join(fb, "__k", "full_outer")
+    changed = ~F.col("__a").eqNullSafe(F.col("__b"))
     if not preimages:
         op = (
             F.when(F.col("__a").isNull(), F.lit("insert"))
             .when(F.col("__b").isNull(), F.lit("delete"))
-            .when(F.col("__a") != F.col("__b"), F.lit("update"))
+            .when(changed, F.lit("update"))
         )
         side = F.when(F.col("__b").isNull(), F.col("__a")).otherwise(F.col("__b"))
         return (
@@ -212,7 +226,7 @@ def snapshot_diff(
             F.array(F.struct(F.lit("delete").alias("op"), F.col("__a").alias("img"))),
         )
         .when(
-            F.col("__a") != F.col("__b"),
+            changed,
             F.array(
                 F.struct(F.lit("update_preimage").alias("op"), F.col("__a").alias("img")),
                 F.struct(F.lit("update_postimage").alias("op"), F.col("__b").alias("img")),

@@ -44,7 +44,13 @@ def deterministic_range_ids(
     Ties on ``key`` at a boundary all land in the lower bucket id —
     callers break ties inside buckets with their own tie-break
     column, which is safe because equal keys are never split across
-    buckets."""
+    buckets.
+
+    NULL keys land in bucket 0 (every boundary comparison is NULL →
+    counted as 0), consistent with Spark's ASC NULLS FIRST window
+    ordering inside the bucket; without the coalesce a single NULL
+    key produced a NULL bucket id that crashed the driver-side
+    offset accumulation (review r7)."""
     if n_parts < 2:
         return df.withColumn(pid_col, F.lit(0))
     probs = [i / n_parts for i in range(1, n_parts)]
@@ -57,7 +63,7 @@ def deterministic_range_ids(
     pid: Column = F.lit(0)
     for b in bounds:
         cmp = (F.col(key) > F.lit(b)) if ascending else (F.col(key) < F.lit(b))
-        pid = pid + cmp.cast("int")
+        pid = pid + F.coalesce(cmp.cast("int"), F.lit(0))
     return df.withColumn(pid_col, pid)
 
 

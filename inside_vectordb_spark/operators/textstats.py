@@ -99,10 +99,19 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Greedy token-budget sequence packing (the sample-packing step
-    before LLM training): (doc_id, shard, seq_id, n_ws_tokens), docs
-    assigned to ``budget``-token training sequences by running token
-    count, deterministically ordered by id WITHIN id-hash shards.
+    """Token-budget sequence packing (the sample-packing step before
+    LLM training): (doc_id, shard, seq_id, n_ws_tokens), docs
+    assigned to sequences by START OFFSET in the running token count,
+    deterministically ordered by id WITHIN id-hash shards. Offset
+    bucketing means a doc that STRADDLES a budget boundary joins the
+    sequence it starts in, so a sequence's total can exceed
+    ``budget`` by up to one document — the streaming-friendly
+    contract (t5x/seqio-style pack-then-truncate): consumers truncate
+    or wrap the overflow, and no per-row sequential close-out state
+    is needed. A strict close-at-budget greedy packer is inherently
+    sequential per shard; this form stays one window expression
+    (review r7 docstring honesty fix; the overflow behavior is pinned
+    by tests/test_textquality.py).
 
     ``n_shards`` bounds the packing window's parallelism — a global
     orderBy window would serialize on one task at 100 TB; per-shard
@@ -203,26 +212,25 @@ def pii_redact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     runs before release — pure Catalyst ``regexp_replace`` chain, per
     row, zero shuffle, so it composes with any scan at 100 TB. Order
     of replacement is fixed (email → phone → ip) so the output is
-    deterministic even when patterns could overlap."""
+    deterministic even when patterns could overlap; each class's
+    COUNT is taken on the text the redaction chain actually hands it
+    (phones on the email-redacted text, ips on the email+phone-
+    redacted text), so every count equals the number of placeholders
+    the redaction inserted — a phone digit-run inside an email local
+    part is the email's match, not a phone (review r7)."""
     text = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"),
-            PII_PHONE,
-            "<PHONE>",
-        ),
-        PII_IPV4,
-        "<IP>",
-    )
+    after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
+    redacted = F.regexp_replace(after_phone, PII_IPV4, "<IP>")
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).alias("n_emails"),
-        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).alias("n_phones"),
-        F.size(
-            F.regexp_extract_all(
-                F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), F.lit(PII_IPV4), 0
-            )
-        ).alias("n_ips"),
+        F.size(F.regexp_extract_all(after_email, F.lit(PII_PHONE), 0)).alias(
+            "n_phones"
+        ),
+        F.size(F.regexp_extract_all(after_phone, F.lit(PII_IPV4), 0)).alias(
+            "n_ips"
+        ),
         F.md5(redacted).alias("redacted_hash"),
     )
 
@@ -252,18 +260,15 @@ def repetition_stats(
         n.alias("n_words"),
         F.round(dup_frac, 6).alias("dup_word_frac"),
     )
-    # bigrams WITH multiplicity (unlike word_shingles, which dedups)
-    count = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
-    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        )
-    )
+    # bigrams WITH multiplicity through the hoisted-tokenization
+    # stream: inlining the bigram transform into the generator
+    # re-evaluates the split per emitted row — the repo's documented
+    # O(len²) explode hazard (review r7; see word_ngram_stream)
+    from inside_vectordb_spark.functions.text import word_ngram_stream
+
     per_bigram = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg"))
+        word_ngram_stream(docs, id_col, text_col, 2, distinct=False)
+        .select(F.col(id_col).alias("doc_id"), F.col("gram").alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("c"))
     )

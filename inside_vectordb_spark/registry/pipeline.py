@@ -208,7 +208,8 @@ def ngram_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_signatures",
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
-    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM tok WHERE tok <> ''),
     bits AS (SELECT doc_id,
         {', '.join(f'sum(((h >> {j}) & 1) * 2 - 1) AS s{j}' for j in range(dd.SIMHASH_BITS))}
       FROM h GROUP BY doc_id)
@@ -233,7 +234,8 @@ _SIMHASH_ND_BITS = 60
 
 _SIMHASH_SIG60_CTE = f"""
     tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
-    hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+           FROM tok WHERE tok <> ''),
     sbits AS (SELECT doc_id,
         {', '.join(f'sum(((h >> {j}) & 1) * 2 - 1) AS s{j}' for j in range(_SIMHASH_ND_BITS))}
       FROM hh GROUP BY doc_id),
@@ -530,17 +532,21 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pii_redaction",
     oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, text,
+        regexp_replace(text, '{ts.PII_EMAIL}', '<EMAIL>', 'g') AS after_email,
+        regexp_replace(regexp_replace(text, '{ts.PII_EMAIL}', '<EMAIL>', 'g'),
+            '{ts.PII_PHONE}', '<PHONE>', 'g') AS after_phone
+      FROM documents)
     SELECT doc_id,
       CAST(len(regexp_extract_all(text, '{ts.PII_EMAIL}')) AS INT) AS n_emails,
-      CAST(len(regexp_extract_all(text, '{ts.PII_PHONE}')) AS INT) AS n_phones,
-      CAST(len(regexp_extract_all(
-          regexp_replace(text, '{ts.PII_EMAIL}', '<EMAIL>', 'g'),
-          '{ts.PII_IPV4}')) AS INT) AS n_ips,
-      md5(regexp_replace(regexp_replace(regexp_replace(
-          text, '{ts.PII_EMAIL}', '<EMAIL>', 'g'),
-          '{ts.PII_PHONE}', '<PHONE>', 'g'),
-          '{ts.PII_IPV4}', '<IP>', 'g')) AS redacted_hash
-    FROM documents
+      CAST(len(regexp_extract_all(after_email, '{ts.PII_PHONE}')) AS INT)
+          AS n_phones,
+      CAST(len(regexp_extract_all(after_phone, '{ts.PII_IPV4}')) AS INT)
+          AS n_ips,
+      md5(regexp_replace(after_phone, '{ts.PII_IPV4}', '<IP>', 'g'))
+          AS redacted_hash
+    FROM staged
     """,
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,8 +755,9 @@ _PACK_SHARDS = 64  # registered variant: fixed so the oracle can mirror it
     """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy token-budget sequence packing via
-    ``operators.textstats.pack_sequences``. The registered variant
+    """Token-budget sequence packing (start-offset bucketing; see
+    ``operators.textstats.pack_sequences`` for the overflow
+    contract). The registered variant
     pins ``n_shards`` (so the DuckDB oracle can mirror the shard
     arithmetic); the operator itself defaults to 4× cluster
     parallelism — the shard count is the packing window's parallelism

@@ -46,6 +46,48 @@ def test_semantic_dedup_cluster_knob_shrinks_pair_stage(spark):
     assert _default_n_clusters(emb) == max(16, -(-emb.count() // 10_000))
 
 
+def test_minhash_k_above_table_size_and_band_divisibility(spark):
+    """Review r7: k > the module default must yield a k-wide
+    signature (the param table is generated, not sliced), and a
+    bands value that doesn't divide k fails loudly instead of
+    silently ignoring trailing hashes."""
+    import pytest
+
+    from inside_vectordb_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, shingle_n=3, k=16)
+    assert [c for c in sigs.columns if c.startswith("mh")] == [
+        f"mh{i}" for i in range(16)
+    ]
+    # identical docs → identical signatures at any k
+    a, b = sigs.orderBy("doc_id").collect()
+    assert a[1:] == b[1:]
+    keys = minhash_band_keys(sigs, bands=4, k=16)
+    assert keys.select("band_idx").distinct().count() == 4
+    with pytest.raises(ValueError, match="divide"):
+        minhash_band_keys(sigs, bands=5, k=16)
+
+
+def test_simhash_empty_doc_gets_no_signature(spark):
+    """Review r7: '' / whitespace docs must yield NO signature row —
+    the phantom md5('') token made every empty doc a near-dup
+    candidate of every other."""
+    from inside_vectordb_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    assert [r["doc_id"] for r in simhash(docs).collect()] == [1]
+
+
 def test_semantic_dedup_raises_on_disjoint_id_space(spark):
     """Advice r6: an id space that never intersects the deterministic
     centroid rule must fail LOUDLY, not silently report zero pairs /

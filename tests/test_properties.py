@@ -431,6 +431,31 @@ def test_global_row_ranks_and_ntile_match_window_twin(spark, vals, n):
     assert got == want
 
 
+def test_global_row_ranks_null_keys_rank_first(spark):
+    """Review r7: a NULL key must land in bucket 0 (ASC NULLS FIRST,
+    Spark's window default) instead of producing a NULL bucket id
+    that crashed the driver-side offset accumulation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ranks import global_row_ranks
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 5.0), (2, 1.0), (3, None), (4, 3.0)],
+        "id long, v double",
+    )
+    ranked, total = global_row_ranks(df, "v", "id", n_parts=3)
+    got = {r["id"]: r["__rank"] for r in ranked.collect()}
+    w = Window.partitionBy(F.substring(F.col("id").cast("string"), 0, 0)).orderBy(
+        "v", "id"
+    )
+    want = {
+        r["id"]: r["rank"]
+        for r in df.select("id", F.row_number().over(w).alias("rank")).collect()
+    }
+    assert total == 5 and got == want
+
+
 # ---------------------------------------------------------------------------
 # word_ngram_stream must be semantically identical to the naive
 # explode(word_shingles(...)) it replaces for performance

@@ -21,11 +21,15 @@ def test_pii_redact_planted(spark):
             (3, "server at 192.168.0.1 and 10.0.0.255"),
             (4, "clean text with no pii at all"),
             (5, ""),
+            (6, "reach me at 555-123-4567@example.com ok"),
         ],
     )
     out = {r["doc_id"]: r for r in ts.pii_redact(df).collect()}
     assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 0
     assert out[2]["n_phones"] == 1
+    # a phone-shaped local part is the EMAIL's match: the redaction
+    # chain consumes it first, so n_phones must be 0 (review r7)
+    assert out[6]["n_emails"] == 1 and out[6]["n_phones"] == 0
     assert out[3]["n_ips"] == 2
     assert out[4]["n_emails"] == out[4]["n_phones"] == out[4]["n_ips"] == 0
     # clean text hashes to itself: redaction is a no-op

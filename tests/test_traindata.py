@@ -537,6 +537,38 @@ def test_snapshot_diff_preimages_roundtrip(spark, tmp_path):
     assert view == {"en": [2, 35], "fr": [1, 40]}
 
 
+def test_snapshot_diff_schema_evolution(spark, tmp_path):
+    """Review r7: diffing across a schema change must work over the
+    UNION of both versions' columns — a row whose only change is a
+    newly added column is an update (typed NULL on the from side),
+    and NULL-vs-value field changes are detected (null-safe struct
+    compare)."""
+    from inside_vectordb_spark.operators.merge import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, text string"
+    )
+    write_snapshot(v1, path, 1)
+    # v2 adds 'lang': row 1 unchanged except the new column; row 2's
+    # text goes NULL -> 'x' (null-safe compare must see it); row 3
+    # identical with NULL lang -> NOT a change
+    v2 = spark.createDataFrame(
+        [(1, "a", "en"), (2, "x", None), (3, "c", None)],
+        "id long, text string, lang string",
+    )
+    write_snapshot(v2, path, 2)
+    feed = {r["id"]: r for r in snapshot_diff(spark, path, 1, 2, key="id").collect()}
+    assert sorted((r["op"], i) for i, r in feed.items()) == [
+        ("update", 1),
+        ("update", 2),
+    ]
+    assert feed[1]["lang"] == "en" and feed[2]["text"] == "x"
+
+
 def test_bpe_batched_matches_sequential(spark):
     """Batched merge selection is EXACT: any batch_size yields the
     identical merge table (rank, pair, count) as 1-at-a-time
