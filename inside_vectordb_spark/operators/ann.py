@@ -55,6 +55,17 @@ _BUCKET_SCHEMA = StructType(
 )
 
 
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    """L2-normalize rows; zero vectors pass through unchanged (the
+    same contract as functions/vector.py:l2_normalize). THE one
+    NumPy-side normalizer — review r7 found five inline copies of
+    this idiom across the ANN modules; a zero-vector-semantics change
+    must happen in exactly one place."""
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    return mat / nrm
+
+
 def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_tables * n_bits, dim)).astype(np.float64)
@@ -202,10 +213,7 @@ def kmeans_centroids(
     )
     if pdf.empty:
         raise ValueError("kmeans_centroids: empty corpus")
-    mat = np.array(list(pdf["v"]), dtype=np.float64)
-    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-    nrm[nrm == 0.0] = 1.0
-    mat /= nrm
+    mat = _normalize_rows(np.array(list(pdf["v"]), dtype=np.float64))
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
     for _ in range(max_iter):
@@ -232,10 +240,10 @@ def ivf_assign(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.array(list(pdf["v"].to_numpy()), dtype=np.float64)
-            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            a = np.argmax((mat / nrm) @ cents.T, axis=1).astype(np.int32)
+            mat = _normalize_rows(
+                np.array(list(pdf["v"].to_numpy()), dtype=np.float64)
+            )
+            a = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
             yield pd.DataFrame({"id": pdf["id"].to_numpy(dtype=np.int64), "centroid_id": a})
 
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -264,6 +272,10 @@ def ann_ivf_topk(
     qrows = queries.select(
         F.col(query_id).alias("qid"), l2_normalize(query_vec).alias("v")
     ).collect()
+    if not qrows:
+        # np.array([]) is 1-D, and the matmul below would raise an
+        # opaque shape error instead of naming the real problem
+        raise ValueError("empty query set")
     qids = [r["qid"] for r in qrows]
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
     order = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]

@@ -112,7 +112,11 @@ def binary_oracle_sql(n_queries: int, k: int, refine: int) -> str:
     ),
     means AS (SELECT pos, avg(val) AS mu FROM pv GROUP BY pos),
     words AS (
-      SELECT pv.vec_id, CAST(pv.pos / {WORD_BITS} AS INT) AS half,
+      -- pos // {WORD_BITS}: integer floor division. CAST(pos/{WORD_BITS} AS INT)
+      -- would be float division + round-half-to-even in DuckDB
+      -- (CAST(48/32 AS INT) = 2), diverging from Spark's truncating
+      -- (pos/{WORD_BITS}).cast('int') for any dim > 80 (review r7)
+      SELECT pv.vec_id, CAST(pv.pos // {WORD_BITS} AS INT) AS half,
              CAST(sum(CASE WHEN pv.val > m.mu THEN
                CAST(power(2, pv.pos % {WORD_BITS}) AS BIGINT) ELSE 0 END) AS BIGINT)
                AS word

@@ -47,6 +47,86 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def corpus_bm25_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[float, float]:
+    """(n_docs, avgdl) as driver literals — one scalar-agg job. The
+    1-row collect keeps the stats out of the main plan (a broadcast
+    subplan would re-scan the corpus inside it); callers running
+    multiple BM25 passes (RM3) compute this ONCE and thread it
+    through ``stats=``."""
+    d = docs.select(F.lower(F.col(text_col)).alias("__t"))
+    srow = d.select(token_count(F.col("__t")).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return float(srow["n_docs"]), float(srow["avgdl"] or 0.0)
+
+
+def bm25_weighted_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+    score_col: str = "bm25",
+    stats: tuple[float, float] | None = None,
+) -> DataFrame:
+    """THE Okapi BM25 aggregation core: ``weights`` is (query_id,
+    term, mult) and each term's contribution is scaled by ``mult``.
+    Plain BM25 is the mult≡1.0 special case (``bm25_scores``) and
+    RM3's rescoring pass is the alpha/relevance-model weighting
+    (``rm3.bm25_weighted_topk``) — ONE implementation, so the
+    idf/tf-norm formulas cannot diverge between them (review r7,
+    which found a ~40-line formula copy in rm3.py).
+
+    Plan discipline: broadcast vocabulary filter BEFORE the (doc,
+    term) aggregation (tf/df of surviving terms are unchanged by
+    dropping non-matching terms, but the postings shuffle carries
+    only matching postings), df as a count window over the restricted
+    postings, dl riding the token scan, corpus stats as driver
+    literals (``stats`` or one scalar-agg job)."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
+    )
+    n_docs, avgdl = stats if stats is not None else corpus_bm25_stats(
+        docs, id_col, text_col
+    )
+    # dl rides alongside the exploded tokens (same scan, constant per
+    # doc), so no O(corpus) doc-length join is needed downstream
+    toks = d.select(
+        "doc_id",
+        token_count(F.col("__t")).alias("dl"),
+        F.explode(tokenize(F.col("__t"))).alias("term"),
+    )
+    vocab = weights.select("term").distinct()
+    postings = (
+        toks.filter(F.col("term") != "")
+        .join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    # rows are unique per (doc_id, term), so count(*) over the term
+    # partition IS the document frequency
+    postings = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    )
+    scored = postings.join(F.broadcast(weights), "term")
+    idf = F.log(
+        1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    )
+    per_term = scored.select(
+        "query_id", "doc_id", (idf * tf_norm * F.col("mult")).alias("w")
+    )
+    return per_term.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("w"), round_to).alias(score_col)
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     queries: DataFrame,
@@ -57,62 +137,23 @@ def bm25_scores(
     qid_col: str = "query_id",
     qtext_col: str = "qtext",
     round_to: int = 6,
+    stats: tuple[float, float] | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, bm25) for every document sharing ≥1 term
     with the query. Tokenization: lowercased whitespace split (the
-    engine's reference tokenizer, case-folded)."""
-    d = docs.select(
-        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
-    )
+    engine's reference tokenizer, case-folded). The mult≡1.0 case of
+    ``bm25_weighted_scores`` (×1.0 is IEEE-exact, so scores are
+    bit-identical to the pre-refactor form)."""
     q = queries.select(
         F.col(qid_col).alias("query_id"), F.lower(F.col(qtext_col)).alias("__qt")
-    )
-    # the 1-row corpus stats are collected to driver literals: a
-    # scalar agg job instead of a whole broadcast subplan re-scanning
-    # the corpus inside the main plan (legitimately driver-sized)
-    dl_rel = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
-    srow = dl_rel.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"] or 0.0)
-    # dl rides alongside the exploded tokens (same scan, constant per
-    # doc), so no O(corpus) doc-length join is needed downstream
-    toks = d.select(
-        "doc_id",
-        token_count(F.col("__t")).alias("dl"),
-        F.explode(tokenize(F.col("__t"))).alias("term"),
     )
     qterms = q.select(
         "query_id",
         F.explode(F.array_distinct(tokenize(F.col("__qt")))).alias("term"),
     ).filter(F.col("term") != "")
-    qvocab = qterms.select("term").distinct()
-    # the broadcast vocabulary filter runs BEFORE the (doc, term)
-    # aggregation: tf and df of a surviving term are unchanged by
-    # dropping non-query terms (every occurrence of a query term
-    # survives), but the postings shuffle now carries only MATCHING
-    # postings instead of the full corpus token inventory
-    postings = (
-        toks.filter(F.col("term") != "")
-        .join(F.broadcast(qvocab), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
-    )
-    # rows are unique per (doc_id, term), so count(*) over the term
-    # partition IS the document frequency
-    postings = postings.withColumn(
-        "df", F.count("*").over(Window.partitionBy("term"))
-    )
-    scored = postings.join(F.broadcast(qterms), "term")
-    idf = F.log(
-        1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
-    )
-    per_term = scored.select("query_id", "doc_id", (idf * tf_norm).alias("w"))
-    return per_term.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("w"), round_to).alias("bm25")
+    weights = qterms.withColumn("mult", F.lit(1.0))
+    return bm25_weighted_scores(
+        docs, weights, k1, b, id_col, text_col, round_to, "bm25", stats
     )
 
 
@@ -127,13 +168,15 @@ def bm25_topk(
     qid_col: str = "query_id",
     qtext_col: str = "qtext",
     round_to: int = 6,
+    stats: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits per query: (query_id, doc_id, bm25, rank).
     Ranking happens on the ROUNDED score with doc_id ascending as the
     tie-break, so the result is engine-portable (same contract as the
     cosine top-k operators)."""
     agg = bm25_scores(
-        docs, queries, k1, b, id_col, text_col, qid_col, qtext_col, round_to
+        docs, queries, k1, b, id_col, text_col, qid_col, qtext_col, round_to,
+        stats,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id")

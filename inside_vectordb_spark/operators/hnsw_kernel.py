@@ -98,15 +98,22 @@ class HnswIndex:
 
     def knn_query(self, qmat: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Batch query: returns (labels, dists) shaped (nq, k), dists
-        ascending per row, distance = 1 − inner product."""
+        ascending per row, distance = 1 − inner product.
+
+        Neighbor-list pruning can disconnect nodes (all in-edges of a
+        node replaced during later inserts), so the layer-0 beam may
+        reach FEWER than k nodes; such rows are PADDED with label -1
+        / dist +inf instead of crashing the assignment (review r7 —
+        reproduced at m=2 on clustered data). Callers drop pads by
+        filtering non-finite distances."""
         qmat = np.asarray(qmat, dtype=np.float64)
         if qmat.ndim == 1:
             qmat = qmat[None, :]
         if self._entry < 0:
             raise RuntimeError("empty index")
         k = min(k, len(self._ids))
-        labels = np.empty((len(qmat), k), dtype=np.int64)
-        dists = np.empty((len(qmat), k), dtype=np.float64)
+        labels = np.full((len(qmat), k), -1, dtype=np.int64)
+        dists = np.full((len(qmat), k), np.inf, dtype=np.float64)
         ids_arr = np.asarray(self._ids, dtype=np.int64)
         for qi, q in enumerate(qmat):
             ep = self._descend(q, self._entry, self._max_level, 0)
@@ -114,8 +121,8 @@ class HnswIndex:
             # ascending distance, id ASC tie-break for determinism
             cand.sort(key=lambda t: (t[0], ids_arr[t[1]]))
             top = cand[:k]
-            labels[qi] = [ids_arr[ix] for _, ix in top]
-            dists[qi] = [d for d, _ in top]
+            labels[qi, : len(top)] = [ids_arr[ix] for _, ix in top]
+            dists[qi, : len(top)] = [d for d, _ in top]
         return labels, dists
 
     def __len__(self) -> int:

@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+from inside_vectordb_spark.operators.ann import _normalize_rows
+
 _PARTIAL_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
@@ -65,6 +67,22 @@ def _local_topk(
     """Partition-local top-k. Inputs are L2-normalized, so inner
     product == cosine. ``kernel`` picks the engine (module docstring)."""
     kk = min(k, len(ids))
+
+    def _assemble(labels: np.ndarray, dists: np.ndarray) -> pd.DataFrame:
+        # ONE assembly tail for both graph kernels (review r7 — the
+        # two copies could drift on score conversion / layout).
+        # Non-finite distances are the vendored kernel's
+        # fewer-than-k-reachable pads — dropped, not served.
+        rows = np.repeat(np.arange(len(qids)), labels.shape[1])
+        out = pd.DataFrame(
+            {
+                "query_id": qids[rows],
+                "doc_id": labels.ravel(),
+                "score": 1.0 - dists.ravel(),  # ip distance = 1 − cos
+            }
+        )
+        return out[np.isfinite(dists).ravel()]
+
     if kernel in ("auto", "hnswlib"):
         try:  # pragma: no cover - container has no hnswlib
             import hnswlib
@@ -75,15 +93,7 @@ def _local_topk(
             )
             index.add_items(mat, ids)
             index.set_ef(max(ef_search, kk))
-            labels, dists = index.knn_query(qmat, k=kk)
-            rows = np.repeat(np.arange(len(qids)), kk)
-            return pd.DataFrame(
-                {
-                    "query_id": qids[rows],
-                    "doc_id": labels.ravel(),
-                    "score": 1.0 - dists.ravel(),  # ip distance = 1 − cos
-                }
-            )
+            return _assemble(*index.knn_query(qmat, k=kk))
         except ImportError:
             if kernel == "hnswlib":
                 raise
@@ -95,15 +105,7 @@ def _local_topk(
         )
         index.add_items(mat, ids)
         index.set_ef(max(ef_search, kk))
-        labels, dists = index.knn_query(qmat, k=kk)
-        rows = np.repeat(np.arange(len(qids)), kk)
-        return pd.DataFrame(
-            {
-                "query_id": qids[rows],
-                "doc_id": labels.ravel(),
-                "score": 1.0 - dists.ravel(),
-            }
-        )
+        return _assemble(*index.knn_query(qmat, k=kk))
     if kernel not in ("auto", "exact"):
         raise ValueError(f"unknown kernel: {kernel!r}")
     sims = qmat @ mat.T
@@ -147,10 +149,7 @@ def ann_hnsw_partitioned_topk(
     if not qrows:
         raise ValueError("empty query set")
     qids_l = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    qmat_l = np.array([r["v"] for r in qrows], dtype=np.float64)
-    qn = np.linalg.norm(qmat_l, axis=1, keepdims=True)
-    qn[qn == 0.0] = 1.0
-    qmat_l /= qn
+    qmat_l = _normalize_rows(np.array([r["v"] for r in qrows], dtype=np.float64))
     bc = queries.sparkSession.sparkContext.broadcast((qids_l, qmat_l))
 
     c = corpus.select(F.col(corpus_id).alias("doc_id"), F.col(corpus_vec).alias("v"))
@@ -161,10 +160,9 @@ def ann_hnsw_partitioned_topk(
             if pdf.empty:
                 continue
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf["v"].to_numpy()), dtype=np.float64)
-            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-            nrm[nrm == 0.0] = 1.0
-            mat /= nrm
+            mat = _normalize_rows(
+                np.array(list(pdf["v"].to_numpy()), dtype=np.float64)
+            )
             yield _local_topk(
                 ids, mat, qids, qmat, k, m, ef_construction, ef_search, kernel
             )

@@ -70,10 +70,8 @@ _ADC_SCHEMA = StructType(
 )
 
 
-def _normalize_rows(mat: np.ndarray) -> np.ndarray:
-    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-    nrm[nrm == 0.0] = 1.0
-    return mat / nrm
+# the shared NumPy-side normalizer (one implementation, review r7)
+from inside_vectordb_spark.operators.ann import _normalize_rows  # noqa: E402
 
 
 def pq_train(
@@ -306,6 +304,9 @@ def ann_pq_topk(
     qrows = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("v")
     ).collect()
+    if not qrows:
+        raise ValueError("empty query set")  # 1-D np.array([]) would
+        # reach _normalize_rows as an opaque AxisError otherwise
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
 

@@ -43,7 +43,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from inside_vectordb_spark.functions.text import token_count, tokenize
-from inside_vectordb_spark.operators.bm25 import BM25_B, BM25_K1, bm25_topk
+from inside_vectordb_spark.operators.bm25 import (
+    BM25_B,
+    BM25_K1,
+    bm25_topk,
+    bm25_weighted_scores,
+    corpus_bm25_stats,
+)
 
 
 def _qterms(queries: DataFrame, qid_col: str, qtext_col: str) -> DataFrame:
@@ -68,12 +74,13 @@ def rm3_expansion_terms(
     qid_col: str = "query_id",
     qtext_col: str = "qtext",
     round_to: int = 6,
+    stats: tuple[float, float] | None = None,
 ) -> DataFrame:
     """(query_id, term, rw, trank): the selected expansion terms per
     query with their rounded relevance-model weights."""
     fb = bm25_topk(
         docs, queries, fb_docs, k1, b, id_col, text_col, qid_col, qtext_col,
-        round_to,
+        round_to, stats,
     ).select("query_id", "doc_id", "bm25")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -111,46 +118,17 @@ def bm25_weighted_topk(
     text_col: str = "text",
     score_col: str = "rm3",
     round_to: int = 6,
+    stats: tuple[float, float] | None = None,
 ) -> DataFrame:
-    """Weighted-vocabulary BM25: ``weights`` is (query_id, term,
-    mult); each term's Okapi contribution is scaled by ``mult``.
-    Same plan discipline as ``bm25_scores``: broadcast vocabulary
-    filter before the postings aggregation, df as a count window
-    over the restricted postings, dl riding the token scan, corpus
-    stats as driver literals."""
-    d = docs.select(
-        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
-    )
-    dl_rel = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
-    srow = dl_rel.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"] or 0.0)
-    toks = d.select(
-        "doc_id",
-        token_count(F.col("__t")).alias("dl"),
-        F.explode(tokenize(F.col("__t"))).alias("term"),
-    )
-    vocab = weights.select("term").distinct()
-    postings = (
-        toks.filter(F.col("term") != "")
-        .join(F.broadcast(vocab), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
-    )
-    postings = postings.withColumn(
-        "df", F.count("*").over(Window.partitionBy("term"))
-    )
-    scored = postings.join(F.broadcast(weights), "term")
-    idf = F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_norm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
-    )
-    per_term = scored.select(
-        "query_id", "doc_id", (idf * tf_norm * F.col("mult")).alias("w")
-    )
-    agg = per_term.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("w"), round_to).alias(score_col)
+    """Weighted-vocabulary BM25 top-k: ``weights`` is (query_id,
+    term, mult). Delegates the whole scoring pass to
+    ``bm25.bm25_weighted_scores`` — review r7 found this function
+    re-implementing the Okapi core formula-for-formula (a k1/b/idf
+    fix applied to one would silently diverge the other and break the
+    documented 'degrades to alpha-weighted plain BM25' equivalence);
+    only the top-k window lives here."""
+    agg = bm25_weighted_scores(
+        docs, weights, k1, b, id_col, text_col, round_to, score_col, stats
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col(score_col).desc(), F.col("doc_id")
@@ -177,10 +155,13 @@ def bm25_rm3_topk(
 ) -> DataFrame:
     """Two-pass RM3 retrieval: (query_id, doc_id, rm3, rank). A query
     with no feedback hits (or no fresh expansion terms) degrades
-    gracefully to alpha-weighted plain BM25."""
+    gracefully to alpha-weighted plain BM25. The (n_docs, avgdl)
+    corpus stats are computed ONCE and threaded through both passes
+    (review r7: each pass re-ran the scalar-agg corpus scan)."""
+    stats = corpus_bm25_stats(docs, id_col, text_col)
     exp = rm3_expansion_terms(
         docs, queries, fb_docs, fb_terms, k1, b, id_col, text_col, qid_col,
-        qtext_col, round_to,
+        qtext_col, round_to, stats,
     )
     # normalization via a bounded per-query window (≤ fb_terms rows
     # per partition), not a self-join that would re-execute the
@@ -211,5 +192,5 @@ def bm25_rm3_topk(
         rows, "query_id long, term string, mult double"
     )
     return bm25_weighted_topk(
-        docs, weights, k, k1, b, id_col, text_col, "rm3", round_to
+        docs, weights, k, k1, b, id_col, text_col, "rm3", round_to, stats
     )

@@ -47,6 +47,8 @@ def sq_train(
         .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
         .collect()
     )
+    if not rows:
+        raise ValueError("empty corpus")  # same message as kmeans_centroids
     dim = max(r["pos"] for r in rows) + 1
     mins = np.zeros(dim, dtype=np.float64)
     spans = np.zeros(dim, dtype=np.float64)

@@ -37,7 +37,10 @@ COLLECT_BUDGET = {
     "operators/partitioned_ann.py": 1,  # per-partition top-k merge (≤ parts·Q·k)
     "operators/pq.py": 1,             # ≤8192-row training sample (documented cap)
     "operators/ranks.py": 2,          # quantile-boundary literals (≤ n_buckets rows)
-    "operators/rm3.py": 2,            # |Q|×fb_terms weight table (bounded knobs)
+    "operators/rm3.py": 1,            # |Q|×fb_terms weight table (bounded
+                                      # knobs); the duplicated corpus-stats
+                                      # collect moved into bm25's shared
+                                      # corpus_bm25_stats (review r7)
     "operators/sq.py": 1,             # 1-row min/max stats literal
     "operators/topk.py": 1,           # query-matrix broadcast (documented contract)
     "operators/traindata.py": 3,      # BPE argmax batches (≤30 rows/round);

@@ -123,3 +123,34 @@ def test_empty_index_raises():
     idx = HnswIndex(dim=DIM)
     with pytest.raises(RuntimeError):
         idx.knn_query(np.zeros((1, DIM)), 1)
+
+
+def test_disconnected_nodes_pad_instead_of_crash():
+    """Review r7 (reproduced): at tiny m, neighbor-list pruning can
+    disconnect nodes, so the layer-0 beam reaches fewer than k nodes.
+    Rows must pad with label -1 / dist +inf instead of crashing the
+    result-array assignment; reachable results stay exact-ordered."""
+    import random
+
+    rng = random.Random(0)
+    # clustered data at m=2 reproduces the disconnection reliably
+    pts = np.array(
+        [
+            [rng.gauss(c, 0.05) for _ in range(16)]
+            for c in (0.0, 10.0) for _ in range(20)
+        ]
+    )
+    ids = np.arange(len(pts), dtype=np.int64)
+    for seed in range(8):
+        idx = HnswIndex(dim=16, m=2, ef_construction=4, seed=seed)
+        idx.add_items(pts, ids)
+        idx.set_ef(40)
+        labels, dists = idx.knn_query(pts[:3], k=40)  # never raises
+        assert labels.shape == (3, 40)
+        for row_l, row_d in zip(labels, dists):
+            pad = row_l == -1
+            assert np.all(np.isinf(row_d[pad]))
+            assert np.all(np.isfinite(row_d[~pad]))
+            # pads are only ever a suffix (dists ascending)
+            if pad.any():
+                assert pad[np.argmax(pad):].all()
