@@ -30,6 +30,18 @@ def join(base: str, *parts: str) -> str:
     return os.path.join(base, *parts)
 
 
+def artifacts_root() -> str:
+    """THE repo-local artifact cache root (``.artifacts``). Review r7
+    found four independent derivations of this directory across the
+    registry modules (triple-dirname with and without abspath, an
+    os.pardir variant) — paths that resolve to the same directory
+    only by filesystem grace. Persisted-index sharing between modules
+    (compare.py probing the index ann.py built) depends on the
+    derivations agreeing, so there is exactly one now."""
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    return os.path.abspath(os.path.join(os.path.dirname(pkg), ".artifacts"))
+
+
 def exists(path: str) -> bool:
     return os.path.exists(path)
 

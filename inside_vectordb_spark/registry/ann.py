@@ -19,9 +19,10 @@ from inside_vectordb_spark.operators.ann_index import (
     ensure_ivf_index,
     ensure_lsh_index,
 )
+from inside_vectordb_spark import _meta_io as mio
 from inside_vectordb_spark.registry import register
 
-_ART = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".artifacts")
+_ART = mio.artifacts_root()
 
 
 def _idx_path(kind: str, sf_dir: str) -> str:
@@ -365,8 +366,7 @@ def ann_signlsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "ann_sign",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -414,8 +414,7 @@ def ann_signlsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "ann_sign",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -471,8 +470,7 @@ def ann_signlsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.operators.ann_sign import ann_sign_probe_sweep
 
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "ann_sign",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -517,8 +515,7 @@ def ann_signlsh_bits10(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "ann_sign_b10",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -561,8 +558,7 @@ def ann_signlsh_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = corpus.filter(F.col("vec_id") % 5 != 4)
     delta = corpus.filter(F.col("vec_id") % 5 == 4)
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "ann_sign_upsert",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -627,8 +623,7 @@ def ann_signlsh_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = eio.load_table(spark, sf_dir, "embeddings")
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "ann_sign_del",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -709,8 +704,7 @@ def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = eio.load_table(spark, sf_dir, "embeddings")
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "ann_sign",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -768,8 +762,7 @@ def ann_signlsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "ann_sign",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )

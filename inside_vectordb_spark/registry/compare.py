@@ -42,10 +42,13 @@ _K = 10
 
 
 def _sign_art(sf_dir: str) -> str:
+    # the ONE artifacts-root derivation (review r7): this path must
+    # resolve identically to registry/ann.py's, or compare would
+    # silently rebuild its own copy of the persisted sign-LSH index
+    from inside_vectordb_spark import _meta_io as mio
+
     return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        os.pardir,
-        ".artifacts",
+        mio.artifacts_root(),
         "ann_sign",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -318,9 +321,19 @@ def _candidate_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _idx_path("ivf_det", sf_dir)
     ensure_ivf_det_index(spark, c, path)
-    cents = c.filter(((F.col("vec_id") % 37) == 1) & (F.col("vec_id") < 592)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("__cv")
-    )
+    # derive the quantizer from the INDEX's meta (stride/cap), not a
+    # third inline copy of the centroid rule (review r7): if the
+    # det-IVF defaults ever change, the rebuilt lists and these
+    # probes move together. (The DuckDB oracle restates the current
+    # 37/16 rule as literals — a default change flips that row red,
+    # which is the gate working as intended.)
+    from inside_vectordb_spark import _meta_io as mio
+
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    stride, cap = int(meta["stride"]), int(meta["cap"])
+    cents = c.filter(
+        ((F.col("vec_id") % stride) == 1) & (F.col("vec_id") < stride * cap)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("__cv"))
     qb = q.select("query_id", F.col("embedding").alias("__qv"))
     pw = Window.partitionBy("query_id").orderBy(F.desc("__pc"), F.asc("cid"))
     probes = (

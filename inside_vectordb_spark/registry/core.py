@@ -107,11 +107,12 @@ def topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_hnsw_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1/T3 scatter-gather architecture (SURVEY §7 Phase 5b): a local
-    index per corpus partition + global merge. In this container the
-    local kernel is the exact fallback (no hnswlib), so the operator
-    is exact and the brute-force oracle applies; with hnswlib
-    installed it becomes approximate and quality moves to the
-    retention tests (see operators/partitioned_ann.py docstring)."""
+    index per corpus partition + global merge. ``kernel='exact'`` is
+    PINNED because this registration carries the brute-force oracle:
+    'auto' would silently flip to approximate HNSW results (and a red
+    gate) the day an hnswlib wheel appears in the container (review
+    r7). The graph kernels are exercised by ``ann_hnsw_vendored``
+    (rows-only, quality via the retention tests)."""
     from inside_vectordb_spark.operators.partitioned_ann import (
         ann_hnsw_partitioned_topk,
     )
@@ -120,6 +121,7 @@ def ann_hnsw_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         eio.query_vectors(spark, sf_dir),
         eio.load_table(spark, sf_dir, "embeddings"),
         k=10,
+        kernel="exact",
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from inside_vectordb_spark import io as eio
 from inside_vectordb_spark.operators import dedup as dd
 from inside_vectordb_spark.operators import textstats as ts
+from inside_vectordb_spark import _meta_io as mio
 from inside_vectordb_spark.registry import register
 
 # ---- shared DuckDB fragments -------------------------------------------
@@ -1612,8 +1613,7 @@ def _ensure_snapshot_history(spark: SparkSession, sf_dir: str) -> str:
 
     docs = _snapshot_docs(spark, sf_dir)
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "snapshots",
         "shared_" + (os.path.basename(sf_dir.rstrip("/")) or "default"),
     )
@@ -1697,8 +1697,7 @@ def snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vacuum DESTROYS versions, so it builds its own disposable copy of
     # the canonical history (shared recipe, private path) each run
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "snapshots",
         "vacuum_" + (os.path.basename(sf_dir.rstrip("/")) or "default"),
     )
@@ -2154,8 +2153,7 @@ def bm25_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = eio.load_table(spark, sf_dir, "documents")
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "lexical",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -2186,8 +2184,7 @@ def tfidf_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = eio.load_table(spark, sf_dir, "documents")
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "lexical",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -2251,12 +2248,10 @@ def hybrid_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_lexical_index,
     )
 
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+    root = mio.artifacts_root()
     sf = os.path.basename(sf_dir.rstrip("/")) or "default"
     docs = eio.load_table(spark, sf_dir, "documents")
-    lex_art = os.path.join(root, ".artifacts", "lexical", sf)
+    lex_art = os.path.join(root, "lexical", sf)
     ensure_lexical_index(docs, lex_art)
     toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
     tqueries = docs.filter(F.col("doc_id") < 6).select(
@@ -2269,7 +2264,7 @@ def hybrid_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vqueries = emb.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    sign_art = os.path.join(root, ".artifacts", "ann_sign", sf)
+    sign_art = os.path.join(root, "ann_sign", sf)
     vec_run = ann_sign_topk_indexed(
         spark, vqueries, emb, sign_art, k=50, query_id_col="query_id"
     )
@@ -2306,8 +2301,7 @@ def bm25_upsert_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.col("doc_id") % 5 != 2)
     delta = docs.filter(F.col("doc_id") % 5 == 2)
     art = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "lexical_upsert",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )

@@ -21,9 +21,10 @@ from pyspark.sql import functions as F
 from inside_vectordb_spark import io as eio
 from inside_vectordb_spark import sources as src
 from inside_vectordb_spark.functions.vector import l2_norm
+from inside_vectordb_spark import _meta_io as mio
 from inside_vectordb_spark.registry import register
 
-_ART = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".artifacts")
+_ART = mio.artifacts_root()
 
 
 def _rt_path(name: str, sf_dir: str) -> str:

@@ -10,8 +10,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from inside_vectordb_spark import _meta_io as mio
 from inside_vectordb_spark.registry import register
-from inside_vectordb_spark.streaming import (
+
+
+def _stage_batches(root: str, inbox: str, batches: list[DataFrame]):
+    """Land each batch DataFrame as ONE parquet file in ``inbox``
+    (the micro-batch fixture every file-source stream here reads);
+    returns the schema for the readStream declaration. One helper —
+    review r7 found this block copy-pasted three times — with a loud
+    error when a batch writes no part file instead of a bare
+    IndexError."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    _os.makedirs(inbox, exist_ok=True)
+    schema = None
+    for i, b in enumerate(batches):
+        tmp = _os.path.join(root, f"__b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = _glob.glob(_os.path.join(tmp, "part-*.parquet"))
+        if not parts:
+            raise RuntimeError(f"batch {i} wrote no part file under {tmp}")
+        _shutil.move(parts[0], _os.path.join(inbox, f"batch_{i}.parquet"))
+        _shutil.rmtree(tmp, ignore_errors=True)
+        schema = b.schema if schema is None else schema
+    return schema
+
+
+from inside_vectordb_spark.streaming import (  # noqa: E402
     distinct_content_stream,
     hourly_stream,
     read_events_stream,
@@ -203,8 +231,7 @@ def events_hourly_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.streaming import hourly_stream, read_events_stream
     from inside_vectordb_spark.streaming.events import run_to_parquet_overwrite
 
-    art = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".artifacts", "stream_sink")
+    art = os.path.join(mio.artifacts_root(), "stream_sink")
     os.makedirs(art, exist_ok=True)
     sf = os.path.basename(sf_dir.rstrip("/")) or "default"
     path = os.path.join(art, f"hourly_{sf}")
@@ -244,9 +271,7 @@ def snapshot_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent), which is exactly what the oracle restates. The
     driver-green hash match therefore certifies the whole chain:
     file-stream delivery → per-batch MERGE → atomic version commits."""
-    import glob
     import os
-    import shutil
 
     from inside_vectordb_spark import io as eio
     from inside_vectordb_spark import _meta_io as mio
@@ -261,8 +286,7 @@ def snapshot_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars"
     )
     root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "stream_merge",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -283,15 +307,7 @@ def snapshot_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("source", F.lit("stream_ingest"))
         .withColumn("op", F.lit("insert")),
     ]
-    os.makedirs(inbox, exist_ok=True)
-    schema = None
-    for i, b in enumerate(batches):
-        tmp = os.path.join(root, f"__b{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(inbox, f"batch_{i}.parquet"))
-        shutil.rmtree(tmp, ignore_errors=True)
-        schema = b.schema if schema is None else schema
+    schema = _stage_batches(root, inbox, batches)
 
     changes = (
         spark.readStream.schema(schema)
@@ -325,9 +341,7 @@ def ann_signlsh_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — the green hash certifies file-stream delivery →
     per-batch index upsert → bit-identical-to-batch-build serving
     (streaming/events.py:run_upsert_to_sign_index)."""
-    import glob
     import os
-    import shutil
 
     from inside_vectordb_spark import _meta_io as mio
     from inside_vectordb_spark import io as eio
@@ -340,8 +354,7 @@ def ann_signlsh_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = eio.load_table(spark, sf_dir, "embeddings")
     root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "stream_sign_upsert",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -355,15 +368,7 @@ def ann_signlsh_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 10 == 3),
         emb.filter(F.col("vec_id") % 10 == 7),
     ]
-    os.makedirs(inbox, exist_ok=True)
-    schema = None
-    for i, b in enumerate(batches):
-        tmp = os.path.join(root, f"__b{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(inbox, f"batch_{i}.parquet"))
-        shutil.rmtree(tmp, ignore_errors=True)
-        schema = b.schema if schema is None else schema
+    schema = _stage_batches(root, inbox, batches)
 
     changes = (
         spark.readStream.schema(schema)
@@ -412,9 +417,7 @@ def minhash_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/dedup_stream.py), so this query SHARES the batch
     minhash oracle — the green hash certifies stream delivery →
     incremental index maintenance → batch-identical pairs."""
-    import glob
     import os
-    import shutil
 
     from inside_vectordb_spark import _meta_io as mio
     from inside_vectordb_spark import io as eio
@@ -425,8 +428,7 @@ def minhash_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = eio.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "stream_neardup",
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
@@ -443,14 +445,7 @@ def minhash_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0),
         docs.filter(F.col("doc_id") % 10 == 5),
     ]
-    schema = None
-    for i, b in enumerate(deltas):
-        tmp = os.path.join(root, f"__b{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(inbox, f"batch_{i}.parquet"))
-        shutil.rmtree(tmp, ignore_errors=True)
-        schema = b.schema if schema is None else schema
+    schema = _stage_batches(root, inbox, deltas)
 
     stream = (
         spark.readStream.schema(schema)

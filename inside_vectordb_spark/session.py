@@ -30,7 +30,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # (nanosAsLong is NOT set here: io.load_table and the stream
+        # readers set it at runtime so the engine works under ANY
+        # caller's session — a session-level copy was a second source
+        # of truth that invited removing the runtime sets, review r7)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

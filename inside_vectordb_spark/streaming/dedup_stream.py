@@ -140,6 +140,12 @@ def run_incremental_near_dup(
     finished = q.awaitTermination(timeout_sec)
     if not finished:
         q.stop()
+        # name the checkpoint so the resume contract is honorable
+        # even when the caller used the auto-created default — a
+        # fresh-checkpoint retry would replay every inbox file and
+        # re-append all band keys and pairs (review r7; same fix as
+        # run_upsert_to_sign_index)
         raise TimeoutError(
-            f"incremental near-dup drain still running after {timeout_sec}s"
+            f"incremental near-dup drain still running after "
+            f"{timeout_sec}s; resume with checkpoint_dir={ckpt!r}"
         )

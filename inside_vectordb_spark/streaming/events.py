@@ -46,9 +46,10 @@ def read_table_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     raw_schema = spark.read.parquet(path).schema
+    from inside_vectordb_spark import _meta_io as mio
+
     stage = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".artifacts",
+        mio.artifacts_root(),
         "stream_src",
         f"{name}_{os.path.basename(sf_dir.rstrip('/')) or 'default'}",
     )
