@@ -302,14 +302,27 @@ def build_tfidf_norms(spark: SparkSession, path: str) -> None:
     n_docs = float(meta["n_docs"])
     idf = F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0
     wd = (1.0 + F.log("tf")) * idf
+    # the SAME meta-as-commit-point protocol every other relation in
+    # this module uses (review r7): norms land in a fresh generation
+    # dir and the atomic meta write REPOINTS docnorm_rel — writing
+    # into the live pointed dir made directory existence the
+    # completeness marker, so a killed build left a torn docnorm that
+    # silently dropped documents from every TF-IDF result forever
+    gen = int(meta.get("docnorm_gen", 0)) + 1
+    rel = f"docnorm_g{gen}"
     (
         postings.join(dft, "term")
         .select("doc_id", (wd * wd).alias("w2"))
         .groupBy("doc_id")
         .agg(F.sqrt(F.sum("w2")).alias("dnorm"))
         .write.mode("overwrite")
-        .parquet(_docnorm_dir(path, meta))
+        .parquet(os.path.join(path, rel))
     )
+    old = meta.get("docnorm_rel")
+    meta["docnorm_rel"], meta["docnorm_gen"] = rel, gen
+    mio.write_json(mio.join(path, "meta.json"), meta)
+    if old and old != rel:
+        mio.remove_tree(os.path.join(path, old))
 
 
 def tfidf_topk_indexed(
@@ -329,6 +342,8 @@ def tfidf_topk_indexed(
     meta = _validate_serving(mio.read_json(mio.join(path, "meta.json")), path)
     if not mio.is_dir(_docnorm_dir(path, meta)):
         build_tfidf_norms(spark, path)
+        # the build COMMITS by repointing docnorm_rel — re-read meta
+        meta = _validate_serving(mio.read_json(mio.join(path, "meta.json")), path)
     n_docs = float(meta["n_docs"])
     q = queries.select(
         F.col(qid_col).alias("query_id"), F.lower(F.col(qtext_col)).alias("__qt")
@@ -427,6 +442,7 @@ def upsert_lexical_index(
     merged fingerprint makes a later ``ensure_lexical_index`` over
     the full corpus recognize the maintained index as current."""
     from inside_vectordb_spark.operators.ann_index import (
+        _assert_disjoint_delta,
         _corpus_fingerprint,
         _merge_fingerprint,
     )
@@ -436,6 +452,18 @@ def upsert_lexical_index(
     d = new_docs.select(
         F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
     )
+    # ENFORCE the disjoint-delta contract like every other upsert in
+    # the repo (review r7): a replayed delta would append duplicate
+    # postings and double-count df/n_docs, roughly doubling affected
+    # BM25 weights with no error. Stored ids come from the doclen
+    # generation+delta dirs — O(n_docs) narrow rows, never postings.
+    stored_ids = None
+    for rel in meta.get("doclen_rels", ["doclen"]):
+        rel_ids = spark.read.parquet(os.path.join(path, rel)).select("doc_id")
+        stored_ids = (
+            rel_ids if stored_ids is None else stored_ids.unionByName(rel_ids)
+        )
+    _assert_disjoint_delta(stored_ids, d.select("doc_id"), path)
     tf = (
         d.select("doc_id", F.explode(tokenize(F.col("__t"))).alias("term"))
         .filter(F.col("term") != "")

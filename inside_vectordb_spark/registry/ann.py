@@ -80,16 +80,27 @@ def ann_knob_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = eio.query_vectors(spark, sf_dir)
     c = eio.load_table(spark, sf_dir, "embeddings")
     k = 10
-    exact = exact_cosine_topk(q, c, k=k).select("query_id", "doc_id")
+    # materialize the exact ground truth ONCE: each of the 7 arms
+    # references it (the hits join) and the lazy form re-planned the
+    # full O(Q·N) exact search per reference — up to 14 executions
+    # (review r7). localCheckpoint keeps it executor-side; n_exact is
+    # |Q|·k by construction (every query has ≥ k corpus matches), the
+    # same count-avoidance ann_stochastic_recall_floor documents.
+    exact = (
+        exact_cosine_topk(q, c, k=k)
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = q.count() * k
 
     def retention(ann_df) -> DataFrame:
         hits = ann_df.select("query_id", "doc_id").join(
             exact, ["query_id", "doc_id"]
         )
         return hits.agg(
-            (F.count("*") / F.lit(1.0)).alias("n_hits")
-        ).crossJoin(exact.agg(F.count("*").alias("n_exact"))).select(
-            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall_retention")
+            F.round(F.count("*") / F.lit(float(n_exact)), 6).alias(
+                "recall_retention"
+            )
         )
 
     pieces = []
@@ -335,13 +346,34 @@ from inside_vectordb_spark.operators.ann_sign import (  # noqa: E402
     bucket_sql,
 )
 
-_SIGN_ORACLE = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+_SIGN_BASE_Q = "q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20)"
+
+
+def _sign_oracle(
+    q_cte: str = _SIGN_BASE_Q,
+    cand_where: str = "",
+    planes=None,
+    with_label: bool = False,
+) -> str:
+    """ONE generator for the five sign-LSH oracles (review r7: they
+    were five near-identical copies maintained by hand — a change to
+    the shared search semantics had to be edited in five SQL strings).
+    Variants differ only in the q CTE (base bucket / multiprobe /
+    label-carrying), an optional candidate predicate (tombstones,
+    metadata filter), and the plane set (the bits knob); the
+    cand/scored/ranked tail is THE tier's search semantics and exists
+    once."""
+    e_cols = "vec_id, label, " if with_label else "vec_id, "
+    b_cols = "vec_id, label, v" if with_label else "vec_id, v"
+    bsql = bucket_sql("v", planes) if planes is not None else bucket_sql("v")
+    return f"""
+    WITH e AS (SELECT {e_cols}CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS (SELECT {b_cols}, {bsql} AS bucket FROM e),
+    {q_cte},
     cand AS (
       SELECT q.query_id, q.qv, c.vec_id AS doc_id, c.v AS cv
-      FROM q JOIN b c USING (bucket)),
+      FROM q JOIN b c USING (bucket){cand_where}),
     scored AS (
       SELECT query_id, doc_id,
              round(list_dot_product(qv, cv) /
@@ -353,6 +385,9 @@ _SIGN_ORACLE = f"""
                                    ORDER BY score DESC, doc_id) AS rn
       FROM scored) WHERE rn <= 10
 """
+
+
+_SIGN_ORACLE = _sign_oracle()
 
 
 @register("ann_signlsh_topk_indexed", oracle=_SIGN_ORACLE)
@@ -385,25 +420,10 @@ from inside_vectordb_spark.operators.ann_sign import (  # noqa: E402
     probes_sql,
 )
 
-_SIGN_MP_ORACLE = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e),
-    q AS (SELECT vec_id AS query_id, v AS qv, unnest({probes_sql('v')}) AS bucket
-          FROM e WHERE vec_id < 20),
-    cand AS (
-      SELECT q.query_id, q.qv, c.vec_id AS doc_id, c.v AS cv
-      FROM q JOIN b c USING (bucket)),
-    scored AS (
-      SELECT query_id, doc_id,
-             round(list_dot_product(qv, cv) /
-                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
-                   6) AS score
-      FROM cand)
-    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, doc_id) AS rn
-      FROM scored) WHERE rn <= 10
-"""
+_SIGN_MP_ORACLE = _sign_oracle(
+    q_cte=f"""q AS (SELECT vec_id AS query_id, v AS qv, unnest({probes_sql('v')}) AS bucket
+          FROM e WHERE vec_id < 20)""",
+)
 
 
 @register("ann_signlsh_multiprobe", oracle=_SIGN_MP_ORACLE)
@@ -483,24 +503,7 @@ from inside_vectordb_spark.operators.ann_sign import sign_planes  # noqa: E402
 
 _P10 = sign_planes(10, 64)
 
-_SIGN_B10_ORACLE = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {bucket_sql('v', _P10)} AS bucket FROM e),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
-    cand AS (
-      SELECT q.query_id, q.qv, c.vec_id AS doc_id, c.v AS cv
-      FROM q JOIN b c USING (bucket)),
-    scored AS (
-      SELECT query_id, doc_id,
-             round(list_dot_product(qv, cv) /
-                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
-                   6) AS score
-      FROM cand)
-    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, doc_id) AS rn
-      FROM scored) WHERE rn <= 10
-"""
+_SIGN_B10_ORACLE = _sign_oracle(planes=_P10)
 
 
 @register("ann_signlsh_bits10", oracle=_SIGN_B10_ORACLE)
@@ -563,12 +566,20 @@ def ann_signlsh_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(sf_dir.rstrip("/")) or "default",
     )
     # current iff the merged fingerprint equals the FULL corpus's —
-    # else rebuild base-then-delta (same cache rule as the IVF twin)
+    # else rebuild base-then-delta (same cache rule as the IVF twin).
+    # SUBSET compare against the module constants, not dict equality
+    # against literals (review r7): a SIGN_BITS/SIGN_DIM default
+    # change (or any future lifecycle key in meta) would otherwise
+    # make every invocation a silent full rebuild — the exact
+    # cache-defeat the ensure_* fixes closed in r6s2.
+    from inside_vectordb_spark.operators.ann_sign import SIGN_BITS, SIGN_DIM
+
     want = {
-        "kind": "sign_lsh", "bits": 6, "dim": 64,
+        "kind": "sign_lsh", "bits": SIGN_BITS, "dim": SIGN_DIM,
         "corpus": _corpus_fingerprint(corpus, "vec_id"),
     }
-    if mio.read_json(mio.join(art, "meta.json")) != want:
+    have = mio.read_json(mio.join(art, "meta.json")) or {}
+    if any(have.get(k) != v for k, v in want.items()):
         mio.remove_tree(art)
         ensure_sign_index(spark, base, art)
         upsert_sign_index(spark, delta, art)
@@ -584,25 +595,10 @@ def ann_signlsh_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIGN_DELETED_IDS = (5, 7, 11, 23, 42)  # exist at every SF (min corpus = 50)
 
-_SIGN_DEL_ORACLE = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
-    cand AS (
-      SELECT q.query_id, q.qv, c.vec_id AS doc_id, c.v AS cv
-      FROM q JOIN b c USING (bucket)
-      WHERE c.vec_id NOT IN {_SIGN_DELETED_IDS}),
-    scored AS (
-      SELECT query_id, doc_id,
-             round(list_dot_product(qv, cv) /
-                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
-                   6) AS score
-      FROM cand)
-    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, doc_id) AS rn
-      FROM scored) WHERE rn <= 10
-"""
+_SIGN_DEL_ORACLE = _sign_oracle(
+    cand_where=f"""
+      WHERE c.vec_id NOT IN {_SIGN_DELETED_IDS}""",
+)
 
 
 @register("ann_signlsh_deleted", oracle=_SIGN_DEL_ORACLE)
@@ -727,27 +723,13 @@ def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIGN_FILTERED_ORACLE = f"""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-    b AS (SELECT vec_id, label, v, {bucket_sql('v')} AS bucket FROM e),
-    q AS (SELECT vec_id AS query_id, label AS qf, v AS qv, bucket FROM b
-          WHERE vec_id < 20),
-    cand AS (
-      SELECT q.query_id, q.qv, c.vec_id AS doc_id, c.v AS cv
-      FROM q JOIN b c USING (bucket)
-      WHERE c.label = q.qf AND c.vec_id <> q.query_id),
-    scored AS (
-      SELECT query_id, doc_id,
-             round(list_dot_product(qv, cv) /
-                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
-                   6) AS score
-      FROM cand)
-    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, doc_id) AS rn
-      FROM scored) WHERE rn <= 10
-"""
+_SIGN_FILTERED_ORACLE = _sign_oracle(
+    q_cte="""q AS (SELECT vec_id AS query_id, label AS qf, v AS qv, bucket FROM b
+          WHERE vec_id < 20)""",
+    cand_where="""
+      WHERE c.label = q.qf AND c.vec_id <> q.query_id""",
+    with_label=True,
+)
 
 
 @register("ann_signlsh_filtered", oracle=_SIGN_FILTERED_ORACLE)
@@ -989,8 +971,13 @@ def ann_ivf_det_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = eio.query_vectors(spark, sf_dir)
     path = _idx_path("ivf_det", sf_dir)
     ensure_ivf_det_index(spark, corpus, path)
+    # quantizer from the index's meta (stride/cap), never a second
+    # inline copy of the centroid rule (review r7): probes and the
+    # persisted lists must move together if the defaults change
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    stride, cap = int(meta["stride"]), int(meta["cap"])
     cents = corpus.filter(
-        ((F.col("vec_id") % 37) == 1) & (F.col("vec_id") < 592)
+        ((F.col("vec_id") % stride) == 1) & (F.col("vec_id") < stride * cap)
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("__cv"))
     qb = queries.select(
         F.col("query_id"), F.col("embedding").alias("__qv")
@@ -1003,29 +990,35 @@ def ann_ivf_det_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__pc", F.round(cosine_similarity("__qv", "__cv"), 6))
         .withColumn("__rn", F.row_number().over(pw))
     )
-    lists = spark.read.parquet(
-        _idx_path("ivf_det", sf_dir) + "/lists"
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    vecs = corpus.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("__dv")
     )
-    vecs = corpus.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("__dv"))
-    pieces = []
-    for n_probe in (1, 4):
-        probes = ranked.filter(F.col("__rn") <= n_probe).select(
-            "query_id", "__qv", "cid"
-        )
-        cand = probes.join(lists, "cid").join(vecs, "doc_id")
-        stats = cand.groupBy("query_id").agg(
-            F.count("*").alias("n_candidates"),
-            F.max(F.round(cosine_similarity("__qv", "__dv"), 6)).alias("top1_score"),
-        )
-        pieces.append(
-            stats.select(
-                F.lit(f"probe{n_probe}").alias("setting"),
-                "query_id",
-                "n_candidates",
-                "top1_score",
-            )
-        )
-    return pieces[0].unionByName(pieces[1])
+    # ONE candidate pass for both depths (the fused-rollup shape the
+    # sign sweep moved to in r7): probe-4's candidates contain
+    # probe-1's, so per-(query, probe-rank) partials roll up to both
+    # settings — rank-1 rows ARE probe1, the rank-collapsed rows are
+    # probe4; the two-arm loop scored every probe-1 candidate twice
+    probes = ranked.filter(F.col("__rn") <= 4).select(
+        "query_id", "__qv", "cid", "__rn"
+    )
+    cand = probes.join(lists, "cid").join(vecs, "doc_id")
+    per = cand.rollup("query_id", "__rn").agg(
+        F.count("*").alias("n_candidates"),
+        F.max(F.round(cosine_similarity("__qv", "__dv"), 6)).alias("top1_score"),
+        F.grouping("__rn").alias("__gp"),
+        F.grouping("query_id").alias("__gq"),
+    )
+    return per.filter(
+        (F.col("__gq") == 0) & ((F.col("__gp") == 1) | (F.col("__rn") == 1))
+    ).select(
+        F.when(F.col("__gp") == 1, F.lit("probe4"))
+        .otherwise(F.lit("probe1"))
+        .alias("setting"),
+        "query_id",
+        "n_candidates",
+        "top1_score",
+    )
 
 
 _PQ_DET_L2SQ = (

@@ -81,28 +81,37 @@ _JACCARD = """
 
 
 
-_QUALITY_CTE = f"""
-    qt AS (
-      SELECT doc_id,
+# The quality heuristic's SQL, factored into THREE shared pieces
+# (review r7: the raw-counts select, the ratio select, and the
+# weighted formula were duplicated verbatim between _QUALITY_CTE and
+# _QUALITY_SQL — a weight/bound tweak applied to one would silently
+# diverge quality_scores from the percentile gate and curation DAGs).
+_QUALITY_RAW_SELECT = f"""SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0.0 ELSE len({_TOKS}) * 1.0 END AS n,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 AS n_alpha,
              length(regexp_replace(text, '\\s', '', 'g')) * 1.0 AS n_nonspace,
              CASE WHEN trim(text) = '' THEN 0.0
                   ELSE len(list_filter({_TOKS},
                        t -> t IN ('the','a','and','of','to','is'))) * 1.0 END AS stop_hits
-      FROM documents),
-    qr AS (
-      SELECT doc_id, n,
+      FROM documents"""
+
+_QUALITY_RATIO_SELECT = """SELECT doc_id, n,
              CASE WHEN n = 0 THEN 0.0 ELSE n_nonspace / n END AS avg_wl,
              CASE WHEN n = 0 THEN 0.0 ELSE stop_hits / n END AS stop_ratio,
-             CASE WHEN n_nonspace = 0 THEN 0.0 ELSE n_alpha / n_nonspace END AS alpha_ratio
+             CASE WHEN n_nonspace = 0 THEN 0.0 ELSE n_alpha / n_nonspace END AS alpha_ratio"""
+
+_QUALITY_EXPR = """round(0.25 * (CASE WHEN n >= 5 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (CASE WHEN avg_wl >= 2.0 AND avg_wl <= 13.0 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * least(stop_ratio * 5, 1.0)
+                 + 0.25 * alpha_ratio, 6)"""
+
+_QUALITY_CTE = f"""
+    qt AS ({_QUALITY_RAW_SELECT}),
+    qr AS ({_QUALITY_RATIO_SELECT}
       FROM qt),
     qual AS (
       SELECT doc_id,
-             round(0.25 * (CASE WHEN n >= 5 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
-                 + 0.25 * (CASE WHEN avg_wl >= 2.0 AND avg_wl <= 13.0 THEN 1.0 ELSE 0.0 END)
-                 + 0.25 * least(stop_ratio * 5, 1.0)
-                 + 0.25 * alpha_ratio, 6) AS quality
+             {_QUALITY_EXPR} AS quality
       FROM qr)
 """
 
@@ -431,31 +440,17 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Quality computation as a standalone SELECT, shared by the
-# quality_scores oracle and the percentile-gate oracle.
+# quality_scores oracle and the percentile-gate oracle — assembled
+# from the SAME three fragments as _QUALITY_CTE (review r7).
 _QUALITY_SQL = f"""
-    WITH t AS (
-      SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0.0 ELSE len({_TOKS}) * 1.0 END AS n,
-             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 AS n_alpha,
-             length(regexp_replace(text, '\\s', '', 'g')) * 1.0 AS n_nonspace,
-             CASE WHEN trim(text) = '' THEN 0.0
-                  ELSE len(list_filter({_TOKS},
-                       t -> t IN ('the','a','and','of','to','is'))) * 1.0 END AS stop_hits
-      FROM documents),
-    r AS (
-      SELECT doc_id, n,
-             CASE WHEN n = 0 THEN 0.0 ELSE n_nonspace / n END AS avg_wl,
-             CASE WHEN n = 0 THEN 0.0 ELSE stop_hits / n END AS stop_ratio,
-             CASE WHEN n_nonspace = 0 THEN 0.0 ELSE n_alpha / n_nonspace END AS alpha_ratio
+    WITH t AS ({_QUALITY_RAW_SELECT}),
+    r AS ({_QUALITY_RATIO_SELECT}
       FROM t)
     SELECT doc_id, CAST(n AS INT) AS n_words,
            round(avg_wl, 6) AS avg_word_len,
            round(stop_ratio, 6) AS stopword_ratio,
            round(alpha_ratio, 6) AS alpha_ratio,
-           round(0.25 * (CASE WHEN n >= 5 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
-               + 0.25 * (CASE WHEN avg_wl >= 2.0 AND avg_wl <= 13.0 THEN 1.0 ELSE 0.0 END)
-               + 0.25 * least(stop_ratio * 5, 1.0)
-               + 0.25 * alpha_ratio, 6) AS quality
+           {_QUALITY_EXPR} AS quality
     FROM r
 """
 
@@ -618,6 +613,28 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.decontaminate(tr, ev, threshold=0.05)
 
 
+def _curation_survivors(docs: DataFrame, drops: DataFrame) -> DataFrame:
+    """The quality-gate + exact-dedup-keeper + near-dup-anti-join
+    survivor chain BOTH curation DAGs share (review r7 — previously
+    copy-pasted, so a gate/keeper tweak could reach only one).
+    ``drops`` is a single-column ``doc_b`` relation of near-dup
+    casualties; the two variants differ only in how it is derived
+    (pairwise rule vs transitive clusters)."""
+    keepers = (
+        docs.select(F.md5("text").alias("__h"), "doc_id")
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    scored = docs.withColumn("quality", ts.quality_expr("text"))
+    survivors = (
+        scored.filter(F.col("quality") >= 0.5)
+        .join(keepers, "doc_id", "left_semi")
+        .join(drops, scored.doc_id == drops.doc_b, "left_anti")
+    )
+    return survivors.select("doc_id", "lang", "n_chars", "quality")
+
+
 @register(
     "corpus_curation",
     oracle=f"""
@@ -657,19 +674,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.minhash_near_duplicates(docs, threshold=0.2)
         .select("doc_b").distinct()
     )
-    keepers = (
-        docs.select(F.md5("text").alias("__h"), "doc_id")
-        .groupBy("__h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    scored = docs.withColumn("quality", ts.quality_expr("text"))
-    survivors = (
-        scored.filter(F.col("quality") >= 0.5)
-        .join(keepers, "doc_id", "left_semi")
-        .join(drops, scored.doc_id == drops.doc_b, "left_anti")
-    )
-    return survivors.select("doc_id", "lang", "n_chars", "quality")
+    return _curation_survivors(docs, drops)
 
 
 @register(
@@ -717,19 +722,7 @@ def corpus_curation_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters.filter(F.col("doc_id") != F.col("cluster_id"))
         .select(F.col("doc_id").alias("doc_b"))
     )
-    keepers = (
-        docs.select(F.md5("text").alias("__h"), "doc_id")
-        .groupBy("__h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    scored = docs.withColumn("quality", ts.quality_expr("text"))
-    survivors = (
-        scored.filter(F.col("quality") >= 0.5)
-        .join(keepers, "doc_id", "left_semi")
-        .join(drops, scored.doc_id == drops.doc_b, "left_anti")
-    )
-    return survivors.select("doc_id", "lang", "n_chars", "quality")
+    return _curation_survivors(docs, drops)
 
 
 _PACK_SHARDS = 64  # registered variant: fixed so the oracle can mirror it

@@ -443,7 +443,7 @@ def chunked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chunk_text").alias("text"),
         )
     ).select(
-        (F.col("doc_id") / 10000).cast("long").alias("doc_id"),
+        F.expr("doc_id DIV 10000").alias("doc_id"),
         (F.col("doc_id") % 10000).cast("int").alias("chunk_id"),
         F.col("embedding").alias("cvec"),
     )
@@ -572,7 +572,7 @@ def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chunk_text").alias("text"),
         )
     ).select(
-        (F.col("doc_id") / 10000).cast("long").alias("doc_id"),
+        F.expr("doc_id DIV 10000").alias("doc_id"),
         (F.col("doc_id") % 10000).cast("int").alias("chunk_id"),
         F.col("embedding").alias("cvec"),
     )
@@ -582,7 +582,7 @@ def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chunk_text").alias("text"),
         )
     ).select(
-        (F.col("doc_id") / 10000).cast("long").alias("query_id"),
+        F.expr("doc_id DIV 10000").alias("query_id"),
         (F.col("doc_id") % 10000).cast("int").alias("qchunk_id"),
         F.col("embedding").alias("qvec"),
     )

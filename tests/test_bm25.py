@@ -201,6 +201,66 @@ def test_lexical_upsert_matches_full_build(spark, tmp_path):
     assert os.path.getmtime(os.path.join(inc, "meta.json")) == mtime
 
 
+def test_lexical_upsert_rejects_replayed_delta(spark, tmp_path):
+    """Review r7: the disjoint-delta contract is ENFORCED like every
+    other upsert in the repo — a replayed delta would append
+    duplicate postings and double-count df/n_docs, silently doubling
+    affected BM25 weights."""
+    import pytest
+
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.lexical_index import (
+        build_lexical_index,
+        upsert_lexical_index,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = eio.load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "idx")
+    build_lexical_index(docs.filter("doc_id % 3 != 0"), path)
+    delta = docs.filter("doc_id % 3 = 0")
+    upsert_lexical_index(delta, path)
+    with pytest.raises(ValueError, match="append-only"):
+        upsert_lexical_index(delta, path)  # replay must fail loudly
+
+
+def test_tfidf_norms_build_commits_via_meta_pointer(spark, tmp_path):
+    """Review r7: a killed norms build must leave serving on the
+    intact committed generation — the build writes a FRESH dir and
+    repoints docnorm_rel atomically, never into the live dir."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.lexical_index import (
+        build_lexical_index,
+        tfidf_topk_indexed,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = eio.load_table(spark, SF_DIR, "documents")
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    path = str(tmp_path / "idx")
+    build_lexical_index(docs, path)
+    want = {tuple(r) for r in tfidf_topk_indexed(spark, queries, path, k=10).collect()}
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    rel = meta["docnorm_rel"]
+    assert rel.startswith("docnorm_g") and os.path.isdir(os.path.join(path, rel))
+    # simulate a KILLED rebuild: a torn partial dir at the NEXT
+    # generation name, meta still pointing at the committed one
+    torn = os.path.join(path, f"docnorm_g{meta['docnorm_gen'] + 1}")
+    os.makedirs(torn)
+    open(os.path.join(torn, "part-00000.parquet"), "wb").write(b"torn")
+    got = {tuple(r) for r in tfidf_topk_indexed(spark, queries, path, k=10).collect()}
+    assert got == want  # serving never looked at the torn dir
+
+
 # ---------------------------------------------------------------------------
 # RM3 pseudo-relevance feedback
 # ---------------------------------------------------------------------------
