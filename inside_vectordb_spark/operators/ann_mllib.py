@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from inside_vectordb_spark.functions.vector import l2_normalize
+from inside_vectordb_spark.functions.vector import l2_norm, l2_normalize
 
 
 def ann_brp_topk(
@@ -60,12 +60,14 @@ def ann_brp_topk(
         array_to_vector(l2_normalize(corpus_vec).cast("array<double>")).alias(
             "features"
         ),
+        (l2_norm(corpus_vec) == 0.0).alias("__zero"),
     )
     q = queries.select(
         F.col(query_id).alias("qid"),
         array_to_vector(l2_normalize(query_vec).cast("array<double>")).alias(
             "features"
         ),
+        (l2_norm(query_vec) == 0.0).alias("__zero"),
     )
     brp = BucketedRandomProjectionLSH(
         inputCol="features",
@@ -76,11 +78,24 @@ def ann_brp_topk(
     )
     model = brp.fit(c)
     joined = model.approxSimilarityJoin(c, q, threshold, distCol="dist")
-    score = 1.0 - F.col("dist") * F.col("dist") / 2.0
+    # d² = |q|² + |c|² − 2·q·c; on unit vectors 1 − d²/2 = cosine —
+    # but a ZERO vector passes through l2_normalize unchanged (its
+    # |·|² is 0, giving d = 1 and a phantom score of 0.5), so the
+    # repo-wide cosine-of-zero convention (0.0, cosine_similarity's
+    # contract) is restored explicitly (review r7)
+    zero = F.col("datasetA.__zero") | F.col("datasetB.__zero")
+    score = F.when(zero, F.lit(0.0)).otherwise(
+        1.0 - F.col("dist") * F.col("dist") / 2.0
+    )
     scored = joined.select(
         F.col("datasetB.qid").alias("query_id"),
         F.col("datasetA.doc_id").alias("doc_id"),
-        (F.round(score, round_to) if round_to else score).alias("score"),
+        # `is not None`, not truthiness: round_to=0 means round to 0
+        # decimals, not "don't round" (review r7; sibling operators'
+        # contract)
+        (F.round(score, round_to) if round_to is not None else score).alias(
+            "score"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

@@ -162,9 +162,17 @@ def ensure_mrl_index(corpus: DataFrame, path: str, **params) -> dict:
     )
 
     meta = _read_meta(path)
+    # validate against the RESOLVED params (defaults applied) — a
+    # caller relying on the MRL_PREFIX_DIM default must not silently
+    # accept an artifact built at another width (review r7)
     want = {
         "kind": "mrl",
-        **{k: v for k, v in params.items() if k not in ("id_col", "vec_col")},
+        "prefix_dim": int(params.get("prefix_dim", MRL_PREFIX_DIM)),
+        **{
+            k: v
+            for k, v in params.items()
+            if k not in ("id_col", "vec_col", "prefix_dim")
+        },
         "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
     }
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
@@ -222,9 +230,12 @@ def upsert_mrl_index(corpus_delta: DataFrame, path: str, id_col: str = "vec_id",
         _write_meta,
     )
 
-    from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
+    from inside_vectordb_spark.operators.ann_index import (
+        _assert_disjoint_delta,
+        _read_meta,
+    )
 
-    meta = mio.read_json(mio.join(path, "meta.json"))
+    meta = _read_meta(path)  # the shared meta seam, like every sibling
     if meta is None or meta.get("kind") != "mrl":
         raise FileNotFoundError(f"no complete MRL index at {path}")
     _assert_disjoint_delta(

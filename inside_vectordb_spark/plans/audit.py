@@ -40,6 +40,16 @@ def shuffled_payloads(df: DataFrame) -> list[tuple[str, list[str]]]:
         # AQE root keeps the EnsureRequirements-expanded tree aside
         if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
             yield from _walk(node.initialPlan())
+        # scalar/DPP SUBQUERY plans are not children() — without this
+        # a shuffle inside a subquery tree is invisible and the audit
+        # reports "shuffle-free" for a plan that does shuffle wide
+        # columns (review r7)
+        try:
+            sub = node.subqueries()
+            for i in range(sub.size()):
+                yield from _walk(sub.apply(i))
+        except Exception:
+            pass  # not every node type exposes subqueries()
 
     out: list[tuple[str, list[str]]] = []
     for node in _walk(df._jdf.queryExecution().executedPlan()):

@@ -36,16 +36,13 @@ def main() -> int:
     ap.add_argument("--only", default=None, help="comma-separated query names")
     args = ap.parse_args()
 
-    import duckdb
     import __spark_entry__ as e
-    from inside_vectordb_spark.io import TABLES
     from inside_vectordb_spark.session import get_spark
+    from tests.conftest import duck_con  # ONE view-registration setup
     from tests.test_parity import assert_frames_match
 
     spark = get_spark(app_name="gate-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+    con = duck_con(args.sf)
 
     queries = e.queries()
     oracles = e.oracle_sql()

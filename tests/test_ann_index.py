@@ -375,6 +375,52 @@ def test_mrl_indexed_matches_inmemory_and_skips_rebuild(
     assert os.path.getmtime(meta_path) == before
 
 
+def test_mrl_ensure_validates_resolved_default_width(
+    spark, corpus, tmp_path_factory
+):
+    """Review r7: ensure() relying on the MRL_PREFIX_DIM default must
+    NOT silently accept an artifact built at another width — defaults
+    are resolved before the meta compare, so a 16-wide build is
+    rebuilt at 32 when the caller asked for the default funnel."""
+    from inside_vectordb_spark.operators.mrl import (
+        MRL_PREFIX_DIM,
+        build_mrl_index,
+        ensure_mrl_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("mrl_w"))
+    build_mrl_index(corpus, path, prefix_dim=16)
+    meta = ensure_mrl_index(corpus, path)  # default width requested
+    assert meta["prefix_dim"] == MRL_PREFIX_DIM
+    # and the resolved-width ensure now caches (no rebuild loop)
+    import os
+
+    before = os.path.getmtime(os.path.join(path, "meta.json"))
+    ensure_mrl_index(corpus, path)
+    assert os.path.getmtime(os.path.join(path, "meta.json")) == before
+
+
+def test_brp_zero_vector_scores_zero(spark):
+    """Review r7: a zero vector (l2_normalize pass-through) sits at
+    Euclidean distance 1 from every unit vector — the 1 − d²/2
+    recovery gave it a phantom cosine of 0.5; the repo-wide
+    convention is 0.0."""
+    from inside_vectordb_spark.operators.ann_mllib import ann_brp_topk
+
+    rows = [(0, [0.0] * 8)] + [
+        (i, [float(i == j + 1) for j in range(8)]) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 1").selectExpr("vec_id AS query_id", "embedding")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ann_brp_topk(q, df, k=6, num_tables=4, bucket_length=4.0).collect()
+    }
+    if 0 in got:  # the zero vector, when retrieved, scores 0.0 not 0.5
+        assert got[0] == 0.0
+    assert got[1] == 1.0  # self-match intact
+
+
 def test_mrl_upsert_equals_full_build(spark, corpus, queries, tmp_path_factory):
     """build(base) + upsert(delta) answers byte-identically to
     build(base ∪ delta): prefix extraction has no trained state, so

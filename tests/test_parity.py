@@ -17,9 +17,7 @@ from tests.conftest import SF_DIR
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
-        if pd.api.types.is_float_dtype(pdf[c]):
-            pdf[c] = pdf[c].round(6)
-        elif pd.api.types.is_integer_dtype(pdf[c]):
+        if pd.api.types.is_integer_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("int64")
         elif pd.api.types.is_datetime64_any_dtype(pdf[c]):
             pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None)
@@ -56,11 +54,18 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if isinstance(x, float) and isinstance(y, float):
-                ok = (math.isnan(x) and math.isnan(y)) or abs(x - y) < 1e-9
-                # The driver's value hash is byte-level: -0.0 != +0.0
-                # there even though == here. Spark round(-1.7e-06, 4)
-                # = +0.0 but DuckDB = -0.0 (r5 `lineitem_correlations`
-                # FAIL) — require matching sign bits on zeros.
+                # EXACT, not tolerant: the driver's value hash is
+                # byte-level, so ANY raw double difference (an
+                # unrounded aggregate straddling the engines'
+                # summation orders) is a driver FAIL — a round-to-6
+                # + 1e-9 tolerance here (the pre-r7 form) predicted
+                # green for exactly the class of divergence the gate
+                # exists to catch. The repo convention that makes
+                # exactness achievable: every registered float column
+                # is rounded in BOTH engines before emission.
+                ok = (math.isnan(x) and math.isnan(y)) or x == y
+                # -0.0 == +0.0 in IEEE but not in the byte hash
+                # (r5 `lineitem_correlations` FAIL) — match sign bits.
                 if ok and x == 0.0 and y == 0.0:
                     ok = math.copysign(1.0, x) == math.copysign(1.0, y)
             else:
