@@ -365,7 +365,21 @@ def _bucketed_cosine_pairs(
     ``max_bucket_size`` by id order, self-join within buckets for
     canonical (id_a < id_b) distinct pairs, then exact rounded cosine
     on candidate vectors only. ``b`` = (id, table_idx, bucket);
-    ``e`` = (__id, __v)."""
+    ``e`` = (__id, __v).
+
+    Both inputs are persisted (memory-and-disk) before reuse — the
+    band table is referenced by BOTH sides of the candidate self-join
+    and ``e`` by both verify probes, so without materialization the
+    entire upstream lineage (for the det variant: a full corpus scan
+    plus the n_tables×bits sign-plane fold) executes once PER
+    REFERENCE — two signature folds and four corpus scans, verified
+    live in the r7 plan audit. Same discipline as
+    ``minhash_near_duplicates`` persisting its shingle sets. Spark
+    evicts the blocks LRU; correctness never depends on the persist
+    (reference anchor: O4/O8's batch-and-cache loop,
+    003-hnswlib_demo.py:207-251)."""
+    from pyspark import StorageLevel
+
     if max_bucket_size is not None:
         w = Window.partitionBy("table_idx", "bucket").orderBy("id")
         b = (
@@ -373,6 +387,8 @@ def _bucketed_cosine_pairs(
             .filter(F.col("__bpos") <= max_bucket_size)
             .drop("__bpos")
         )
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         b.select(F.col("id").alias("id_a"), "table_idx", "bucket")
         .join(

@@ -10,6 +10,7 @@ from inside_vectordb_spark.plans.audit import (
     assert_in_plan,
     assert_not_in_plan,
     count_in_plan,
+    count_nodes,
     physical_plan,
     shuffled_payloads,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "assert_in_plan",
     "assert_not_in_plan",
     "count_in_plan",
+    "count_nodes",
     "physical_plan",
     "shuffled_payloads",
 ]

@@ -19,6 +19,45 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _walk(node):
+    """Yield every physical-plan node reachable through children(),
+    AQE initial plans, and subquery plans. Unlike the toString form,
+    this never re-prints a cached relation's child plan per
+    InMemoryTableScan reference — node-count assertions stay honest
+    in the presence of persist()."""
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+    # AQE root keeps the EnsureRequirements-expanded tree aside
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _walk(node.initialPlan())
+    # scalar/DPP SUBQUERY plans are not children() — without this
+    # a shuffle inside a subquery tree is invisible and the audit
+    # reports "shuffle-free" for a plan that does shuffle wide
+    # columns (review r7)
+    try:
+        sub = node.subqueries()
+        for i in range(sub.size()):
+            yield from _walk(sub.apply(i))
+    except Exception:
+        pass  # not every node type exposes subqueries()
+
+
+def count_nodes(df: DataFrame, simple_name: str) -> int:
+    """How many LIVE plan nodes of the given class (SimpleName, e.g.
+    ``GenerateExec``, ``InMemoryTableScanExec``) the executed plan
+    contains. A node inside a persisted relation's cached plan counts
+    ZERO times here (it executes once, at materialization) even
+    though ``physical_plan``'s string repeats it per reference — use
+    this, not string counts, to pin compute-once contracts."""
+    return sum(
+        1
+        for node in _walk(df._jdf.queryExecution().executedPlan())
+        if node.getClass().getSimpleName() == simple_name
+    )
+
+
 def shuffled_payloads(df: DataFrame) -> list[tuple[str, list[str]]]:
     """For every shuffle exchange in the physical plan, the
     partitioning (as a string) and the column names that cross the
@@ -31,25 +70,6 @@ def shuffled_payloads(df: DataFrame) -> list[tuple[str, list[str]]]:
     ``part.startswith("hashpartitioning")`` (the round-robin splits
     here come from ``io.load_table``'s single-row-group testdata
     workaround, which never triggers on a real multi-split scan)."""
-
-    def _walk(node):
-        yield node
-        ch = node.children()
-        for i in range(ch.size()):
-            yield from _walk(ch.apply(i))
-        # AQE root keeps the EnsureRequirements-expanded tree aside
-        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-            yield from _walk(node.initialPlan())
-        # scalar/DPP SUBQUERY plans are not children() — without this
-        # a shuffle inside a subquery tree is invisible and the audit
-        # reports "shuffle-free" for a plan that does shuffle wide
-        # columns (review r7)
-        try:
-            sub = node.subqueries()
-            for i in range(sub.size()):
-                yield from _walk(sub.apply(i))
-        except Exception:
-            pass  # not every node type exposes subqueries()
 
     out: list[tuple[str, list[str]]] = []
     for node in _walk(df._jdf.queryExecution().executedPlan()):

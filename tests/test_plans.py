@@ -16,6 +16,7 @@ from inside_vectordb_spark.plans import (
     assert_in_plan,
     assert_not_in_plan,
     count_in_plan,
+    count_nodes,
     physical_plan,
     shuffled_payloads,
 )
@@ -492,6 +493,30 @@ def test_embedding_near_dup_det_no_vectors_in_band_shuffle(spark):
             assert not any("embedding" in c or c in ("v", "__v") for c in cols), (
                 f"vectors cross the band exchange ({part}): {cols}"
             )
+
+
+def test_embedding_near_dup_det_single_signature_pass(spark):
+    """The r7 verdict's one genuine plan defect, pinned fixed: the
+    candidate self-join and both verify probes must read MATERIALIZED
+    inputs (InMemoryRelation), so the n_tables×bits sign-plane fold
+    (a Generate over the posexploded band array) appears exactly ONCE
+    in the plan and the corpus is not rescanned per reference. Before
+    the fix the live executed plan had 0 cache nodes, 2 signature
+    Generates and 4 embeddings FileScans."""
+    for name in ("embedding_near_duplicates_det", "embedding_near_duplicates_lsh"):
+        df = QUERIES[name](spark, SF_DIR)
+        # both band self-join sides and both verify probes read
+        # materialized relations
+        assert count_nodes(df, "InMemoryTableScanExec") >= 4, (
+            f"{name}: band/vector inputs not materialized"
+        )
+        # the signature fold (the band posexplode Generate) lives
+        # only inside the cached plan — zero LIVE Generates means it
+        # executes exactly once, at materialization
+        assert count_nodes(df, "GenerateExec") == 0, (
+            f"{name}: band signature subtree generates live — "
+            "self-join re-evaluates the fold"
+        )
 
 
 def test_curriculum_stages_no_single_partition_window(spark):
