@@ -957,20 +957,32 @@ def dsir_scores(
 
     # The per-bucket log-ratio table is bounded by n_buckets (≤4096
     # rows), so it is materialized EAGERLY to the driver and the
-    # returned plan joins the literal relation broadcast. Two designs
-    # were rejected: (a) leaving lratio as a subplan re-executes the
-    # corpus-scale tokenize+explode twice inside ONE job, and (b) a
-    # .persist() on the feature stream (the r6 shape) caches ~16
-    # bytes/occurrence — ~5× the raw text at 100 TB, all of it
-    # spilled — and leaked its blocks for the session lifetime
-    # because the consuming action runs in the caller (advice r6).
-    # Eager counts pass + single-scan lazy plan costs the same IO as
-    # cache-fill + cache-read, with zero block-manager footprint.
-    # F.log stays JVM-side in BOTH passes, so scores are bit-identical
-    # to the subplan form.
-    tr_feats = feats(train)
+    # returned plan joins the literal relation broadcast. To avoid
+    # tokenizing the corpus TWICE (once for the eager counts, once in
+    # the returned scoring plan — the r7 shape, a bench-visible 1.6 s
+    # regression), the feature stream is pre-aggregated to per-(doc,
+    # bucket) occurrence counts and THAT relation is persisted
+    # DISK_ONLY: the global bucket counts derive from it (sum of cnt),
+    # and the scoring plan reads it back instead of re-tokenizing.
+    # This is deliberately NOT the rejected r6 shape — that persisted
+    # the raw per-OCCURRENCE stream MEMORY_AND_DISK (~16 B/occurrence,
+    # ~5× the raw text at 100 TB, competing for executor memory);
+    # the aggregated counts relation is bounded by distinct (doc,
+    # bucket) pairs (≤ min(doc_len, n_buckets) per doc), lives on
+    # disk only, and Spark frees the blocks LRU/session-end.
+    # F.log stays JVM-side, so scores are bit-identical either way.
+    from pyspark import StorageLevel
+
+    tr_doc_counts = (
+        feats(train)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
     tg_counts = feats(target).groupBy("bucket").agg(F.count("*").alias("ct"))
-    tr_counts = tr_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tr_counts = tr_doc_counts.groupBy("bucket").agg(
+        F.sum("cnt").alias("cr")
+    )
     tg_total = tg_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
     tr_total = tr_counts.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("rt"))
     lratio_rows = (
@@ -994,12 +1006,17 @@ def dsir_scores(
     spark = train.sparkSession
     lratio = spark.createDataFrame(lratio_rows, "bucket long, __lr double")
     return (
-        tr_feats.join(F.broadcast(lratio), "bucket")
+        tr_doc_counts.join(F.broadcast(lratio), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("int").alias("n_feats"),
-            # + 0.0 normalizes IEEE -0.0 (log-ratio sums straddle 0)
-            (F.round(F.sum("__lr"), round_to) + F.lit(0.0)).alias("dsir_score"),
+            F.sum("cnt").cast("int").alias("n_feats"),
+            # cnt × lr ≡ summing lr once per occurrence (the rounding
+            # absorbs the ulp-level association difference, same as it
+            # already absorbs distributed sum order); + 0.0 normalizes
+            # IEEE -0.0 (log-ratio sums straddle 0)
+            (F.round(F.sum(F.col("cnt") * F.col("__lr")), round_to) + F.lit(0.0)).alias(
+                "dsir_score"
+            ),
         )
     )
 

@@ -14,11 +14,19 @@ from inside_vectordb_spark.registry import ORACLES, QUERIES
 
 WINDOW = 50
 
-# Rows-only entries allowed inside the window. Round 6 cleared the
-# three stale-FAIL stochastic tiers (ann_lsh_topk, ann_ivf_topk,
-# embedding_near_duplicates_lsh — all rows-only-green in r6), so the
-# round-7 window is 100% oracle-backed.
-NO_ORACLE_OK: set[str] = set()
+# Rows-only entries allowed inside the window. The round-8 window
+# deliberately rotates in the 12 never-driver-checked stochastic/
+# sketch tiers (their quality envelopes are driver-proven as DATA via
+# ann_stochastic_recall_floor / ann_recall_vs_exact, both pass(r6);
+# the rows-only driver row proves run-health) so that after this
+# round every registered query has at least one driver observation.
+NO_ORACLE_OK: set[str] = {
+    "ann_knob_sweep", "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",
+    "ann_ivf_upsert_topk", "ann_hnsw_vendored", "ann_brp_topk",
+    "ann_pq_topk", "ann_pq_topk_indexed", "ann_ivfpq_topk_indexed",
+    "method_speedups", "events_user_sketch",
+    "doc_length_percentiles_approx",
+}
 
 # One representative per §2 tier that MUST sit inside the window
 # every round (reproducible multi-round anchors). Round 5 shrank the
@@ -39,35 +47,52 @@ MUST_COVER = {
 }
 
 
-# Rows rotated into the round-7 window: never driver-checked before
-# (the round-6 window came back 50/50 green, so all its rotation rows
-# moved past the prefix). They stay pinned here until a CORRECTNESS
-# file proves them green.
-ROTATED_IN_R7 = {
-    "ann_ivf_km_topk", "ann_ivf_km_topk_indexed",
-    "ann_ivf_km_upsert_topk", "ann_mrl_topk", "ann_mrl_topk_indexed",
-    "ann_mrl_sweep", "ann_mrl_upsert_topk",
-    "decontamination_semantic", "ndcg_at_k", "winnowing_candidates",
-    "hybrid_linear_topk", "source_quota_cap", "perplexity_buckets",
-    "embedding_norms_pandas_udf", "label_mean_norm_pandas_udf",
-    "doc_chunks_udtf", "jsonl_pyds_roundtrip",
-    "bucketed_join_roundtrip", "compaction_roundtrip",
-    "dataset_split", "doc_length_percentiles", "events_cooccurrence",
-    "events_hourly_stream_sink", "events_sliding_window",
-    "events_time_rollup", "events_value_winsorized", "filtered_topk",
-    "length_bucketed_batches", "lineitem_column_stats",
-    "media_chunks", "nearest_centroid_assign",
-    "schema_evolution_roundtrip", "skewed_join_salted",
-    "stratified_sample", "snapshot_vacuum", "text_normalize",
-    "text_search_e2e", "audio_features", "video_frame_sample",
-    "vocab_top_terms",
+# Rows rotated into the round-8 window: the LAST 19 never-driver-
+# checked queries plus the 21 stalest standing proofs (all 16
+# r1/r2-last-observed rows + the 5 oldest r3 rows). They stay pinned
+# here until a CORRECTNESS file proves them green.
+ROTATED_IN_R8 = {
+    # never driver-checked (19)
+    "doc_chunks", "bpe_pair_counts", "bpe_vocab", "bpe_encoded_tokens",
+    "orc_roundtrip", "events_moving_avg", "price_histogram_equiwidth",
+    "ann_knob_sweep", "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",
+    "ann_ivf_upsert_topk", "ann_hnsw_vendored", "ann_brp_topk",
+    "ann_pq_topk", "ann_pq_topk_indexed", "ann_ivfpq_topk_indexed",
+    "method_speedups", "events_user_sketch",
+    "doc_length_percentiles_approx",
+    # stale backfill (21)
+    "doc_fingerprints", "quality_scores", "token_counts",
+    "events_hourly", "events_sessionized", "minhash_candidate_pairs",
+    "minhash_signatures", "q1_pricing_summary", "q3_top_revenue_orders",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q10_returned_items", "q13_customer_distribution",
+    "q14_promo_revenue", "q22_global_sales_opportunity",
+    "jsonl_roundtrip", "qrels_tsv_roundtrip", "table_counts",
+    "avg_relevant_per_query", "relevance_histogram",
 }
 
 
 def test_rotated_rows_in_window():
     window = set(list(e.queries())[:WINDOW])
-    missing = ROTATED_IN_R7 - window
+    missing = ROTATED_IN_R8 - window
     assert not missing, f"rotation rows fell out of the window: {missing}"
+
+
+def test_union_driver_coverage_complete():
+    """After the r8 window, every registered query has at least one
+    driver observation: (names ever seen in CORRECTNESS files) ∪
+    (this window) must cover the whole registry."""
+    import glob
+    import json
+
+    seen: set[str] = set(list(e.queries())[:WINDOW])
+    for f in glob.glob("CORRECTNESS_r*.json"):
+        try:
+            seen |= set(json.load(open(f)))
+        except Exception:
+            pass
+    missing = set(QUERIES) - seen
+    assert not missing, f"queries with no driver observation: {missing}"
 
 
 def test_priority_names_exist():
