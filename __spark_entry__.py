@@ -40,11 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # LAST 19 never-driver-checked queries (7 oracle-backed + 12
 # rows-only stochastic/sketch tiers whose quality envelopes are
 # driver-proven as data via ann_stochastic_recall_floor /
-# ann_recall_vs_exact, both pass(r6)), and 21 backfill slots
-# refreshing the STALEST standing proofs (every remaining r1/r2-last-
-# observed row — 16 — plus the 5 oldest r3 rows). After this window
-# runs, every one of the 232 registered queries has at least one
-# driver observation. Rotated-out green rows remain registered and
+# ann_recall_vs_exact, both pass(r6)), 20 backfill slots refreshing
+# the STALEST standing proofs (every remaining r1/r2-last-observed
+# row — 16 — plus 4 of the oldest r3 rows), and the one query that is
+# NEW this round (ann_ivf_hash_topk). After this window runs, every
+# one of the 233 registered queries has at least one driver
+# observation. Rotated-out green rows remain registered and
 # locally oracle-tested just past the prefix (scripts/check_gate.py
 # --all covers every entry).
 WINDOW_PRIORITY = [
@@ -106,11 +107,12 @@ WINDOW_PRIORITY = [
     "qrels_tsv_roundtrip",       # S5 qrels TSV round-trip
     "table_counts",              # A1 table counts
     "avg_relevant_per_query",    # A2 mean relevant per query
-    "relevance_histogram",       # A4 relevance histogram
+    # new this round (needs its first driver observation)
+    "ann_ivf_hash_topk",         # string-id hash-rule det IVF
 ]
 
 # Round-8 rotation state: the never-driver-checked pool is EMPTY once
-# this window runs — union coverage 232/232. Future rounds rotate by
+# this window runs — union coverage 233/233. Future rounds rotate by
 # observation age (oldest CORRECTNESS row first); sentinels stay.
 
 

@@ -240,10 +240,30 @@ def run_bench(sf_dir: str) -> dict:
                 "median": round(statistics.median(runs), 3),
                 "spread": round((runs[-1] - best) / best, 3) if best else 0.0,
             }
+            # Deterministic work counters (round-7 advisory #4): rows
+            # read / bytes shuffled / exchange count from one extra
+            # executed run. Wall-clock carries ±30% host noise at
+            # identical plans; these don't — a plan regression is
+            # detectable from a single bench run by diffing them.
+            try:
+                from inside_vectordb_spark.plans import work_counters
+
+                spreads[name]["work"] = work_counters(fn(spark, sf_dir))
+            except Exception as exc:  # counters are observability, not the contract
+                print(f"[bench] {name}: counters failed: {exc}", file=sys.stderr)
+            w = spreads[name].get("work", {})
             print(
                 f"[bench] {name}: {timings[name]:.3f}s "
                 f"(median {spreads[name]['median']:.3f}s, "
-                f"spread {spreads[name]['spread']:.0%})",
+                f"spread {spreads[name]['spread']:.0%}"
+                + (
+                    f", rows_read {w['rows_read']}, "
+                    f"shuffle_mb {w['shuffle_bytes'] / 1e6:.2f}, "
+                    f"exchanges {w['exchanges']}"
+                    if w
+                    else ""
+                )
+                + ")",
                 file=sys.stderr,
             )
 

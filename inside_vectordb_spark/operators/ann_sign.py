@@ -645,6 +645,24 @@ def ann_ivf_det_topk(
         ((F.col(id_col) % centroid_stride) == 1)
         & (F.col(id_col) < centroid_stride * n_centroids_cap)
     ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"))
+    return _ivf_search(queries, corpus, cents, k, n_probe, query_id_col, id_col, vec_col)
+
+
+def _ivf_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: DataFrame,
+    k: int,
+    n_probe: int,
+    query_id_col: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The assignment → probe → rerank tail every deterministic IVF
+    variant shares (extracted r8 so the id-rule and hash-rule coarse
+    quantizers cannot diverge in search semantics). ``cents`` =
+    (cid, __cv), any id type — ordering/tie-breaks only require the
+    id to be orderable, not numeric."""
     # corpus -> nearest centroid: argmax rounded cosine, cid tie-break,
     # expressed as min(struct(-score, cid)) so it partial-aggregates
     assign = _assign_nearest(corpus, cents, id_col, vec_col)
@@ -677,6 +695,58 @@ def ann_ivf_det_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def hash_centroids(
+    corpus: DataFrame,
+    centroid_stride: int = 7,
+    n_centroids_cap: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hash-derived deterministic coarse quantizer for corpora whose
+    ids are STRINGS (BEIR 'MED-10'-style keys, reference
+    ``000-get_data.py:141`` — the id-modulo rule is unusable there):
+    centroid candidates are rows whose 60-bit md5(id) prefix is ≡ 0
+    mod ``stride``, bounded to the ``cap`` SMALLEST matching ids (a
+    distributed TakeOrdered, never a single-partition window). Works
+    for any orderable id type; restates in DuckDB as
+    ``('0x' || substr(md5(id), 1, 15))::BIGINT % stride = 0 …
+    ORDER BY id LIMIT cap``."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        corpus.filter((h % centroid_stride) == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"))
+        .orderBy("cid")
+        .limit(n_centroids_cap)
+    )
+
+
+def ann_ivf_hash_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    centroid_stride: int = 7,
+    n_centroids_cap: int = 16,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ann_ivf_det_topk``'s string-id-capable sibling: identical
+    search semantics (shared ``_ivf_search`` tail — assignment argmax,
+    n_probe probing, exact rerank, all rounded-6dp + id tie-break),
+    but the coarse quantizer is the md5-derived ``hash_centroids``
+    rule, so a corpus keyed by STRING document ids (the reference's
+    native key type) gets the same training-free deterministic IVF
+    tier. Fully hash-verifiable: md5 arithmetic restates in DuckDB."""
+    cents = hash_centroids(
+        corpus, centroid_stride, n_centroids_cap, id_col, vec_col
+    )
+    return _ivf_search(queries, corpus, cents, k, n_probe, query_id_col, id_col, vec_col)
 
 
 def ensure_ivf_det_index(

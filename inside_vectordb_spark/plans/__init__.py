@@ -13,6 +13,7 @@ from inside_vectordb_spark.plans.audit import (
     count_nodes,
     physical_plan,
     shuffled_payloads,
+    work_counters,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "count_nodes",
     "physical_plan",
     "shuffled_payloads",
+    "work_counters",
 ]

@@ -58,6 +58,68 @@ def count_nodes(df: DataFrame, simple_name: str) -> int:
     )
 
 
+def work_counters(df: DataFrame) -> dict:
+    """Execute the DataFrame's OWN query execution once and aggregate
+    deterministic work metrics from the executed plan: rows read from
+    sources, bytes/records written to shuffles, and structural counts
+    (exchanges, scans). Wall-clock varies ±30% between identical runs
+    on a shared host (proven r4→r5); these counters don't — a real
+    plan regression is detectable from ONE run (round-7 advisory #4).
+
+    Implementation notes: a ``df.write`` action builds a NEW
+    QueryExecution, so metrics must come from an action through the
+    df's own plan (``toRdd().count()``). Post-execution AQE wraps
+    stages in ``*QueryStageExec`` nodes whose plan is reachable via
+    ``.plan()``, not ``children()``; nodes are deduped by plan id so
+    a ReusedExchange never double-counts its original's metrics."""
+    jqe = df._jdf.queryExecution()
+    jqe.toRdd().count()
+
+    def _walk_exec(node, seen):
+        nid = node.id()
+        if nid in seen:
+            return
+        seen.add(nid)
+        yield node
+        nm = node.getClass().getSimpleName()
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from _walk_exec(ch.apply(i), seen)
+        if nm == "AdaptiveSparkPlanExec":
+            yield from _walk_exec(node.executedPlan(), seen)
+        elif nm.endswith("QueryStageExec"):
+            yield from _walk_exec(node.plan(), seen)
+
+    out = {
+        "rows_read": 0,
+        "cache_rows_read": 0,
+        "shuffle_bytes": 0,
+        "shuffle_records": 0,
+        "exchanges": 0,
+        "scans": 0,
+    }
+    for node in _walk_exec(jqe.executedPlan(), set()):
+        nm = node.getClass().getSimpleName()
+        mets = {}
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                mets[kv._1()] = kv._2().value()
+        except Exception:
+            continue
+        if nm == "InMemoryTableScanExec":
+            out["cache_rows_read"] += mets.get("numOutputRows", 0)
+        elif nm.endswith("ScanExec"):
+            out["scans"] += 1
+            out["rows_read"] += mets.get("numOutputRows", 0)
+        elif nm == "ShuffleExchangeExec":
+            out["exchanges"] += 1
+            out["shuffle_bytes"] += mets.get("shuffleBytesWritten", 0)
+            out["shuffle_records"] += mets.get("shuffleRecordsWritten", 0)
+    return out
+
+
 def shuffled_payloads(df: DataFrame) -> list[tuple[str, list[str]]]:
     """For every shuffle exchange in the physical plan, the
     partitioning (as a string) and the column names that cross the

@@ -910,6 +910,79 @@ def ann_ivf_det_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_HASH_ORACLE = f"""
+    WITH e AS (
+      SELECT 'DOC-' || CAST(d.doc_id AS VARCHAR) AS sid,
+             CAST(em.embedding AS DOUBLE[]) AS v, em.vec_id
+      FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id),
+    cents AS (SELECT sid AS cid, v AS cv FROM e
+              WHERE ('0x' || substr(md5(sid), 1, 15))::BIGINT % 7 = 0
+              ORDER BY sid LIMIT 16),
+    assign AS (
+      SELECT sid AS doc_id, cid FROM (
+        SELECT e.sid, c.cid,
+               row_number() OVER (PARTITION BY e.sid
+                                  ORDER BY {_DET_COS_EC} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1),
+    q AS (SELECT sid AS query_id, v AS qv FROM e
+          WHERE vec_id < {eio.N_QUERY_VECTORS}),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_DET_COS_QC} DESC, c.cid) AS rn
+        FROM q CROSS JOIN cents c) WHERE rn <= 4),
+    cand AS (SELECT p.query_id, a.doc_id FROM probes p JOIN assign a USING (cid)),
+    scored AS (
+      SELECT cand.query_id, cand.doc_id, {_DET_COS_QD} AS score
+      FROM cand
+      JOIN q ON q.query_id = cand.query_id
+      JOIN e d ON d.sid = cand.doc_id)
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 10
+"""
+
+
+@register("ann_ivf_hash_topk", oracle=_IVF_HASH_ORACLE)
+def ann_ivf_hash_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The det-IVF tier over STRING document ids (round-7 advisory
+    #6): the id-modulo centroid rule is unusable for a BEIR-style
+    corpus keyed by strings ('MED-10', reference
+    ``000-get_data.py:141``), so this variant derives the coarse
+    quantizer from md5(id) — centroid candidates are ids whose 60-bit
+    md5 prefix ≡ 0 (mod 7), bounded to the 16 smallest matching ids.
+    Corpus = documents keyed 'DOC-<id>' carrying the aligned embedding
+    row; search semantics are byte-shared with ann_ivf_det_topk
+    (operators/ann_sign.py:_ivf_search), and the whole pipeline —
+    hash rule included — restates in DuckDB for the value-hash gate."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_sign import ann_ivf_hash_topk
+
+    docs = eio.load_table(spark, sf_dir, "documents").select("doc_id")
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        F.concat(F.lit("DOC-"), F.col("doc_id").cast("string")).alias("sid"),
+        "vec_id",
+        "embedding",
+    )
+    queries = corpus.filter(F.col("vec_id") < eio.N_QUERY_VECTORS).select(
+        F.col("sid").alias("query_id"), "embedding"
+    )
+    return ann_ivf_hash_topk(
+        spark,
+        queries,
+        corpus.select("sid", "embedding"),
+        k=10,
+        n_probe=4,
+        centroid_stride=7,
+        n_centroids_cap=16,
+        id_col="sid",
+    )
+
+
 _IVF_SWEEP_SCORE = (
     "round(list_dot_product(q.qv, d.v) / "
     "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(d.v, d.v))), 6)"

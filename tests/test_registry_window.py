@@ -48,9 +48,10 @@ MUST_COVER = {
 
 
 # Rows rotated into the round-8 window: the LAST 19 never-driver-
-# checked queries plus the 21 stalest standing proofs (all 16
-# r1/r2-last-observed rows + the 5 oldest r3 rows). They stay pinned
-# here until a CORRECTNESS file proves them green.
+# checked queries, the 20 stalest standing proofs (all 16
+# r1/r2-last-observed rows + 4 of the oldest r3 rows), and the
+# round-8-new ann_ivf_hash_topk. They stay pinned here until a
+# CORRECTNESS file proves them green.
 ROTATED_IN_R8 = {
     # never driver-checked (19)
     "doc_chunks", "bpe_pair_counts", "bpe_vocab", "bpe_encoded_tokens",
@@ -60,7 +61,7 @@ ROTATED_IN_R8 = {
     "ann_pq_topk", "ann_pq_topk_indexed", "ann_ivfpq_topk_indexed",
     "method_speedups", "events_user_sketch",
     "doc_length_percentiles_approx",
-    # stale backfill (21)
+    # stale backfill (20) + the round-8-new string-id det IVF
     "doc_fingerprints", "quality_scores", "token_counts",
     "events_hourly", "events_sessionized", "minhash_candidate_pairs",
     "minhash_signatures", "q1_pricing_summary", "q3_top_revenue_orders",
@@ -68,7 +69,7 @@ ROTATED_IN_R8 = {
     "q10_returned_items", "q13_customer_distribution",
     "q14_promo_revenue", "q22_global_sales_opportunity",
     "jsonl_roundtrip", "qrels_tsv_roundtrip", "table_counts",
-    "avg_relevant_per_query", "relevance_histogram",
+    "avg_relevant_per_query", "ann_ivf_hash_topk",
 }
 
 
