@@ -83,7 +83,7 @@ WINDOW_PRIORITY = [
     "method_speedups",           # derived speedup/retention pivot
     "events_user_sketch",        # HLL/CMS user sketch
     "doc_length_percentiles_approx",  # approx percentile sketch
-    # -- backfill: the 21 stalest standing proofs --------------------
+    # -- backfill: the 20 stalest standing proofs + 1 new query ------
     # last observed r1
     "doc_fingerprints",          # rolling-hash fingerprints
     "quality_scores",            # heuristic quality scoring

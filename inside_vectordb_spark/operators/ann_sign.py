@@ -742,10 +742,25 @@ def ann_ivf_hash_topk(
     but the coarse quantizer is the md5-derived ``hash_centroids``
     rule, so a corpus keyed by STRING document ids (the reference's
     native key type) gets the same training-free deterministic IVF
-    tier. Fully hash-verifiable: md5 arithmetic restates in DuckDB."""
+    tier. Fully hash-verifiable: md5 arithmetic restates in DuckDB.
+
+    The centroid set is persisted and counted eagerly: an empty
+    quantizer (stride too large for the corpus — P(no id matches)
+    ≈ (1−1/stride)^N) must FAIL LOUDLY here, exactly like
+    ``ensure_ivf_det_index``'s empty-rule guard, never serve empty
+    top-k forever; the count also materializes the TakeOrdered once
+    for both its consumers (assignment and probing) (review r8)."""
+    from pyspark import StorageLevel
+
     cents = hash_centroids(
         corpus, centroid_stride, n_centroids_cap, id_col, vec_col
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cents.count() == 0:
+        raise ValueError(
+            f"ivf_hash centroid rule (md5({id_col}) prefix % "
+            f"{centroid_stride} == 0) selects no corpus rows — an empty "
+            "quantizer would serve empty top-k results; lower the stride"
+        )
     return _ivf_search(queries, corpus, cents, k, n_probe, query_id_col, id_col, vec_col)
 
 

@@ -346,7 +346,10 @@ from inside_vectordb_spark.operators.ann_sign import (  # noqa: E402
     bucket_sql,
 )
 
-_SIGN_BASE_Q = "q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20)"
+_SIGN_BASE_Q = (
+    "q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b "
+    f"WHERE vec_id < {eio.N_QUERY_VECTORS})"
+)
 
 
 def _sign_oracle(
@@ -422,7 +425,7 @@ from inside_vectordb_spark.operators.ann_sign import (  # noqa: E402
 
 _SIGN_MP_ORACLE = _sign_oracle(
     q_cte=f"""q AS (SELECT vec_id AS query_id, v AS qv, unnest({probes_sql('v')}) AS bucket
-          FROM e WHERE vec_id < 20)""",
+          FROM e WHERE vec_id < {eio.N_QUERY_VECTORS})""",
 )
 
 
@@ -456,9 +459,10 @@ _SWEEP_SCORE = (
 _SIGN_SWEEP_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e),
-    q1 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+    q1 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+          WHERE vec_id < {eio.N_QUERY_VECTORS}),
     q2 AS (SELECT vec_id AS query_id, v AS qv, unnest({probes_sql('v')}) AS bucket
-           FROM e WHERE vec_id < 20),
+           FROM e WHERE vec_id < {eio.N_QUERY_VECTORS}),
     s1 AS (
       SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_candidates,
              max({_SWEEP_SCORE}) AS top1_score
@@ -715,17 +719,20 @@ def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_buckets"),
         F.max("sz").alias("max_bucket_size"),
         F.round(F.avg("sz"), 6).alias("avg_bucket_size"),
+        # squares in DOUBLE: long*long wraps past ~3e9 total vectors
+        # (the oracle's sum(sz*sz)*1.0 is 128-bit HUGEINT — correct;
+        # this side must not overflow first) (review r8)
         F.round(
-            F.sum(F.col("sz") * F.col("sz"))
-            / (F.sum("sz") * F.sum("sz")),
+            F.sum(F.col("sz").cast("double") * F.col("sz"))
+            / (F.sum(F.col("sz").cast("double")) * F.sum("sz")),
             6,
         ).alias("expected_candidate_frac"),
     )
 
 
 _SIGN_FILTERED_ORACLE = _sign_oracle(
-    q_cte="""q AS (SELECT vec_id AS query_id, label AS qf, v AS qv, bucket FROM b
-          WHERE vec_id < 20)""",
+    q_cte=f"""q AS (SELECT vec_id AS query_id, label AS qf, v AS qv, bucket FROM b
+          WHERE vec_id < {eio.N_QUERY_VECTORS})""",
     cand_where="""
       WHERE c.label = q.qf AND c.vec_id <> q.query_id""",
     with_label=True,
@@ -798,17 +805,24 @@ _DET_COS_QD = (
     "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(d.v, d.v))), 6)"
 )
 
-_IVF_DET_ORACLE = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM e
-              WHERE vec_id % 37 = 1 AND vec_id < 592),
+def _ivf_oracle(e_cte: str, cents_cte: str, key: str) -> str:
+    """ONE generator for every deterministic-IVF oracle (id-rule and
+    hash-rule) — the assignment → probe → rerank SQL tail exists
+    exactly once, mirroring the Spark side's shared ``_ivf_search``
+    (review r8: a hand-copied tail is how oracle semantics silently
+    diverge). ``e_cte`` must expose ``{key}`` (the corpus id), ``v``
+    and ``vec_id`` (the query-set cutoff column); ``cents_cte`` must
+    yield (cid, cv)."""
+    return f"""
+    WITH {e_cte},
+    {cents_cte},
     assign AS (
-      SELECT vec_id AS doc_id, cid FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
+      SELECT {key} AS doc_id, cid FROM (
+        SELECT e.{key}, c.cid,
+               row_number() OVER (PARTITION BY e.{key}
                                   ORDER BY {_DET_COS_EC} DESC, c.cid) AS rn
         FROM e CROSS JOIN cents c) WHERE rn = 1),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+    q AS (SELECT {key} AS query_id, v AS qv FROM e
           WHERE vec_id < {eio.N_QUERY_VECTORS}),
     probes AS (
       SELECT query_id, cid FROM (
@@ -821,12 +835,20 @@ _IVF_DET_ORACLE = f"""
       SELECT cand.query_id, cand.doc_id, {_DET_COS_QD} AS score
       FROM cand
       JOIN q ON q.query_id = cand.query_id
-      JOIN e d ON d.vec_id = cand.doc_id)
+      JOIN e d ON d.{key} = cand.doc_id)
     SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, doc_id) AS rn
       FROM scored) WHERE rn <= 10
 """
+
+
+_IVF_DET_ORACLE = _ivf_oracle(
+    e_cte="e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+    cents_cte="""cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % 37 = 1 AND vec_id < 592)""",
+    key="vec_id",
+)
 
 
 @register("ann_ivf_det_topk", oracle=_IVF_DET_ORACLE)
@@ -910,39 +932,16 @@ def ann_ivf_det_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_HASH_ORACLE = f"""
-    WITH e AS (
+_IVF_HASH_ORACLE = _ivf_oracle(
+    e_cte="""e AS (
       SELECT 'DOC-' || CAST(d.doc_id AS VARCHAR) AS sid,
              CAST(em.embedding AS DOUBLE[]) AS v, em.vec_id
-      FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id),
-    cents AS (SELECT sid AS cid, v AS cv FROM e
+      FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id)""",
+    cents_cte="""cents AS (SELECT sid AS cid, v AS cv FROM e
               WHERE ('0x' || substr(md5(sid), 1, 15))::BIGINT % 7 = 0
-              ORDER BY sid LIMIT 16),
-    assign AS (
-      SELECT sid AS doc_id, cid FROM (
-        SELECT e.sid, c.cid,
-               row_number() OVER (PARTITION BY e.sid
-                                  ORDER BY {_DET_COS_EC} DESC, c.cid) AS rn
-        FROM e CROSS JOIN cents c) WHERE rn = 1),
-    q AS (SELECT sid AS query_id, v AS qv FROM e
-          WHERE vec_id < {eio.N_QUERY_VECTORS}),
-    probes AS (
-      SELECT query_id, cid FROM (
-        SELECT q.query_id, c.cid,
-               row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY {_DET_COS_QC} DESC, c.cid) AS rn
-        FROM q CROSS JOIN cents c) WHERE rn <= 4),
-    cand AS (SELECT p.query_id, a.doc_id FROM probes p JOIN assign a USING (cid)),
-    scored AS (
-      SELECT cand.query_id, cand.doc_id, {_DET_COS_QD} AS score
-      FROM cand
-      JOIN q ON q.query_id = cand.query_id
-      JOIN e d ON d.sid = cand.doc_id)
-    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, doc_id) AS rn
-      FROM scored) WHERE rn <= 10
-"""
+              ORDER BY sid LIMIT 16)""",
+    key="sid",
+)
 
 
 @register("ann_ivf_hash_topk", oracle=_IVF_HASH_ORACLE)
@@ -961,12 +960,23 @@ def ann_ivf_hash_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from inside_vectordb_spark.operators.ann_sign import ann_ivf_hash_topk
 
+    from pyspark import StorageLevel
+
     docs = eio.load_table(spark, sf_dir, "documents").select("doc_id")
     emb = eio.load_table(spark, sf_dir, "embeddings")
-    corpus = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
-        F.concat(F.lit("DOC-"), F.col("doc_id").cast("string")).alias("sid"),
-        "vec_id",
-        "embedding",
+    # the corpus here is a JOIN, not a raw scan — persist it so the
+    # quantizer scan, assignment, query filter and rerank join reuse
+    # one materialization instead of re-executing the join per
+    # reference (review r8: was 6 scans / 9 exchanges vs the det
+    # twin's 4 / 6)
+    corpus = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .select(
+            F.concat(F.lit("DOC-"), F.col("doc_id").cast("string")).alias("sid"),
+            "vec_id",
+            "embedding",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     queries = corpus.filter(F.col("vec_id") < eio.N_QUERY_VECTORS).select(
         F.col("sid").alias("query_id"), "embedding"
@@ -1099,10 +1109,14 @@ _PQ_DET_L2SQ = (
     "i -> (es.xvm[i] - cs.cvm[i]) * (es.xvm[i] - cs.cvm[i]))), 6)"
 )
 
-def _pq_det_oracle(codes_filter: str = "") -> str:
-    """The deterministic-PQ chain as SQL; ``codes_filter`` is an
-    optional extra predicate on the codes relation (tombstoned ids
-    for the delete twin)."""
+def _pq_det_prefix(codes_filter: str = "") -> str:
+    """The deterministic-PQ chain UP TO the ADC ranking (``apx``) —
+    shared verbatim by the full top-k oracle and the refine-depth
+    sweep (review r8: the sweep previously recovered this prefix by
+    string-splitting the generated SQL on the literal ``'cand AS ('``
+    — renaming that CTE would have silently truncated the oracle at
+    the wrong point). ``codes_filter`` is an optional extra predicate
+    on the codes relation (tombstoned ids for the delete twin)."""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents AS (SELECT vec_id AS cid, v AS cv FROM e
@@ -1132,7 +1146,14 @@ def _pq_det_oracle(codes_filter: str = "") -> str:
     apx AS (SELECT ap.query_id, ap.doc_id,
                    round(dotqr / (sqrt(list_dot_product(q.qv, q.qv))
                                   * sqrt(rn2)), 6) AS a
-            FROM ap JOIN q ON q.query_id = ap.query_id),
+            FROM ap JOIN q ON q.query_id = ap.query_id)"""
+
+
+def _pq_det_oracle(codes_filter: str = "") -> str:
+    """Full deterministic-PQ top-k oracle: the shared prefix plus the
+    depth-50 rerank tail."""
+    return f"""
+    {_pq_det_prefix(codes_filter)},
     cand AS (SELECT query_id, doc_id FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY a DESC, doc_id) AS rn
@@ -1168,10 +1189,8 @@ def _pq_sweep_arm(depth: int) -> str:
       GROUP BY r.query_id)"""
 
 
-_PQ_SWEEP_PREFIX = _pq_det_oracle().split("cand AS (")[0].rstrip().rstrip(",")
-
 _PQ_DET_SWEEP_ORACLE = f"""
-    {_PQ_SWEEP_PREFIX},
+    {_pq_det_prefix()},
     {_pq_sweep_arm(10)},
     {_pq_sweep_arm(50)}
     SELECT 'refine10' AS setting, query_id, n_candidates, top1_score FROM s10

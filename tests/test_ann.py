@@ -813,3 +813,36 @@ def test_mrl_recall_retention_and_prefix_monotone(spark, exact_sets):
     # full-width prefix with C >= k candidates IS exact search
     r64 = _recall_vs_exact(ann_mrl_topk(q, c, k=K, prefix_dim=64), exact_sets)
     assert r64 == 1.0
+
+
+def test_ivf_hash_tier_matches_det_semantics_and_guards_empty(spark):
+    """The string-id hash-rule IVF (review r8): (a) an over-large
+    stride that selects zero centroids fails LOUDLY (an empty
+    quantizer must never serve empty top-k forever — same contract as
+    ensure_ivf_det_index); (b) with a workable stride, results carry
+    full ranked lists per query over the string-keyed corpus."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_sign import ann_ivf_hash_topk
+
+    emb = eio.load_table(spark, SF_DIR_MED, "embeddings").select(
+        F.concat(F.lit("DOC-"), F.col("vec_id").cast("string")).alias("sid"),
+        "vec_id",
+        "embedding",
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("sid").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("sid", "embedding")
+    with pytest.raises(ValueError, match="no corpus rows"):
+        ann_ivf_hash_topk(
+            spark, queries, corpus, k=5, centroid_stride=10**9, id_col="sid"
+        )
+    out = ann_ivf_hash_topk(
+        spark, queries, corpus, k=5, n_probe=4, centroid_stride=7, id_col="sid"
+    ).toPandas()
+    assert set(out.columns) == {"query_id", "doc_id", "score", "rank"}
+    assert out.groupby("query_id")["rank"].max().eq(5).all()
+    # every query's own vector is its rank-1 hit when probed (cosine 1.0)
+    top1 = out[out["rank"] == 1]
+    assert (top1["query_id"] == top1["doc_id"]).all()
