@@ -1,0 +1,141 @@
+"""similarity_join — the one-call entry point for vector search.
+
+The engine exposes each retrieval tier as its own operator (exact
+brute force, persisted sign-LSH, deterministic IVF); a vector-DB user
+doesn't pick a tier per call — they ask for "top-k neighbors, maybe
+filtered" and the store routes by corpus size (the reference's own
+method choice: brute force for small corpora, hnswlib/FAISS once the
+corpus outgrows it — ``README.md:174-193``, 002 vs 003/004). This
+facade encodes that routing as ONE dispatching function over the
+already-proven operators; every branch returns the same
+(query_id, doc_id, score, rank) contract with the engine-wide
+rounded-6dp score and (score DESC, id ASC) tie-break.
+
+Routing rule (``method="auto"``):
+
+- ``n <= exact_cutoff``  → exact: the O(Q·N) broadcast nested loop is
+  the FASTEST plan while the corpus fits a scan-and-score pass
+  (reference 002); with a predicate, the broadcast HASH join twin.
+- ``n <= ivf_cutoff``    → persisted sign-LSH index (bucket-pruned
+  candidate scan, exact rerank; predicate composes with the index as
+  a rerank post-filter) — reference 003's hnswlib role.
+- larger                 → deterministic IVF (bounded quantizer,
+  probe pruning) — reference 004's FAISS role.
+
+``corpus_size`` short-circuits the count when the caller already
+knows it (a real store reads it from table stats; Spark exposes it
+via the catalog at zero cost — we never force a count on a path the
+caller pre-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from inside_vectordb_spark import _meta_io as mio
+
+EXACT_CUTOFF = 100_000
+IVF_CUTOFF = 50_000_000
+
+
+def similarity_join(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    method: str = "auto",
+    filter_col: str | None = None,
+    corpus_size: int | None = None,
+    exact_cutoff: int = EXACT_CUTOFF,
+    ivf_cutoff: int = IVF_CUTOFF,
+    index_path: str | None = None,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k cosine similarity join, routed by corpus size (or forced
+    via ``method`` in {"exact", "signlsh", "ivf_det"}). Returns
+    (query_id, doc_id, score, rank).
+
+    ``filter_col``: optional metadata predicate — rank only corpus
+    rows whose value equals the query's (supported on the exact and
+    signlsh routes; the det-IVF tier has no filtered variant yet, so
+    routing a filtered call there raises instead of silently
+    dropping the predicate)."""
+    if method == "auto":
+        n = corpus_size if corpus_size is not None else corpus.count()
+        if n <= exact_cutoff:
+            method = "exact"
+        elif n <= ivf_cutoff:
+            method = "signlsh"
+        else:
+            method = "ivf_det"
+
+    if method == "exact":
+        from inside_vectordb_spark.operators.topk import (
+            exact_cosine_topk,
+            filtered_cosine_topk,
+        )
+
+        if filter_col is not None:
+            return filtered_cosine_topk(
+                queries,
+                corpus,
+                k=k,
+                query_id=query_id_col,
+                query_vec=vec_col,
+                corpus_id=id_col,
+                corpus_vec=vec_col,
+                filter_col=filter_col,
+            )
+        return exact_cosine_topk(
+            queries,
+            corpus,
+            k=k,
+            query_id=query_id_col,
+            query_vec=vec_col,
+            corpus_id=id_col,
+            corpus_vec=vec_col,
+        )
+
+    if method == "signlsh":
+        from inside_vectordb_spark.operators.ann_sign import ann_sign_topk_indexed
+
+        path = index_path or mio.join(
+            mio.artifacts_root(), "similarity_join", "sign"
+        )
+        return ann_sign_topk_indexed(
+            spark,
+            queries,
+            corpus,
+            path,
+            k=k,
+            query_id_col=query_id_col,
+            id_col=id_col,
+            vec_col=vec_col,
+            filter_col=filter_col,
+        )
+
+    if method == "ivf_det":
+        if filter_col is not None:
+            raise ValueError(
+                "the det-IVF route has no filtered variant — force "
+                "method='signlsh' (index post-filter) or 'exact' for "
+                "predicated search"
+            )
+        from inside_vectordb_spark.operators.ann_sign import ann_ivf_det_topk
+
+        return ann_ivf_det_topk(
+            spark,
+            queries,
+            corpus,
+            k=k,
+            n_probe=n_probe,
+            query_id_col=query_id_col,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    raise ValueError(f"unknown method: {method!r}")

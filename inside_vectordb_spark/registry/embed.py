@@ -248,9 +248,7 @@ def text_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "filtered_topk",
-    oracle=f"""
+_FILTERED_EXACT_ORACLE = f"""
     WITH qv AS (SELECT vec_id AS query_id, label, embedding
                 FROM embeddings WHERE vec_id < {eio.N_QUERY_VECTORS}),
     scored AS (
@@ -269,8 +267,10 @@ def text_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, doc_id, round(score, 6) AS score, rank
     FROM ranked WHERE rank <= 10
-    """,
-)
+    """
+
+
+@register("filtered_topk", oracle=_FILTERED_EXACT_ORACLE)
 def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-filtered exact search (metadata predicate ∧ top-k —
     the predicated generalization of the J5 flagship; every production
@@ -285,4 +285,74 @@ def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         eio.query_vectors(spark, sf_dir),
         eio.load_table(spark, sf_dir, "embeddings"),
         k=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_join facade (round-7 advisory #8): ONE dispatching entry
+# point that routes exact / sign-LSH / det-IVF by corpus size — the
+# way a vector-DB user actually calls the store (reference: the 002
+# vs 003/004 method choice, README.md:174-193). Both registered rows
+# FORCE a distinct route through explicit cutoffs (the routing must
+# be scale-independent so one oracle string stays correct at sf0.01
+# AND sf0.1) and reuse the routed tier's proven oracle — a green hash
+# is the proof that the facade is a zero-cost dispatcher, not a
+# reimplementation.
+
+# registry.ann is fully imported before this module (registry
+# __init__ order), so its oracle constant is safe to import here.
+from inside_vectordb_spark.registry.ann import _SIGN_ORACLE  # noqa: E402
+
+
+@register("similarity_join_topk", oracle=_SIGN_ORACLE)
+def similarity_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade routed to the persisted sign-LSH tier: exact_cutoff
+    forced below the corpus size, so auto-routing picks the index at
+    every test scale; shares the ann_sign artifacts dir (and oracle)
+    with the ann_signlsh_topk_indexed sentinel — stored-index reuse
+    through the facade, verified by the same value hash
+    (operators/similarity.py)."""
+    import os
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.similarity import similarity_join
+
+    art = os.path.join(
+        mio.artifacts_root(),
+        "ann_sign",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    return similarity_join(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        exact_cutoff=100,
+        index_path=art,
+    )
+
+
+@register("similarity_join_filtered", oracle=_FILTERED_EXACT_ORACLE)
+def similarity_join_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade routed to predicated EXACT search (default cutoffs:
+    the test corpora sit under exact_cutoff, and corpus_size is passed
+    explicitly to prove the no-count fast path): metadata predicate ∧
+    top-k through the one entry point, same oracle as the direct
+    filtered_topk row (operators/similarity.py)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from inside_vectordb_spark.operators.similarity import similarity_join
+
+    # the no-count fast path: a real store routes on table stats —
+    # here the parquet footer's row count, read without a Spark job
+    n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    return similarity_join(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        filter_col="label",
+        corpus_size=n,
     )

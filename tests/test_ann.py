@@ -846,3 +846,40 @@ def test_ivf_hash_tier_matches_det_semantics_and_guards_empty(spark):
     # every query's own vector is its rank-1 hit when probed (cosine 1.0)
     top1 = out[out["rank"] == 1]
     assert (top1["query_id"] == top1["doc_id"]).all()
+
+
+def test_similarity_join_facade_routes_all_tiers(spark):
+    """The one-call facade (round-8): auto-routing picks exact below
+    the cutoff and the sign-LSH index above it; ivf_det is reachable
+    forced; a filtered call on the det route fails loudly instead of
+    dropping the predicate; every route returns the same contract."""
+    from inside_vectordb_spark.operators.similarity import similarity_join
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    cols = {"query_id", "doc_id", "score", "rank"}
+
+    # auto → exact (corpus far below the default cutoff): identical
+    # rows to the direct exact operator
+    auto = similarity_join(spark, q, c, k=5).toPandas()
+    direct = exact_cosine_topk(q, c, k=5).toPandas()
+    key = ["query_id", "rank"]
+    assert set(auto.columns) == cols
+    assert auto.sort_values(key).reset_index(drop=True).equals(
+        direct.sort_values(key).reset_index(drop=True)
+    )
+
+    # auto → signlsh once the cutoff is forced below the corpus size
+    lsh = similarity_join(
+        spark, q, c, k=5, exact_cutoff=10, corpus_size=2000
+    ).toPandas()
+    assert set(lsh.columns) == cols and len(lsh) > 0
+
+    # forced det-IVF route works; filtered det-IVF raises
+    ivf = similarity_join(spark, q, c, k=5, method="ivf_det").toPandas()
+    assert set(ivf.columns) == cols and ivf["rank"].max() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="filtered"):
+        similarity_join(spark, q, c, k=5, method="ivf_det", filter_col="label")
