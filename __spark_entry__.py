@@ -42,9 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-proven as data via ann_stochastic_recall_floor /
 # ann_recall_vs_exact, both pass(r6)), 18 backfill slots refreshing
 # the STALEST standing proofs (every remaining r1/r2-last-observed
-# row — 16 — plus 2 of the oldest r3 rows), and the three queries NEW
-# this round (ann_ivf_hash_topk + the two similarity_join facade
-# routes). After this window runs, every one of the 235 registered
+# row — 16 — plus 1 of the oldest r3 rows), and the four queries NEW
+# this round (ann_ivf_hash_topk + the three similarity_join facade
+# routes). After this window runs, every one of the 236 registered
 # queries has at least one driver observation. Rotated-out green rows remain registered and
 # locally oracle-tested just past the prefix (scripts/check_gate.py
 # --all covers every entry).
@@ -83,7 +83,7 @@ WINDOW_PRIORITY = [
     "method_speedups",           # derived speedup/retention pivot
     "events_user_sketch",        # HLL/CMS user sketch
     "doc_length_percentiles_approx",  # approx percentile sketch
-    # -- backfill: the 18 stalest standing proofs + 3 new queries ----
+    # -- backfill: the 17 stalest standing proofs + 4 new queries ----
     # last observed r1
     "doc_fingerprints",          # rolling-hash fingerprints
     "quality_scores",            # heuristic quality scoring
@@ -104,15 +104,15 @@ WINDOW_PRIORITY = [
     "q22_global_sales_opportunity",  # TPC-H Q22
     # last observed r3
     "jsonl_roundtrip",           # S3/S6 JSONL round-trip
-    "qrels_tsv_roundtrip",       # S5 qrels TSV round-trip
     # new this round (need their first driver observation)
     "ann_ivf_hash_topk",         # string-id hash-rule det IVF
     "similarity_join_topk",      # routing facade -> sign-LSH index
     "similarity_join_filtered",  # routing facade -> filtered exact
+    "similarity_join_ivf_filtered",  # facade -> filtered det IVF
 ]
 
 # Round-8 rotation state: the never-driver-checked pool is EMPTY once
-# this window runs — union coverage 235/235. Future rounds rotate by
+# this window runs — union coverage 236/236. Future rounds rotate by
 # observation age (oldest CORRECTNESS row first); sentinels stay.
 
 

@@ -620,6 +620,7 @@ def ann_ivf_det_topk(
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_col: str | None = None,
 ) -> DataFrame:
     """IVF with a DETERMINISTIC coarse quantizer — the FAISS-analogue
     tier made fully hash-verifiable (the np.random k-means IVF in
@@ -645,7 +646,10 @@ def ann_ivf_det_topk(
         ((F.col(id_col) % centroid_stride) == 1)
         & (F.col(id_col) < centroid_stride * n_centroids_cap)
     ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"))
-    return _ivf_search(queries, corpus, cents, k, n_probe, query_id_col, id_col, vec_col)
+    return _ivf_search(
+        queries, corpus, cents, k, n_probe, query_id_col, id_col, vec_col,
+        filter_col=filter_col,
+    )
 
 
 def _ivf_search(
@@ -657,33 +661,49 @@ def _ivf_search(
     query_id_col: str,
     id_col: str,
     vec_col: str,
+    filter_col: str | None = None,
 ) -> DataFrame:
     """The assignment → probe → rerank tail every deterministic IVF
     variant shares (extracted r8 so the id-rule and hash-rule coarse
     quantizers cannot diverge in search semantics). ``cents`` =
     (cid, __cv), any id type — ordering/tie-breaks only require the
-    id to be orderable, not numeric."""
+    id to be orderable, not numeric.
+
+    ``filter_col``: optional metadata predicate — rank only corpus
+    rows whose value equals the query's. Same composition as the
+    sign-LSH tier: probing/assignment are untouched (the quantizer
+    covers the full corpus), the predicate post-filters the rerank
+    join, and self-matches are excluded iff a filter is set (the
+    engine-wide coupling the registered oracles encode)."""
     # corpus -> nearest centroid: argmax rounded cosine, cid tie-break,
     # expressed as min(struct(-score, cid)) so it partial-aggregates
     assign = _assign_nearest(corpus, cents, id_col, vec_col)
     # queries -> n_probe nearest centroids (query side is small; a
     # per-query window over cap rows is bounded work)
-    qb = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
+    qcols = [F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")]
+    if filter_col is not None:
+        qcols.append(F.col(filter_col).alias("__qf"))
+    qb = queries.select(*qcols)
     pw = Window.partitionBy("query_id").orderBy(F.desc("__pc"), F.asc("cid"))
+    keep = ["query_id", "__qv", "cid"] + (
+        ["__qf"] if filter_col is not None else []
+    )
     probes = (
         qb.crossJoin(F.broadcast(cents))
         .withColumn("__pc", F.round(cosine_similarity("__qv", "__cv"), 6))
         .withColumn("__rn", F.row_number().over(pw))
         .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "cid")
+        .select(*keep)
     )
-    cand = probes.join(assign, "cid").select("query_id", "__qv", "doc_id")
-    withvec = cand.join(
-        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__dv")),
-        "doc_id",
+    cand = probes.join(assign, "cid").drop("cid")
+    ccols = [F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__dv")] + (
+        [F.col(filter_col).alias("__cf")] if filter_col is not None else []
     )
+    withvec = cand.join(corpus.select(*ccols), "doc_id")
+    if filter_col is not None:
+        withvec = withvec.filter(F.col("__qf") == F.col("__cf")).filter(
+            F.col("query_id") != F.col("doc_id")
+        )
     scored = withvec.select(
         "query_id",
         "doc_id",
@@ -735,6 +755,7 @@ def ann_ivf_hash_topk(
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_col: str | None = None,
 ) -> DataFrame:
     """``ann_ivf_det_topk``'s string-id-capable sibling: identical
     search semantics (shared ``_ivf_search`` tail — assignment argmax,
@@ -761,7 +782,10 @@ def ann_ivf_hash_topk(
             f"{centroid_stride} == 0) selects no corpus rows — an empty "
             "quantizer would serve empty top-k results; lower the stride"
         )
-    return _ivf_search(queries, corpus, cents, k, n_probe, query_id_col, id_col, vec_col)
+    return _ivf_search(
+        queries, corpus, cents, k, n_probe, query_id_col, id_col, vec_col,
+        filter_col=filter_col,
+    )
 
 
 def ensure_ivf_det_index(

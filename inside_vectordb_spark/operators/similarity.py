@@ -60,10 +60,10 @@ def similarity_join(
     (query_id, doc_id, score, rank).
 
     ``filter_col``: optional metadata predicate — rank only corpus
-    rows whose value equals the query's (supported on the exact and
-    signlsh routes; the det-IVF tier has no filtered variant yet, so
-    routing a filtered call there raises instead of silently
-    dropping the predicate)."""
+    rows whose value equals the query's (all three routes: the exact
+    route hash-joins on the predicate; the ANN routes post-filter
+    the rerank join, the strategy real vector stores use when the
+    filter is not bucket-aligned)."""
     if method == "auto":
         n = corpus_size if corpus_size is not None else corpus.count()
         if n <= exact_cutoff:
@@ -119,12 +119,6 @@ def similarity_join(
         )
 
     if method == "ivf_det":
-        if filter_col is not None:
-            raise ValueError(
-                "the det-IVF route has no filtered variant — force "
-                "method='signlsh' (index post-filter) or 'exact' for "
-                "predicated search"
-            )
         from inside_vectordb_spark.operators.ann_sign import ann_ivf_det_topk
 
         return ann_ivf_det_topk(
@@ -136,6 +130,7 @@ def similarity_join(
             query_id_col=query_id_col,
             id_col=id_col,
             vec_col=vec_col,
+            filter_col=filter_col,
         )
 
     raise ValueError(f"unknown method: {method!r}")

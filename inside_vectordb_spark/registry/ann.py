@@ -805,14 +805,19 @@ _DET_COS_QD = (
     "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(d.v, d.v))), 6)"
 )
 
-def _ivf_oracle(e_cte: str, cents_cte: str, key: str) -> str:
+def _ivf_oracle(
+    e_cte: str, cents_cte: str, key: str, q_extra: str = "", scored_where: str = ""
+) -> str:
     """ONE generator for every deterministic-IVF oracle (id-rule and
-    hash-rule) — the assignment → probe → rerank SQL tail exists
-    exactly once, mirroring the Spark side's shared ``_ivf_search``
-    (review r8: a hand-copied tail is how oracle semantics silently
-    diverge). ``e_cte`` must expose ``{key}`` (the corpus id), ``v``
-    and ``vec_id`` (the query-set cutoff column); ``cents_cte`` must
-    yield (cid, cv)."""
+    hash-rule, plain and filtered) — the assignment → probe → rerank
+    SQL tail exists exactly once, mirroring the Spark side's shared
+    ``_ivf_search`` (review r8: a hand-copied tail is how oracle
+    semantics silently diverge). ``e_cte`` must expose ``{key}`` (the
+    corpus id), ``v`` and ``vec_id`` (the query-set cutoff column);
+    ``cents_cte`` must yield (cid, cv); ``q_extra`` appends columns
+    to the query CTE (e.g. ``, label AS qf``); ``scored_where``
+    post-filters the rerank join (the filtered-ANN predicate +
+    self-exclusion)."""
     return f"""
     WITH {e_cte},
     {cents_cte},
@@ -822,7 +827,7 @@ def _ivf_oracle(e_cte: str, cents_cte: str, key: str) -> str:
                row_number() OVER (PARTITION BY e.{key}
                                   ORDER BY {_DET_COS_EC} DESC, c.cid) AS rn
         FROM e CROSS JOIN cents c) WHERE rn = 1),
-    q AS (SELECT {key} AS query_id, v AS qv FROM e
+    q AS (SELECT {key} AS query_id{q_extra}, v AS qv FROM e
           WHERE vec_id < {eio.N_QUERY_VECTORS}),
     probes AS (
       SELECT query_id, cid FROM (
@@ -835,7 +840,7 @@ def _ivf_oracle(e_cte: str, cents_cte: str, key: str) -> str:
       SELECT cand.query_id, cand.doc_id, {_DET_COS_QD} AS score
       FROM cand
       JOIN q ON q.query_id = cand.query_id
-      JOIN e d ON d.{key} = cand.doc_id)
+      JOIN e d ON d.{key} = cand.doc_id{scored_where})
     SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, doc_id) AS rn

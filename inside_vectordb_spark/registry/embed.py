@@ -356,3 +356,38 @@ def similarity_join_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter_col="label",
         corpus_size=n,
     )
+
+
+from inside_vectordb_spark.registry.ann import _ivf_oracle  # noqa: E402
+
+_IVF_FILTERED_ORACLE = _ivf_oracle(
+    e_cte="""e AS (SELECT vec_id, label,
+               CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+    cents_cte="""cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % 37 = 1 AND vec_id < 592)""",
+    key="vec_id",
+    q_extra=", label AS qf",
+    scored_where="""
+      WHERE d.label = q.qf AND d.vec_id <> q.query_id""",
+)
+
+
+@register("similarity_join_ivf_filtered", oracle=_IVF_FILTERED_ORACLE)
+def similarity_join_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade's third route with the predicate: det-IVF filtered
+    ANN (round-8 — closes the facade's one unsupported combination).
+    Probing/assignment cover the full corpus; the label predicate
+    post-filters the rerank join and self-matches are excluded — the
+    same composition contract as ann_signlsh_filtered, now proven on
+    the inverted-file tier via the shared _ivf_oracle generator
+    (operators/ann_sign.py:_ivf_search filter_col)."""
+    from inside_vectordb_spark.operators.similarity import similarity_join
+
+    return similarity_join(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        eio.load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        method="ivf_det",
+        filter_col="label",
+    )

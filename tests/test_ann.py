@@ -876,10 +876,12 @@ def test_similarity_join_facade_routes_all_tiers(spark):
     ).toPandas()
     assert set(lsh.columns) == cols and len(lsh) > 0
 
-    # forced det-IVF route works; filtered det-IVF raises
+    # forced det-IVF route works, plain and predicated (the filtered
+    # det route post-filters the rerank join and excludes self-matches)
     ivf = similarity_join(spark, q, c, k=5, method="ivf_det").toPandas()
     assert set(ivf.columns) == cols and ivf["rank"].max() == 5
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="filtered"):
-        similarity_join(spark, q, c, k=5, method="ivf_det", filter_col="label")
+    fivf = similarity_join(
+        spark, q, c, k=5, method="ivf_det", filter_col="label"
+    ).toPandas()
+    assert set(fivf.columns) == cols and len(fivf) > 0
+    assert not (fivf["query_id"] == fivf["doc_id"]).any()

@@ -61,15 +61,15 @@ ROTATED_IN_R8 = {
     "ann_pq_topk", "ann_pq_topk_indexed", "ann_ivfpq_topk_indexed",
     "method_speedups", "events_user_sketch",
     "doc_length_percentiles_approx",
-    # stale backfill (18) + the three round-8-new queries
+    # stale backfill (17) + the four round-8-new queries
     "doc_fingerprints", "quality_scores", "token_counts",
     "events_hourly", "events_sessionized", "minhash_candidate_pairs",
     "minhash_signatures", "q1_pricing_summary", "q3_top_revenue_orders",
     "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
     "q10_returned_items", "q13_customer_distribution",
     "q14_promo_revenue", "q22_global_sales_opportunity",
-    "jsonl_roundtrip", "qrels_tsv_roundtrip", "ann_ivf_hash_topk",
-    "similarity_join_topk", "similarity_join_filtered",
+    "jsonl_roundtrip", "ann_ivf_hash_topk", "similarity_join_topk",
+    "similarity_join_filtered", "similarity_join_ivf_filtered",
 }
 
 
