@@ -333,7 +333,19 @@ def main() -> None:
             write_report(result)
         except OSError as exc:  # report is best-effort; the JSON line is the contract
             print(f"[bench] report write failed: {exc}", file=sys.stderr)
-    print(json.dumps(result))
+    # The stdout contract line stays COMPACT: the round driver records
+    # a bounded tail of stdout, and the r7 line (with per-query
+    # spreads inlined) overflowed it — BENCH_r07.json recorded
+    # parsed=null with the line beheaded. Spreads and work counters
+    # live in reports/spark_headline_*.json (written above); stdout
+    # carries exactly the documented contract keys.
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k in ("metric", "value", "unit", "queries", "sf",
+                 "curation_gates", "near_dup_cluster_rounds")
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
