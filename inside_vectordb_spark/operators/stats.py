@@ -52,27 +52,35 @@ def column_stats(
     fields = {f.name: f.dataType for f in df.schema.fields}
     if cols is None:
         cols = list(fields)
+
+    def q(name: str) -> F.Column:
+        # backtick-quoted: source columns AND the generated __-aliases
+        # both inherit any dot/dash in the name, which an unquoted
+        # F.col would mis-parse as a nested reference (review r8 —
+        # the same defect class asof_join fixed in r7)
+        return F.col("`" + name.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         dt = fields[c]
-        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.count(q(c)).alias(f"__nn_{c}"))
         if approx:
-            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+            aggs.append(F.approx_count_distinct(q(c)).alias(f"__nd_{c}"))
         else:
-            aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+            aggs.append(F.countDistinct(q(c)).alias(f"__nd_{c}"))
         if isinstance(dt, _NUMERIC):
-            aggs.append(F.round(F.min(c).cast("double"), 6).alias(f"__mn_{c}"))
-            aggs.append(F.round(F.max(c).cast("double"), 6).alias(f"__mx_{c}"))
+            aggs.append(F.round(F.min(q(c)).cast("double"), 6).alias(f"__mn_{c}"))
+            aggs.append(F.round(F.max(q(c)).cast("double"), 6).alias(f"__mx_{c}"))
         elif isinstance(dt, (TimestampType, DateType)):
             aggs.append(
-                F.round(F.min(c).cast("timestamp").cast("double"), 6).alias(f"__mn_{c}")
+                F.round(F.min(q(c)).cast("timestamp").cast("double"), 6).alias(f"__mn_{c}")
             )
             aggs.append(
-                F.round(F.max(c).cast("timestamp").cast("double"), 6).alias(f"__mx_{c}")
+                F.round(F.max(q(c)).cast("timestamp").cast("double"), 6).alias(f"__mx_{c}")
             )
         else:
-            aggs.append(F.min(c).cast("string").alias(f"__mn_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"__mx_{c}"))
+            aggs.append(F.min(q(c)).cast("string").alias(f"__mn_{c}"))
+            aggs.append(F.max(q(c)).cast("string").alias(f"__mx_{c}"))
     row = df.agg(*aggs)
 
     def entry(c: str) -> F.Column:
@@ -80,18 +88,18 @@ def column_stats(
         return F.struct(
             F.lit(c).alias("column_name"),
             F.col("__n").alias("n_rows"),
-            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
-            F.col(f"__nd_{c}").alias("n_distinct"),
-            (F.col(f"__mn_{c}") if numeric else F.lit(None).cast("double")).alias(
+            (F.col("__n") - q(f"__nn_{c}")).alias("n_nulls"),
+            q(f"__nd_{c}").alias("n_distinct"),
+            (q(f"__mn_{c}") if numeric else F.lit(None).cast("double")).alias(
                 "min_num"
             ),
-            (F.col(f"__mx_{c}") if numeric else F.lit(None).cast("double")).alias(
+            (q(f"__mx_{c}") if numeric else F.lit(None).cast("double")).alias(
                 "max_num"
             ),
-            (F.col(f"__mn_{c}") if not numeric else F.lit(None).cast("string")).alias(
+            (q(f"__mn_{c}") if not numeric else F.lit(None).cast("string")).alias(
                 "min_str"
             ),
-            (F.col(f"__mx_{c}") if not numeric else F.lit(None).cast("string")).alias(
+            (q(f"__mx_{c}") if not numeric else F.lit(None).cast("string")).alias(
                 "max_str"
             ),
         )
@@ -251,6 +259,21 @@ def cms_heavy_hitters(
     """
     from inside_vectordb_spark.operators.traindata import _md5_bucket
 
+    def row_hashes(col):
+        # ONE builder for the depth-wide (row, bucket) hash array —
+        # the sketch is only correct if the fill and probe sides hash
+        # identically (same per-row salt, same width); a hand-copied
+        # twin block is how they drift (review r8)
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _md5_bucket(col, f"cms{r}", width).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+
     toks = (
         docs.select(
             F.explode(
@@ -260,19 +283,7 @@ def cms_heavy_hitters(
         .filter(F.col("t") != "")
     )
     cells = (
-        toks.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"),
-                            _md5_bucket(F.col("t"), f"cms{r}", width).alias("bucket"),
-                        )
-                        for r in range(depth)
-                    ]
-                )
-            ).alias("cell")
-        )
+        toks.select(F.explode(row_hashes(F.col("t"))).alias("cell"))
         .groupBy("cell.r", "cell.bucket")
         .agg(F.count("*").alias("c"))
     )
@@ -285,17 +296,7 @@ def cms_heavy_hitters(
     probes = top.select(
         "t",
         "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _md5_bucket(F.col("t"), f"cms{r}", width).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("p"),
+        F.explode(row_hashes(F.col("t"))).alias("p"),
     )
     return (
         probes.join(
@@ -331,16 +332,31 @@ def column_correlations(
     negative input (e.g. covar ≈ -1.7e-06) rounds to +0.0 in Spark
     but -0.0 in DuckDB, and a byte-level value hash distinguishes the
     two; -0.0 + 0.0 = +0.0 collapses both engines to the same bits."""
+    if not pairs:
+        # stack(0, ...) is a parse error — empty input yields an
+        # empty, correctly-typed frame (review r8)
+        return df.sparkSession.createDataFrame(
+            [], "col_a string, col_b string, pearson_corr double, covariance double"
+        )
     aggs = []
-    for a, b in pairs:
-        x, y = F.col(a).cast("double"), F.col(b).cast("double")
-        aggs.append(F.corr(x, y).alias(f"__c_{a}__{b}"))
-        aggs.append(F.covar_samp(x, y).alias(f"__v_{a}__{b}"))
+    for i, (a, b) in enumerate(pairs):
+        # aliases keyed by PAIR INDEX: name-concatenation aliases
+        # (__c_{a}__{b}) collide for distinct pairs like ('x__y','z')
+        # vs ('x','y__z') (review r8); backtick-quoted sources so
+        # dotted names don't parse as nested refs
+        x = F.col("`" + a.replace("`", "``") + "`").cast("double")
+        y = F.col("`" + b.replace("`", "``") + "`").cast("double")
+        aggs.append(F.corr(x, y).alias(f"__c_{i}"))
+        aggs.append(F.covar_samp(x, y).alias(f"__v_{i}"))
     row = df.agg(*aggs)
+
+    def lit_str(name: str) -> str:
+        return "'" + name.replace("'", "''") + "'"
+
     cells = ", ".join(
-        f"'{a}', '{b}', round(`__c_{a}__{b}`, {round_corr}) + 0.0, "
-        f"round(`__v_{a}__{b}`, {round_cov}) + 0.0"
-        for a, b in pairs
+        f"{lit_str(a)}, {lit_str(b)}, round(__c_{i}, {round_corr}) + 0.0, "
+        f"round(__v_{i}, {round_cov}) + 0.0"
+        for i, (a, b) in enumerate(pairs)
     )
     return row.selectExpr(
         f"stack({len(pairs)}, {cells}) AS (col_a, col_b, pearson_corr, covariance)"

@@ -25,8 +25,17 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _q(name: str) -> Column:
+    """Backtick-quoted column reference: names with dashes/spaces/dots
+    (the BEIR files keep 'corpus-id' verbatim) would otherwise be
+    mis-parsed as nested refs (review r7; hoisted to module scope and
+    applied to BOTH temporal operators in review r8 — banded_pairs
+    previously had the same gap asof_join fixed)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def asof_join(
@@ -56,12 +65,6 @@ def asof_join(
     """
     from pyspark.sql.types import StructType
 
-    def _q(name: str):
-        # backtick-quoted reference: names with dashes/spaces/dots
-        # (the BEIR files keep 'corpus-id' verbatim) would otherwise
-        # be mis-parsed as nested refs (review r7)
-        return F.col("`" + name.replace("`", "``") + "`")
-
     payload = [ts_col] + [c for c in right_cols if c != ts_col]
     # cast against StructType OBJECTS, not a concatenated DDL string
     # (unparseable for such names; schema[] also cannot collapse
@@ -77,7 +80,14 @@ def asof_join(
         F.struct(*[_q(c).alias(c) for c in lcols]).alias("__l"),
         null_r.alias("__r"),
     )
-    r_tagged = right.select(
+    # NULL-timestamp right rows can never satisfy r.ts <= l.ts under
+    # DuckDB/kdb ASOF semantics, but the window's ASC-NULLS-FIRST
+    # order would place them at the head of every key partition and
+    # make their payload the running match for EVERY left row —
+    # filter them out (review r8). Left rows with NULL ts then only
+    # ever see other null-ts left rows (whose __r is null) before
+    # them, so they correctly keep a NULL match.
+    r_tagged = right.filter(_q(ts_col).isNotNull()).select(
         _q(key_col).alias("__key"),
         _q(ts_col).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -125,9 +135,9 @@ def banded_pairs(
     """
     band_us = band_sec * 1_000_000
     base = events.select(
-        F.col(key_col).alias("__key"),
-        F.col(id_col).alias("__id"),
-        F.unix_micros(F.col(ts_col)).alias("__us"),
+        _q(key_col).alias("__key"),
+        _q(id_col).alias("__id"),
+        F.unix_micros(_q(ts_col)).alias("__us"),
     ).withColumn("__bin", F.floor(F.col("__us") / band_us))
     # Distinct column names per side: self-join column ambiguity is
     # resolved structurally, not via alias resolution.

@@ -94,6 +94,7 @@ def run_incremental_near_dup(
     one-shot-fixture mode. Raises TimeoutError if the drain outlives
     ``timeout_sec`` — the query is stopped first, so a timeout never
     leaks a live stream mutating the stores behind the caller."""
+    auto_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(
         prefix="ck_", dir=os.path.dirname(band_store) or None
     )
@@ -149,3 +150,11 @@ def run_incremental_near_dup(
             f"incremental near-dup drain still running after "
             f"{timeout_sec}s; resume with checkpoint_dir={ckpt!r}"
         )
+    # successful one-shot drain: remove the auto-created checkpoint
+    # (same rule as run_upsert_to_sign_index — review r8: these used
+    # to accumulate ck_* dirs beside band_store forever); a
+    # caller-provided checkpoint_dir is the caller's to manage
+    if auto_ckpt:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)

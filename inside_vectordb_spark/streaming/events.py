@@ -27,9 +27,30 @@ number of OPEN windows, not history; the file source feeds
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _pinned_state_partitions(spark: SparkSession, n: int | None):
+    """Pin ``spark.sql.shuffle.partitions`` for a stream's lifetime
+    and restore it afterward — in Structured Streaming this is THE
+    state knob (state-store count per stateful operator, frozen into
+    the checkpoint at first start). ONE implementation: the pin/
+    restore block used to be copy-pasted across the three drains, and
+    copy variation is exactly how their checkpoint-retention rules
+    diverged (review r8)."""
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def read_table_stream(
@@ -48,10 +69,19 @@ def read_table_stream(
     raw_schema = spark.read.parquet(path).schema
     from inside_vectordb_spark import _meta_io as mio
 
+    # keyed by a hash of the RESOLVED source dir, not its basename:
+    # two datasets .../a/sf0.1 and .../b/sf0.1 must not share a stage
+    # dir — re-pointing the symlink under a running stream makes its
+    # next micro-batch read the other dataset (review r8)
+    import hashlib
+
+    src_key = hashlib.md5(
+        os.path.realpath(sf_dir).encode()
+    ).hexdigest()[:10]
     stage = os.path.join(
         mio.artifacts_root(),
         "stream_src",
-        f"{name}_{os.path.basename(sf_dir.rstrip('/')) or 'default'}",
+        f"{name}_{src_key}",
     )
     os.makedirs(stage, exist_ok=True)
     staged = os.path.join(stage, f"{name}.parquet")
@@ -170,11 +200,8 @@ def run_to_memory(
     session value untouched. Results are partition-count-invariant.
     """
     spark = streaming_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    try:
+    with _pinned_state_partitions(spark, state_partitions):
         def _start(mode: str):
             return (
                 streaming_df.writeStream.format("memory")
@@ -204,9 +231,14 @@ def run_to_memory(
                 )
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return streaming_df.sparkSession.table(name)
+    # Detach the result from the memory sink and DROP the sink table:
+    # every drain otherwise leaves its full result registered (and
+    # driver-resident) for the session lifetime — unbounded growth
+    # over repeated gate runs (review r8). localCheckpoint moves the
+    # (small, aggregated) rows to executor block storage.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def click_purchase_join_stream(
@@ -289,10 +321,7 @@ def run_to_parquet_overwrite(
         batch_df.write.mode("overwrite").parquet(path)
 
     spark = streaming_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    with _pinned_state_partitions(spark, state_partitions):
         q = (
             streaming_df.writeStream.foreachBatch(write_batch)
             .outputMode("complete")
@@ -305,9 +334,12 @@ def run_to_parquet_overwrite(
                 raise TimeoutError(f"stream sink drain exceeded {timeout_sec}s")
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        shutil.rmtree(ckpt, ignore_errors=True)
+            # deleting the checkpoint unconditionally is SAFE here —
+            # and only here: the sink is a complete-mode full
+            # overwrite, so a from-scratch replay rewrites the
+            # identical result (unlike the merge/upsert drains, whose
+            # checkpoints must survive failure)
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def run_merge_to_snapshot(
@@ -317,6 +349,7 @@ def run_merge_to_snapshot(
     op_col: str = "op",
     timeout_sec: int = 300,
     state_partitions: int | None = 8,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """CDC apply — the lakehouse streaming-MERGE pattern (Delta's
     ``foreachBatch`` + ``MERGE INTO`` upsert recipe): every micro-batch
@@ -331,14 +364,26 @@ def run_merge_to_snapshot(
 
     MERGE's cardinality contract (a key at most once) must hold PER
     MICRO-BATCH; cross-batch re-updates of the same key are fine (the
-    later batch supersedes, exactly like sequential MERGEs)."""
+    later batch supersedes, exactly like sequential MERGEs).
+
+    Delivery contract (review r8 — previously this drain deleted its
+    checkpoint even on failure, making its own replay story
+    impossible): a FAILED/timed-out drain KEEPS the checkpoint, and
+    the TimeoutError names it; pass the same ``checkpoint_dir`` to
+    resume without re-merging applied micro-batches (a from-scratch
+    replay would commit one spurious snapshot version per
+    already-applied file — MERGE commits are idempotent in table
+    STATE but not in version history). The auto-created directory is
+    removed only after a successful drain — the same rule as
+    ``run_upsert_to_sign_index``."""
     import os
     import shutil
     import tempfile
 
     from inside_vectordb_spark.operators.merge import merge_into_snapshot
 
-    ckpt = tempfile.mkdtemp(
+    auto_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(
         prefix="ck_", dir=os.path.dirname(snapshot_path) or None
     )
 
@@ -350,10 +395,7 @@ def run_merge_to_snapshot(
         )
 
     spark = changes_stream.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    with _pinned_state_partitions(spark, state_partitions):
         q = (
             changes_stream.writeStream.foreachBatch(apply_batch)
             .outputMode("append")
@@ -362,13 +404,21 @@ def run_merge_to_snapshot(
             .start()
         )
         try:
-            if not q.awaitTermination(timeout_sec):
-                raise TimeoutError(f"merge stream drain exceeded {timeout_sec}s")
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        shutil.rmtree(ckpt, ignore_errors=True)
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                raise TimeoutError(
+                    f"merge stream drain still running after {timeout_sec}s; "
+                    f"resume with checkpoint_dir={ckpt!r}"
+                )
+        except BaseException:
+            if q.isActive:
+                q.stop()
+            raise  # keep the checkpoint: the retry must not replay
+        else:
+            if q.isActive:
+                q.stop()
+            if auto_ckpt:
+                shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def run_upsert_to_sign_index(

@@ -60,6 +60,31 @@ def test_asof_join_non_identifier_column_names(spark):
     assert out[1]["asof_px.rate"] is None
 
 
+def test_asof_join_null_timestamps_never_match(spark):
+    """Review r8: a NULL-ts right row sorted NULLS-FIRST used to sit
+    at the head of every key partition and become the running match
+    for EVERY left row. DuckDB/kdb ASOF semantics: NULL ts never
+    matches — on either side."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "l10"), (1, None, "lnull")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "rnull"), (1, _ts(5), "r5")],
+        "k int, ts timestamp, rv string",
+    )
+    out = {
+        r["lv"]: (r["asof_ts"], r["asof_rv"])
+        for r in asof_join(left, right, "k", "ts", ["rv"]).collect()
+    }
+    assert out["l10"] == (_ts(5), "r5")  # the NULL right row is invisible
+    assert out["lnull"] == (None, None)  # NULL left ts matches nothing
+    # and a key whose ONLY right rows are NULL-ts yields pure NULLs
+    r2 = spark.createDataFrame([(1, None, "rn")], "k int, ts timestamp, rv string")
+    got = asof_join(left, r2, "k", "ts", ["rv"]).collect()
+    assert all(r["asof_rv"] is None for r in got) and len(got) == 2
+
+
 def test_asof_join_keeps_all_left_rows(spark):
     res = QUERIES["events_asof_join"](spark, SF_DIR)
     ev = eio.load_table(spark, SF_DIR, "events")

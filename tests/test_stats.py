@@ -48,3 +48,40 @@ def test_column_stats_approx_variant(spark):
 def test_normalize_text(spark, raw, want):
     df = spark.createDataFrame([(raw,)], "t string")
     assert df.select(normalize_text("t").alias("n")).head()["n"] == want
+
+
+def test_column_stats_non_identifier_names(spark):
+    """Review r8: dotted/dashed column names must survive both the
+    source aggregation and the generated __-alias references (the r7
+    asof_join defect class)."""
+    from inside_vectordb_spark.operators.stats import column_stats
+
+    df = spark.createDataFrame(
+        [(1.5, "a"), (2.5, None)], "`px.rate` double, `doc-lang` string"
+    )
+    out = {r["column_name"]: r.asDict() for r in column_stats(df).collect()}
+    assert out["px.rate"]["min_num"] == 1.5
+    assert out["px.rate"]["max_num"] == 2.5
+    assert out["doc-lang"]["n_nulls"] == 1
+    assert out["doc-lang"]["min_str"] == "a"
+
+
+def test_column_correlations_alias_collisions_and_empty(spark):
+    """Review r8: pairs whose name concatenations collide
+    (('x__y','z') vs ('x','y__z')) must produce distinct measures;
+    empty pairs must return an empty typed frame, not stack(0,)."""
+    from inside_vectordb_spark.operators.stats import column_correlations
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 3.0), (3.0, 6.0, 1.0)],
+        "x__y double, z double, x double",
+    )
+    out = column_correlations(
+        df, [("x__y", "z"), ("x", "z"), ("x__y", "x")]
+    ).collect()
+    rows = {(r["col_a"], r["col_b"]): r["pearson_corr"] for r in out}
+    assert len(rows) == 3
+    assert rows[("x__y", "z")] == 1.0 and rows[("x", "z")] == -1.0
+    empty = column_correlations(df, [])
+    assert empty.count() == 0
+    assert empty.columns == ["col_a", "col_b", "pearson_corr", "covariance"]
