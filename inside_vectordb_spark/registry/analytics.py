@@ -245,10 +245,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_moving_avg",
     oracle="""
     SELECT event_id, user_id, ts,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
                AS mov_avg3,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING), 6) AS cum_value
     FROM events
     """,
@@ -256,10 +256,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user moving average (3-row frame) and running total —
     ordered window frames over event time. One shuffle on user_id
-    serves both windows (same partitioning + ordering); (user_id, ts)
-    is unique so the frame contents are deterministic."""
+    serves both windows (same partitioning + ordering). The window
+    orders by (ts, event_id) — (user_id, ts) uniqueness is a fixture
+    property, not a schema guarantee, and a row-frame over a
+    non-total order hashes nondeterministically on both engines
+    (review r8; same tie-break rule as events_sessionized)."""
     ev = eio.load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id",
         "user_id",
@@ -449,9 +452,15 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-dependent, which is why the engine samples by hash).
     Pure Catalyst filter: pushes to the scan, zero shuffle, and the
     sampling decision is joinable/auditable from the id alone."""
+    from inside_vectordb_spark.operators.traindata import _md5_bucket
+
     docs = eio.load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-    return docs.filter(bucket.cast("long") % 10 < 2).select("doc_id", "lang", "source")
+    # the shared portable-hash bucket (empty salt ≡ md5(id) — the
+    # same rows as the previous inline form, now one recipe
+    # engine-wide; review r8)
+    return docs.filter(_md5_bucket(F.col("doc_id"), "", 10) < 2).select(
+        "doc_id", "lang", "source"
+    )
 
 
 @register(

@@ -211,7 +211,7 @@ _ML = 1.0 / math.log(_HNSW_M)
     oracle=f"""
     WITH u AS (
       SELECT vec_id,
-             ((vec_id * 2654435761) % 1000003 + 1) / 1000004.0 AS u
+             ((vec_id::HUGEINT * 2654435761) % 1000003 + 1) / 1000004.0 AS u
       FROM embeddings)
     SELECT CAST(floor(-ln(u) * {_ML!r}) AS INT) AS layer, count(*) AS n
     FROM u GROUP BY layer ORDER BY layer
@@ -224,7 +224,13 @@ def layer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checked variant; the seeded-``F.rand`` variant is
     statistically identical but engine-local."""
     emb = eio.load_table(spark, sf_dir, "embeddings")
-    u = ((F.col("vec_id") * 2654435761) % 1000003 + 1) / 1000004.0
+    # multiply in DECIMAL(38,0) / HUGEINT: id·2654435761 wraps int64
+    # past vec_id ≈ 3.5e9 (negative modulo → NULL layers in Spark,
+    # overflow error in DuckDB/ANSI — three behaviors for one query
+    # at the scale this file targets) (review r8)
+    u = (
+        (F.col("vec_id").cast("decimal(38,0)") * 2654435761) % 1000003 + 1
+    ).cast("double") / 1000004.0
     return (
         emb.select(
             F.floor(-F.log(u) * F.lit(_ML)).cast("int").alias("layer")
@@ -1146,10 +1152,8 @@ def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. One shuffle keyed by user_id serves all four functions
     (same window spec — Catalyst computes them in a single Window
     operator)."""
-    from pyspark.sql import Window as W
-
     ev = eio.load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros("ts")
     return ev.select(
         "user_id",

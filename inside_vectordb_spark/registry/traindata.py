@@ -382,6 +382,30 @@ def _sparse_vec_cte(name: str, src: str, keys: str, txt: str) -> str:
     """
 
 
+def _encode_chunks(chunks, id_out: str, chunk_out: str, vec_out: str):
+    """Chunk rows through the hash encoder behind ONE composite id
+    (doc_id·10000 + chunk_id — chunk counts are << 10000 by
+    construction, n_chunks ≈ n/16), decoded back with integer DIV/%
+    (exact past 2^53). One helper for the three encode/decode sites
+    in this module (review r8: the hardcoded modulus lived in three
+    hand-copied blocks)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.embed import encode_documents
+
+    enc = encode_documents(
+        chunks.select(
+            (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+    )
+    return enc.select(
+        F.expr("doc_id DIV 10000").alias(id_out),
+        (F.col("doc_id") % 10000).cast("int").alias(chunk_out),
+        F.col("embedding").alias(vec_out),
+    )
+
+
 @register(
     "chunked_retrieval",
     oracle=f"""
@@ -434,21 +458,16 @@ def chunked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") >= 5)
     queries = docs.filter(F.col("doc_id") < 5)
 
-    ch = td.doc_chunks(corpus, width=32, stride=16)
-    # composite id through the encoder: doc_id * 10000 + chunk_id
-    # (chunk counts are << 10000 by construction: n_chunks ≈ n/16)
-    ch_enc = encode_documents(
-        ch.select(
-            (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
-            F.col("chunk_text").alias("text"),
-        )
-    ).select(
-        F.expr("doc_id DIV 10000").alias("doc_id"),
-        (F.col("doc_id") % 10000).cast("int").alias("chunk_id"),
-        F.col("embedding").alias("cvec"),
+    ch_enc = _encode_chunks(
+        td.doc_chunks(corpus, width=32, stride=16), "doc_id", "chunk_id", "cvec"
     )
+    # whitespace-only query docs encode to ZERO vectors and would
+    # emit score-0.0 rows the oracle (qvec's trim(text) <> '') never
+    # produces — filter them identically on this side (review r8)
     q_enc = encode_documents(
-        queries.select(F.col("doc_id").alias("doc_id"), "text")
+        queries.filter(F.trim(F.col("text")) != "").select(
+            F.col("doc_id").alias("doc_id"), "text"
+        )
     ).select(
         F.col("doc_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -566,25 +585,11 @@ def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") >= 5)
     queries = docs.filter(F.col("doc_id") < 5)
 
-    ch_enc = encode_documents(
-        td.doc_chunks(corpus, width=32, stride=16).select(
-            (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
-            F.col("chunk_text").alias("text"),
-        )
-    ).select(
-        F.expr("doc_id DIV 10000").alias("doc_id"),
-        (F.col("doc_id") % 10000).cast("int").alias("chunk_id"),
-        F.col("embedding").alias("cvec"),
+    ch_enc = _encode_chunks(
+        td.doc_chunks(corpus, width=32, stride=16), "doc_id", "chunk_id", "cvec"
     )
-    q_enc = encode_documents(
-        td.doc_chunks(queries, width=32, stride=16).select(
-            (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
-            F.col("chunk_text").alias("text"),
-        )
-    ).select(
-        F.expr("doc_id DIV 10000").alias("query_id"),
-        (F.col("doc_id") % 10000).cast("int").alias("qchunk_id"),
-        F.col("embedding").alias("qvec"),
+    q_enc = _encode_chunks(
+        td.doc_chunks(queries, width=32, stride=16), "query_id", "qchunk_id", "qvec"
     )
 
     sims = ch_enc.crossJoin(F.broadcast(q_enc)).select(
