@@ -72,11 +72,61 @@ def remove_file(path: str) -> None:
 
 
 def read_json(path: str) -> dict[str, Any] | None:
-    """Load a JSON control file; None if absent."""
-    if not os.path.exists(path):
+    """Load a JSON control file; None if absent. Absence is detected
+    by the open() itself, not an exists() pre-check — a marker removed
+    between check and open (``_begin_rebuild`` invalidating meta.json
+    under a concurrent probe) must read as "absent", never crash the
+    reader (review r8)."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
         return None
-    with open(path) as f:
-        return json.load(f)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def commit_lock(base: str, timeout_sec: float = 30.0):
+    """Advisory inter-process lock for read-modify-write commits on a
+    control file (the snapshot log's version-select → data-write →
+    log-rewrite sequence). ``write_json`` makes each single write
+    atomic, but two concurrent committers could both read versions=[1]
+    and both commit v=2 — one committer's data silently vanishing from
+    the log (review r8). O_CREAT|O_EXCL on ``_commit.lock`` is atomic
+    on POSIX and maps to if-absent PUT preconditions on object stores.
+    A crashed holder leaves the lock behind by design — commits then
+    FAIL LOUDLY (with the lock's age in the message) instead of
+    racing; remove the file after verifying the holder is gone."""
+    os.makedirs(base, exist_ok=True)
+    lock = os.path.join(base, "_commit.lock")
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    age = float("nan")
+                raise TimeoutError(
+                    f"commit lock {lock!r} held for the whole "
+                    f"{timeout_sec}s wait (lock age {age:.0f}s) — another "
+                    "committer is active, or a crashed one left the lock; "
+                    "verify and remove the file to recover"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        remove_file(lock)
 
 
 def write_json(path: str, obj: Any, indent: int | None = None) -> None:

@@ -91,10 +91,15 @@ def write_snapshot(df: DataFrame, path: str, version: int) -> None:
     commit lands, which is the minimal atomic-commit protocol every
     table format (Delta/Iceberg) builds on. The log rewrite itself is
     an atomic rename (``_meta_io.write_json``), so a crash or reader
-    mid-commit sees the previous complete log, never a partial one."""
+    mid-commit sees the previous complete log, never a partial one.
+    The read-modify-write of the version list runs under the snapshot
+    commit lock — two unsynchronized committers would both read the
+    same version list and one commit would vanish from the log
+    (review r8)."""
     df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
-    versions = set(snapshot_versions(path)) | {version}
-    mio.write_json(mio.join(path, "_log.json"), {"versions": sorted(versions)})
+    with mio.commit_lock(path):
+        versions = set(snapshot_versions(path)) | {version}
+        mio.write_json(mio.join(path, "_log.json"), {"versions": sorted(versions)})
 
 
 def read_snapshot(
@@ -122,12 +127,28 @@ def merge_into_snapshot(
     """MERGE against the latest snapshot, commit as the next version
     (copy-on-write): the previous version stays readable — time travel
     is free because nothing is updated in place. Returns the new
-    version number."""
-    versions = snapshot_versions(path)
-    base = read_snapshot(spark, path)
-    new_v = versions[-1] + 1
-    merged = merge_upsert(base, changes, key=key, op_col=op_col)
-    write_snapshot(merged, path, new_v)
+    version number.
+
+    Single-writer contract: version selection is serialized by the
+    snapshot commit lock — concurrent mergers otherwise both pick the
+    same new version and interleave overwrites into one v=N directory
+    (review r8). The (potentially long) merge computation itself runs
+    inside the lock by design: a CoW merge reads the version it
+    supersedes, so overlapping merges are inherently serial — this is
+    Delta/Iceberg's optimistic-commit conflict rule degraded to
+    pessimistic, which is correct at this log's granularity."""
+    with mio.commit_lock(path, timeout_sec=300.0):
+        versions = snapshot_versions(path)
+        base = read_snapshot(spark, path)
+        new_v = versions[-1] + 1
+        merged = merge_upsert(base, changes, key=key, op_col=op_col)
+        # inline commit (write_snapshot re-acquiring the lock would
+        # deadlock a non-reentrant lock)
+        merged.write.mode("overwrite").parquet(os.path.join(path, f"v={new_v}"))
+        mio.write_json(
+            mio.join(path, "_log.json"),
+            {"versions": sorted(set(versions) | {new_v})},
+        )
     return new_v
 
 
@@ -139,11 +160,14 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> list[int]:
     expired data directories go. Returns the removed versions."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    versions = snapshot_versions(path)
-    expired = versions[:-keep_last]
-    if not expired:
-        return []
-    mio.write_json(mio.join(path, "_log.json"), {"versions": versions[-keep_last:]})
+    with mio.commit_lock(path):
+        versions = snapshot_versions(path)
+        expired = versions[:-keep_last]
+        if not expired:
+            return []
+        mio.write_json(
+            mio.join(path, "_log.json"), {"versions": versions[-keep_last:]}
+        )
     for v in expired:
         mio.remove_tree(mio.join(path, f"v={v}"))
     return expired

@@ -65,7 +65,10 @@ def fake_image_payload(doc_id: int) -> bytes:
     return MAGIC + struct.pack(">HHB", w, h, CHANNELS) + pixels
 
 
-_IMAGE_SCHEMA = StructType(
+# modality-generic (doc_id, modality, payload) contract shared by the
+# image and audio builders — previously named _IMAGE_SCHEMA although
+# the audio path reused it (review r8)
+_PAYLOAD_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("modality", StringType()),
@@ -92,7 +95,7 @@ def with_image_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
-        build, schema=_IMAGE_SCHEMA
+        build, schema=_PAYLOAD_SCHEMA
     )
 
 
@@ -128,7 +131,21 @@ def decode_image_features(images: DataFrame) -> DataFrame:
                 buf = bytes(payload)
                 if buf[:4] != MAGIC:
                     raise ValueError(f"bad magic for doc {doc_id}: {buf[:4]!r}")
+                if len(buf) < 9:
+                    # struct.error carries no doc id — every degenerate
+                    # header must fail through the module's diagnostic
+                    # path (review r8)
+                    raise ValueError(
+                        f"doc {doc_id}: truncated image header "
+                        f"({len(buf)} bytes, need >= 9)"
+                    )
                 w, h, c = struct.unpack(">HHB", buf[4:9])
+                if w * h * c == 0:
+                    raise ValueError(
+                        f"doc {doc_id}: degenerate image header "
+                        f"(w={w}, h={h}, c={c}) — zero-area payloads have "
+                        "no mean/max"
+                    )
                 pixels = np.frombuffer(buf[9:], dtype=np.uint8)
                 if len(pixels) != w * h * c:
                     raise ValueError(
@@ -245,7 +262,7 @@ def with_audio_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
-        build, schema=_IMAGE_SCHEMA
+        build, schema=_PAYLOAD_SCHEMA
     )
 
 
@@ -275,7 +292,20 @@ def decode_audio_features(audio: DataFrame) -> DataFrame:
                 buf = bytes(payload)
                 if buf[:4] != AUDIO_MAGIC:
                     raise ValueError(f"bad audio magic for doc {doc_id}: {buf[:4]!r}")
+                if len(buf) < 10:
+                    raise ValueError(
+                        f"doc {doc_id}: truncated audio header "
+                        f"({len(buf)} bytes, need >= 10)"
+                    )
                 rate, n = struct.unpack(">HI", buf[4:10])
+                if rate == 0 or n == 0:
+                    # header fields are ingest-controlled: a zero rate
+                    # or sample count must name the doc, not surface
+                    # as a ZeroDivisionError task failure (review r8)
+                    raise ValueError(
+                        f"doc {doc_id}: degenerate audio header "
+                        f"(rate={rate}, n={n})"
+                    )
                 samples = np.frombuffer(buf[10:], dtype=np.uint8)
                 if len(samples) != n:
                     raise ValueError(

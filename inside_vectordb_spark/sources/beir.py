@@ -39,9 +39,12 @@ def download_beir_dataset(name: str, root: str) -> str:
         return out_dir
     os.makedirs(root, exist_ok=True)
     zip_path = os.path.join(root, f"{name}.zip")
-    urllib.request.urlretrieve(beir_dataset_url(name), zip_path)  # noqa: S310
     stage = tempfile.mkdtemp(prefix=f".{name}_extract_", dir=root)
     try:
+        # the download lives INSIDE the cleanup scope: a dropped
+        # connection mid-fetch of a multi-GB zip must not leave a
+        # truncated {name}.zip on disk (review r8)
+        urllib.request.urlretrieve(beir_dataset_url(name), zip_path)  # noqa: S310
         with zipfile.ZipFile(zip_path) as zf:
             zf.extractall(stage)
         # BEIR zips contain a single top-level '{name}/' directory

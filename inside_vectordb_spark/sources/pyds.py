@@ -41,11 +41,21 @@ class JsonlCorpusReader(DataSourceReader):
 
     def partitions(self):
         if os.path.isdir(self._path):
+            # every non-hidden file is a partition, like the JVM file
+            # sources (skip _SUCCESS/.crc-style metadata only). The
+            # old .jsonl/.json extension filter silently DROPPED
+            # compressed or extensionless data files — a wrong-
+            # extension file must fail loudly in read(), never
+            # vanish from the result (review r8).
             files = sorted(
                 os.path.join(self._path, f)
                 for f in os.listdir(self._path)
-                if f.endswith((".jsonl", ".json"))
+                if not f.startswith((".", "_"))
             )
+            if not files:
+                raise FileNotFoundError(
+                    f"jsonl_corpus: no data files under {self._path!r}"
+                )
         else:
             files = [self._path]
         return [_FilePartition(p) for p in files]
@@ -61,8 +71,13 @@ class JsonlCorpusReader(DataSourceReader):
                 rid = rec.get("_id")
                 yield (
                     str(rid) if rid is not None else None,
-                    rec.get("title", ""),
-                    rec.get("text", ""),
+                    # absent fields are NULL, matching the JVM-native
+                    # reader (Spark's JSON writer drops null fields,
+                    # so round-tripped NULL titles come back absent;
+                    # ""-defaulting made the two readers disagree on
+                    # the same file — review r8)
+                    rec.get("title"),
+                    rec.get("text"),
                     {str(k): str(v) for k, v in meta.items()},
                 )
 

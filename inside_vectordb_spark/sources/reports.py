@@ -24,12 +24,16 @@ def save_metrics_report(
 ) -> str:
     """S11: timestamped JSON report, reference layout
     (``utils.py:113-135``). Returns the written path."""
+    from inside_vectordb_spark import _meta_io as mio
+
     out_dir = os.path.join(reports_dir, method)
     os.makedirs(out_dir, exist_ok=True)
     stamp = stamp or time.strftime("%Y%m%d_%H%M%S")
     path = os.path.join(out_dir, f"{method}_{stamp}.json")
-    with open(path, "w") as f:
-        json.dump({"method": method, "timestamp": stamp, "metrics": metrics}, f, indent=2)
+    # atomic (temp + rename): load_latest_reports selects exactly this
+    # newest file by mtime, so a plain in-place dump could hand a
+    # concurrent reader truncated JSON (review r8)
+    mio.write_json(path, {"method": method, "timestamp": stamp, "metrics": metrics})
     return path
 
 

@@ -111,3 +111,27 @@ def test_merge_upsert_null_or_unknown_op_upserts_not_deletes(spark):
     )
     got = {r["doc_id"]: r["text"] for r in merge_upsert(base, changes).collect()}
     assert got == {1: "a2", 2: "b2", 4: "d"}
+
+
+def test_read_json_absent_race_returns_none(tmp_path, monkeypatch):
+    """Review r8: a control file removed between any exists() check
+    and the open must read as absent (None), not crash the prober —
+    the open itself is the existence test now."""
+    from inside_vectordb_spark import _meta_io as mio
+
+    assert mio.read_json(str(tmp_path / "never_written.json")) is None
+
+
+def test_commit_lock_excludes_and_releases(tmp_path):
+    from inside_vectordb_spark import _meta_io as mio
+
+    base = str(tmp_path / "snap")
+    with mio.commit_lock(base):
+        import pytest as _pytest
+
+        with _pytest.raises(TimeoutError, match="commit lock"):
+            with mio.commit_lock(base, timeout_sec=0.2):
+                pass
+    # released: a fresh acquisition succeeds
+    with mio.commit_lock(base, timeout_sec=0.2):
+        pass

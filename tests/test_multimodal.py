@@ -66,3 +66,35 @@ def test_resize_stub_gated(spark):
     docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1]}))
     with pytest.raises(NotImplementedError, match="codec"):
         resize_image_stub(with_image_payloads(docs), 8, 8)
+
+
+def test_decode_rejects_degenerate_headers(spark):
+    """Review r8: zero-area images and zero-rate/zero-sample audio
+    must fail through the module's doc-naming ValueError path, never
+    as a raw numpy/struct/ZeroDivision task failure."""
+    import struct
+
+    from inside_vectordb_spark.operators.multimodal import (
+        AUDIO_MAGIC,
+        MAGIC,
+        decode_audio_features,
+    )
+
+    zero_area = MAGIC + struct.pack(">HHB", 0, 5, 3)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "modality": ["image/fake"], "payload": [zero_area]})
+    )
+    with pytest.raises(Exception, match="doc 7.*degenerate image"):
+        decode_image_features(df).collect()
+    short = MAGIC + b"\x00\x01"
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [8], "modality": ["image/fake"], "payload": [short]})
+    )
+    with pytest.raises(Exception, match="doc 8.*truncated image"):
+        decode_image_features(df2).collect()
+    zero_rate = AUDIO_MAGIC + struct.pack(">HI", 0, 0)
+    df3 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "modality": ["audio/fake"], "payload": [zero_rate]})
+    )
+    with pytest.raises(Exception, match="doc 9.*degenerate audio"):
+        decode_audio_features(df3).collect()
