@@ -47,6 +47,37 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def okapi_idf(df_col, n_docs: float):
+    """Okapi/Lucene idf ``ln(1 + (N - df + .5)/(df + .5))`` — ONE
+    implementation shared by the fresh scorer and the persisted-index
+    serving path (review r8: the formula lived inline in both, the
+    copy-divergence mode review r7 already removed once for rm3)."""
+    return F.log(1.0 + (n_docs - df_col + 0.5) / (df_col + 0.5))
+
+
+def okapi_tf_norm(tf_col, dl_col, avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
+    """Okapi tf normalization ``tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``."""
+    return (tf_col * (k1 + 1)) / (tf_col + k1 * (1 - b + b * dl_col / avgdl))
+
+
+def doc_token_stream(d: DataFrame):
+    """(doc_id, dl, term) token stream with the token array HOISTED
+    into its own projection: ``dl`` (= ``token_count`` semantics,
+    phantom empties included, all-whitespace → 0) and the explode
+    both reference one ``__toks`` alias, so the whitespace split runs
+    once per document — an inline ``token_count + explode(tokenize)``
+    sibling pair re-evaluates the split per emitted token (the
+    engine's documented generator hazard). ``d`` = (doc_id, __t)."""
+    toks = d.select("doc_id", F.col("__t"), tokenize(F.col("__t")).alias("__toks"))
+    return toks.select(
+        "doc_id",
+        F.when(F.trim(F.col("__t")) == "", F.lit(0))
+        .otherwise(F.size("__toks"))
+        .alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+
+
 def corpus_bm25_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[float, float]:
@@ -95,11 +126,7 @@ def bm25_weighted_scores(
     )
     # dl rides alongside the exploded tokens (same scan, constant per
     # doc), so no O(corpus) doc-length join is needed downstream
-    toks = d.select(
-        "doc_id",
-        token_count(F.col("__t")).alias("dl"),
-        F.explode(tokenize(F.col("__t"))).alias("term"),
-    )
+    toks = doc_token_stream(d)
     vocab = weights.select("term").distinct()
     postings = (
         toks.filter(F.col("term") != "")
@@ -113,12 +140,8 @@ def bm25_weighted_scores(
         "df", F.count("*").over(Window.partitionBy("term"))
     )
     scored = postings.join(F.broadcast(weights), "term")
-    idf = F.log(
-        1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
-    )
+    idf = okapi_idf(F.col("df"), n_docs)
+    tf_norm = okapi_tf_norm(F.col("tf"), F.col("dl"), avgdl, k1, b)
     per_term = scored.select(
         "query_id", "doc_id", (idf * tf_norm * F.col("mult")).alias("w")
     )

@@ -48,7 +48,8 @@ from inside_vectordb_spark.functions.text import token_count, tokenize
 from inside_vectordb_spark.operators.bm25 import BM25_B, BM25_K1
 
 N_TERM_BUCKETS = 64
-LEXICAL_LAYOUT = 2  # v2: dl denormalized into postings, versioned df dir
+LEXICAL_LAYOUT = 3  # v3: postings dl uses token_count semantics (phantom
+# empties included — review r8); v2: dl denormalized, versioned df dir
 
 
 def _term_bucket(col) -> F.Column:
@@ -147,27 +148,54 @@ def build_lexical_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprint: dict | None = None,
 ) -> dict:
     """One corpus pass builds all three relations; the postings/df
     writes repartition on the partition key first (one file per
     bucket, not tasks×buckets small files). ``dl`` rides along on
-    every posting row (= sum(tf) over the doc, exactly
-    ``token_count`` since empty tokens are filtered before the
-    count), so serving never joins an O(corpus) side."""
+    every posting row with ``token_count`` SEMANTICS (phantom empty
+    tokens from leading/trailing non-space whitespace included) — the
+    fresh scorer and the shared oracle both use ``token_count``, and
+    review r8 found the previous ``sum(tf)`` form (empties filtered)
+    diverged from them for any text ending in a newline/tab, breaking
+    the bit-identical stored==fresh contract. Serving still never
+    joins an O(corpus) side.
+
+    ``fingerprint``: the caller's already-computed corpus fingerprint
+    (``ensure_lexical_index`` computes one to decide staleness —
+    recomputing it here doubled a full text-column scan per rebuild).
+
+    Build/commit runs under the index commit lock (concurrent
+    builders would interleave writes into the same generation dirs).
+    """
     from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
 
     mio.makedirs(path)
+    with mio.commit_lock(path, timeout_sec=600.0):
+        return _build_locked(docs, path, id_col, text_col, fingerprint)
+
+
+def _build_locked(
+    docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    fingerprint: dict | None,
+) -> dict:
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+    from inside_vectordb_spark.operators.bm25 import doc_token_stream
+
+    prev_meta = mio.read_json(mio.join(path, "meta.json")) or {}
     gen = _fresh_gen(path)
     post_rel, df_rel, dl_rel = f"postings_b{gen}", f"df_b{gen}", f"doclen_b{gen}"
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
     )
     tf = (
-        d.select("doc_id", F.explode(tokenize(F.col("__t"))).alias("term"))
+        doc_token_stream(d)
         .filter(F.col("term") != "")
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
         .withColumn("pb", _term_bucket(F.col("term")))
     )
     # every relation of a rebuild lands in FRESH generation dirs: the
@@ -188,7 +216,17 @@ def build_lexical_index(
     )
     dl = d.select("doc_id", token_count(F.col("__t")).alias("dl"))
     dl.write.mode("overwrite").parquet(os.path.join(path, dl_rel))
-    row = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    # dl_sum/dl_n recorded separately from n_docs: NULL-text docs have
+    # NULL dl (excluded from avg but counted by n_docs), so upsert
+    # recombination from avgdl·n_docs alone over-reconstructs the sum
+    # (review r8); avgdl "or 0.0" keeps an empty corpus a clean empty
+    # index instead of a TypeError after the data dirs were written
+    row = dl.agg(
+        F.count("*").alias("n"),
+        F.count("dl").alias("nn"),
+        F.sum("dl").alias("s"),
+        F.avg("dl").alias("avgdl"),
+    ).collect()[0]
     meta = {
         "kind": "lexical",
         "layout": LEXICAL_LAYOUT,
@@ -200,12 +238,25 @@ def build_lexical_index(
         # previous corpus can never be served against the new meta
         "docnorm_rel": f"docnorm_{df_rel}",
         "n_docs": int(row["n"]),
-        "avgdl": float(row["avgdl"]),
-        "corpus": _corpus_fingerprint(docs, id_col, content_col=text_col),
+        "avgdl": float(row["avgdl"] or 0.0),
+        "dl_sum": float(row["s"] or 0.0),
+        "dl_n": int(row["nn"]),
+        "corpus": fingerprint
+        if fingerprint is not None
+        else _corpus_fingerprint(docs, id_col, content_col=text_col),
     }
     meta["postings_rels"] = [post_rel]
     mio.write_json(mio.join(path, "meta.json"), meta)
-    _gc_dirs(path, {df_rel, post_rel, dl_rel})
+    # one-commit GRACE for the superseded generation: a reader that
+    # resolved the PREVIOUS meta may still hold lazy frames over its
+    # dirs — they survive until the NEXT commit (review r8: immediate
+    # GC crashed in-flight readers mid-scan)
+    prev_keep = (
+        set(prev_meta.get("postings_rels", []))
+        | set(prev_meta.get("doclen_rels", []))
+        | {prev_meta.get("df_rel"), prev_meta.get("docnorm_rel")}
+    ) - {None}
+    _gc_dirs(path, {df_rel, post_rel, dl_rel} | prev_keep)
     return meta
 
 
@@ -224,7 +275,7 @@ def ensure_lexical_index(docs: DataFrame, path: str, **kw) -> dict:
         and meta.get("corpus") == fp
     ):
         return meta
-    return build_lexical_index(docs, path, **kw)
+    return build_lexical_index(docs, path, fingerprint=fp, **kw)
 
 
 def bm25_topk_indexed(
@@ -275,11 +326,11 @@ def bm25_topk_indexed(
     scored = postings.join(F.broadcast(dft), "term").join(
         F.broadcast(qterms), "term"
     )
+    from inside_vectordb_spark.operators.bm25 import okapi_idf, okapi_tf_norm
+
     n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
-    idf = F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_norm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
-    )
+    idf = okapi_idf(F.col("df"), n_docs)
+    tf_norm = okapi_tf_norm(F.col("tf"), F.col("dl"), avgdl, k1, b)
     agg = (
         scored.select("query_id", "doc_id", (idf * tf_norm).alias("w"))
         .groupBy("query_id", "doc_id")
@@ -296,33 +347,46 @@ def build_tfidf_norms(spark: SparkSession, path: str) -> None:
     the quantity cosine TF-IDF needs over the FULL vocabulary, which
     is exactly why engines precompute it at index time. Derived from
     the stored postings + dictionary (no corpus re-scan)."""
-    meta = _validate_serving(mio.read_json(mio.join(path, "meta.json")), path)
-    postings = _read_postings(spark, path, meta)
-    dft = spark.read.parquet(_df_dir(path, meta)).select("term", "df")
-    n_docs = float(meta["n_docs"])
-    idf = F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0
-    wd = (1.0 + F.log("tf")) * idf
+    from inside_vectordb_spark.operators.tfidf import smooth_idf
     # the SAME meta-as-commit-point protocol every other relation in
     # this module uses (review r7): norms land in a fresh generation
     # dir and the atomic meta write REPOINTS docnorm_rel — writing
     # into the live pointed dir made directory existence the
     # completeness marker, so a killed build left a torn docnorm that
     # silently dropped documents from every TF-IDF result forever
-    gen = int(meta.get("docnorm_gen", 0)) + 1
-    rel = f"docnorm_g{gen}"
-    (
-        postings.join(dft, "term")
-        .select("doc_id", (wd * wd).alias("w2"))
-        .groupBy("doc_id")
-        .agg(F.sqrt(F.sum("w2")).alias("dnorm"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, rel))
-    )
-    old = meta.get("docnorm_rel")
-    meta["docnorm_rel"], meta["docnorm_gen"] = rel, gen
-    mio.write_json(mio.join(path, "meta.json"), meta)
-    if old and old != rel:
-        mio.remove_tree(os.path.join(path, old))
+    # the norm build is a read-modify-write commit on meta.json —
+    # serialized by the index commit lock like every other commit in
+    # this module (review r8: two lazy builders raced the gen bump)
+    with mio.commit_lock(path):
+        meta = _validate_serving(
+            mio.read_json(mio.join(path, "meta.json")), path
+        )
+        postings = _read_postings(spark, path, meta)
+        dft = spark.read.parquet(_df_dir(path, meta)).select("term", "df")
+        n_docs = float(meta["n_docs"])
+        wd = (1.0 + F.log("tf")) * smooth_idf(F.col("df"), n_docs)
+        gen = int(meta.get("docnorm_gen", 0)) + 1
+        rel = f"docnorm_g{gen}"
+        (
+            postings.join(dft, "term")
+            .select("doc_id", (wd * wd).alias("w2"))
+            .groupBy("doc_id")
+            .agg(F.sqrt(F.sum("w2")).alias("dnorm"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, rel))
+        )
+        superseded = meta.get("docnorm_rel")
+        meta["docnorm_rel"], meta["docnorm_gen"] = rel, gen
+        mio.write_json(mio.join(path, "meta.json"), meta)
+    # one-commit grace (same rule as the rebuild GC): the directly
+    # superseded norm dir survives until the NEXT commit; anything
+    # older goes
+    for name in os.listdir(path):
+        if (
+            name.startswith("docnorm_g")
+            and name not in (rel, superseded)
+        ):
+            mio.remove_tree(os.path.join(path, name))
 
 
 def tfidf_topk_indexed(
@@ -367,12 +431,15 @@ def tfidf_topk_indexed(
         .join(F.broadcast(qvocab), "term")
         .select("term", "df")
     )
+    from inside_vectordb_spark.operators.tfidf import smooth_idf
+
     qw = qtf.join(F.broadcast(dft_q), "term", "left").select(
         "query_id",
         "term",
-        ((1.0 + F.log("tf")) * (
-            F.log((1.0 + n_docs) / (1.0 + F.coalesce(F.col("df"), F.lit(0)))) + 1.0
-        )).alias("wq"),
+        (
+            (1.0 + F.log("tf"))
+            * smooth_idf(F.coalesce(F.col("df"), F.lit(0)), n_docs)
+        ).alias("wq"),
     )
     qw = qw.withColumn(
         "qnorm",
@@ -383,9 +450,10 @@ def tfidf_topk_indexed(
         .filter(F.col("pb").isin(pbs))
         .join(F.broadcast(qvocab), "term")
     )
-    idf = F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0
     docw = postings.join(F.broadcast(dft_q), "term").select(
-        "doc_id", "term", ((1.0 + F.log("tf")) * idf).alias("wd")
+        "doc_id",
+        "term",
+        ((1.0 + F.log("tf")) * smooth_idf(F.col("df"), n_docs)).alias("wd"),
     )
     dnorm = spark.read.parquet(_docnorm_dir(path, meta))
     matched = docw.join(F.broadcast(qw), "term").join(dnorm, "doc_id")
@@ -441,11 +509,23 @@ def upsert_lexical_index(
     Contract (FAISS ``add``): delta ids disjoint from stored ids. The
     merged fingerprint makes a later ``ensure_lexical_index`` over
     the full corpus recognize the maintained index as current."""
+    # the whole upsert is a read-modify-write commit: two concurrent
+    # upserts would derive the SAME delta dir names and clobber each
+    # other, the last meta pairing one committer's stats with the
+    # other's rows (review r8) — serialized by the index commit lock
+    with mio.commit_lock(path, timeout_sec=600.0):
+        return _upsert_locked(new_docs, path, id_col, text_col)
+
+
+def _upsert_locked(
+    new_docs: DataFrame, path: str, id_col: str, text_col: str
+) -> dict:
     from inside_vectordb_spark.operators.ann_index import (
         _assert_disjoint_delta,
         _corpus_fingerprint,
         _merge_fingerprint,
     )
+    from inside_vectordb_spark.operators.bm25 import doc_token_stream
 
     meta = _validate_serving(mio.read_json(mio.join(path, "meta.json")), path)
     spark = new_docs.sparkSession
@@ -465,11 +545,10 @@ def upsert_lexical_index(
         )
     _assert_disjoint_delta(stored_ids, d.select("doc_id"), path)
     tf = (
-        d.select("doc_id", F.explode(tokenize(F.col("__t"))).alias("term"))
+        doc_token_stream(d)
         .filter(F.col("term") != "")
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
         .withColumn("pb", _term_bucket(F.col("term")))
     )
     tf.persist()
@@ -503,13 +582,24 @@ def upsert_lexical_index(
     dl_rels = list(meta.get("doclen_rels", ["doclen"]))
     dl_delta_rel = f"doclen_d{len(dl_rels)}"
     dl.write.mode("overwrite").parquet(os.path.join(path, dl_delta_rel))
-    row = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
-    n_new, sum_new = int(row["n"]), float(row["s"] or 0.0)
+    row = dl.agg(
+        F.count("*").alias("n"),
+        F.count("dl").alias("nn"),
+        F.sum("dl").alias("s"),
+    ).collect()[0]
+    n_new, nn_new, sum_new = int(row["n"]), int(row["nn"]), float(row["s"] or 0.0)
     tf.unpersist()
     n_old = int(meta["n_docs"])
-    sum_old = float(meta["avgdl"]) * n_old
+    # recombine from the stored (sum, non-null count): avgdl·n_docs
+    # over-reconstructs the sum when NULL-text docs exist (avg skips
+    # them, count(*) doesn't — review r8); old metas without the
+    # fields fall back to the former approximation
+    sum_old = float(meta.get("dl_sum", float(meta["avgdl"]) * n_old))
+    nn_old = int(meta.get("dl_n", n_old))
     meta["n_docs"] = n_old + n_new
-    meta["avgdl"] = (sum_old + sum_new) / max(1, n_old + n_new)
+    meta["avgdl"] = (sum_old + sum_new) / max(1, nn_old + nn_new)
+    meta["dl_sum"] = sum_old + sum_new
+    meta["dl_n"] = nn_old + nn_new
     meta["corpus"] = _merge_fingerprint(
         meta.get("corpus"),
         _corpus_fingerprint(new_docs, id_col, content_col=text_col),
@@ -521,10 +611,16 @@ def upsert_lexical_index(
     # REPOINTING meta at the next docnorm generation (no fs mutation
     # before the commit — a crash here leaves the old index intact,
     # old docnorm included; the old dir becomes a post-commit orphan)
+    old_docnorm = meta.get("docnorm_rel")
     meta["docnorm_rel"] = f"docnorm_{new_df_rel}"
     mio.write_json(mio.join(path, "meta.json"), meta)  # the commit point
+    # one-commit grace for the superseded dictionary/norm dirs — an
+    # in-flight reader on the previous meta keeps its files until the
+    # NEXT commit (review r8)
     _gc_dirs(
         path,
-        set(meta["postings_rels"]) | set(meta["doclen_rels"]) | {new_df_rel},
+        set(meta["postings_rels"])
+        | set(meta["doclen_rels"])
+        | ({new_df_rel, old_df_rel, old_docnorm} - {None}),
     )
     return meta

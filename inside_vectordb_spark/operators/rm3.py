@@ -184,13 +184,15 @@ def bm25_rm3_topk(
     # the whole feedback subtree into every pass-2 reference (vocab
     # filter + weight join → observed 60 exchanges vs ~20).
     spark = docs.sparkSession
+    union_w = orig_w.unionByName(exp_w)
     rows = [
-        (r["query_id"], r["term"], r["mult"])
-        for r in orig_w.unionByName(exp_w).collect()
+        (r["query_id"], r["term"], r["mult"]) for r in union_w.collect()
     ]
-    weights = spark.createDataFrame(
-        rows, "query_id long, term string, mult double"
-    )
+    # schema carried from the plan, not a hard-coded 'query_id long'
+    # literal — string/arbitrary query-id types must survive the
+    # materialization like every other operator in the lexical arm
+    # (review r8)
+    weights = spark.createDataFrame(rows, union_w.schema)
     return bm25_weighted_topk(
         docs, weights, k, k1, b, id_col, text_col, "rm3", round_to, stats
     )

@@ -30,6 +30,14 @@ from pyspark.sql import functions as F
 from inside_vectordb_spark.functions.text import tokenize
 
 
+def smooth_idf(df_col, n_docs: float):
+    """sklearn's smooth idf ``ln((1+N)/(1+df)) + 1`` — never zero,
+    defined for unseen terms. ONE implementation (review r8: the
+    formula existed inline in four places across this module and the
+    persisted-index serving paths)."""
+    return F.log((1.0 + n_docs) / (1.0 + df_col)) + 1.0
+
+
 def tfidf_scores(
     docs: DataFrame,
     queries: DataFrame,
@@ -48,17 +56,28 @@ def tfidf_scores(
         F.col(qid_col).alias("query_id"), F.lower(F.col(qtext_col)).alias("__qt")
     )
     toks = d.select("doc_id", F.explode(tokenize(F.col("__t"))).alias("term"))
+    from pyspark import StorageLevel
+
+    # ONE postings materialization: the old dft-groupBy-join-back and
+    # the query-restricted dictionary each re-executed the whole
+    # explode+count subtree (the pattern bm25.py documents measuring
+    # 1.5× slower); df is a count window over the persisted postings
+    # and the query dictionary reads the same cache (review r8).
+    # Cosine tf-idf inherently needs the FULL postings (norms over
+    # every doc term) — the persisted-index path is the production
+    # form; this fresh form pays the pass once, not three times.
     tf = (
         toks.filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # the dictionary: corpus-wide document frequency per term (needed
-    # for ALL doc terms — norms — not just the query vocabulary)
-    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # rows unique per (doc_id, term) → count over the term partition
+    # IS the document frequency
+    tfw = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     n_docs = d.count()
-    idf = F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0
-    docw = tf.join(dft, "term").select(
+    idf = smooth_idf(F.col("df"), n_docs)
+    docw = tfw.select(
         "doc_id", "term", ((1.0 + F.log("tf")) * idf).alias("wd")
     )
     docw = docw.withColumn(
@@ -76,15 +95,18 @@ def tfidf_scores(
     # match. The dictionary is restricted to the query vocabulary
     # (broadcast semi) before the left join, so the big dft table
     # never broadcasts whole.
-    dft_q = dft.join(
-        F.broadcast(qtf.select("term").distinct()), "term", "left_semi"
+    dft_q = (
+        tfw.join(F.broadcast(qtf.select("term").distinct()), "term", "left_semi")
+        .select("term", "df")
+        .distinct()
     )
     qw = qtf.join(F.broadcast(dft_q), "term", "left").select(
         "query_id",
         "term",
-        ((1.0 + F.log("tf")) * (
-            F.log((1.0 + n_docs) / (1.0 + F.coalesce(F.col("df"), F.lit(0)))) + 1.0
-        )).alias("wq"),
+        (
+            (1.0 + F.log("tf"))
+            * smooth_idf(F.coalesce(F.col("df"), F.lit(0)), n_docs)
+        ).alias("wq"),
     )
     qw = qw.withColumn(
         "qnorm",

@@ -182,10 +182,12 @@ def test_lexical_upsert_matches_full_build(spark, tmp_path):
     assert os.path.isdir(os.path.join(inc, rel_before))
     upsert_lexical_index(docs.filter("doc_id % 3 = 0"), inc)
     meta_after = json.load(open(os.path.join(inc, "meta.json")))
-    # invalidated by REPOINTING meta at the next generation (the old
-    # dir is a gc'd orphan; the new one builds lazily on next read)
+    # invalidated by REPOINTING meta at the next generation; the old
+    # dir gets ONE-COMMIT GRACE (review r8: in-flight readers on the
+    # previous meta keep their files until the NEXT commit), so it
+    # still exists now and is gc'd by the following commit
     assert meta_after["docnorm_rel"] != rel_before
-    assert not os.path.isdir(os.path.join(inc, rel_before))
+    assert os.path.isdir(os.path.join(inc, rel_before))
     assert not os.path.isdir(os.path.join(inc, meta_after["docnorm_rel"]))
     got_bm = {
         tuple(r) for r in bm25_topk_indexed(spark, queries, inc, k=10).collect()
@@ -357,6 +359,16 @@ def test_lexical_rebuild_is_atomic_and_invalidates_norms(spark, tmp_path):
     assert meta2["postings_rels"] != meta1["postings_rels"]
     assert meta2["df_rel"] != meta1["df_rel"]
     assert meta2["docnorm_rel"] != meta1["docnorm_rel"]
+    # superseded generation keeps ONE-COMMIT GRACE (review r8) — the
+    # gen-1 dirs survive this rebuild for in-flight readers...
+    for rel in (
+        meta1["postings_rels"][0],
+        meta1["df_rel"],
+        meta1["docnorm_rel"],
+    ):
+        assert os.path.isdir(os.path.join(path, rel)), rel
+    # ...and are gc'd by the NEXT commit
+    build_lexical_index(docs, path)
     for rel in (
         meta1["postings_rels"][0],
         meta1["df_rel"],
