@@ -182,6 +182,14 @@ def ensure_lsh_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, A
     meta = _read_meta(path)
     want = {
         "kind": "lsh",
+        # RESOLVED defaults included (review r8, the ensure_mrl_index
+        # r7 fix applied to this tier): a caller relying on the
+        # documented defaults must not silently accept an artifact
+        # built at different knobs.
+        "n_tables": params.get("n_tables", 4),
+        "n_bits": params.get("n_bits", 12),
+        "seed": params.get("seed", 42),
+        "max_bucket_size": params.get("max_bucket_size", 2000),
         # id_col/vec_col are caller-side names, never stored in meta —
         # including them would fail the compare and force a silent
         # full rebuild on EVERY call (the ensure_sq_index fix, applied
@@ -269,6 +277,12 @@ def upsert_lsh_index(
             .filter(F.coalesce(F.col("__occ"), F.lit(0)) + F.col("__pos") <= cap)
             .drop("__pos", "__occ")
         )
+    # invalidate the completeness marker BEFORE the append: a crash
+    # mid-append (partially visible task commits) must read as "no
+    # complete index" — the next ensure_* rebuilds — never a valid
+    # meta over torn appended rows; the meta rewrite below restores
+    # the marker as the commit point (review r8)
+    _begin_rebuild(path)
     nb.repartition("table_idx").write.mode("append").partitionBy(
         "table_idx"
     ).parquet(buckets_path)
@@ -301,6 +315,12 @@ def upsert_ivf_index(
         path,
     )
     cents = load_ivf_centroids(spark, path)
+    # invalidate the completeness marker BEFORE the append: a crash
+    # mid-append (partially visible task commits) must read as "no
+    # complete index" — the next ensure_* rebuilds — never a valid
+    # meta over torn appended rows; the meta rewrite below restores
+    # the marker as the commit point (review r8)
+    _begin_rebuild(path)
     (
         ivf_assign(new_vectors, id_col, vec_col, cents)
         .repartition("centroid_id")
@@ -405,6 +425,12 @@ def ensure_ivf_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, A
     meta = _read_meta(path)
     want = {
         "kind": "ivf",
+        # RESOLVED defaults included (review r8, the ensure_mrl_index
+        # r7 fix applied to this tier): a caller relying on the
+        # documented defaults must not silently accept an artifact
+        # built at different knobs.
+        "n_centroids": params.get("n_centroids", 16),
+        "seed": params.get("seed", 42),
         # id_col/vec_col are caller-side names, never stored in meta —
         # including them would fail the compare and force a silent
         # full rebuild on EVERY call (the ensure_sq_index fix, applied
@@ -508,6 +534,14 @@ def ensure_ivfpq_index(corpus: DataFrame, path: str, **params: Any) -> dict[str,
     meta = _read_meta(path)
     want = {
         "kind": "ivfpq",
+        # RESOLVED defaults included (review r8, the ensure_mrl_index
+        # r7 fix applied to this tier): a caller relying on the
+        # documented defaults must not silently accept an artifact
+        # built at different knobs.
+        "n_centroids": params.get("n_centroids", 16),
+        "m": params.get("m", 8),
+        "ks": params.get("ks", 16),
+        "seed": params.get("seed", 42),
         # id_col/vec_col are caller-side names, never stored in meta —
         # including them would fail the compare and force a silent
         # full rebuild on EVERY call (the ensure_sq_index fix, applied
@@ -556,16 +590,28 @@ def ann_ivfpq_topk_indexed(
     qrows = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("v")
     ).collect()
+    if not qrows:
+        raise ValueError("empty query set")  # 1-D np.array([]) would
+        # reach _normalize_rows as an opaque AxisError otherwise
+        # (review r8 — the guard ann_pq_topk already has)
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
     order = np.argsort(-(_normalize_rows(qmat) @ cents.T), axis=1)[:, :n_probe]
     probe_lists = {int(qids[i]): set(map(int, order[i])) for i in range(len(qids))}
     probed_ids = sorted({c for s in probe_lists.values() for c in s})
 
-    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
-        F.col("centroid_id").isin(probed_ids)
-    )
-    n_refine = k * refine
+    codes_all = spark.read.parquet(os.path.join(path, "codes"))
+    codes = codes_all.filter(F.col("centroid_id").isin(probed_ids))
+    # candidate count floored to a FRACTION of the stored corpus, not
+    # a fixed k*refine: recall tracks the candidate fraction, and the
+    # fixed count starves it as N grows (ann_pq_topk measured 0.83 ->
+    # 0.615 recall@10 at N=2000 before gaining the same floor — the
+    # r6 scale-sweep defect, applied to this tier in review r8). The
+    # codes table count is a cheap columnar/metadata read.
+    import math as _math
+
+    n_corpus = codes_all.select("id").distinct().count()
+    n_refine = max(k * refine, _math.ceil(0.075 * n_corpus))
     partials = pq_adc_candidates_probed(
         codes, qids, qmat, books, probe_lists, n_refine
     )
@@ -640,6 +686,13 @@ def ensure_pq_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, An
     meta = _read_meta(path)
     want = {
         "kind": "pq",
+        # RESOLVED defaults included (review r8, the ensure_mrl_index
+        # r7 fix applied to this tier): a caller relying on the
+        # documented defaults must not silently accept an artifact
+        # built at different knobs.
+        "m": params.get("m", 8),
+        "ks": params.get("ks", 16),
+        "seed": params.get("seed", 42),
         # id_col/vec_col are caller-side names, never stored in meta —
         # including them would fail the compare and force a silent
         # full rebuild on EVERY call (the ensure_sq_index fix, applied
@@ -730,6 +783,9 @@ def ann_ivf_topk_indexed(
     qrows = queries.select(
         F.col(query_id).alias("qid"), l2_normalize(query_vec).alias("v")
     ).collect()
+    if not qrows:
+        raise ValueError("empty query set")  # 1-D np.array([]) would
+        # raise an opaque matmul ValueError otherwise (review r8)
     qids = [r["qid"] for r in qrows]
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
     order = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]
@@ -831,17 +887,23 @@ def delete_from_sq_index(
     meta = _read_meta(path)
     if meta is None or meta.get("kind") != "sq":
         raise FileNotFoundError(f"no complete SQ index at {path}")
-    existing = deleted_ids(spark, path)
-    fresh = sorted(set(int(i) for i in ids) - existing)
-    if fresh:
-        (
-            spark.createDataFrame(
-                pd.DataFrame({"doc_id": np.array(fresh, dtype=np.int64)})
-            )
-            .write.mode("append")
-            .parquet(os.path.join(path, "tombstones"))
-        )
-        meta["n_deleted"] = meta.get("n_deleted", 0) + len(fresh)
+    # idempotency via executor-side anti-join (the pq_det twin's
+    # shape): the ACCUMULATED tombstone set can be corpus-sized after
+    # crawl-scale delete campaigns, and the old deleted_ids() collect
+    # round-tripped ALL of it through the driver on every delete of a
+    # handful of ids (review r8). The delta side is caller-provided
+    # and small; the anti-join count is bounded by len(ids).
+    ids_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.array(sorted(set(int(i) for i in ids)),
+                                         dtype=np.int64)})
+    ).distinct()
+    tomb = os.path.join(path, "tombstones")
+    if mio.is_dir(tomb):
+        ids_df = ids_df.join(spark.read.parquet(tomb), "doc_id", "left_anti")
+    n_fresh = ids_df.count()
+    if n_fresh:
+        ids_df.write.mode("append").parquet(tomb)
+        meta["n_deleted"] = meta.get("n_deleted", 0) + n_fresh
         _write_meta(path, meta)
     return meta
 

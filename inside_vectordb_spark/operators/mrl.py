@@ -246,6 +246,11 @@ def upsert_mrl_index(corpus_delta: DataFrame, path: str, id_col: str = "vec_id",
         path,
     )
     prefix_dim = int(meta["prefix_dim"])
+    # invalidate the completeness marker BEFORE the append: a crash
+    # mid-append must read as "no complete index" (the next ensure_*
+    # rebuilds), never a valid meta over torn appended rows — the
+    # meta rewrite below restores the marker (review r8)
+    mio.remove_file(mio.join(path, "meta.json"))
     (
         corpus_delta.select(
             F.col(id_col).alias("doc_id"),

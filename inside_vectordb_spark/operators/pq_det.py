@@ -62,7 +62,17 @@ PQ_DET_CAND_K = 50
 
 def _sub_explode(df: DataFrame, vec_col: str, out_col: str, m_sub: int, dim: int):
     """(…, m, <out_col>) — the vector sliced into m_sub contiguous
-    subspaces (posexplode keeps it one narrow JVM-side projection)."""
+    subspaces (posexplode keeps it one narrow JVM-side projection).
+    Indivisible dims are REJECTED like the k-means PQ twin: silently
+    dropping the trailing dim % m_sub dimensions would generate codes
+    (and ADC scores) from a truncated vector with no error
+    (review r8)."""
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"dim={dim} not divisible by m_sub={m_sub} — the trailing "
+            f"{dim % m_sub} dimensions would silently never influence "
+            "codes or scores"
+        )
     dsub = dim // m_sub
     v = as_double_array(F.col(vec_col))
     slices = F.array(*[F.slice(v, m * dsub + 1, dsub) for m in range(m_sub)])
@@ -311,7 +321,13 @@ def upsert_pq_det_index(
     from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
 
     _assert_disjoint_delta(
-        spark.read.parquet(os.path.join(path, "codes")).select("doc_id"),
+        # distinct: codes carry m rows per doc — without it a single
+        # duplicate id reports as m duplicates and the semi-join scans
+        # the un-deduplicated relation (review r8; the LSH twin
+        # already dedupes)
+        spark.read.parquet(os.path.join(path, "codes"))
+        .select("doc_id")
+        .distinct(),
         new_vectors.select(id_col),
         path,
     )
@@ -323,6 +339,11 @@ def upsert_pq_det_index(
     # centroid VECTORS, which the index stores for exactly this reason.
     cents_sub = spark.read.parquet(os.path.join(path, "cents"))
     codes = _encode(new_vectors, cents_sub, id_col, vec_col, m_sub, dim)
+    # invalidate the completeness marker BEFORE the append: a crash
+    # mid-append must read as "no complete index" (the next ensure_*
+    # rebuilds), never a valid meta over torn appended rows — the
+    # meta rewrite below restores the marker (review r8)
+    mio.remove_file(mio.join(path, "meta.json"))
     codes.write.mode("append").parquet(os.path.join(path, "codes"))
     meta["corpus"] = _merge_fingerprint(
         meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
@@ -441,6 +462,13 @@ def pq_det_refine_sweep(
     cents = _centroids(corpus, id_col, vec_col, centroid_stride, n_centroids_cap)
     cents_sub = _sub_explode(cents, "__cv", "__cv", m_sub, dim)
     codes = spark.read.parquet(os.path.join(path, "codes"))
+    # the sweep measures the index state SEARCH serves: tombstoned
+    # docs must not occupy candidate slots or set top1_score
+    # (review r8 — the search path anti-joined, the sweep didn't)
+    tomb = os.path.join(path, "tombstones")
+    if mio.is_dir(tomb):
+        dead = spark.read.parquet(tomb).select(F.col("id").alias("doc_id"))
+        codes = codes.join(dead, "doc_id", "left_anti")
     qb, ranked = _adc_ranked(
         queries, codes, cents_sub, query_id_col, vec_col, m_sub, dim
     )
