@@ -87,8 +87,33 @@ def read_json(path: str) -> dict[str, Any] | None:
 from contextlib import contextmanager
 
 
+def _lock_holder_dead(lock: str) -> bool:
+    """True when the lock file names a holder on THIS host whose pid is
+    verifiably gone — the one case a waiter may safely break a stale
+    lock. A foreign-host holder, an unreadable lock, or a live pid all
+    return False (fail toward waiting; liveness beats availability for
+    a commit lock)."""
+    import socket
+
+    try:
+        with open(lock) as f:
+            payload = json.load(f)
+        pid, host = int(payload["pid"]), payload["host"]
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return False  # legacy/torn payload: never auto-break
+    if host != socket.gethostname():
+        return False
+    try:
+        os.kill(pid, 0)
+        return False  # alive
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # alive, different uid
+
+
 @contextmanager
-def commit_lock(base: str, timeout_sec: float = 30.0):
+def commit_lock(base: str, timeout_sec: float = 120.0):
     """Advisory inter-process lock for read-modify-write commits on a
     control file (the snapshot log's version-select → data-write →
     log-rewrite sequence). ``write_json`` makes each single write
@@ -96,21 +121,51 @@ def commit_lock(base: str, timeout_sec: float = 30.0):
     and both commit v=2 — one committer's data silently vanishing from
     the log (review r8). O_CREAT|O_EXCL on ``_commit.lock`` is atomic
     on POSIX and maps to if-absent PUT preconditions on object stores.
-    A crashed holder leaves the lock behind by design — commits then
-    FAIL LOUDLY (with the lock's age in the message) instead of
-    racing; remove the file after verifying the holder is gone."""
+
+    The lock records ``{pid, host}``; a waiter that finds the holder is
+    a dead pid on its own host breaks the lock and retries (advisory
+    r9 — a crashed holder must not block every later commit until a
+    human removes the file). A foreign-host or unreadable lock is never
+    auto-broken — those commits FAIL LOUDLY after ``timeout_sec`` with
+    the lock's age in the message. The default wait is 120 s because a
+    legitimate holder may be running a full merge/rebuild commit
+    (merge_into_snapshot waits 300 s, lexical rebuilds 600 s)."""
     os.makedirs(base, exist_ok=True)
     lock = os.path.join(base, "_commit.lock")
+    import socket
     import time
 
+    payload = json.dumps({"pid": os.getpid(), "host": socket.gethostname()})
     deadline = time.monotonic() + timeout_sec
+    broke_stale = False
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, payload.encode())
             os.close(fd)
             break
         except FileExistsError:
+            # auto-break at most once per wait: if the lock reappears
+            # stale again, some OTHER waiter won the recreate race and
+            # is live — keep waiting on it. The break itself is guarded
+            # by a secondary O_EXCL lock so two waiters can't both
+            # detect the dead holder and have the slower one delete the
+            # winner's FRESH lock; the guard holder re-verifies
+            # staleness before removing.
+            if not broke_stale and _lock_holder_dead(lock):
+                broke_stale = True
+                guard = lock + ".break"
+                try:
+                    gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    continue  # another waiter is mid-break
+                try:
+                    os.close(gfd)
+                    if _lock_holder_dead(lock):
+                        remove_file(lock)
+                finally:
+                    remove_file(guard)
+                continue
             if time.monotonic() >= deadline:
                 try:
                     age = time.time() - os.path.getmtime(lock)

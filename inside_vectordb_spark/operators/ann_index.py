@@ -607,10 +607,13 @@ def ann_ivfpq_topk_indexed(
     # fixed count starves it as N grows (ann_pq_topk measured 0.83 ->
     # 0.615 recall@10 at N=2000 before gaining the same floor — the
     # r6 scale-sweep defect, applied to this tier in review r8). The
-    # codes table count is a cheap columnar/metadata read.
+    # corpus size comes from the meta fingerprint (kept current across
+    # upserts by _merge_fingerprint) — a distinct().count() over the
+    # m-rows-per-doc codes table would be a full shuffle per search
+    # call (advisory r9).
     import math as _math
 
-    n_corpus = codes_all.select("id").distinct().count()
+    n_corpus = int(meta["corpus"]["n"])
     n_refine = max(k * refine, _math.ceil(0.075 * n_corpus))
     partials = pq_adc_candidates_probed(
         codes, qids, qmat, books, probe_lists, n_refine

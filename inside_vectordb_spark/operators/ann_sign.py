@@ -770,7 +770,10 @@ def ann_ivf_hash_topk(
     ≈ (1−1/stride)^N) must FAIL LOUDLY here, exactly like
     ``ensure_ivf_det_index``'s empty-rule guard, never serve empty
     top-k forever; the count also materializes the TakeOrdered once
-    for both its consumers (assignment and probing) (review r8)."""
+    for both its consumers (assignment and probing) (review r8).
+    The ≤``n_centroids_cap``-row persist is not unpersisted — the
+    returned plan reads it lazily; blocks evict LRU and correctness
+    never depends on the persist (advisory r9)."""
     from pyspark import StorageLevel
 
     cents = hash_centroids(

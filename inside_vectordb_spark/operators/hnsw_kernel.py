@@ -128,6 +128,63 @@ class HnswIndex:
     def __len__(self) -> int:
         return len(self._ids)
 
+    # -- persistence (hnswlib save_index/load_index analogue) --
+
+    def get_state(self) -> dict:
+        """Complete graph state as plain Python/NumPy values, for the
+        persisted-index tier (``operators/hnsw_index.py``). The RNG
+        state rides along so a restored index continues the SAME
+        level-draw stream — ``add_items`` after a save/load round-trip
+        builds the identical graph an unsaved index would, which is
+        hnswlib's save_index/load_index-then-add contract (reference
+        ``003-hnswlib_demo.py:234-257``)."""
+        import json as _json
+
+        return {
+            "dim": self.dim,
+            "m": self.m,
+            "ef_construction": self.ef_construction,
+            "entry": self._entry,
+            "max_level": self._max_level,
+            "rng_state_json": _json.dumps(self._rng.bit_generator.state),
+            "ids": [int(i) for i in self._ids],
+            "vecs": (
+                np.zeros((0, self.dim), dtype=np.float64)
+                if self._vecs is None
+                else self._vecs
+            ),
+            "links": [
+                {int(k): [int(x) for x in v] for k, v in lvl.items()}
+                for lvl in self._links
+            ],
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "HnswIndex":
+        """Rebuild an index from :meth:`get_state` output without
+        re-inserting any vector. Internal node indexes (insertion
+        order) are preserved exactly, so search — including heap
+        tie-breaks on equal distances — is bit-identical to the
+        pre-save index."""
+        import json as _json
+
+        idx = cls(
+            dim=int(state["dim"]),
+            m=int(state["m"]),
+            ef_construction=int(state["ef_construction"]),
+        )
+        idx._rng.bit_generator.state = _json.loads(state["rng_state_json"])
+        vecs = np.asarray(state["vecs"], dtype=np.float64)
+        idx._vecs = None if len(vecs) == 0 else vecs
+        idx._ids = [int(i) for i in state["ids"]]
+        idx._links = [
+            {int(k): list(map(int, v)) for k, v in lvl.items()}
+            for lvl in state["links"]
+        ]
+        idx._entry = int(state["entry"])
+        idx._max_level = int(state["max_level"])
+        return idx
+
     # -- internals --
 
     def _dist(self, q: np.ndarray, idx: int) -> float:

@@ -66,6 +66,11 @@ def tfidf_scores(
     # Cosine tf-idf inherently needs the FULL postings (norms over
     # every doc term) — the persisted-index path is the production
     # form; this fresh form pays the pass once, not three times.
+    # The persist is NOT unpersisted here: the returned DataFrame
+    # consumes it lazily, so the only safe release point is after the
+    # caller's action. Spark evicts the blocks LRU (MEMORY_AND_DISK);
+    # correctness never depends on the persist (advisory r9 — the
+    # dedup.py per-site-documentation discipline).
     tf = (
         toks.filter(F.col("term") != "")
         .groupBy("doc_id", "term")

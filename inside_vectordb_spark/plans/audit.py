@@ -89,6 +89,16 @@ def work_counters(df: DataFrame) -> dict:
             yield from _walk_exec(node.executedPlan(), seen)
         elif nm.endswith("QueryStageExec"):
             yield from _walk_exec(node.plan(), seen)
+        # scalar/DPP subquery plans are not children() — without this
+        # an exchange inside a subquery is invisible to the work
+        # counters, the same blind spot review r7 fixed in _walk
+        # (advisory r9)
+        try:
+            sub = node.subqueries()
+            for i in range(sub.size()):
+                yield from _walk_exec(sub.apply(i), seen)
+        except Exception:
+            pass  # not every node type exposes subqueries()
 
     out = {
         "rows_read": 0,

@@ -973,7 +973,9 @@ def ann_ivf_hash_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantizer scan, assignment, query filter and rerank join reuse
     # one materialization instead of re-executing the join per
     # reference (review r8: was 6 scans / 9 exchanges vs the det
-    # twin's 4 / 6)
+    # twin's 4 / 6). Not unpersisted — the returned plan reads it
+    # lazily; eviction is LRU-only and correctness never depends on
+    # the persist (advisory r9).
     corpus = (
         docs.join(emb, docs["doc_id"] == emb["vec_id"])
         .select(

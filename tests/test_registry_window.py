@@ -15,18 +15,11 @@ from inside_vectordb_spark.registry import ORACLES, QUERIES
 WINDOW = 50
 
 # Rows-only entries allowed inside the window. The round-8 window
-# deliberately rotates in the 12 never-driver-checked stochastic/
-# sketch tiers (their quality envelopes are driver-proven as DATA via
-# ann_stochastic_recall_floor / ann_recall_vs_exact, both pass(r6);
-# the rows-only driver row proves run-health) so that after this
-# round every registered query has at least one driver observation.
-NO_ORACLE_OK: set[str] = {
-    "ann_knob_sweep", "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",
-    "ann_ivf_upsert_topk", "ann_hnsw_vendored", "ann_brp_topk",
-    "ann_pq_topk", "ann_pq_topk_indexed", "ann_ivfpq_topk_indexed",
-    "method_speedups", "events_user_sketch",
-    "doc_length_percentiles_approx",
-}
+# rotated the 12 never-driver-checked stochastic/sketch tiers through
+# their first (and green) driver observation; the round-9 window is
+# fully oracle-backed except queries NEW this round whose semantics
+# are inherently order-dependent (graph-build tiers).
+NO_ORACLE_OK: set[str] = set()
 
 # One representative per §2 tier that MUST sit inside the window
 # every round (reproducible multi-round anchors). Round 5 shrank the
@@ -47,35 +40,33 @@ MUST_COVER = {
 }
 
 
-# Rows rotated into the round-8 window: the LAST 19 never-driver-
-# checked queries, the 20 stalest standing proofs (all 16
-# r1/r2-last-observed rows + 4 of the oldest r3 rows), and the
-# round-8-new ann_ivf_hash_topk. They stay pinned here until a
-# CORRECTNESS file proves them green.
-ROTATED_IN_R8 = {
-    # never driver-checked (19)
-    "doc_chunks", "bpe_pair_counts", "bpe_vocab", "bpe_encoded_tokens",
-    "orc_roundtrip", "events_moving_avg", "price_histogram_equiwidth",
-    "ann_knob_sweep", "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",
-    "ann_ivf_upsert_topk", "ann_hnsw_vendored", "ann_brp_topk",
-    "ann_pq_topk", "ann_pq_topk_indexed", "ann_ivfpq_topk_indexed",
-    "method_speedups", "events_user_sketch",
-    "doc_length_percentiles_approx",
-    # stale backfill (17) + the four round-8-new queries
-    "doc_fingerprints", "quality_scores", "token_counts",
-    "events_hourly", "events_sessionized", "minhash_candidate_pairs",
-    "minhash_signatures", "q1_pricing_summary", "q3_top_revenue_orders",
-    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
-    "q10_returned_items", "q13_customer_distribution",
-    "q14_promo_revenue", "q22_global_sales_opportunity",
-    "jsonl_roundtrip", "ann_ivf_hash_topk", "similarity_join_topk",
-    "similarity_join_filtered", "similarity_join_ivf_filtered",
+# Rows rotated into the round-9 window: the observation-age policy's
+# first execution — all 27 rows whose last driver observation was r3,
+# plus 13 of the 40-row r4 cohort (the verdict-named priorities
+# first). They stay pinned here until CORRECTNESS_r09 proves them
+# green.
+ROTATED_IN_R9 = {
+    # last observed r3 (all 27)
+    "avg_relevant_per_query", "corpus_subset", "decontamination",
+    "doc_concat", "doc_json", "doc_truncate", "docs_without_judgments",
+    "embedding_near_duplicates", "embeddings_parquet_roundtrip",
+    "head_n_docs", "ids_except", "ids_intersect", "layer_histogram",
+    "missing_relevant_check", "mixture_sample",
+    "ngram_jaccard_neighbors", "order_date_format", "pii_redaction",
+    "qrels_tsv_roundtrip", "queries_with_judgments", "ranked_lists",
+    "relevance_histogram", "results_enriched", "seeded_sample",
+    "simhash_signatures", "table_counts", "top_lineitems",
+    # oldest r4 (13 of 40)
+    "search_hits", "precision_at_k", "mrr", "evaluation_report",
+    "text_embeddings", "qrels_table", "bm25_topk", "word_stats",
+    "span_dedup", "ann_signlsh_sweep", "near_dup_clusters",
+    "kmeans_lloyd", "lang_id",
 }
 
 
 def test_rotated_rows_in_window():
     window = set(list(e.queries())[:WINDOW])
-    missing = ROTATED_IN_R8 - window
+    missing = ROTATED_IN_R9 - window
     assert not missing, f"rotation rows fell out of the window: {missing}"
 
 
