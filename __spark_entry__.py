@@ -98,7 +98,8 @@ WINDOW_PRIORITY = [
     "ann_signlsh_sweep",         # oracle-backed LSH knob sweep
     "near_dup_clusters",         # connected components
     "kmeans_lloyd",              # distributed k-means
-    "lang_id",                   # n-gram language ID
+    # -- new this round (first driver observation) --------------------
+    "ann_hnsw_vendored_indexed", # persisted vendored-HNSW graph (S9 at rest)
 ]
 
 # Round-9 rotation state: union coverage is 236/236 (r8); the window

@@ -152,6 +152,9 @@ HEADLINE = [
     "source_quota_cap",
     "perplexity_buckets",
     "ann_mrl_topk_indexed",
+    # round-9: the persisted vendored-HNSW graph served from disk
+    # (S9 at rest — graph load + beam search, no rebuild)
+    "ann_hnsw_vendored_indexed",
 ]
 
 

@@ -1,0 +1,423 @@
+"""Persisted vendored-HNSW graph index: save/load the proximity graph.
+
+The reference's actual hnswlib artifact is a serialized graph —
+``003-hnswlib_demo.py:234-257`` builds once, ``save_index``es to disk,
+``load_index``s without rebuild, and ``add_items`` appends to the
+loaded index. Every other persisted tier in this engine (LSH / IVF /
+PQ / SQ / MRL) stores derived tables; this module rounds out S9 by
+persisting the GRAPH itself for the vendored NumPy kernel
+(``operators/hnsw_kernel.py``), so repeated queries skip the
+per-partition graph build the scatter-gather tier
+(``operators/partitioned_ann.py``) pays per job.
+
+Layout (all data parquet, control files via the ``_meta_io`` seam):
+
+    <path>/graph/part=<p>/…   one row per (node, level): internal
+                              insertion index (``ord``), external id,
+                              neighbor ``ord`` list; the level-0 row
+                              carries the L2-NORMALIZED vector; one
+                              header row per partition (level = −1)
+                              carries entry point / max level / RNG
+                              state as JSON
+    <path>/meta.json          params + corpus fingerprint — the
+                              completeness marker, written LAST and
+                              removed FIRST on rebuild/upsert
+
+Scale shape: vectors are routed to ``n_parts`` graph partitions by
+``pmod(xxhash64(id), n_parts)`` — deterministic, so a delta upsert
+routes to the same partition its full-rebuild twin would. Search is
+scatter-gather: the graph parquet is read with partition pruning
+(only all parts here, but a filtered variant prunes), each partition
+reconstructs its kernel from its own rows inside one task
+(``applyInPandas`` over the partition key), answers the broadcast
+query batch with the ef beam, and only Q×k partial rows cross the
+network for the global window merge. Upserts rewrite ONLY the
+partitions that receive delta rows (dynamic partition overwrite) and
+run O(delta) graph inserts — base nodes are never re-inserted; the
+RNG state stored per partition continues the level-draw stream, so
+load-then-add builds the identical graph an unsaved index would.
+
+Graph builds are insertion-order dependent (true of hnswlib too), so
+this tier is rows-only at the driver; determinism (same corpus, same
+params → same graph → same results) and the stored==fresh and
+load-then-add==never-saved contracts are pinned in
+``tests/test_hnsw_index.py``, and recall vs exact is floor-asserted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from inside_vectordb_spark import _meta_io as mio
+from inside_vectordb_spark.operators.ann import _normalize_rows
+from inside_vectordb_spark.operators.ann_index import (
+    _assert_disjoint_delta,
+    _begin_rebuild,
+    _corpus_fingerprint,
+    _merge_fingerprint,
+)
+from inside_vectordb_spark.operators.hnsw_kernel import HnswIndex
+
+GRAPH_SCHEMA = StructType(
+    [
+        StructField("part", LongType()),
+        StructField("ord", LongType()),
+        StructField("node_id", LongType()),
+        StructField("level", IntegerType()),
+        StructField("neighbors", ArrayType(LongType())),
+        StructField("vector", ArrayType(DoubleType())),
+        StructField("meta_json", StringType()),
+    ]
+)
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def _part_expr(id_col: str, n_parts: int):
+    """THE partition-routing rule. xxhash64 is seed-stable across
+    sessions, so deltas route to the same graph partition their
+    full-rebuild twin would — the property the O(delta) upsert's
+    bit-compat contract rests on."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts)).cast("long")
+
+
+def _index_to_rows(part: int, index: HnswIndex) -> pd.DataFrame:
+    """Serialize a kernel to GRAPH_SCHEMA rows: one row per
+    (node, level) plus one header row (level = −1) carrying the
+    scalars and RNG state."""
+    state = index.get_state()
+    ords, node_ids, levels, neighbors, vectors = [], [], [], [], []
+    ids = state["ids"]
+    vecs = state["vecs"]
+    for lv, links in enumerate(state["links"]):
+        for o, nbrs in links.items():
+            ords.append(o)
+            node_ids.append(ids[o])
+            levels.append(lv)
+            neighbors.append(list(nbrs))
+            vectors.append(list(map(float, vecs[o])) if lv == 0 else None)
+    header = {
+        "entry": state["entry"],
+        "max_level": state["max_level"],
+        "rng_state_json": state["rng_state_json"],
+        "n": len(ids),
+    }
+    body = pd.DataFrame(
+        {
+            "part": np.full(len(ords), part, dtype=np.int64),
+            "ord": np.asarray(ords, dtype=np.int64),
+            "node_id": np.asarray(node_ids, dtype=np.int64),
+            "level": np.asarray(levels, dtype=np.int32),
+            "neighbors": neighbors,
+            "vector": vectors,
+            "meta_json": None,
+        }
+    )
+    hdr = pd.DataFrame(
+        {
+            "part": [part],
+            "ord": [-1],
+            "node_id": [-1],
+            "level": [-1],
+            "neighbors": [None],
+            "vector": [None],
+            "meta_json": [json.dumps(header)],
+        }
+    )
+    return pd.concat([body, hdr], ignore_index=True)
+
+
+def _index_from_rows(pdf: pd.DataFrame, m: int, ef_construction: int, dim: int) -> HnswIndex:
+    """Rebuild a kernel from one partition's GRAPH_SCHEMA rows without
+    re-inserting any vector. ``ord`` IS the internal insertion index
+    (0..n−1 contiguous by construction), so heap tie-breaks — and
+    therefore search results — are bit-identical to the pre-save
+    index."""
+    hdr = json.loads(pdf.loc[pdf["level"] < 0, "meta_json"].iloc[0])
+    body = pdf[pdf["level"] >= 0]
+    lvl0 = body[body["level"] == 0].sort_values("ord")
+    n = int(hdr["n"])
+    if len(lvl0) != n:
+        raise ValueError(
+            f"torn HNSW graph partition: header says {n} nodes, "
+            f"found {len(lvl0)} level-0 rows"
+        )
+    vecs = np.array(list(lvl0["vector"]), dtype=np.float64).reshape(n, dim)
+    ids = lvl0["node_id"].to_numpy(dtype=np.int64)
+    links: list[dict[int, list[int]]] = [
+        {} for _ in range(int(body["level"].max()) + 1)
+    ]
+    for lv, o, nbrs in zip(body["level"], body["ord"], body["neighbors"]):
+        links[int(lv)][int(o)] = [int(x) for x in nbrs]
+    return HnswIndex.from_state(
+        {
+            "dim": dim,
+            "m": m,
+            "ef_construction": ef_construction,
+            "entry": int(hdr["entry"]),
+            "max_level": int(hdr["max_level"]),
+            "rng_state_json": hdr["rng_state_json"],
+            "ids": ids,
+            "vecs": vecs,
+            "links": links,
+        }
+    )
+
+
+def _build_partition_udf(m: int, ef_construction: int, seed: int, dim: int):
+    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in GRAPH_SCHEMA.fields])
+        part = int(pdf["part"].iloc[0])
+        # id-ASC insertion order: makes the graph a pure function of
+        # (vector set, params) so stored==fresh and the upsert's
+        # same-order twin are well-defined
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        mat = _normalize_rows(np.array(list(pdf["v"]), dtype=np.float64))
+        index = HnswIndex(dim=dim, m=m, ef_construction=ef_construction, seed=seed)
+        index.add_items(mat, ids)
+        return _index_to_rows(part, index)
+
+    return build_one
+
+
+def build_hnsw_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 16,
+    ef_construction: int = 100,
+    n_parts: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, Any]:
+    """Build and persist the partitioned HNSW graph (hnswlib
+    ``save_index`` analogue, ``003-hnswlib_demo.py:234-243``). One
+    corpus pass: route by the partition rule, build one graph per
+    partition inside its task, write the serialized rows partitioned
+    by ``part``. meta.json (params + corpus fingerprint) lands LAST as
+    the completeness marker."""
+    fp = _corpus_fingerprint(corpus, id_col)
+    if fp["n"] == 0:
+        raise ValueError(
+            "refusing to persist an HNSW index over an EMPTY corpus — "
+            "it would serve empty top-k forever under a valid marker"
+        )
+    _begin_rebuild(path)
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")
+    ).withColumn("part", _part_expr("doc_id", n_parts))
+    rows = c.groupBy("part").applyInPandas(
+        _build_partition_udf(m, ef_construction, seed, dim), GRAPH_SCHEMA
+    )
+    rows.write.mode("overwrite").partitionBy("part").parquet(
+        os.path.join(path, "graph")
+    )
+    meta = {
+        "kind": "hnsw_vendored",
+        "dim": dim,
+        "m": m,
+        "ef_construction": ef_construction,
+        "n_parts": n_parts,
+        "seed": seed,
+        "corpus": fp,
+    }
+    mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
+    return meta
+
+
+def ensure_hnsw_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, Any]:
+    """Reuse the stored graph when params AND the corpus fingerprint
+    match; rebuild otherwise. The compare validates RESOLVED defaults,
+    not just passed params (the r8 batch-6 ensure_* class)."""
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    want = {
+        "kind": "hnsw_vendored",
+        "dim": params["dim"],
+        "m": params.get("m", 16),
+        "ef_construction": params.get("ef_construction", 100),
+        "n_parts": params.get("n_parts", 4),
+        "seed": params.get("seed", 42),
+        "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
+    }
+    if meta is not None and all(meta.get(k) == v for k, v in want.items()):
+        return meta
+    return build_hnsw_index(corpus, path, **params)
+
+
+def _read_graph(spark: SparkSession, path: str) -> DataFrame:
+    g = spark.read.parquet(os.path.join(path, "graph"))
+    return g.withColumn("part", F.col("part").cast("long"))
+
+
+def ann_hnsw_topk_indexed(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    ef_search: int = 64,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Search the stored graph without rebuilding (hnswlib
+    ``load_index`` analogue, ``003:245-257``): per stored partition,
+    reconstruct the kernel from its own rows inside one task, answer
+    the broadcast query batch with the ef beam, merge partition-local
+    top-k through one global (score DESC, doc_id ASC) window. Output
+    contract matches ``exact_cosine_topk``."""
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "hnsw_vendored":
+        raise FileNotFoundError(f"no complete vendored-HNSW index at {path}")
+    m, efc, dim = meta["m"], meta["ef_construction"], meta["dim"]
+
+    qrows = (
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("v"))
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("empty query set")
+    qids_l = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat_l = _normalize_rows(np.array([r["v"] for r in qrows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((qids_l, qmat_l))
+
+    def search_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+        index = _index_from_rows(pdf, m, efc, dim)
+        qids, qmat = bc.value
+        kk = min(k, len(index))
+        index.set_ef(max(ef_search, kk))
+        labels, dists = index.knn_query(qmat, k=kk)
+        rows = np.repeat(np.arange(len(qids)), labels.shape[1])
+        out = pd.DataFrame(
+            {
+                "query_id": qids[rows],
+                "doc_id": labels.ravel(),
+                "score": 1.0 - dists.ravel(),
+            }
+        )
+        # non-finite distances are fewer-than-k-reachable pads
+        return out[np.isfinite(dists).ravel()]
+
+    partials = (
+        _read_graph(spark, path)
+        .groupBy("part")
+        .applyInPandas(lambda pdf: search_one(pdf), _PARTIAL_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = partials.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out.select("query_id", "doc_id", "score", "rank")
+
+
+def upsert_hnsw_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, Any]:
+    """hnswlib ``add_items`` on the loaded index (``003:249-251``):
+    route the delta by the stored partition rule, reconstruct ONLY the
+    receiving partitions' kernels, run O(delta) graph inserts
+    continuing each partition's stored RNG stream, and rewrite just
+    those partition dirs (dynamic partition overwrite). Marker
+    protocol: meta.json is removed BEFORE data is touched and
+    recommitted (with the merged fingerprint) after — a crash
+    mid-append can never leave torn rows under a valid marker (the r8
+    batch-6 torn-append class)."""
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None or meta.get("kind") != "hnsw_vendored":
+        raise FileNotFoundError(f"no complete vendored-HNSW index at {path}")
+    m, efc, dim, n_parts = (
+        meta["m"],
+        meta["ef_construction"],
+        meta["dim"],
+        meta["n_parts"],
+    )
+
+    graph = _read_graph(spark, path)
+    stored_ids = graph.filter(F.col("level") == 0).select(
+        F.col("node_id").alias(id_col)
+    )
+    delta = new_vectors.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")
+    ).withColumn("part", _part_expr("doc_id", n_parts))
+    _assert_disjoint_delta(stored_ids, delta.select("doc_id"), path)
+
+    touched = sorted(r["part"] for r in delta.select("part").distinct().collect())
+    if not touched:
+        return meta
+
+    # tag graph rows vs delta rows in ONE unified relation so each
+    # partition's extension happens inside one task
+    g = graph.filter(F.col("part").isin(touched)).withColumn(
+        "__delta_v", F.lit(None).cast(ArrayType(DoubleType()))
+    )
+    d = delta.filter(F.col("part").isin(touched)).select(
+        "part",
+        F.lit(-2).cast("long").alias("ord"),
+        F.col("doc_id").alias("node_id"),
+        F.lit(-2).cast("int").alias("level"),
+        F.lit(None).cast(ArrayType(LongType())).alias("neighbors"),
+        F.lit(None).cast(ArrayType(DoubleType())).alias("vector"),
+        F.lit(None).cast(StringType()).alias("meta_json"),
+        F.col("v").alias("__delta_v"),
+    )
+    unioned = g.unionByName(d)
+
+    def extend_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in GRAPH_SCHEMA.fields])
+        part = int(pdf["part"].iloc[0])
+        is_delta = pdf["level"] == -2
+        index = _index_from_rows(pdf[~is_delta], m, efc, dim)
+        dp = pdf[is_delta].sort_values("node_id")  # id-ASC, like build
+        ids = dp["node_id"].to_numpy(dtype=np.int64)
+        mat = _normalize_rows(np.array(list(dp["__delta_v"]), dtype=np.float64))
+        index.add_items(mat, ids)
+        return _index_to_rows(part, index)
+
+    out = unioned.groupBy("part").applyInPandas(
+        lambda pdf: extend_one(pdf), GRAPH_SCHEMA
+    )
+    _begin_rebuild(path)  # marker OFF before data is touched
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(os.path.join(path, "graph"))
+    )
+    meta["corpus"] = _merge_fingerprint(
+        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+    )
+    mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
+    return meta

@@ -217,6 +217,41 @@ def ann_hnsw_vendored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_hnsw_vendored_indexed")
+def ann_hnsw_vendored_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 completed at rest: the persisted vendored-HNSW graph —
+    build once (hnswlib ``save_index``, ``003:234-243``), then search
+    the STORED graph without rebuilding (``load_index``, ``003:245-
+    257``). Rows-only driver check (graph builds are insertion-order
+    dependent, like hnswlib's); determinism, stored==fresh,
+    load-then-add parity, and the recall floor vs exact are pinned in
+    ``tests/test_hnsw_index.py``."""
+    import os
+
+    from inside_vectordb_spark.operators.hnsw_index import (
+        ann_hnsw_topk_indexed,
+        ensure_hnsw_index,
+    )
+
+    art = os.path.join(
+        mio.artifacts_root(),
+        "hnsw_vendored",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    ensure_hnsw_index(
+        eio.load_table(spark, sf_dir, "embeddings"),
+        art,
+        dim=EMB_DIM,
+        m=16,
+        ef_construction=100,
+        n_parts=4,
+        seed=42,
+    )
+    return ann_hnsw_topk_indexed(
+        spark, eio.query_vectors(spark, sf_dir), art, k=10, ef_search=128
+    )
+
+
 @register("ann_brp_topk")
 def ann_brp_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native tier (SURVEY §7 Phase 5a): MLlib

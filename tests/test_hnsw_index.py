@@ -1,0 +1,292 @@
+"""Persisted vendored-HNSW graph index (operators/hnsw_index.py).
+
+Pins the contracts the rows-only driver check can't see:
+- kernel save/load is bit-exact (search AND continued add_items)
+- the stored graph serves the SAME results a fresh same-order build
+  would (stored==fresh)
+- load-then-add equals never-saved add (hnswlib load_index→add_items
+  parity, reference 003-hnswlib_demo.py:234-257)
+- upserts are O(delta)-routed, append-only, and crash-safe (marker
+  protocol)
+- recall vs exact stays above a pinned floor
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import inside_vectordb_spark.io as eio
+from inside_vectordb_spark import _meta_io as mio
+from inside_vectordb_spark.operators.ann import _normalize_rows
+from inside_vectordb_spark.operators.hnsw_index import (
+    _part_expr,
+    ann_hnsw_topk_indexed,
+    build_hnsw_index,
+    ensure_hnsw_index,
+    upsert_hnsw_index,
+)
+from inside_vectordb_spark.operators.hnsw_kernel import HnswIndex
+from inside_vectordb_spark.operators.topk import exact_cosine_topk
+from tests.conftest import SF_DIR
+
+DIM = 64
+N_PARTS = 4
+M = 16
+EFC = 100
+EF_SEARCH = 128
+K = 10
+
+
+def _art(tmp_path, name="hnsw"):
+    return str(tmp_path / name)
+
+
+def _corpus(spark):
+    return eio.load_table(spark, SF_DIR, "embeddings")
+
+
+def _queries(spark):
+    return eio.query_vectors(spark, SF_DIR)
+
+
+def _twin_search(parts: dict[int, pd.DataFrame], qids, qmat, k, base_only_ids=None):
+    """In-memory twin of the indexed search: one kernel per routed
+    partition (id-ASC insertion), beam search, global merge with the
+    (score DESC, doc_id ASC) tie-break. ``base_only_ids`` splits each
+    partition into a base batch and a delta batch (same-order upsert
+    twin)."""
+    partials = []
+    for part, pdf in sorted(parts.items()):
+        pdf = pdf.sort_values("vec_id")
+        index = HnswIndex(dim=DIM, m=M, ef_construction=EFC, seed=42)
+        if base_only_ids is None:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            mat = _normalize_rows(np.array(list(pdf["embedding"]), dtype=np.float64))
+            index.add_items(mat, ids)
+        else:
+            base = pdf[pdf["vec_id"].isin(base_only_ids)]
+            delta = pdf[~pdf["vec_id"].isin(base_only_ids)]
+            for chunk in (base, delta):
+                if len(chunk):
+                    ids = chunk["vec_id"].to_numpy(np.int64)
+                    mat = _normalize_rows(
+                        np.array(list(chunk["embedding"]), dtype=np.float64)
+                    )
+                    index.add_items(mat, ids)
+        kk = min(k, len(index))
+        index.set_ef(max(EF_SEARCH, kk))
+        labels, dists = index.knn_query(qmat, k=kk)
+        rows = np.repeat(np.arange(len(qids)), labels.shape[1])
+        out = pd.DataFrame(
+            {
+                "query_id": qids[rows],
+                "doc_id": labels.ravel(),
+                "score": 1.0 - dists.ravel(),
+            }
+        )
+        partials.append(out[np.isfinite(dists).ravel()])
+    allp = pd.concat(partials, ignore_index=True)
+    allp = allp.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    allp["rank"] = allp.groupby("query_id").cumcount() + 1
+    top = allp[allp["rank"] <= k].reset_index(drop=True)
+    top["score"] = top["score"].round(6)
+    return top
+
+
+def _routed_parts(spark, corpus) -> dict[int, pd.DataFrame]:
+    pdf = (
+        corpus.withColumn("part", _part_expr("vec_id", N_PARTS))
+        .select("part", "vec_id", "embedding")
+        .toPandas()
+    )
+    return {int(p): g.drop(columns=["part"]) for p, g in pdf.groupby("part")}
+
+
+def _qarrays(spark):
+    qpdf = _queries(spark).toPandas()
+    qids = qpdf["query_id"].to_numpy(np.int64)
+    qmat = _normalize_rows(np.array(list(qpdf["embedding"]), dtype=np.float64))
+    return qids, qmat
+
+
+def _sorted_frame(df):
+    return (
+        df.toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "doc_id": np.int64, "rank": np.int64})
+    )
+
+
+# -- kernel save/load bit-parity ------------------------------------------
+
+
+def test_kernel_state_roundtrip_bit_exact():
+    rng = np.random.default_rng(7)
+    mat = _normalize_rows(rng.normal(size=(200, 16)))
+    ids = np.arange(1000, 1200)
+    a = HnswIndex(dim=16, m=8, ef_construction=50, seed=1)
+    a.add_items(mat, ids)
+    b = HnswIndex.from_state(a.get_state())
+    q = _normalize_rows(rng.normal(size=(5, 16)))
+    a.set_ef(40)
+    b.set_ef(40)
+    la, da = a.knn_query(q, k=7)
+    lb, db = b.knn_query(q, k=7)
+    assert np.array_equal(la, lb)
+    assert np.array_equal(da, db)
+
+
+def test_kernel_add_after_restore_matches_never_saved():
+    """RNG-stream continuation: save/load then add_items builds the
+    IDENTICAL graph a never-saved index would — hnswlib's
+    load_index→add_items contract."""
+    rng = np.random.default_rng(11)
+    base = _normalize_rows(rng.normal(size=(120, 16)))
+    delta = _normalize_rows(rng.normal(size=(40, 16)))
+    bids, dids = np.arange(120), np.arange(500, 540)
+
+    never_saved = HnswIndex(dim=16, m=8, ef_construction=50, seed=3)
+    never_saved.add_items(base, bids)
+    restored = HnswIndex.from_state(never_saved.get_state())
+
+    never_saved.add_items(delta, dids)
+    restored.add_items(delta, dids)
+
+    sa, sb = never_saved.get_state(), restored.get_state()
+    assert sa["links"] == sb["links"]
+    assert sa["entry"] == sb["entry"]
+    assert sa["ids"] == sb["ids"]
+    assert sa["rng_state_json"] == sb["rng_state_json"]
+
+
+# -- stored == fresh -------------------------------------------------------
+
+
+def test_indexed_search_matches_in_memory_twin(spark, tmp_path):
+    art = _art(tmp_path)
+    corpus = _corpus(spark)
+    build_hnsw_index(
+        corpus, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    got = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K, ef_search=EF_SEARCH)
+    )
+    qids, qmat = _qarrays(spark)
+    want = _twin_search(_routed_parts(spark, corpus), qids, qmat, K)
+    pd.testing.assert_frame_equal(
+        got, want[got.columns.tolist()].astype(got.dtypes.to_dict()),
+        check_exact=False, rtol=0, atol=1e-9,
+    )
+
+
+def test_search_without_rebuild_and_ensure_cache(spark, tmp_path):
+    art = _art(tmp_path)
+    corpus = _corpus(spark)
+    params = dict(dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42)
+    ensure_hnsw_index(corpus, art, **params)
+    meta_path = os.path.join(art, "meta.json")
+    m1 = os.path.getmtime(meta_path)
+    r1 = _sorted_frame(ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K))
+    # second ensure: params+fingerprint match → NO rebuild
+    ensure_hnsw_index(corpus, art, **params)
+    assert os.path.getmtime(meta_path) == m1
+    r2 = _sorted_frame(ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K))
+    pd.testing.assert_frame_equal(r1, r2)
+    # changed params → rebuild
+    ensure_hnsw_index(corpus, art, **{**params, "m": 8})
+    assert mio.read_json(meta_path)["m"] == 8
+
+
+def test_recall_floor_vs_exact(spark, tmp_path):
+    art = _art(tmp_path)
+    corpus = _corpus(spark)
+    build_hnsw_index(
+        corpus, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    approx = ann_hnsw_topk_indexed(
+        spark, _queries(spark), art, k=K, ef_search=EF_SEARCH
+    ).toPandas()
+    exact = exact_cosine_topk(_queries(spark), corpus, k=K).toPandas()
+    hits = 0
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["doc_id"])
+        found = set(approx[approx["query_id"] == qid]["doc_id"])
+        hits += len(truth & found) / len(truth)
+    recall = hits / exact["query_id"].nunique()
+    # scatter-gather over 4 partition-local graphs at ef=128: every
+    # partition's beam is near-exhaustive at sf0.001 scale
+    assert recall >= 0.95, f"recall@10 {recall:.3f} under floor"
+
+
+# -- upsert ----------------------------------------------------------------
+
+
+def test_upsert_matches_same_order_twin(spark, tmp_path):
+    art = _art(tmp_path)
+    corpus = _corpus(spark)
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0)
+    build_hnsw_index(
+        base, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    upsert_hnsw_index(spark, delta, art)
+    meta = mio.read_json(os.path.join(art, "meta.json"))
+    n_all = corpus.count()
+    assert meta["corpus"]["n"] == n_all
+
+    got = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K, ef_search=EF_SEARCH)
+    )
+    qids, qmat = _qarrays(spark)
+    base_ids = set(r["vec_id"] for r in base.select("vec_id").collect())
+    want = _twin_search(
+        _routed_parts(spark, corpus), qids, qmat, K, base_only_ids=base_ids
+    )
+    pd.testing.assert_frame_equal(
+        got, want[got.columns.tolist()].astype(got.dtypes.to_dict()),
+        check_exact=False, rtol=0, atol=1e-9,
+    )
+
+
+def test_upsert_rejects_existing_ids(spark, tmp_path):
+    art = _art(tmp_path)
+    corpus = _corpus(spark)
+    build_hnsw_index(
+        corpus, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        upsert_hnsw_index(spark, corpus.limit(3), art)
+
+
+def test_crash_mid_rebuild_leaves_no_marker(spark, tmp_path):
+    art = _art(tmp_path)
+    corpus = _corpus(spark)
+    build_hnsw_index(
+        corpus, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    # simulate a crash between marker removal and data rewrite
+    mio.remove_file(os.path.join(art, "meta.json"))
+    with pytest.raises(FileNotFoundError):
+        ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K)
+    with pytest.raises(FileNotFoundError):
+        upsert_hnsw_index(spark, corpus.limit(1), art)
+    # ensure recovers with a clean rebuild
+    ensure_hnsw_index(
+        corpus, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    assert ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K).count() > 0
+
+
+def test_empty_corpus_build_refused(spark, tmp_path):
+    art = _art(tmp_path)
+    corpus = _corpus(spark).filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="EMPTY corpus"):
+        build_hnsw_index(corpus, art, dim=DIM, n_parts=N_PARTS)

@@ -19,7 +19,12 @@ WINDOW = 50
 # their first (and green) driver observation; the round-9 window is
 # fully oracle-backed except queries NEW this round whose semantics
 # are inherently order-dependent (graph-build tiers).
-NO_ORACLE_OK: set[str] = set()
+NO_ORACLE_OK: set[str] = {
+    # HNSW graph builds are insertion-order dependent (hnswlib too);
+    # stored==fresh / load-then-add parity / recall floor are pinned
+    # in tests/test_hnsw_index.py
+    "ann_hnsw_vendored_indexed",
+}
 
 # One representative per §2 tier that MUST sit inside the window
 # every round (reproducible multi-round anchors). Round 5 shrank the
@@ -56,11 +61,13 @@ ROTATED_IN_R9 = {
     "qrels_tsv_roundtrip", "queries_with_judgments", "ranked_lists",
     "relevance_histogram", "results_enriched", "seeded_sample",
     "simhash_signatures", "table_counts", "top_lineitems",
-    # oldest r4 (13 of 40)
+    # oldest r4 (12 of 40)
     "search_hits", "precision_at_k", "mrr", "evaluation_report",
     "text_embeddings", "qrels_table", "bm25_topk", "word_stats",
     "span_dedup", "ann_signlsh_sweep", "near_dup_clusters",
-    "kmeans_lloyd", "lang_id",
+    "kmeans_lloyd",
+    # new this round
+    "ann_hnsw_vendored_indexed",
 }
 
 
