@@ -59,6 +59,15 @@ def remove_tree(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def move(src: str, dst: str) -> None:
+    """Same-filesystem directory rename (``dst`` must not exist).
+    POSIX rename is atomic; an object-store deployment swaps this for
+    a manifest/pointer update — which is why callers must treat the
+    move as NOT atomic and guard it with the marker protocol (remove
+    the completeness marker before, rewrite it after)."""
+    os.rename(src, dst)
+
+
 def remove_file(path: str) -> None:
     """Remove a single control file if present (no-op when missing).
     Invalidating a completeness marker MUST go through the seam: on an

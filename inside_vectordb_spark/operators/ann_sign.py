@@ -586,6 +586,90 @@ def sign_deleted_ids(spark: SparkSession, path: str) -> set[int]:
     return {r["id"] for r in spark.read.parquet(tomb).collect()}
 
 
+def compact_sign_index(spark: SparkSession, path: str) -> dict:
+    """OPTIMIZE for the sign-LSH tier (Delta ``OPTIMIZE`` / FAISS
+    rebuild-without-retrain analogue; reference anchor: the index
+    caching/rebuild economics of ``003-hnswlib_demo.py:234-251``).
+    Upserts append extra parquet files into the bucket partitions and
+    deletes accumulate tombstone rows that EVERY search anti-joins —
+    both costs grow without bound until a full rebuild. Compaction
+    folds them back to the base shape at O(index) sequential I/O and
+    ZERO recompute (the bucket assignment is already materialized; no
+    re-hashing, unlike a rebuild):
+
+    1. under the commit lock, rewrite (live buckets ⊖ tombstones)
+       into a fresh temp dir, one file per bucket partition;
+    2. remove the completeness marker (crash from here = "no index",
+       the next ensure rebuilds — marker protocol, review r6s2);
+    3. swap the temp dir over ``buckets``, drop ``tombstones``;
+    4. recommit meta UNCHANGED except the tombstone bookkeeping
+       (``n_deleted`` → ``n_compacted_away``, plus ``compacted``).
+
+    The corpus fingerprint deliberately stays as-is: it is a LINEAGE
+    identity (base ∪ every upsert delta), not a live-row count —
+    tombstone-masked deletes never changed it, so compaction (the
+    same logical rows, different physical layout) must not either.
+    Recomputing it over the live rows broke the search path in
+    testing: ``ann_sign_topk_indexed`` auto-ensures against the
+    caller's ORIGINAL corpus, and the "shrunk" fingerprint read as a
+    changed corpus → silent full rebuild that resurrected every
+    deleted id.
+
+    Search results are BIT-IDENTICAL before and after (the anti-join
+    masked exactly the rows compaction removed) — pinned against the
+    shared oracle in tests and on the driver via
+    ``ann_signlsh_compacted``. Idempotent; a compacted index has one
+    file per bucket and no tombstone dir. Side effect of physical
+    removal: a compacted-away id MAY be re-upserted (the disjointness
+    check no longer sees it), which is correct — no tombstone remains
+    to mask it."""
+    with mio.commit_lock(path):
+        meta = mio.read_json(mio.join(path, "meta.json"))
+        if meta is None or meta.get("kind") != "sign_lsh":
+            raise FileNotFoundError(f"no complete sign-LSH index at {path}")
+        buckets = os.path.join(path, "buckets")
+        tomb = mio.join(path, "tombstones")
+        tmp = mio.join(path, "buckets_compact_tmp")
+        mio.remove_tree(tmp)  # orphan from a crashed prior compaction
+        live = spark.read.parquet(buckets)
+        if mio.is_dir(tomb):
+            live = live.join(spark.read.parquet(tomb), "id", "left_anti")
+        # emptiness guard BEFORE any write: an all-tombstoned index
+        # must refuse (and an empty partitioned parquet dir can't even
+        # be read back for validation — UNABLE_TO_INFER_SCHEMA)
+        n_live = live.count()
+        if n_live == 0:
+            raise ValueError(
+                f"compaction would leave the sign-LSH index at {path} "
+                "EMPTY (every row tombstoned) — rebuild over a fresh "
+                "corpus instead"
+            )
+        # one file per bucket partition (each bucket lands in exactly
+        # one shuffle task), same physical shape as a fresh build
+        live.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(tmp)
+        # validate the WRITTEN data before swapping it live
+        if spark.read.parquet(tmp).count() != n_live:
+            mio.remove_tree(tmp)
+            raise RuntimeError(
+                f"compaction wrote a torn bucket table at {tmp} — "
+                "index left untouched"
+            )
+        from inside_vectordb_spark.operators.ann_index import _begin_rebuild
+
+        _begin_rebuild(path)  # marker OFF before the non-atomic swap
+        mio.remove_tree(buckets)
+        mio.move(tmp, buckets)
+        mio.remove_tree(tomb)
+        removed = meta.pop("n_deleted", 0)
+        if removed:
+            meta["n_compacted_away"] = meta.get("n_compacted_away", 0) + removed
+        meta["compacted"] = True
+        mio.write_json(mio.join(path, "meta.json"), meta)
+        return meta
+
+
 def _assign_nearest(
     vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:

@@ -69,6 +69,19 @@ def _fresh_gen(path: str) -> int:
     return n
 
 
+def _fresh_delta(path: str, fam: str, start: int) -> str:
+    """Smallest ``<fam>_d<n>`` (n ≥ start) whose dir doesn't exist —
+    a length-based name alone collided after COMPACTION: the rel list
+    shrinks to one while the superseded ``_d1`` dir survives under
+    the one-commit grace, and an upsert reusing that name would
+    overwrite a directory an in-flight reader may still hold (found
+    by tests/test_compaction.py)."""
+    n = start
+    while os.path.isdir(os.path.join(path, f"{fam}_d{n}")):
+        n += 1
+    return f"{fam}_d{n}"
+
+
 def _docnorm_dir(path: str, meta: dict) -> str:
     """The live docnorm generation, resolved through meta — upserts
     invalidate by POINTING meta at a new (not-yet-built) name instead
@@ -517,6 +530,59 @@ def upsert_lexical_index(
         return _upsert_locked(new_docs, path, id_col, text_col)
 
 
+def compact_lexical_index(spark: SparkSession, path: str) -> dict:
+    """OPTIMIZE for the lexical tier: each upsert adds a
+    ``postings_d<N>`` / ``doclen_d<N>`` delta dir that every search
+    unions back in — correct, but the union fans the pruned scan out
+    over ever more directories (and ever smaller files). Compaction
+    rewrites the union into ONE fresh generation at O(index)
+    sequential I/O and zero recompute (no re-tokenization — the
+    postings rows already exist; a rebuild would pay the corpus
+    pass):
+
+    - under the commit lock, write (⋃ postings rels) and (⋃ doclen
+      rels) into fresh ``_b<gen>`` dirs (never touching any dir the
+      live meta names — crash anywhere before the commit leaves the
+      old index fully servable, generation-dir discipline);
+    - commit by atomically rewriting meta.json with single-element
+      rel lists; dictionary, norms, and corpus stats are unchanged
+      (compaction moves no logical rows);
+    - GC superseded dirs with the same one-commit grace the
+      build/upsert paths give in-flight readers.
+
+    Search results are BIT-IDENTICAL before and after (same rows,
+    different physical layout) — pinned against the shared BM25
+    oracle in tests and on the driver via ``bm25_compacted_topk``.
+    Idempotent: a compacted index is a no-op (returned unchanged)."""
+    with mio.commit_lock(path, timeout_sec=600.0):
+        meta = _validate_serving(mio.read_json(mio.join(path, "meta.json")), path)
+        post_rels = list(meta.get("postings_rels", ["postings"]))
+        dl_rels = list(meta.get("doclen_rels", ["doclen"]))
+        if len(post_rels) <= 1 and len(dl_rels) <= 1:
+            return meta
+        gen = _fresh_gen(path)
+        post_rel, dl_rel = f"postings_b{gen}", f"doclen_b{gen}"
+        _read_postings(spark, path, meta).repartition("pb").write.mode(
+            "overwrite"
+        ).partitionBy("pb").parquet(os.path.join(path, post_rel))
+        dl = None
+        for rel in dl_rels:
+            part = spark.read.parquet(os.path.join(path, rel))
+            dl = part if dl is None else dl.unionByName(part)
+        dl.write.mode("overwrite").parquet(os.path.join(path, dl_rel))
+        prev_keep = set(post_rels) | set(dl_rels)
+        meta["postings_rels"] = [post_rel]
+        meta["doclen_rels"] = [dl_rel]
+        mio.write_json(mio.join(path, "meta.json"), meta)  # commit point
+        # one-commit grace: readers on the previous meta keep their
+        # dirs until the NEXT commit
+        _gc_dirs(
+            path,
+            {post_rel, dl_rel, meta["df_rel"], meta["docnorm_rel"]} | prev_keep,
+        )
+        return meta
+
+
 def _upsert_locked(
     new_docs: DataFrame, path: str, id_col: str, text_col: str
 ) -> dict:
@@ -553,7 +619,7 @@ def _upsert_locked(
     )
     tf.persist()
     rels = list(meta.get("postings_rels", ["postings"]))
-    delta_rel = f"postings_d{len(rels)}"
+    delta_rel = _fresh_delta(path, "postings", len(rels))
     tf.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
         os.path.join(path, delta_rel)
     )
@@ -580,7 +646,7 @@ def _upsert_locked(
     # an in-place append would mutate the pre-upsert index before the
     # commit point and double-append on a retried crash
     dl_rels = list(meta.get("doclen_rels", ["doclen"]))
-    dl_delta_rel = f"doclen_d{len(dl_rels)}"
+    dl_delta_rel = _fresh_delta(path, "doclen", len(dl_rels))
     dl.write.mode("overwrite").parquet(os.path.join(path, dl_delta_rel))
     row = dl.agg(
         F.count("*").alias("n"),

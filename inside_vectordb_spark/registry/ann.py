@@ -674,6 +674,65 @@ def ann_signlsh_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_signlsh_compacted", oracle=_SIGN_DEL_ORACLE)
+def ann_signlsh_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full index lifecycle on the hard signal: build the
+    sign-LSH index on 75% of the corpus, upsert the other 25%
+    (append-only delta files), tombstone 5 ids (spanning BOTH the
+    base and the delta), then COMPACT — tombstones applied
+    physically, one file per bucket, tombstone dir gone
+    (``operators/ann_sign.py:compact_sign_index``). Shares the
+    deleted-tier oracle: the green hash proves compaction changed
+    the physical layout and nothing else."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+    from inside_vectordb_spark.operators.ann_sign import (
+        compact_sign_index,
+        delete_from_sign_index,
+        ensure_sign_index,
+        upsert_sign_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    art = os.path.join(
+        mio.artifacts_root(),
+        "ann_sign_compact",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    # cache rule: the artifact must carry compaction's own commit
+    # marker (meta["compacted"] — an ensure-triggered full rebuild
+    # rewrites meta WITHOUT it, so a plain index can never
+    # impersonate the lifecycle artifact), fingerprint the full
+    # ingest lineage (base ∪ delta = the whole corpus; compaction
+    # never changes the lineage identity), and have no tombstone dir
+    meta = mio.read_json(mio.join(art, "meta.json"))
+    fp_all = _corpus_fingerprint(corpus, "vec_id")
+    if (
+        meta is None
+        or not meta.get("compacted")
+        or meta.get("corpus") != fp_all
+        or mio.is_dir(mio.join(art, "tombstones"))
+    ):
+        mio.remove_tree(art)
+        base = corpus.filter(F.col("vec_id") % 4 != 1)
+        delta = corpus.filter(F.col("vec_id") % 4 == 1)
+        ensure_sign_index(spark, base, art)
+        upsert_sign_index(spark, delta, art)
+        delete_from_sign_index(spark, art, list(_SIGN_DELETED_IDS))
+        compact_sign_index(spark, art)
+    return ann_sign_topk_indexed(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        corpus,
+        art,
+        k=10,
+        query_id_col="query_id",
+    )
+
+
 _SQ_DELETED_IDS = (5, 7, 11, 23, 42)  # exist at every SF (min corpus = 50)
 _SQ_DEL_ORACLE = sq_oracle_sql(
     eio.N_QUERY_VECTORS, 10, 5, exclude_ids=_SQ_DELETED_IDS

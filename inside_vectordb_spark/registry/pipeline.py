@@ -2316,6 +2316,61 @@ def bm25_upsert_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(spark, queries, art, k=10)
 
 
+@register(
+    "bm25_compacted_topk",
+    oracle=f"""
+    WITH {_bm25_ctes(10)}
+    SELECT query_id, doc_id, bm25, rank FROM bm_r
+    """,
+)
+def bm25_compacted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-index compaction on the hard signal: build on 80% of
+    the corpus, upsert the other 20% (one postings + one doclen delta
+    dir), then COMPACT — the delta dirs fold into one fresh
+    generation, meta's rel lists go back to single elements, zero
+    re-tokenization (``operators/lexical_index.py:
+    compact_lexical_index``). Shares the plain BM25 oracle: the green
+    hash proves compaction moved bytes, not rows."""
+    import os
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+    from inside_vectordb_spark.operators.lexical_index import (
+        LEXICAL_LAYOUT,
+        bm25_topk_indexed,
+        build_lexical_index,
+        compact_lexical_index,
+        upsert_lexical_index,
+    )
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 2)
+    delta = docs.filter(F.col("doc_id") % 5 == 2)
+    art = os.path.join(
+        mio.artifacts_root(),
+        "lexical_compact",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    meta = mio.read_json(mio.join(art, "meta.json"))
+    want_fp = _corpus_fingerprint(docs, "doc_id", content_col="text")
+    if (
+        meta is None
+        or meta.get("layout") != LEXICAL_LAYOUT
+        or meta.get("corpus") != want_fp
+        or len(meta.get("postings_rels", [])) != 1
+    ):
+        mio.remove_tree(art)
+        build_lexical_index(base, art)
+        upsert_lexical_index(delta, art)
+        compact_lexical_index(spark, art)
+    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", toks).alias("qtext"),
+    )
+    return bm25_topk_indexed(spark, queries, art, k=10)
+
+
 
 # Pair score = dot of PRE-normalized vectors (normalize once per doc
 # in wv, exactly like the Spark side's hoisted l2_normalize — the
