@@ -51,16 +51,10 @@ def normalize_text(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as ``array<string>`` — the MinHash
     unit. Built with a ``transform`` over token positions (JVM-side),
-    then ``array_distinct``."""
-    toks = tokenize(col)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), count - 1),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]),
-    )
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
-    )
+    then ``array_distinct``. (One shingle expression exists —
+    ``_shingle_expr_over`` — so the empty-token/short-doc guards can't
+    drift between the column form and the hoisted stream; review r9.)"""
+    return _shingle_expr_over(tokenize(col), n, distinct=True)
 
 
 def _shingle_expr_over(toks: Column, n: int, distinct: bool) -> Column:
@@ -99,7 +93,18 @@ def word_ngram_stream(
     ``extra_ns``: additional gram widths unioned into the same stream
     (each from the SAME hoisted token array — DSIR's unigram+bigram
     bag), multiplicity following ``distinct``. ``with_count`` adds
-    ``n_grams`` = size of the primary-width array."""
+    ``n_grams`` = size of EACH row's own width's gram array (a bigram
+    row carries the bigram count — review r9 fixed the docstring,
+    which claimed the primary width's count).
+
+    No empty grams, for ANY width: ``tokenize`` keeps Python
+    ``str.split()``'s no-empty-token promise only per element —
+    splitting empty/all-whitespace text yields ``[""]``, one phantom
+    token, which the ``size < n`` guard catches for n ≥ 2 but which
+    leaked through the n = 1 path as a ``gram = ''`` row. SimHash and
+    DSIR each patched it locally; the guard now lives HERE so the next
+    n = 1 consumer can't silently key features off ``md5('')``
+    (review r9)."""
     tk = docs.select(
         F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__tk")
     )
@@ -108,6 +113,8 @@ def word_ngram_stream(
     streams = []
     for w in widths:
         sh = _shingle_expr_over(toks, w, distinct)
+        if w == 1:
+            sh = F.array_remove(sh, "")
         cols = [F.col("__id").alias(id_col)]
         if with_count:
             cols.append(F.size(sh).alias("n_grams"))

@@ -51,7 +51,8 @@ def method_comparison(per_method: dict[str, DataFrame]) -> DataFrame:
     for method, rep in per_method.items():
         t = rep.select(F.lit(method).alias("method"), "metric", "k", "value")
         tagged = t if tagged is None else tagged.unionByName(t)
-    assert tagged is not None, "no methods to compare"
+    if tagged is None:  # a bare assert is stripped under python -O
+        raise ValueError("no methods to compare")
 
     def pick(metric: str, k: int | None):
         cond = F.col("metric") == metric
@@ -202,10 +203,16 @@ def summary_text(cmp_rows: list, perf_rows: list | None = None) -> str:
                 f"{_fmt(r['qps'], '.2f'):>10} "
                 f"{_fmt(r['speedup_vs_baseline'], '.2f', 'x'):>10}"
             )
-    best = max(
+    if not cmp_rows:
+        raise ValueError("no comparison rows to summarize")
+    # tie-break by alphabetically-FIRST method, matching
+    # summary_extrema's (value DESC, method ASC) window order — the
+    # two registered surfaces must name the same winner when recalls
+    # tie (review r9: max on (value, method) picked the LAST method)
+    best = min(
         cmp_rows,
         key=lambda r: (
-            r["recall_at_10"] if r["recall_at_10"] is not None else float("-inf"),
+            -(r["recall_at_10"] if r["recall_at_10"] is not None else float("-inf")),
             r["method"],
         ),
     )

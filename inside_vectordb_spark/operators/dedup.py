@@ -300,10 +300,10 @@ def simhash(
     token, the engine's documented O(len²) generator hazard."""
     from inside_vectordb_spark.functions.text import word_ngram_stream
 
-    toks = (
-        word_ngram_stream(docs, id_col, text_col, 1, distinct=False)
-        .select(F.col(id_col).alias("doc_id"), F.col("gram").alias("tok"))
-        .filter(F.col("tok") != "")
+    # no empty-token filter needed: word_ngram_stream guards the n=1
+    # phantom centrally (review r9)
+    toks = word_ngram_stream(docs, id_col, text_col, 1, distinct=False).select(
+        F.col(id_col).alias("doc_id"), F.col("gram").alias("tok")
     )
     # hash ONCE into a column: inlining the md5 into every per-bit
     # aggregate would evaluate it ``bits`` times per token row

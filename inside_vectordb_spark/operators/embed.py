@@ -62,19 +62,44 @@ def _token_hash(tok: str) -> int:
     return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
 
 
+import re
+
+# THE whitespace class for the hash-encoder chain, spelled explicitly
+# so Python and the DuckDB oracle split identically: RE2's \s is
+# [\t\n\f\r ] (NO vertical tab, NO Unicode spaces), Python str.split()
+# splits on ALL Unicode whitespace, Java's \s adds \x0B — three
+# different answers for 'a\x0bb' (review r9; same divergence class
+# functions/text.py:normalize_text documents and avoids the same way).
+_WS_RE = re.compile(r"[ \t\n\f\r]+")
+
+
+def _hash_tokenize(text) -> list[str]:
+    if not isinstance(text, str):
+        return []
+    return [t for t in _WS_RE.split(text) if t]
+
+
 def hash_embed_texts(texts: pd.Series, dim: int = DEFAULT_DIM) -> tuple[np.ndarray, np.ndarray]:
     """Hashing-trick encoder for one batch: returns (B, dim) int64
     signed token-count matrix + (B,) token counts. Tokenization is
-    ``str.split()`` — the engine-wide whitespace semantics
-    (``functions/text.py:tokenize``)."""
+    ``_hash_tokenize`` — the explicit whitespace class both engines
+    share. Token → (bucket, sign) is memoized per batch: natural-
+    language token frequency is Zipfian, so the same tokens repeat
+    thousands of times per batch and the md5 was the dominant
+    Python-side cost (review r9)."""
     mat = np.zeros((len(texts), dim), dtype=np.int64)
     counts = np.zeros(len(texts), dtype=np.int32)
+    memo: dict[str, tuple[int, int]] = {}
     for i, text in enumerate(texts):
-        toks = text.split() if isinstance(text, str) else []
+        toks = _hash_tokenize(text)
         counts[i] = len(toks)
         for tok in toks:
-            h = _token_hash(tok)
-            mat[i, h % dim] += 1 if (h // dim) % 2 == 0 else -1
+            bs = memo.get(tok)
+            if bs is None:
+                h = _token_hash(tok)
+                bs = (h % dim, 1 if (h // dim) % 2 == 0 else -1)
+                memo[tok] = bs
+            mat[i, bs[0]] += bs[1]
     return mat, counts
 
 
@@ -146,7 +171,7 @@ def encode_documents(
             else:  # pragma: no cover - model path needs torch
                 m = model_encode(pdf["text"])
                 emb = [row.tolist() for row in m]
-                counts = pdf["text"].fillna("").str.split().str.len().to_numpy()
+                counts = pdf["text"].map(lambda t: len(_hash_tokenize(t))).to_numpy()
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),

@@ -119,8 +119,30 @@ def exact_cosine_topk_gemm(
         queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("v"))
         .collect()
     )
-    if not qrows:
-        raise ValueError("empty query set")
+    # edge parity with the declarative sibling (review r9): k ≤ 0 and
+    # an empty query set both return an EMPTY frame there (the join/
+    # window emit nothing); the GEMM path crashed executor-side
+    # (argpartition kth=-1, then min() over a zero-size axis)
+    if k <= 0 or not qrows:
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return queries.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", LongType()),
+                    StructField("doc_id", LongType()),
+                    StructField("score", DoubleType()),
+                    StructField("rank", IntegerType()),
+                ]
+            ),
+        )
     qids_l = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat_l = np.array([r["v"] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qmat_l, axis=1, keepdims=True)

@@ -944,13 +944,11 @@ def dsir_scores(
         # one hoisted token array feeds both gram widths (the inlined
         # concat-of-transforms form re-evaluates the split per emitted
         # feature; see word_ngram_stream)
-        base = (
-            word_ngram_stream(
-                docs, id_col, text_col, 1, distinct=False, extra_ns=(2,)
-            )
-            .filter(F.col("gram") != "")
-            .select(F.col(id_col).alias("doc_id"), F.col("gram").alias("feat"))
-        )
+        # no empty-gram filter needed: word_ngram_stream guards the
+        # n=1 phantom centrally (review r9)
+        base = word_ngram_stream(
+            docs, id_col, text_col, 1, distinct=False, extra_ns=(2,)
+        ).select(F.col(id_col).alias("doc_id"), F.col("gram").alias("feat"))
         return base.select(
             "doc_id", _md5_bucket(F.col("feat"), ":dsir", n_buckets).alias("bucket")
         )

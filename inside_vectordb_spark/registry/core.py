@@ -25,10 +25,17 @@ SEARCH_K = 100  # retrieval depth for the metric chain (reference: top-100)
 
 # ---- shared DuckDB fragments -------------------------------------------
 
+# Zero-norm guard mirrors the Spark side's l2_normalize convention
+# (functions/vector.py: a zero vector normalizes to zero → cosine 0);
+# without it DuckDB's 0/0 would sort ahead of every real score under
+# ORDER BY score DESC and shift all ranks (review r9 — latent on the
+# fixtures, enforced here so the two engines can never disagree).
+_Q_SQ = "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
+_C_SQ = "list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
 _COS = (
+    f"(CASE WHEN {_Q_SQ} = 0 OR {_C_SQ} = 0 THEN 0.0 ELSE "
     "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
-    " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
-    "  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+    f" / (sqrt({_Q_SQ}) * sqrt({_C_SQ})) END)"
 )
 
 

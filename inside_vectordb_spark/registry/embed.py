@@ -18,15 +18,27 @@ from inside_vectordb_spark.functions.vector import dot_product
 from inside_vectordb_spark.operators.embed import DEFAULT_DIM, encode_documents
 from inside_vectordb_spark.registry import register
 
+# ONE cosine fragment engine-wide (review r9): the filtered-exact
+# oracle re-inlined it, so the zero-norm guard added to core's copy
+# would have silently missed this one
+from inside_vectordb_spark.registry.core import _COS as _CORE_COS  # noqa: E402
+
 _DIM = DEFAULT_DIM
 
 # The hash encoder restated in DuckDB SQL: token → 60-bit md5 prefix
 # h; bucket = h % dim; sign from the next bit; dense vector =
-# zero-filled signed counts ordered by bucket.
+# zero-filled signed counts ordered by bucket. Tokenization mirrors
+# operators/embed.py:_hash_tokenize EXACTLY: RE2 '\s+' split with
+# empty tokens dropped AFTER the split — the previous trim()-based
+# form left a phantom '' token on tab/newline-LEADING text (DuckDB
+# trim strips spaces only) and hashed md5('') into bucket space
+# (review r9).
 _DENSE_CTE = f"""
     toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-      FROM documents WHERE trim(text) <> ''
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM documents)
+      WHERE tok <> ''
     ),
     hashed AS (
       SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
@@ -51,11 +63,10 @@ _DENSE_CTE = f"""
         ON s.doc_id = grid.doc_id AND s.bucket = grid.bucket
     ),
     tokc AS (
-      SELECT doc_id,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT)
-               AS n_tokens
-      FROM documents
+      SELECT d.doc_id, CAST(COALESCE(t.c, 0) AS INT) AS n_tokens
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id) t
+      ON t.doc_id = d.doc_id
     )
 """
 
@@ -252,10 +263,7 @@ _FILTERED_EXACT_ORACLE = f"""
     WITH qv AS (SELECT vec_id AS query_id, label, embedding
                 FROM embeddings WHERE vec_id < {eio.N_QUERY_VECTORS}),
     scored AS (
-      SELECT q.query_id, c.vec_id AS doc_id,
-             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS score
+      SELECT q.query_id, c.vec_id AS doc_id, {_CORE_COS} AS score
       FROM qv q JOIN embeddings c ON q.label = c.label
       WHERE q.query_id <> c.vec_id
     ),
