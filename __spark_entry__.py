@@ -95,11 +95,11 @@ WINDOW_PRIORITY = [
     "bm25_topk",                 # fresh BM25 scorer
     "word_stats",                # A3 word-length stats
     "span_dedup",                # span-level exact dedup
-    "ann_signlsh_sweep",         # oracle-backed LSH knob sweep
     # -- new this round (first driver observation) --------------------
     "ann_hnsw_vendored_indexed", # persisted vendored-HNSW graph (S9 at rest)
     "ann_signlsh_compacted",     # lifecycle: upsert+delete+COMPACT (oracle)
     "bm25_compacted_topk",       # lexical delta compaction (oracle)
+    "ann_mrl_sq_topk",           # MRL+SQ8 quantized prefix table (oracle)
 ]
 
 # Round-9 rotation state: union coverage is 236/236 (r8); the window

@@ -153,8 +153,10 @@ HEADLINE = [
     "perplexity_buckets",
     "ann_mrl_topk_indexed",
     # round-9: the persisted vendored-HNSW graph served from disk
-    # (S9 at rest — graph load + beam search, no rebuild)
+    # (S9 at rest — graph load + beam search, no rebuild), and the
+    # MRL+SQ8 quantized prefix table (1 byte/dim over prefix_dim/dim)
     "ann_hnsw_vendored_indexed",
+    "ann_mrl_sq_topk",
 ]
 
 

@@ -215,6 +215,170 @@ def ann_mrl_topk_indexed(
     return _funnel(q, pre_tab, corpus, corpus_id, corpus_vec, k, n_candidates)
 
 
+def ann_mrl_sq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    prefix_dim: int = MRL_PREFIX_DIM,
+    n_candidates: int = MRL_CANDIDATES,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    stats=None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Matryoshka + SQ8 composition — the recipe real vector stores
+    ship for quantized adaptive retrieval (store int8 codes for the
+    PREFIX, rerank survivors at full float width): stage 1 scores the
+    approximate cosine over DECODED prefix codes (prefix_dim/dim of
+    the data, at 1 byte/dim instead of 4 — an 8× byte reduction on
+    top of MRL's slice), stage 2 is the funnel's exact full-width
+    rerank, which absorbs the quantization error exactly like the SQ
+    tier's refine step. Queries stay full-precision (FAISS
+    convention: only the corpus side is quantized). Fully
+    deterministic → complete DuckDB value-hash oracle.
+
+    ``stats``/``codes`` let the persisted path inject stored
+    artifacts; by default both derive from ``corpus``."""
+    from inside_vectordb_spark.operators.sq import (
+        sq_decode_col,
+        sq_encode_col,
+        sq_train,
+    )
+
+    pre = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        F.slice(corpus_vec, 1, prefix_dim).alias("__pre"),
+    )
+    mins, spans = stats if stats is not None else sq_train(pre, "__pre")
+    if codes is None:
+        codes = pre.select(
+            "doc_id", sq_encode_col("__pre", mins, spans).alias("codes")
+        )
+    dec = codes.select(
+        "doc_id", sq_decode_col("codes", mins, spans).alias("__cpre")
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.slice(query_vec, 1, prefix_dim).alias("__qpre"),
+    )
+    return _funnel(q, dec, corpus, corpus_id, corpus_vec, k, n_candidates)
+
+
+def build_mrl_sq_index(
+    corpus: DataFrame,
+    path: str,
+    prefix_dim: int = MRL_PREFIX_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the QUANTIZED prefix table: (doc_id, codes) with one
+    int code per prefix dimension, plus the per-dimension (min, span)
+    quantizer stats in meta.json (2·prefix_dim doubles — the trained
+    state, frozen at build time exactly like the SQ tier's). Encoding
+    is deterministic given the stats, and the stats ride in the meta,
+    so stored codes ≡ fresh codes and the indexed search shares the
+    in-memory query's full oracle (the hash match IS the
+    stored==fresh proof on the driver's hard signal)."""
+    import os
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.ann_index import (
+        _begin_rebuild,
+        _corpus_fingerprint,
+        _write_meta,
+    )
+    from inside_vectordb_spark.operators.sq import sq_encode_col, sq_train
+
+    mio.makedirs(path)
+    pre = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.slice(vec_col, 1, prefix_dim).alias("__pre"),
+    )
+    mins, spans = sq_train(pre, "__pre")
+    _begin_rebuild(path)  # no stale completeness marker over torn data
+    (
+        pre.select("doc_id", sq_encode_col("__pre", mins, spans).alias("codes"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "prefix_codes"))
+    )
+    meta = {
+        "kind": "mrl_sq",
+        "prefix_dim": prefix_dim,
+        "mins": [float(v) for v in mins],
+        "spans": [float(v) for v in spans],
+        "corpus": _corpus_fingerprint(corpus, id_col),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def ensure_mrl_sq_index(corpus: DataFrame, path: str, **params) -> dict:
+    from inside_vectordb_spark.operators.ann_index import (
+        _corpus_fingerprint,
+        _read_meta,
+    )
+
+    meta = _read_meta(path)
+    # validate RESOLVED defaults (the ensure_* class rule); mins/spans
+    # are derived state, not identity — params + corpus fingerprint
+    # fully determine them
+    want = {
+        "kind": "mrl_sq",
+        "prefix_dim": int(params.get("prefix_dim", MRL_PREFIX_DIM)),
+        "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
+    }
+    if meta is not None and all(meta.get(k) == v for k, v in want.items()):
+        return meta
+    return build_mrl_sq_index(corpus, path, **params)
+
+
+def ann_mrl_sq_topk_indexed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 10,
+    n_candidates: int = MRL_CANDIDATES,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """MRL+SQ funnel against the persisted quantized prefix table:
+    stage 1 decodes the stored int8 codes with the stored stats (1
+    byte/dim at rest, prefix width only), stage 2 broadcast-joins the
+    candidates into the full-width corpus for the exact rerank."""
+    import os
+
+    import numpy as np
+
+    from inside_vectordb_spark.operators.ann_index import _read_meta
+
+    meta = _read_meta(path)
+    if meta is None or meta.get("kind") != "mrl_sq":
+        raise FileNotFoundError(f"no complete MRL-SQ index at {path}")
+    spark = queries.sparkSession
+    codes = spark.read.parquet(os.path.join(path, "prefix_codes"))
+    return ann_mrl_sq_topk(
+        queries,
+        corpus,
+        k=k,
+        prefix_dim=int(meta["prefix_dim"]),
+        n_candidates=n_candidates,
+        query_id=query_id,
+        query_vec=query_vec,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        stats=(
+            np.array(meta["mins"], dtype=np.float64),
+            np.array(meta["spans"], dtype=np.float64),
+        ),
+        codes=codes,
+    )
+
+
 def upsert_mrl_index(corpus_delta: DataFrame, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> dict:
     """O(delta) maintenance of the prefix table: slice ONLY the new
     vectors at the stored width and append — prefix extraction has no

@@ -1837,6 +1837,82 @@ def ann_mrl_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MRL + SQ8 composition: the funnel's stage 1 over DECODED int8
+# prefix codes — SQ's stats/codes/decode CTE chain restricted to the
+# prefix positions, spliced into the MRL funnel shape. Queries stay
+# full-precision (only the corpus side is quantized).
+_MRL_SQ_ORACLE = f"""
+    WITH ppv AS (
+      SELECT vec_id, pos, val FROM (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS val
+        FROM embeddings)
+      WHERE pos <= 32
+    ),
+    stats AS (
+      SELECT pos, min(val) AS mn, max(val) - min(val) AS span
+      FROM ppv GROUP BY pos
+    ),
+    dec AS (
+      SELECT ppv.vec_id,
+             list(s.mn + ((CASE WHEN s.span = 0 THEN 0
+                           ELSE least(255, floor(((ppv.val - s.mn) / s.span) * 256.0))
+                           END) + 0.5) * s.span / 256.0 ORDER BY ppv.pos) AS dv
+      FROM ppv JOIN stats s USING (pos)
+      GROUP BY ppv.vec_id
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {eio.N_QUERY_VECTORS}),
+    pre AS (
+      SELECT q.query_id, d.vec_id AS doc_id,
+             round(list_dot_product(q.qv[1:32], d.dv) /
+                   (sqrt(list_dot_product(q.qv[1:32], q.qv[1:32])) *
+                    sqrt(list_dot_product(d.dv, d.dv))), 6) AS ps
+      FROM q CROSS JOIN dec d),
+    cand AS (
+      SELECT query_id, doc_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ps DESC, doc_id) AS rn
+        FROM pre) WHERE rn <= 100),
+    scored AS (
+      SELECT c.query_id, c.doc_id,
+             round(list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(e.v, e.v))), 6) AS score
+      FROM cand c
+      JOIN e ON e.vec_id = c.doc_id
+      JOIN q USING (query_id))
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 10
+"""
+
+
+@register("ann_mrl_sq_topk", oracle=_MRL_SQ_ORACLE)
+def ann_mrl_sq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka + SQ8 at rest — the quantized adaptive-retrieval
+    recipe (store int8 codes for the PREFIX table, exact full-width
+    rerank): stage 1 reads 1 byte/dim over prefix_dim/dim of the
+    vector — an 8× byte cut on top of MRL's slice. Stats frozen in
+    meta at build time (SQ discipline); deterministic encode ⇒ the
+    indexed search shares the fresh chain's FULL oracle — the green
+    hash is the stored==fresh proof (operators/mrl.py)."""
+    from inside_vectordb_spark.operators.mrl import (
+        MRL_PREFIX_DIM,
+        ann_mrl_sq_topk_indexed,
+        ensure_mrl_sq_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    path = _idx_path("mrl_sq", sf_dir)
+    ensure_mrl_sq_index(corpus, path, prefix_dim=MRL_PREFIX_DIM)
+    return ann_mrl_sq_topk_indexed(
+        eio.query_vectors(spark, sf_dir), corpus, path, k=10
+    )
+
+
 def _mrl_arm_sql(pd_: int) -> str:
     return f"""
       SELECT query_id, {pd_} AS prefix_dim,

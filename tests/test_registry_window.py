@@ -61,13 +61,13 @@ ROTATED_IN_R9 = {
     "qrels_tsv_roundtrip", "queries_with_judgments", "ranked_lists",
     "relevance_histogram", "results_enriched", "seeded_sample",
     "simhash_signatures", "table_counts", "top_lineitems",
-    # oldest r4 (10 of 40)
+    # oldest r4 (9 of 40)
     "search_hits", "precision_at_k", "mrr", "evaluation_report",
     "text_embeddings", "qrels_table", "bm25_topk", "word_stats",
-    "span_dedup", "ann_signlsh_sweep",
+    "span_dedup",
     # new this round
     "ann_hnsw_vendored_indexed", "ann_signlsh_compacted",
-    "bm25_compacted_topk",
+    "bm25_compacted_topk", "ann_mrl_sq_topk",
 }
 
 
