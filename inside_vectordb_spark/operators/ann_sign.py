@@ -514,7 +514,25 @@ def upsert_sign_index(
     Contract (FAISS ``add``): delta ids disjoint from stored ids —
     ENFORCED (including against tombstones: a re-added deleted id
     would stay permanently masked by the surviving tombstone while
-    the merged fingerprint counted it — silently unsearchable)."""
+    the merged fingerprint counted it — silently unsearchable).
+
+    Runs under the index commit lock (review r9): the upsert is a
+    read-modify-write on the fingerprint, and a concurrent
+    ``compact_sign_index`` holding only its own lock could otherwise
+    rewrite ``buckets`` from a listing that predates this append —
+    silently dropping the delta while the merged fingerprint claims
+    it is present."""
+    with mio.commit_lock(path):
+        return _upsert_sign_locked(spark, new_vectors, path, id_col, vec_col)
+
+
+def _upsert_sign_locked(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+) -> dict:
     from inside_vectordb_spark.operators.ann_index import (
         _assert_disjoint_delta,
         _corpus_fingerprint,
@@ -557,26 +575,30 @@ def delete_from_sign_index(
     out of the candidate scan (AQE-chosen strategy). O(deleted)
     bytes written;
     a rebuild (``ensure_sign_index`` on a changed corpus/params)
-    compacts tombstones away. Idempotent per id."""
+    compacts tombstones away. Idempotent per id. Runs under the index
+    commit lock (review r9): a delete landing between compaction's
+    live-row snapshot and its tombstone-dir removal would be silently
+    dropped — the compacted index would resurrect the id."""
     import numpy as np
     import pandas as pd
 
-    meta = mio.read_json(mio.join(path, "meta.json"))
-    if meta is None or meta.get("kind") != "sign_lsh":
-        raise FileNotFoundError(f"no complete sign-LSH index at {path}")
-    existing = sign_deleted_ids(spark, path)
-    fresh = sorted(set(int(i) for i in ids) - existing)
-    if fresh:
-        (
-            spark.createDataFrame(
-                pd.DataFrame({"id": np.array(fresh, dtype=np.int64)})
+    with mio.commit_lock(path):
+        meta = mio.read_json(mio.join(path, "meta.json"))
+        if meta is None or meta.get("kind") != "sign_lsh":
+            raise FileNotFoundError(f"no complete sign-LSH index at {path}")
+        existing = sign_deleted_ids(spark, path)
+        fresh = sorted(set(int(i) for i in ids) - existing)
+        if fresh:
+            (
+                spark.createDataFrame(
+                    pd.DataFrame({"id": np.array(fresh, dtype=np.int64)})
+                )
+                .write.mode("append")
+                .parquet(os.path.join(path, "tombstones"))
             )
-            .write.mode("append")
-            .parquet(os.path.join(path, "tombstones"))
-        )
-        meta["n_deleted"] = meta.get("n_deleted", 0) + len(fresh)
-        mio.write_json(mio.join(path, "meta.json"), meta)
-    return meta
+            meta["n_deleted"] = meta.get("n_deleted", 0) + len(fresh)
+            mio.write_json(mio.join(path, "meta.json"), meta)
+        return meta
 
 
 def sign_deleted_ids(spark: SparkSession, path: str) -> set[int]:

@@ -237,6 +237,12 @@ def build_hnsw_index(
     rows.write.mode("overwrite").partitionBy("part").parquet(
         os.path.join(path, "graph")
     )
+    # fresh lifecycle: upsert generations from a prior index must not
+    # leak into the rebuilt one (the marker is already off, so no
+    # reader resolves them mid-cleanup)
+    for name in os.listdir(path) if os.path.isdir(path) else []:
+        if name.startswith("graph_u"):
+            mio.remove_tree(os.path.join(path, name))
     meta = {
         "kind": "hnsw_vendored",
         "dim": dim,
@@ -244,6 +250,13 @@ def build_hnsw_index(
         "ef_construction": ef_construction,
         "n_parts": n_parts,
         "seed": seed,
+        # per-partition relation map: upserts repoint a partition at a
+        # fresh generation dir instead of rewriting the live one in
+        # place (review r9 — dynamic overwrite deleted files under
+        # in-flight readers, and a crash after the marker removal
+        # destroyed a valid index)
+        "part_rels": {},  # part -> rel; absent parts resolve to "graph"
+        "gc_pending": [],  # [rel, part] dirs superseded by THIS commit
         "corpus": fp,
     }
     mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
@@ -253,7 +266,14 @@ def build_hnsw_index(
 def ensure_hnsw_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, Any]:
     """Reuse the stored graph when params AND the corpus fingerprint
     match; rebuild otherwise. The compare validates RESOLVED defaults,
-    not just passed params (the r8 batch-6 ensure_* class)."""
+    not just passed params (the r8 batch-6 ensure_* class).
+    ``id_col``/``vec_col`` are deliberately NOT part of the identity —
+    they are caller-side column NAMES, and including them would force
+    a silent full rebuild whenever two callers alias the same data
+    differently (the engine-wide convention, see
+    ``ann_index.ensure_ivfpq_index``); the corollary, as there, is
+    that pointing ``vec_col`` at a DIFFERENT vector column over the
+    same ids requires a distinct ``path``."""
     meta = mio.read_json(mio.join(path, "meta.json"))
     want = {
         "kind": "hnsw_vendored",
@@ -269,9 +289,32 @@ def ensure_hnsw_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, 
     return build_hnsw_index(corpus, path, **params)
 
 
-def _read_graph(spark: SparkSession, path: str) -> DataFrame:
-    g = spark.read.parquet(os.path.join(path, "graph"))
-    return g.withColumn("part", F.col("part").cast("long"))
+def _read_graph(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+    """Union the live graph rows across generation dirs: each
+    partition resolves to the relation meta names for it ("graph" =
+    the base build; "graph_u<N>" = the upsert generation that last
+    rewrote it). Only meta-named (rel, part) pairs are visible, so an
+    interrupted upsert (generation written, meta not yet swapped)
+    reads as the pre-upsert index — and superseded dirs survive one
+    commit for in-flight readers (the lexical-index discipline)."""
+    part_rels: dict[str, str] = meta.get("part_rels", {}) or {}
+    by_rel: dict[str, list[int]] = {}
+    for p in range(int(meta["n_parts"])):
+        by_rel.setdefault(part_rels.get(str(p), "graph"), []).append(p)
+    out = None
+    for rel, parts in sorted(by_rel.items()):
+        d = os.path.join(path, rel)
+        if not mio.is_dir(d):
+            continue  # base dir absent for parts never populated
+        g = (
+            spark.read.parquet(d)
+            .withColumn("part", F.col("part").cast("long"))
+            .filter(F.col("part").isin(parts))
+        )
+        out = g if out is None else out.unionByName(g)
+    if out is None:
+        raise FileNotFoundError(f"no graph relations at {path}")
+    return out
 
 
 def ann_hnsw_topk_indexed(
@@ -325,7 +368,7 @@ def ann_hnsw_topk_indexed(
         return out[np.isfinite(dists).ravel()]
 
     partials = (
-        _read_graph(spark, path)
+        _read_graph(spark, path, meta)
         .groupBy("part")
         .applyInPandas(lambda pdf: search_one(pdf), _PARTIAL_SCHEMA)
     )
@@ -338,6 +381,16 @@ def ann_hnsw_topk_indexed(
     return out.select("query_id", "doc_id", "score", "rank")
 
 
+def _fresh_upsert_rel(path: str) -> str:
+    """Smallest ``graph_u<n>`` whose dir doesn't exist — an upsert
+    generation never reuses a directory a live or grace-period meta
+    could name (the lexical `_fresh_delta` discipline)."""
+    n = 1
+    while os.path.isdir(os.path.join(path, f"graph_u{n}")):
+        n += 1
+    return f"graph_u{n}"
+
+
 def upsert_hnsw_index(
     spark: SparkSession,
     new_vectors: DataFrame,
@@ -348,23 +401,42 @@ def upsert_hnsw_index(
     """hnswlib ``add_items`` on the loaded index (``003:249-251``):
     route the delta by the stored partition rule, reconstruct ONLY the
     receiving partitions' kernels, run O(delta) graph inserts
-    continuing each partition's stored RNG stream, and rewrite just
-    those partition dirs (dynamic partition overwrite). Marker
-    protocol: meta.json is removed BEFORE data is touched and
-    recommitted (with the merged fingerprint) after — a crash
-    mid-append can never leave torn rows under a valid marker (the r8
-    batch-6 torn-append class)."""
+    continuing each partition's stored RNG stream, and write the
+    extended partitions into a FRESH generation dir that meta's
+    ``part_rels`` repoints at atomically. The meta write is the
+    commit point: a crash anywhere before it leaves the old index
+    fully servable (review r9 — the first cut removed the marker
+    before a dynamic partition overwrite, so a crash — or even a
+    delta routing to a previously EMPTY partition — destroyed a valid
+    index; it also deleted files under in-flight readers, who now get
+    one commit of grace). Runs under the commit lock: two concurrent
+    upserts are read-modify-write on part_rels/fingerprint and the
+    loser's rows would silently vanish otherwise. A delta routing to
+    a partition with no stored graph builds a fresh kernel for it —
+    exactly what a full rebuild over base ∪ delta would hold there."""
+    with mio.commit_lock(path):
+        return _upsert_hnsw_locked(spark, new_vectors, path, id_col, vec_col)
+
+
+def _upsert_hnsw_locked(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+) -> dict[str, Any]:
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None or meta.get("kind") != "hnsw_vendored":
         raise FileNotFoundError(f"no complete vendored-HNSW index at {path}")
-    m, efc, dim, n_parts = (
+    m, efc, dim, n_parts, seed = (
         meta["m"],
         meta["ef_construction"],
         meta["dim"],
         meta["n_parts"],
+        meta.get("seed", 42),
     )
 
-    graph = _read_graph(spark, path)
+    graph = _read_graph(spark, path, meta)
     stored_ids = graph.filter(F.col("level") == 0).select(
         F.col("node_id").alias(id_col)
     )
@@ -372,6 +444,15 @@ def upsert_hnsw_index(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")
     ).withColumn("part", _part_expr("doc_id", n_parts))
     _assert_disjoint_delta(stored_ids, delta.select("doc_id"), path)
+    # duplicates WITHIN the delta would insert two graph nodes with
+    # the same external id and serve the same doc twice in a top-k
+    # (review r9); the delta is small by contract — one cheap agg
+    dup = delta.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1)
+    if dup.count():
+        raise ValueError(
+            f"upsert delta for {path} contains duplicate ids — "
+            "deduplicate the delta before adding"
+        )
 
     touched = sorted(r["part"] for r in delta.select("part").distinct().collect())
     if not touched:
@@ -399,7 +480,14 @@ def upsert_hnsw_index(
             return pd.DataFrame(columns=[f.name for f in GRAPH_SCHEMA.fields])
         part = int(pdf["part"].iloc[0])
         is_delta = pdf["level"] == -2
-        index = _index_from_rows(pdf[~is_delta], m, efc, dim)
+        stored = pdf[~is_delta]
+        if len(stored):
+            index = _index_from_rows(stored, m, efc, dim)
+        else:
+            # previously-empty partition: a fresh kernel, exactly what
+            # a full rebuild would build there (review r9 — this case
+            # crashed AND the crash landed after the marker removal)
+            index = HnswIndex(dim=dim, m=m, ef_construction=efc, seed=seed)
         dp = pdf[is_delta].sort_values("node_id")  # id-ASC, like build
         ids = dp["node_id"].to_numpy(dtype=np.int64)
         mat = _normalize_rows(np.array(list(dp["__delta_v"]), dtype=np.float64))
@@ -409,15 +497,29 @@ def upsert_hnsw_index(
     out = unioned.groupBy("part").applyInPandas(
         lambda pdf: extend_one(pdf), GRAPH_SCHEMA
     )
-    _begin_rebuild(path)  # marker OFF before data is touched
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part")
-        .parquet(os.path.join(path, "graph"))
+    rel = _fresh_upsert_rel(path)
+    out.write.mode("overwrite").partitionBy("part").parquet(
+        os.path.join(path, rel)
     )
+    part_rels = dict(meta.get("part_rels", {}) or {})
+    superseded = [
+        [part_rels.get(str(p), "graph"), p]
+        for p in touched
+        if mio.is_dir(
+            os.path.join(path, part_rels.get(str(p), "graph"), f"part={p}")
+        )
+    ]
+    for p in touched:
+        part_rels[str(p)] = rel
+    meta["part_rels"] = part_rels
     meta["corpus"] = _merge_fingerprint(
         meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
     )
-    mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
+    # one-commit GC grace: delete the dirs the PREVIOUS commit
+    # superseded, record this commit's for the next one
+    gc_now = meta.get("gc_pending", [])
+    meta["gc_pending"] = superseded
+    mio.write_json(mio.join(path, "meta.json"), meta, indent=2)  # commit
+    for old_rel, p in gc_now:
+        mio.remove_tree(os.path.join(path, old_rel, f"part={p}"))
     return meta

@@ -140,20 +140,24 @@ def _gc_dirs(path: str, keep: set[str]) -> None:
             mio.remove_tree(os.path.join(path, name))
 
 
+def _read_rels(spark: SparkSession, path: str, rels: list[str]) -> DataFrame:
+    """Union parquet relations named by a meta rel list — THE
+    rel-resolution idiom, in one place (review r9: three hand-rolled
+    copies invited divergence if resolution rules ever change)."""
+    out = None
+    for rel in rels:
+        d = spark.read.parquet(os.path.join(path, rel))
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def _read_postings(spark: SparkSession, path: str, meta: dict) -> DataFrame:
     """Union the base postings with any committed delta dirs — only
     relations NAMED in meta.json are visible, so an interrupted upsert
     (delta written, meta not yet swapped) reads as the pre-upsert
     index, never a torn one. Bucket-pruning filters push into every
     member scan independently."""
-    dfs = [
-        spark.read.parquet(os.path.join(path, rel))
-        for rel in meta.get("postings_rels", ["postings"])
-    ]
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+    return _read_rels(spark, path, meta.get("postings_rels", ["postings"]))
 
 
 def build_lexical_index(
@@ -565,11 +569,9 @@ def compact_lexical_index(spark: SparkSession, path: str) -> dict:
         _read_postings(spark, path, meta).repartition("pb").write.mode(
             "overwrite"
         ).partitionBy("pb").parquet(os.path.join(path, post_rel))
-        dl = None
-        for rel in dl_rels:
-            part = spark.read.parquet(os.path.join(path, rel))
-            dl = part if dl is None else dl.unionByName(part)
-        dl.write.mode("overwrite").parquet(os.path.join(path, dl_rel))
+        _read_rels(spark, path, dl_rels).write.mode("overwrite").parquet(
+            os.path.join(path, dl_rel)
+        )
         prev_keep = set(post_rels) | set(dl_rels)
         meta["postings_rels"] = [post_rel]
         meta["doclen_rels"] = [dl_rel]
@@ -603,12 +605,9 @@ def _upsert_locked(
     # postings and double-count df/n_docs, roughly doubling affected
     # BM25 weights with no error. Stored ids come from the doclen
     # generation+delta dirs — O(n_docs) narrow rows, never postings.
-    stored_ids = None
-    for rel in meta.get("doclen_rels", ["doclen"]):
-        rel_ids = spark.read.parquet(os.path.join(path, rel)).select("doc_id")
-        stored_ids = (
-            rel_ids if stored_ids is None else stored_ids.unionByName(rel_ids)
-        )
+    stored_ids = _read_rels(
+        spark, path, meta.get("doclen_rels", ["doclen"])
+    ).select("doc_id")
     _assert_disjoint_delta(stored_ids, d.select("doc_id"), path)
     tf = (
         doc_token_stream(d)
@@ -635,9 +634,19 @@ def _upsert_locked(
     )
     old_df_rel = meta.get("df_rel", "df")
     try:
-        new_df_rel = f"df_v{int(old_df_rel.rsplit('_v', 1)[1]) + 1}"
+        n = int(old_df_rel.rsplit("_v", 1)[1]) + 1
     except (IndexError, ValueError):
-        new_df_rel = "df_v1"
+        n = 1
+    # probe the filesystem like _fresh_delta: after a rebuild resets
+    # df_rel to df_b<gen>, a counter restarted at v1 would overwrite a
+    # grace-protected dictionary dir (and its derived docnorm) that an
+    # in-flight reader on the pre-rebuild meta may still hold
+    # (review r9 — the _d<N> collision class, for the _v names)
+    while os.path.isdir(os.path.join(path, f"df_v{n}")) or os.path.isdir(
+        os.path.join(path, f"docnorm_df_v{n}")
+    ):
+        n += 1
+    new_df_rel = f"df_v{n}"
     merged.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
         os.path.join(path, new_df_rel)
     )

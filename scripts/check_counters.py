@@ -71,13 +71,14 @@ def collect(sf_dir: str, runs: int = 1) -> dict[str, dict | None]:
     for name in bench.HEADLINE:
         t0 = time.perf_counter()
         env: dict[str, list[int]] | None = None
-        status = "ok"
+        ok, last_err = 0, ""
         for _ in range(runs):
             try:
                 w = work_counters(QUERIES[name](spark, sf_dir))
             except Exception as exc:
-                status = f"counters unavailable: {type(exc).__name__}"
+                last_err = type(exc).__name__
                 continue
+            ok += 1
             if env is None:
                 env = {k: [w.get(k, 0), w.get(k, 0)] for k in KEYS}
             else:
@@ -86,6 +87,14 @@ def collect(sf_dir: str, runs: int = 1) -> dict[str, dict | None]:
                     env[k][0] = min(env[k][0], v)
                     env[k][1] = max(env[k][1], v)
         out[name] = env
+        # honest mixed-outcome reporting (review r9): a partially-
+        # sampled envelope must be visible — it under-records variance
+        if ok == runs:
+            status = "ok"
+        elif ok:
+            status = f"PARTIAL {ok}/{runs} runs (last error {last_err})"
+        else:
+            status = f"counters unavailable: {last_err}"
         print(f"[counters] {name:34s} {status} ({time.perf_counter()-t0:.1f}s)")
     spark.stop()
     return out

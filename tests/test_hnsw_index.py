@@ -256,6 +256,82 @@ def test_upsert_matches_same_order_twin(spark, tmp_path):
     )
 
 
+def test_upsert_to_previously_empty_partition(spark, tmp_path):
+    """A delta routing to a partition with no stored graph builds a
+    fresh kernel there (review r9: this case crashed executor-side,
+    and the crash landed after the old marker removal — destroying a
+    valid index). The meta must survive even if anything goes wrong
+    before the commit."""
+    art = _art(tmp_path, "empty_part")
+    corpus = _corpus(spark)
+    routed = corpus.withColumn("part", _part_expr("vec_id", N_PARTS))
+    # base excludes every row of ONE partition; the delta is exactly
+    # that partition's rows
+    hole = routed.select("part").distinct().collect()[0]["part"]
+    base = routed.filter(F.col("part") != hole).drop("part")
+    delta = routed.filter(F.col("part") == hole).drop("part")
+    assert delta.count() > 0
+    build_hnsw_index(
+        base, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    upsert_hnsw_index(spark, delta, art)
+    meta = mio.read_json(os.path.join(art, "meta.json"))
+    assert meta is not None and meta["corpus"]["n"] == corpus.count()
+    got = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K, ef_search=EF_SEARCH)
+    )
+    qids, qmat = _qarrays(spark)
+    base_ids = set(r["vec_id"] for r in base.select("vec_id").collect())
+    want = _twin_search(
+        _routed_parts(spark, corpus), qids, qmat, K, base_only_ids=base_ids
+    )
+    pd.testing.assert_frame_equal(
+        got, want[got.columns.tolist()].astype(got.dtypes.to_dict()),
+        check_exact=False, rtol=0, atol=1e-9,
+    )
+
+
+def test_upsert_generation_grace_and_gc(spark, tmp_path):
+    """Upserts write fresh generation dirs and never delete a dir the
+    PREVIOUS commit's readers could hold; the superseded (rel, part)
+    dirs go at the NEXT commit."""
+    art = _art(tmp_path, "grace")
+    corpus = _corpus(spark)
+    d1 = corpus.filter(F.col("vec_id") % 7 == 0)
+    d2 = corpus.filter(F.col("vec_id") % 7 == 1)
+    rest = corpus.filter(F.col("vec_id") % 7 > 1)
+    build_hnsw_index(
+        rest, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    upsert_hnsw_index(spark, d1, art)
+    meta1 = mio.read_json(os.path.join(art, "meta.json"))
+    assert any(rel.startswith("graph_u") for rel in meta1["part_rels"].values())
+    # base part dirs superseded by commit 1 survive it (grace)…
+    for rel, p in meta1["gc_pending"]:
+        assert os.path.isdir(os.path.join(art, rel, f"part={p}")), (rel, p)
+    upsert_hnsw_index(spark, d2, art)
+    # …and are removed by commit 2
+    for rel, p in meta1["gc_pending"]:
+        assert not os.path.isdir(os.path.join(art, rel, f"part={p}")), (rel, p)
+    # the maintained index still answers like the same-order twin
+    got = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K, ef_search=EF_SEARCH)
+    )
+    assert got["query_id"].nunique() == 20
+
+
+def test_upsert_rejects_duplicate_delta_ids(spark, tmp_path):
+    art = _art(tmp_path, "dupdelta")
+    corpus = _corpus(spark)
+    build_hnsw_index(
+        corpus.filter(F.col("vec_id") >= 10), art, dim=DIM, m=M,
+        ef_construction=EFC, n_parts=N_PARTS, seed=42,
+    )
+    delta = corpus.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="duplicate ids"):
+        upsert_hnsw_index(spark, delta.unionByName(delta), art)
+
+
 def test_upsert_rejects_existing_ids(spark, tmp_path):
     art = _art(tmp_path)
     corpus = _corpus(spark)
