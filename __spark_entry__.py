@@ -94,9 +94,9 @@ WINDOW_PRIORITY = [
     "qrels_table",               # P1 qrels flatten
     "bm25_topk",                 # fresh BM25 scorer
     "word_stats",                # A3 word-length stats
-    "span_dedup",                # span-level exact dedup
     # -- new this round (first driver observation) --------------------
     "ann_hnsw_vendored_indexed", # persisted vendored-HNSW graph (S9 at rest)
+    "ann_hnsw_vendored_lifecycle",  # graph add/delete/compact chain
     "ann_signlsh_compacted",     # lifecycle: upsert+delete+COMPACT (oracle)
     "bm25_compacted_topk",       # lexical delta compaction (oracle)
     "ann_mrl_sq_topk",           # MRL+SQ8 quantized prefix table (oracle)

@@ -237,12 +237,13 @@ def build_hnsw_index(
     rows.write.mode("overwrite").partitionBy("part").parquet(
         os.path.join(path, "graph")
     )
-    # fresh lifecycle: upsert generations from a prior index must not
-    # leak into the rebuilt one (the marker is already off, so no
-    # reader resolves them mid-cleanup)
+    # fresh lifecycle: upsert/compaction generations and tombstones
+    # from a prior index must not leak into the rebuilt one (the
+    # marker is already off, so no reader resolves them mid-cleanup)
     for name in os.listdir(path) if os.path.isdir(path) else []:
-        if name.startswith("graph_u"):
+        if name.startswith("graph_u") or name.startswith("graph_c"):
             mio.remove_tree(os.path.join(path, name))
+    mio.remove_tree(mio.join(path, "tombstones"))
     meta = {
         "kind": "hnsw_vendored",
         "dim": dim,
@@ -298,9 +299,10 @@ def _read_graph(spark: SparkSession, path: str, meta: dict) -> DataFrame:
     reads as the pre-upsert index — and superseded dirs survive one
     commit for in-flight readers (the lexical-index discipline)."""
     part_rels: dict[str, str] = meta.get("part_rels", {}) or {}
+    base_rel = meta.get("base_rel", "graph")
     by_rel: dict[str, list[int]] = {}
     for p in range(int(meta["n_parts"])):
-        by_rel.setdefault(part_rels.get(str(p), "graph"), []).append(p)
+        by_rel.setdefault(part_rels.get(str(p), base_rel), []).append(p)
     out = None
     for rel, parts in sorted(by_rel.items()):
         d = os.path.join(path, rel)
@@ -348,12 +350,18 @@ def ann_hnsw_topk_indexed(
     qmat_l = _normalize_rows(np.array([r["v"] for r in qrows], dtype=np.float64))
     bc = spark.sparkContext.broadcast((qids_l, qmat_l))
 
+    # hnswlib mark_deleted semantics: tombstoned nodes stay in the
+    # graph (they still ROUTE the beam) but are filtered from results;
+    # each partition over-fetches by the global tombstone count so a
+    # filtered-out neighbor can't starve the local top-k
+    n_deleted = int(meta.get("n_deleted", 0))
+
     def search_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(columns=["query_id", "doc_id", "score"])
         index = _index_from_rows(pdf, m, efc, dim)
         qids, qmat = bc.value
-        kk = min(k, len(index))
+        kk = min(k + n_deleted, len(index))
         index.set_ef(max(ef_search, kk))
         labels, dists = index.knn_query(qmat, k=kk)
         rows = np.repeat(np.arange(len(qids)), labels.shape[1])
@@ -372,6 +380,13 @@ def ann_hnsw_topk_indexed(
         .groupBy("part")
         .applyInPandas(lambda pdf: search_one(pdf), _PARTIAL_SCHEMA)
     )
+    tomb = mio.join(path, "tombstones")
+    if mio.is_dir(tomb):
+        partials = partials.join(
+            spark.read.parquet(tomb).withColumnRenamed("id", "doc_id"),
+            "doc_id",
+            "left_anti",
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     out = partials.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -440,6 +455,14 @@ def _upsert_hnsw_locked(
     stored_ids = graph.filter(F.col("level") == 0).select(
         F.col("node_id").alias(id_col)
     )
+    tomb = mio.join(path, "tombstones")
+    if mio.is_dir(tomb):
+        # a re-added deleted id would stay permanently masked by the
+        # surviving tombstone while the merged fingerprint counted it
+        # (the sign-tier contract)
+        stored_ids = stored_ids.unionByName(
+            spark.read.parquet(tomb).select(F.col("id").alias(id_col))
+        )
     delta = new_vectors.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")
     ).withColumn("part", _part_expr("doc_id", n_parts))
@@ -502,11 +525,12 @@ def _upsert_hnsw_locked(
         os.path.join(path, rel)
     )
     part_rels = dict(meta.get("part_rels", {}) or {})
+    base_rel = meta.get("base_rel", "graph")
     superseded = [
-        [part_rels.get(str(p), "graph"), p]
+        [part_rels.get(str(p), base_rel), p]
         for p in touched
         if mio.is_dir(
-            os.path.join(path, part_rels.get(str(p), "graph"), f"part={p}")
+            os.path.join(path, part_rels.get(str(p), base_rel), f"part={p}")
         )
     ]
     for p in touched:
@@ -523,3 +547,114 @@ def _upsert_hnsw_locked(
     for old_rel, p in gc_now:
         mio.remove_tree(os.path.join(path, old_rel, f"part={p}"))
     return meta
+
+
+def delete_from_hnsw_index(
+    spark: SparkSession, path: str, ids: list[int]
+) -> dict[str, Any]:
+    """hnswlib ``mark_deleted`` on the graph tier: tombstone doc ids
+    WITHOUT touching the graph — deleted nodes keep ROUTING the beam
+    (their out-edges still navigate) but are filtered from results,
+    which is exactly hnswlib's semantics. O(deleted) bytes written;
+    ``compact_hnsw_index`` removes them physically. Idempotent per
+    id; runs under the commit lock (a delete landing inside a
+    concurrent compaction's window would be silently dropped)."""
+    with mio.commit_lock(path):
+        meta = mio.read_json(mio.join(path, "meta.json"))
+        if meta is None or meta.get("kind") != "hnsw_vendored":
+            raise FileNotFoundError(f"no complete vendored-HNSW index at {path}")
+        tomb = mio.join(path, "tombstones")
+        existing: set[int] = set()
+        if mio.is_dir(tomb):
+            existing = {r["id"] for r in spark.read.parquet(tomb).collect()}
+        fresh = sorted(set(int(i) for i in ids) - existing)
+        if fresh:
+            spark.createDataFrame(
+                pd.DataFrame({"id": np.array(fresh, dtype=np.int64)})
+            ).write.mode("append").parquet(os.path.join(path, "tombstones"))
+            meta["n_deleted"] = meta.get("n_deleted", 0) + len(fresh)
+            mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
+        return meta
+
+
+def _fresh_compact_rel(path: str) -> str:
+    n = 1
+    while os.path.isdir(os.path.join(path, f"graph_c{n}")):
+        n += 1
+    return f"graph_c{n}"
+
+
+def compact_hnsw_index(spark: SparkSession, path: str) -> dict[str, Any]:
+    """OPTIMIZE for the graph tier: fold upsert generations and apply
+    tombstones by REBUILDING each partition's kernel from its live
+    level-0 vectors (graph deletion is structural — unlike the
+    sign/lexical tiers a row filter can't express it, so compaction
+    here pays the per-partition graph build, exactly what hnswlib
+    users do when deleted mass grows). The rebuilt partition inserts
+    id-ASC with a fresh seeded RNG, so the compacted index is
+    BIT-IDENTICAL to ``build_hnsw_index`` over the live rows — the
+    canonical form (pinned in tests). Commit = the atomic meta write
+    repointing ``base_rel`` at the fresh generation with
+    ``part_rels`` cleared; superseded dirs get one commit of reader
+    grace. No-op when there is nothing to fold."""
+    with mio.commit_lock(path):
+        meta = mio.read_json(mio.join(path, "meta.json"))
+        if meta is None or meta.get("kind") != "hnsw_vendored":
+            raise FileNotFoundError(f"no complete vendored-HNSW index at {path}")
+        tomb = mio.join(path, "tombstones")
+        if not (meta.get("part_rels") or mio.is_dir(tomb)):
+            return meta  # single clean generation already
+        m, efc, dim, seed = (
+            meta["m"],
+            meta["ef_construction"],
+            meta["dim"],
+            meta.get("seed", 42),
+        )
+        live = _read_graph(spark, path, meta).filter(F.col("level") == 0).select(
+            "part",
+            F.col("node_id").alias("doc_id"),
+            F.col("vector").alias("v"),
+        )
+        if mio.is_dir(tomb):
+            live = live.join(
+                spark.read.parquet(tomb).withColumnRenamed("id", "doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        n_live = live.count()
+        if n_live == 0:
+            raise ValueError(
+                f"compaction would leave the HNSW index at {path} EMPTY "
+                "(every row tombstoned) — rebuild over a fresh corpus instead"
+            )
+        rel = _fresh_compact_rel(path)
+        # stored vectors are already normalized; build_one re-normalizes,
+        # which is idempotent on unit vectors — the rebuilt partition is
+        # bit-identical to a fresh build over the live rows
+        live.groupBy("part").applyInPandas(
+            _build_partition_udf(m, efc, seed, dim), GRAPH_SCHEMA
+        ).write.mode("overwrite").partitionBy("part").parquet(
+            os.path.join(path, rel)
+        )
+        part_rels = dict(meta.get("part_rels", {}) or {})
+        base_rel = meta.get("base_rel", "graph")
+        superseded = []
+        for p in range(int(meta["n_parts"])):
+            old = part_rels.get(str(p), base_rel)
+            if mio.is_dir(os.path.join(path, old, f"part={p}")):
+                superseded.append([old, p])
+        removed = meta.pop("n_deleted", 0)
+        if removed:
+            meta["n_compacted_away"] = meta.get("n_compacted_away", 0) + removed
+        meta["base_rel"] = rel
+        meta["part_rels"] = {}
+        gc_now = meta.get("gc_pending", [])
+        meta["gc_pending"] = superseded
+        # fingerprint: recompute over live ids is WRONG here for the
+        # same reason as the sign tier (lineage identity — ensure
+        # callers pass the ORIGINAL corpus); it stays as committed.
+        mio.write_json(mio.join(path, "meta.json"), meta, indent=2)  # commit
+        mio.remove_tree(tomb)  # masked rows are now physically gone
+        for old_rel, p in gc_now:
+            mio.remove_tree(os.path.join(path, old_rel, f"part={p}"))
+        return meta

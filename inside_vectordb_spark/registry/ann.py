@@ -252,6 +252,58 @@ def ann_hnsw_vendored_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_hnsw_vendored_lifecycle")
+def ann_hnsw_vendored_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full hnswlib lifecycle on the persisted graph tier: build
+    on 80% of the corpus (save_index), add_items the other 20%
+    (O(delta) generation dirs), mark_deleted 5 ids, then COMPACT —
+    per-partition graph rebuild over the live rows, tombstones gone
+    physically, generations folded to one (operators/hnsw_index.py).
+    Rows-only (graph builds are order-dependent); compacted ==
+    build-over-live-rows and the maintenance contracts are pinned in
+    tests/test_hnsw_index.py."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.hnsw_index import (
+        ann_hnsw_topk_indexed,
+        build_hnsw_index,
+        compact_hnsw_index,
+        delete_from_hnsw_index,
+        upsert_hnsw_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    art = os.path.join(
+        mio.artifacts_root(),
+        "hnsw_lifecycle",
+        os.path.basename(sf_dir.rstrip("/")) or "default",
+    )
+    meta = mio.read_json(mio.join(art, "meta.json"))
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+
+    fp_all = _corpus_fingerprint(corpus, "vec_id")
+    if (
+        meta is None
+        or not str(meta.get("base_rel", "")).startswith("graph_c")
+        or meta.get("corpus") != fp_all
+        or mio.is_dir(mio.join(art, "tombstones"))
+    ):
+        mio.remove_tree(art)
+        base = corpus.filter(F.col("vec_id") % 5 != 0)
+        delta = corpus.filter(F.col("vec_id") % 5 == 0)
+        build_hnsw_index(
+            base, art, dim=EMB_DIM, m=16, ef_construction=100, n_parts=4, seed=42
+        )
+        upsert_hnsw_index(spark, delta, art)
+        delete_from_hnsw_index(spark, art, list(_SIGN_DELETED_IDS))
+        compact_hnsw_index(spark, art)
+    return ann_hnsw_topk_indexed(
+        spark, eio.query_vectors(spark, sf_dir), art, k=10, ef_search=128
+    )
+
+
 @register("ann_brp_topk")
 def ann_brp_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native tier (SURVEY §7 Phase 5a): MLlib

@@ -361,6 +361,91 @@ def test_crash_mid_rebuild_leaves_no_marker(spark, tmp_path):
     assert ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K).count() > 0
 
 
+def test_delete_masks_and_compact_removes(spark, tmp_path):
+    from inside_vectordb_spark.operators.hnsw_index import (
+        compact_hnsw_index,
+        delete_from_hnsw_index,
+    )
+
+    art = _art(tmp_path, "del")
+    corpus = _corpus(spark)
+    build_hnsw_index(
+        corpus, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    deleted = [0, 3, 7]
+    delete_from_hnsw_index(spark, art, deleted)
+    delete_from_hnsw_index(spark, art, deleted)  # idempotent
+    meta = mio.read_json(os.path.join(art, "meta.json"))
+    assert meta["n_deleted"] == len(deleted)
+    res = ann_hnsw_topk_indexed(
+        spark, _queries(spark), art, k=K, ef_search=EF_SEARCH
+    ).toPandas()
+    assert not set(res["doc_id"]) & set(deleted)
+    # queries 0/3/7 lose their self-match — the delete shows in the
+    # RESULT
+    assert res[res["query_id"] == 0]["rank"].min() == 1
+    assert 0 not in set(res[res["query_id"] == 0]["doc_id"])
+
+    compact_hnsw_index(spark, art)
+    meta2 = mio.read_json(os.path.join(art, "meta.json"))
+    assert not os.path.isdir(os.path.join(art, "tombstones"))
+    assert meta2["n_compacted_away"] == len(deleted)
+    assert meta2["corpus"] == meta["corpus"]  # lineage identity kept
+    # compacted == a fresh build over the live rows
+    live = corpus.filter(~F.col("vec_id").isin(deleted))
+    art2 = _art(tmp_path, "del_twin")
+    build_hnsw_index(
+        live, art2, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    a = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K, ef_search=EF_SEARCH)
+    )
+    b = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art2, k=K, ef_search=EF_SEARCH)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_compact_noop_on_clean_index(spark, tmp_path):
+    from inside_vectordb_spark.operators.hnsw_index import compact_hnsw_index
+
+    art = _art(tmp_path, "noopc")
+    build_hnsw_index(
+        _corpus(spark), art, dim=DIM, m=M, ef_construction=EFC,
+        n_parts=N_PARTS, seed=42,
+    )
+    m1 = os.path.getmtime(os.path.join(art, "meta.json"))
+    compact_hnsw_index(spark, art)
+    assert os.path.getmtime(os.path.join(art, "meta.json")) == m1
+
+
+def test_compact_folds_upsert_generations(spark, tmp_path):
+    from inside_vectordb_spark.operators.hnsw_index import compact_hnsw_index
+
+    art = _art(tmp_path, "fold")
+    corpus = _corpus(spark)
+    build_hnsw_index(
+        corpus.filter(F.col("vec_id") % 3 != 0), art, dim=DIM, m=M,
+        ef_construction=EFC, n_parts=N_PARTS, seed=42,
+    )
+    upsert_hnsw_index(spark, corpus.filter(F.col("vec_id") % 3 == 0), art)
+    compact_hnsw_index(spark, art)
+    meta = mio.read_json(os.path.join(art, "meta.json"))
+    assert meta["part_rels"] == {} and meta["base_rel"].startswith("graph_c")
+    # compacted == fresh build over the FULL corpus (canonical form)
+    art2 = _art(tmp_path, "fold_twin")
+    build_hnsw_index(
+        corpus, art2, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    a = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K, ef_search=EF_SEARCH)
+    )
+    b = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art2, k=K, ef_search=EF_SEARCH)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_empty_corpus_build_refused(spark, tmp_path):
     art = _art(tmp_path)
     corpus = _corpus(spark).filter(F.col("vec_id") < 0)

@@ -21,9 +21,10 @@ WINDOW = 50
 # are inherently order-dependent (graph-build tiers).
 NO_ORACLE_OK: set[str] = {
     # HNSW graph builds are insertion-order dependent (hnswlib too);
-    # stored==fresh / load-then-add parity / recall floor are pinned
-    # in tests/test_hnsw_index.py
+    # stored==fresh / load-then-add parity / compacted==rebuild /
+    # recall floor are pinned in tests/test_hnsw_index.py
     "ann_hnsw_vendored_indexed",
+    "ann_hnsw_vendored_lifecycle",
 }
 
 # One representative per §2 tier that MUST sit inside the window
@@ -61,13 +62,12 @@ ROTATED_IN_R9 = {
     "qrels_tsv_roundtrip", "queries_with_judgments", "ranked_lists",
     "relevance_histogram", "results_enriched", "seeded_sample",
     "simhash_signatures", "table_counts", "top_lineitems",
-    # oldest r4 (9 of 40)
+    # oldest r4 (8 of 40)
     "search_hits", "precision_at_k", "mrr", "evaluation_report",
     "text_embeddings", "qrels_table", "bm25_topk", "word_stats",
-    "span_dedup",
     # new this round
-    "ann_hnsw_vendored_indexed", "ann_signlsh_compacted",
-    "bm25_compacted_topk", "ann_mrl_sq_topk",
+    "ann_hnsw_vendored_indexed", "ann_hnsw_vendored_lifecycle",
+    "ann_signlsh_compacted", "bm25_compacted_topk", "ann_mrl_sq_topk",
 }
 
 
