@@ -421,21 +421,22 @@ def run_merge_to_snapshot(
                 shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def run_upsert_to_sign_index(
+def run_index_maintenance(
     changes_stream: DataFrame,
     index_path: str,
+    upsert_fn,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> None:
-    """Streaming ANN-index maintenance — the vector-store ingest loop
-    (hnswlib ``add_items`` fed by a stream): every micro-batch of new
-    vectors upserts into the persisted sign-LSH index via
-    ``foreachBatch`` (O(delta) bucketing, parquet append into the
-    bucket partitions, merged fingerprint). Because the bucket
-    function is deterministic and upsert==batch-build is exact, an
-    index maintained from N micro-batches answers BIT-IDENTICALLY to
-    one built from the full corpus — which is what the registered
-    query's shared search oracle certifies.
+    """Streaming index maintenance — the vector-store ingest loop
+    (hnswlib ``add_items`` fed by a stream), generalized over the
+    tier: every micro-batch of new rows is applied by
+    ``upsert_fn(spark, batch_df, index_path)`` via ``foreachBatch``
+    (each tier's upsert is O(delta) and commit-locked, so concurrent
+    readers/maintainers stay safe). One harness serves every
+    maintained index — sign-LSH (bit-identical-to-batch-build, the
+    oracle-certified registered query), the HNSW graph tier, or any
+    future artifact (review r9 generalization).
 
     Delivery contract: delta ids disjoint across batches and from the
     base (the FAISS ``add`` contract); at-least-once replays are
@@ -450,8 +451,6 @@ def run_upsert_to_sign_index(
     import shutil
     import tempfile
 
-    from inside_vectordb_spark.operators.ann_sign import upsert_sign_index
-
     auto_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(
         prefix="ck_", dir=os.path.dirname(index_path) or None
@@ -460,7 +459,7 @@ def run_upsert_to_sign_index(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert_sign_index(batch_df.sparkSession, batch_df, index_path)
+        upsert_fn(batch_df.sparkSession, batch_df, index_path)
 
     q = (
         changes_stream.writeStream.foreachBatch(_apply)
@@ -474,7 +473,7 @@ def run_upsert_to_sign_index(
             # surface the partial drain — returning silently would
             # serve an index missing the undrained micro-batches
             raise TimeoutError(
-                f"sign-index upsert drain still running after "
+                f"index upsert drain still running after "
                 f"{timeout_sec}s; resume with checkpoint_dir={ckpt!r}"
             )
     except BaseException:
@@ -486,3 +485,27 @@ def run_upsert_to_sign_index(
             q.stop()
         if auto_ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def run_upsert_to_sign_index(
+    changes_stream: DataFrame,
+    index_path: str,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Sign-LSH instantiation of :func:`run_index_maintenance` —
+    because the bucket function is deterministic and upsert ==
+    batch-build is exact, an index maintained from N micro-batches
+    answers BIT-IDENTICALLY to one built from the full corpus, which
+    the registered query's shared search oracle certifies."""
+    from inside_vectordb_spark.operators.ann_sign import upsert_sign_index
+
+    run_index_maintenance(
+        changes_stream,
+        index_path,
+        upsert_fn=lambda spark, batch, path: upsert_sign_index(
+            spark, batch, path
+        ),
+        timeout_sec=timeout_sec,
+        checkpoint_dir=checkpoint_dir,
+    )

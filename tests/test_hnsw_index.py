@@ -446,6 +446,80 @@ def test_compact_folds_upsert_generations(spark, tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_streaming_maintenance_matches_sequential_upserts(spark, tmp_path):
+    """The generalized streaming harness (run_index_maintenance) feeds
+    micro-batches into the graph tier's commit-locked upsert; the
+    maintained index answers exactly like the same batches applied
+    sequentially (file order == batch order under
+    maxFilesPerTrigger=1)."""
+    from inside_vectordb_spark.streaming.events import run_index_maintenance
+    from inside_vectordb_spark.operators.hnsw_index import upsert_hnsw_index
+
+    corpus = _corpus(spark)
+    base = corpus.filter(~((F.col("vec_id") % 10).isin(3, 7)))
+    b1 = corpus.filter(F.col("vec_id") % 10 == 3)
+    b2 = corpus.filter(F.col("vec_id") % 10 == 7)
+
+    art_s = _art(tmp_path, "stream")
+    art_t = _art(tmp_path, "stream_twin")
+    for art in (art_s, art_t):
+        build_hnsw_index(
+            base, art, dim=DIM, m=M, ef_construction=EFC,
+            n_parts=N_PARTS, seed=42,
+        )
+    # twin: sequential upserts
+    upsert_hnsw_index(spark, b1, art_t)
+    upsert_hnsw_index(spark, b2, art_t)
+    # stream: one file per micro-batch
+    inbox = str(tmp_path / "inbox")
+    b1.coalesce(1).write.mode("append").parquet(inbox)
+    b2.coalesce(1).write.mode("append").parquet(inbox)
+    changes = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    run_index_maintenance(
+        changes, art_s,
+        upsert_fn=lambda s, batch, path: upsert_hnsw_index(s, batch, path),
+    )
+    meta_s = mio.read_json(os.path.join(art_s, "meta.json"))
+    assert meta_s["corpus"]["n"] == corpus.count()
+    a = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art_s, k=K,
+                              ef_search=EF_SEARCH)
+    )
+    b = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art_t, k=K,
+                              ef_search=EF_SEARCH)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ef_knob_monotone_recall(spark, tmp_path):
+    """X3 on the graph tier: a deeper beam can only help recall vs
+    exact (the ef trade-off the reference sweeps, 003:156-160)."""
+    art = _art(tmp_path, "ef")
+    corpus = _corpus(spark)
+    build_hnsw_index(
+        corpus, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    exact = exact_cosine_topk(_queries(spark), corpus, k=K).toPandas()
+
+    def recall(ef: int) -> float:
+        res = ann_hnsw_topk_indexed(
+            spark, _queries(spark), art, k=K, ef_search=ef
+        ).toPandas()
+        hit = 0.0
+        for qid, g in exact.groupby("query_id"):
+            truth = set(g["doc_id"])
+            hit += len(truth & set(res[res["query_id"] == qid]["doc_id"])) / len(truth)
+        return hit / exact["query_id"].nunique()
+
+    assert recall(16) <= recall(128) + 1e-9
+    assert recall(128) >= 0.95
+
+
 def test_empty_corpus_build_refused(spark, tmp_path):
     art = _art(tmp_path)
     corpus = _corpus(spark).filter(F.col("vec_id") < 0)
