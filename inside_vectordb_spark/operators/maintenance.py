@@ -1,0 +1,47 @@
+"""One maintenance entry point for every persisted index.
+
+The engine ships per-tier lifecycle operators (build/ensure, O(delta)
+upsert, tombstone delete, compaction); this module is the thin facade
+a user points at an artifact PATH without knowing its tier — the
+``OPTIMIZE <table>`` ergonomics, resolved through the meta.json the
+``_meta_io`` seam owns. Reference anchor: the index caching/rebuild
+economics of ``003-hnswlib_demo.py:234-251``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from inside_vectordb_spark import _meta_io as mio
+
+# meta["kind"] -> compaction implementation
+_COMPACTORS = {
+    "sign_lsh": "inside_vectordb_spark.operators.ann_sign:compact_sign_index",
+    "lexical": "inside_vectordb_spark.operators.lexical_index:compact_lexical_index",
+    "hnsw_vendored": "inside_vectordb_spark.operators.hnsw_index:compact_hnsw_index",
+}
+
+
+def compact_index(spark: SparkSession, path: str) -> dict:
+    """Fold delta artifacts (upsert generations, appended files) and
+    apply tombstones for the index at ``path``, whatever its tier.
+    Raises FileNotFoundError when no complete index exists there and
+    NotImplementedError for tiers whose deltas need no folding (the
+    det-IVF/PQ/SQ/MRL appends are already partition-aligned; a full
+    rebuild via their ``ensure_*`` is their compaction)."""
+    meta = mio.read_json(mio.join(path, "meta.json"))
+    if meta is None:
+        raise FileNotFoundError(f"no complete index at {path}")
+    kind = meta.get("kind")
+    target = _COMPACTORS.get(kind)
+    if target is None:
+        raise NotImplementedError(
+            f"index kind {kind!r} has no delta compaction — its appends "
+            "are partition-aligned; rebuild via its ensure_* to reclaim "
+            "space"
+        )
+    mod_name, fn_name = target.split(":")
+    import importlib
+
+    fn = getattr(importlib.import_module(mod_name), fn_name)
+    return fn(spark, path)

@@ -202,3 +202,29 @@ def test_lexical_compaction_noop_when_single_generation(spark, tmp_path):
     build_lexical_index(docs, art)
     meta = mio.read_json(os.path.join(art, "meta.json"))
     assert compact_lexical_index(spark, art) == meta
+
+
+def test_compact_index_facade_routes_by_kind(spark, tmp_path):
+    from inside_vectordb_spark.operators.maintenance import compact_index
+
+    # sign tier routes
+    art = str(tmp_path / "facade_sign")
+    corpus = _sign_chain(spark, art)
+    before = _sign_search(spark, art, corpus)
+    meta = compact_index(spark, art)
+    assert meta["compacted"] is True
+    pd.testing.assert_frame_equal(before, _sign_search(spark, art, corpus))
+
+    # unknown path fails loudly
+    with pytest.raises(FileNotFoundError):
+        compact_index(spark, str(tmp_path / "nowhere"))
+
+    # a tier without delta compaction says so
+    from inside_vectordb_spark.operators.mrl import build_mrl_sq_index
+
+    art2 = str(tmp_path / "facade_mrlsq")
+    build_mrl_sq_index(
+        eio.load_table(spark, SF_DIR, "embeddings"), art2, prefix_dim=32
+    )
+    with pytest.raises(NotImplementedError, match="partition-aligned"):
+        compact_index(spark, art2)
