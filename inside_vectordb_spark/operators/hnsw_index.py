@@ -375,11 +375,37 @@ def ann_hnsw_topk_indexed(
         # non-finite distances are fewer-than-k-reachable pads
         return out[np.isfinite(dists).ravel()]
 
-    partials = (
-        _read_graph(spark, path, meta)
-        .groupBy("part")
-        .applyInPandas(lambda pdf: search_one(pdf), _PARTIAL_SCHEMA)
-    )
+    # NO shuffle of graph rows: the graph is already partitioned by
+    # ``part`` at rest, but a groupBy("part") would hash-exchange the
+    # ENTIRE index per query batch (caught by the shuffled_payloads
+    # plan audit — at 100 TB that exchange IS the query cost). Each
+    # partition instead gets its own pruned scan coalesced into one
+    # task, whose mapInPandas concatenates its Arrow batches and
+    # searches; the per-part branches union. Only Q×k partial rows
+    # ever reach an exchange (the global merge window).
+    def search_whole_partition(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not pdf.empty:
+            yield search_one(pdf)
+
+    part_rels: dict[str, str] = meta.get("part_rels", {}) or {}
+    base_rel = meta.get("base_rel", "graph")
+    partials = None
+    for p in range(int(meta["n_parts"])):
+        d = os.path.join(path, part_rels.get(str(p), base_rel))
+        if not mio.is_dir(os.path.join(d, f"part={p}")):
+            continue
+        branch = (
+            spark.read.parquet(d)
+            # no cast on the partition column — it would block the
+            # PartitionFilters prune that makes this scan one dir
+            .filter(F.col("part") == p)
+            .coalesce(1)
+            .mapInPandas(search_whole_partition, _PARTIAL_SCHEMA)
+        )
+        partials = branch if partials is None else partials.unionByName(branch)
+    if partials is None:
+        raise FileNotFoundError(f"no graph relations at {path}")
     tomb = mio.join(path, "tombstones")
     if mio.is_dir(tomb):
         partials = partials.join(

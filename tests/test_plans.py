@@ -601,3 +601,28 @@ def test_mrl_coarse_window_group_limit_no_vectors_in_shuffle(spark):
         if part.startswith("hashpartitioning"):
             for col in payload:
                 assert not any(b in col for b in banned), (part, payload)
+
+
+def test_hnsw_indexed_only_partials_shuffle(spark):
+    """Scatter-gather over the stored graph: the only hash exchange
+    carries the Q×k partial triples, never graph rows or vectors."""
+    df = QUERIES["ann_hnsw_vendored_indexed"](spark, SF_DIR)
+    for part, cols in shuffled_payloads(df):
+        if part.startswith("hashpartitioning"):
+            assert set(cols) <= {"query_id", "doc_id", "score"}, (part, cols)
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_mrl_sq_candidates_broadcast_no_vector_shuffle(spark):
+    """The quantized funnel: queries broadcast into the decoded-codes
+    scan, candidates broadcast into the rerank — no exchange ever
+    carries an embedding array."""
+    df = QUERIES["ann_mrl_sq_topk"](spark, SF_DIR)
+    for part, cols in shuffled_payloads(df):
+        if part.startswith("hashpartitioning"):
+            assert not any("embedding" in c or "__cv" in c or "__qv" in c
+                           for c in cols), (part, cols)
+    assert count_in_plan(df, "BroadcastHashJoin") >= 2
+    assert_not_in_plan(df, "CartesianProduct")
+    # WindowGroupLimit pre-trims both stages' windows map-side
+    assert count_in_plan(df, "WindowGroupLimit") >= 2
