@@ -507,23 +507,6 @@ def _upsert_hnsw_locked(
     if not touched:
         return meta
 
-    # tag graph rows vs delta rows in ONE unified relation so each
-    # partition's extension happens inside one task
-    g = graph.filter(F.col("part").isin(touched)).withColumn(
-        "__delta_v", F.lit(None).cast(ArrayType(DoubleType()))
-    )
-    d = delta.filter(F.col("part").isin(touched)).select(
-        "part",
-        F.lit(-2).cast("long").alias("ord"),
-        F.col("doc_id").alias("node_id"),
-        F.lit(-2).cast("int").alias("level"),
-        F.lit(None).cast(ArrayType(LongType())).alias("neighbors"),
-        F.lit(None).cast(ArrayType(DoubleType())).alias("vector"),
-        F.lit(None).cast(StringType()).alias("meta_json"),
-        F.col("v").alias("__delta_v"),
-    )
-    unioned = g.unionByName(d)
-
     def extend_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(columns=[f.name for f in GRAPH_SCHEMA.fields])
@@ -543,9 +526,54 @@ def _upsert_hnsw_locked(
         index.add_items(mat, ids)
         return _index_to_rows(part, index)
 
-    out = unioned.groupBy("part").applyInPandas(
-        lambda pdf: extend_one(pdf), GRAPH_SCHEMA
-    )
+    def extend_whole_partition(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not pdf.empty:
+            yield extend_one(pdf)
+
+    # same no-graph-shuffle shape as the search path: per touched
+    # partition, one pruned graph scan unioned with that partition's
+    # delta rows, coalesced into a single task — graph rows never
+    # cross an exchange during maintenance either (the groupBy form
+    # hash-exchanged every touched partition's whole graph)
+    part_rels0 = dict(meta.get("part_rels", {}) or {})
+    base_rel0 = meta.get("base_rel", "graph")
+    out = None
+    for p in touched:
+        d_rows = delta.filter(F.col("part") == p).select(
+            F.col("part").cast("long").alias("part"),
+            F.lit(-2).cast("long").alias("ord"),
+            F.col("doc_id").alias("node_id"),
+            F.lit(-2).cast("int").alias("level"),
+            F.lit(None).cast(ArrayType(LongType())).alias("neighbors"),
+            F.lit(None).cast(ArrayType(DoubleType())).alias("vector"),
+            F.lit(None).cast(StringType()).alias("meta_json"),
+            F.col("v").alias("__delta_v"),
+        )
+        gdir = os.path.join(path, part_rels0.get(str(p), base_rel0))
+        branch = d_rows
+        if mio.is_dir(os.path.join(gdir, f"part={p}")):
+            g_rows = (
+                spark.read.parquet(gdir)
+                .filter(F.col("part") == p)  # PartitionFilters prune
+                .select(
+                    F.col("part").cast("long").alias("part"),
+                    "ord",
+                    "node_id",
+                    "level",
+                    "neighbors",
+                    "vector",
+                    "meta_json",
+                )
+                .withColumn(
+                    "__delta_v", F.lit(None).cast(ArrayType(DoubleType()))
+                )
+            )
+            branch = g_rows.unionByName(d_rows)
+        branch = branch.coalesce(1).mapInPandas(
+            extend_whole_partition, GRAPH_SCHEMA
+        )
+        out = branch if out is None else out.unionByName(branch)
     rel = _fresh_upsert_rel(path)
     out.write.mode("overwrite").partitionBy("part").parquet(
         os.path.join(path, rel)
