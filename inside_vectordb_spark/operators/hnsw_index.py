@@ -12,36 +12,47 @@ per-partition graph build the scatter-gather tier
 
 Layout (all data parquet, control files via the ``_meta_io`` seam):
 
-    <path>/graph/part=<p>/…   one row per (node, level): internal
-                              insertion index (``ord``), external id,
-                              neighbor ``ord`` list; the level-0 row
-                              carries the L2-NORMALIZED vector; one
-                              header row per partition (level = −1)
-                              carries entry point / max level / RNG
-                              state as JSON
-    <path>/meta.json          params + corpus fingerprint — the
-                              completeness marker, written LAST and
-                              removed FIRST on rebuild/upsert
+    <path>/graph/part=<p>/…   base generation: one row per
+                              (node, level) — internal insertion
+                              index (``ord``), external id, neighbor
+                              ``ord`` list; the level-0 row carries
+                              the L2-NORMALIZED vector; one header
+                              row per partition (level = −1) carries
+                              entry point / max level / RNG state
+    <path>/graph_u<N>/…       upsert generations; meta's
+                              ``part_rels`` names which generation
+                              serves each partition
+    <path>/graph_c<N>/…       compaction generations (``base_rel``)
+    <path>/tombstones/        mark_deleted ids (search filters them;
+                              compaction removes them physically)
+    <path>/meta.json          params + fingerprint + the generation
+                              map — the ATOMIC COMMIT POINT for
+                              every maintenance op; removed first
+                              only on full rebuilds
 
 Scale shape: vectors are routed to ``n_parts`` graph partitions by
 ``pmod(xxhash64(id), n_parts)`` — deterministic, so a delta upsert
 routes to the same partition its full-rebuild twin would. Search is
-scatter-gather: the graph parquet is read with partition pruning
-(only all parts here, but a filtered variant prunes), each partition
-reconstructs its kernel from its own rows inside one task
-(``applyInPandas`` over the partition key), answers the broadcast
-query batch with the ef beam, and only Q×k partial rows cross the
-network for the global window merge. Upserts rewrite ONLY the
-partitions that receive delta rows (dynamic partition overwrite) and
-run O(delta) graph inserts — base nodes are never re-inserted; the
-RNG state stored per partition continues the level-draw stream, so
-load-then-add builds the identical graph an unsaved index would.
+scatter-gather with ZERO graph-row shuffles: each partition gets its
+own PartitionFilters-pruned scan coalesced into one task, whose
+mapInPandas reconstructs the kernel and answers the broadcast query
+batch with the ef beam; only Q×k partial rows reach the global merge
+exchange (plan-pinned in ``tests/test_plans.py``). Upserts rebuild
+ONLY the receiving partitions into a fresh generation dir (same
+no-shuffle shape) with O(delta) graph inserts — base nodes are never
+re-inserted; the stored RNG state continues the level-draw stream, so
+load-then-add builds the identical graph an unsaved index would; the
+meta write commits, superseded dirs survive one commit for in-flight
+readers. Deletes tombstone (nodes keep ROUTING the beam, hnswlib
+semantics); compaction rebuilds partitions from live rows — the
+compacted index is bit-identical to a fresh build over them.
 
 Graph builds are insertion-order dependent (true of hnswlib too), so
 this tier is rows-only at the driver; determinism (same corpus, same
-params → same graph → same results) and the stored==fresh and
-load-then-add==never-saved contracts are pinned in
-``tests/test_hnsw_index.py``, and recall vs exact is floor-asserted.
+params → same graph → same results), stored==fresh,
+load-then-add==never-saved, compacted==rebuild, and the maintenance
+contracts are pinned in ``tests/test_hnsw_index.py``, and recall vs
+exact is floor-asserted.
 """
 
 from __future__ import annotations
