@@ -32,6 +32,11 @@ COLLECT_BUDGET = {
     "operators/ann_sign.py": 7,       # probed-cid lists (≤ |Q|·n_probe), 1-row meta
     "operators/bm25.py": 1,           # 1-row corpus stats literal (N, avgdl)
     "operators/compare.py": 2,        # per-method 1-row metric tables
+    "operators/hnsw_index.py": 3,     # |Q|-row query matrix (broadcast
+                                      # contract, as topk.py); delta's
+                                      # distinct part keys (≤ n_parts);
+                                      # tombstone id set (≤ deletes,
+                                      # mark_deleted contract)
     "operators/ivfpq_det.py": 1,      # probed-cid list (≤ |Q|·n_probe)
     "operators/lexical_index.py": 4,  # 1-row stats + per-bucket offset rows
     "operators/partitioned_ann.py": 1,  # per-partition top-k merge (≤ parts·Q·k)
