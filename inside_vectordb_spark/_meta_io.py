@@ -42,6 +42,19 @@ def artifacts_root() -> str:
     return os.path.abspath(os.path.join(os.path.dirname(pkg), ".artifacts"))
 
 
+def art_path(kind: str, sf_dir: str) -> str:
+    """THE ``<root>/<kind>/<sf-basename>`` artifact-dir derivation
+    (review r9-3). Every module that SHARES a persisted index keyed
+    by (tier kind, dataset) must derive the path here — compare.py's
+    ``_sign_art`` comment documented the failure mode (a divergent
+    copy silently rebuilds its own index instead of reusing the one
+    the registry built); this removes the copies instead of warning
+    about them."""
+    return os.path.join(
+        artifacts_root(), kind, os.path.basename(sf_dir.rstrip("/")) or "default"
+    )
+
+
 def exists(path: str) -> bool:
     return os.path.exists(path)
 

@@ -66,6 +66,14 @@ def _shingle_expr_over(toks: Column, n: int, distinct: bool) -> Column:
         ),
     )
     body = F.array_distinct(grams) if distinct else grams
+    if n == 1:
+        # the phantom-''-token guard (see word_ngram_stream's
+        # docstring) lives in the ONE shared expression: review r9-1
+        # put it only in the hoisted stream, so the column form still
+        # emitted gram='' for empty text at n=1 — the exact
+        # column-vs-stream drift this helper exists to prevent
+        # (caught by the word_ngram_stream hypothesis property)
+        body = F.array_remove(body, "")
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(body)
 
 
@@ -112,9 +120,9 @@ def word_ngram_stream(
     widths = (n, *extra_ns)
     streams = []
     for w in widths:
+        # the n=1 phantom-'' guard lives inside _shingle_expr_over,
+        # shared with the word_shingles column form
         sh = _shingle_expr_over(toks, w, distinct)
-        if w == 1:
-            sh = F.array_remove(sh, "")
         cols = [F.col("__id").alias(id_col)]
         if with_count:
             cols.append(F.size(sh).alias("n_grams"))

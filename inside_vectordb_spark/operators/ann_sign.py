@@ -158,6 +158,21 @@ def ensure_sign_index(
     return path
 
 
+def pruned_lists(spark: SparkSession, path: str, probes: DataFrame) -> DataFrame:
+    """The IVF inverted-lists scan pruned to the probed centroids:
+    collect the distinct probed cid set (≤ |queries| × n_probe rows —
+    the audited driver-size contract) and filter the cid-partitioned
+    parquet with literal values, so unprobed list partitions cost
+    zero I/O (PartitionFilters, the FAISS nprobe economics). Shared
+    by both det-IVF indexed searches and the registry's probe sweep
+    (review r9-3: the sweep read 100% of the lists to use at most
+    |Q|·4 of them)."""
+    probed = sorted({r["cid"] for r in probes.select("cid").distinct().collect()})
+    return spark.read.parquet(os.path.join(path, "lists")).filter(
+        F.col("cid").isin(probed)
+    )
+
+
 def _index_scan(spark: SparkSession, path: str, probed: list[int]) -> DataFrame:
     """The pruned (id, bucket) scan every sign-LSH search shares:
     partition-pruned to the probed buckets, with tombstoned ids
@@ -1047,11 +1062,7 @@ def ann_ivf_det_topk_indexed(
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qv", "cid")
     )
-    probed = sorted({r["cid"] for r in probes.select("cid").distinct().collect()})
-    lists = (
-        spark.read.parquet(os.path.join(path, "lists"))
-        .filter(F.col("cid").isin(probed))
-    )
+    lists = pruned_lists(spark, path, probes)
     cand = probes.join(lists, "cid").select("query_id", "__qv", "doc_id")
     withvec = cand.join(
         corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__dv")),
@@ -1233,11 +1244,7 @@ def ann_ivf_km_topk_indexed(
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qv", "cid")
     )
-    probed = sorted({r["cid"] for r in probes.select("cid").distinct().collect()})
-    lists = (
-        spark.read.parquet(os.path.join(path, "lists"))
-        .filter(F.col("cid").isin(probed))
-    )
+    lists = pruned_lists(spark, path, probes)
     cand = probes.join(lists, "cid").select("query_id", "__qv", "doc_id")
     withvec = cand.join(
         corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__dv")),

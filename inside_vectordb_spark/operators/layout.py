@@ -62,7 +62,15 @@ def zorder_write(
     def scaled(c: str, lo, hi) -> Column:
         if hi == lo:
             return F.lit(0)
-        return ((F.col(c) - F.lit(lo)) * span / (F.lit(hi) - F.lit(lo))).cast("long")
+        # the (col - lo) difference must leave integer domain BEFORE
+        # the * span multiply: for a bigint column spanning more than
+        # ~2^63/span (epoch-microsecond timestamps over a few years),
+        # the long-domain product wraps and the Morton key interleaves
+        # garbage bits — files stop covering compact tiles and the
+        # min-max skipping this operator exists for is silently
+        # destroyed (review r9-3)
+        delta = (F.col(c) - F.lit(lo)).cast("double")
+        return (delta * span / (F.lit(hi) - F.lit(lo)).cast("double")).cast("long")
 
     keyed = df.withColumn(
         "__z", morton_key(scaled(col_x, lo_x, hi_x), scaled(col_y, lo_y, hi_y), bits)

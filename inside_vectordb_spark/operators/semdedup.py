@@ -142,25 +142,34 @@ def semantic_dedup_dropped(
     vec_col: str = "embedding",
     n_clusters: int | None = None,
 ) -> DataFrame:
-    """(doc_id, kept_twin, cid, sim): one row per DROPPED document —
+    """(doc_id, senior_twin, cid, sim): one row per DROPPED document —
     its lowest-id senior near-twin as the witness (ties on witness id
     resolve to that witness's pair cosine). Survivors are the
-    complement; the greedy-seniority rule means a doc survives iff no
-    lower-id in-cluster near-twin exists."""
+    complement; the seniority rule means a doc survives iff no
+    lower-id in-cluster near-twin exists — the public SemDeDup
+    reference implementation's upper-triangular rule, under which a
+    doc is dropped when ANY senior doc is within threshold, even one
+    that was itself dropped. The witness is therefore the drop CAUSE,
+    not necessarily a kept doc (review r9-3 renamed it from the
+    misleading ``kept_twin``): in a chain 1~2, 2~3, 1≁3, doc 3's
+    witness is doc 2, which doc 1 displaced. Consumers that need a
+    surviving representative should resolve the witness chain to its
+    root (the root has no senior twin, hence IS kept) via
+    ``near_dup_clusters``-style pointer jumping."""
     pairs = semantic_dedup_pairs(emb, threshold, id_col, vec_col, n_clusters)
     return (
         pairs.select(
             F.col("doc_b").alias("doc_id"),
             F.col("cid"),
             F.struct(
-                F.col("doc_a").alias("kept_twin"), F.col("sim").alias("sim")
+                F.col("doc_a").alias("senior_twin"), F.col("sim").alias("sim")
             ).alias("__w"),
         )
         .groupBy("doc_id", "cid")
         .agg(F.min("__w").alias("__best"))
         .select(
             "doc_id",
-            F.col("__best.kept_twin").alias("kept_twin"),
+            F.col("__best.senior_twin").alias("senior_twin"),
             "cid",
             F.col("__best.sim").alias("sim"),
         )

@@ -29,6 +29,37 @@ def _idx_path(kind: str, sf_dir: str) -> str:
     sf = os.path.basename(sf_dir.rstrip("/")) or "default"
     return os.path.join(_ART, "index", f"{kind}_{sf}")
 
+
+def _rebuild_if_stale(art, want, rebuild, meta_stale=None):
+    """ONE staleness gate for the upsert/lifecycle registry entries
+    (review r9-3). Eight hand-rolled read-meta/compare/remove_tree/
+    rebuild blocks had drifted in WHICH keys they compare — the hnsw
+    lifecycle checked none of its build knobs, so retuning m or the
+    delete set silently served the stale graph on a rows-only tier
+    (nothing downstream can catch that: no oracle hash). The full
+    recipe — every knob, split rule, delete set, and the corpus
+    fingerprint the entry depends on — is recorded in a
+    registry-owned sidecar at rebuild time; staleness = sidecar !=
+    want (exact compare: the sidecar IS the recipe, so adding a knob
+    to `want` rebuilds once and is then tracked forever), or meta
+    absent/torn, or an optional tier-specific meta predicate
+    (compaction markers, tombstone-dir absence). The sidecar is
+    written only AFTER a successful rebuild, so a crash mid-rebuild
+    reads as stale, never as current."""
+    import json as _json
+
+    meta = mio.read_json(mio.join(art, "meta.json"))
+    want_j = _json.loads(_json.dumps(want))  # tuple/int normalization
+    stale = (
+        meta is None
+        or mio.read_json(mio.join(art, "recipe.json")) != want_j
+        or (meta_stale is not None and meta_stale(meta))
+    )
+    if stale:
+        mio.remove_tree(art)
+        rebuild()
+        mio.write_json(mio.join(art, "recipe.json"), want_j)
+
 EMB_DIM = 64  # driver testdata embedding dimension
 
 # Knob choice: the driver's synthetic embeddings are near-uniform
@@ -182,14 +213,17 @@ def ann_ivf_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cache check against the FULL corpus: a maintained index whose
     # merged fingerprint equals the full-corpus fingerprint is
     # current; anything else is rebuilt base-then-delta.
-    want = {
-        "kind": "ivf", "n_centroids": 16, "seed": 42,
-        "corpus": _corpus_fingerprint(corpus, "vec_id"),
-    }
-    meta = _read_meta(path)
-    if meta is None or any(meta.get(k) != v for k, v in want.items()):
-        build_ivf_index(base, path, n_centroids=16, seed=42)
-        upsert_ivf_index(delta, path)
+    _rebuild_if_stale(
+        path,
+        {
+            "kind": "ivf", "n_centroids": 16, "seed": 42, "base_mod": [5, 0],
+            "corpus": _corpus_fingerprint(corpus, "vec_id"),
+        },
+        lambda: (
+            build_ivf_index(base, path, n_centroids=16, seed=42),
+            upsert_ivf_index(delta, path),
+        ),
+    )
     return ann_ivf_topk_indexed(
         eio.query_vectors(spark, sf_dir), corpus, path, k=10, n_probe=8
     )
@@ -233,11 +267,7 @@ def ann_hnsw_vendored_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_hnsw_index,
     )
 
-    art = os.path.join(
-        mio.artifacts_root(),
-        "hnsw_vendored",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("hnsw_vendored", sf_dir)
     ensure_hnsw_index(
         eio.load_table(spark, sf_dir, "embeddings"),
         art,
@@ -275,22 +305,10 @@ def ann_hnsw_vendored_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     corpus = eio.load_table(spark, sf_dir, "embeddings")
-    art = os.path.join(
-        mio.artifacts_root(),
-        "hnsw_lifecycle",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
-    meta = mio.read_json(mio.join(art, "meta.json"))
+    art = mio.art_path("hnsw_lifecycle", sf_dir)
     from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
 
-    fp_all = _corpus_fingerprint(corpus, "vec_id")
-    if (
-        meta is None
-        or not str(meta.get("base_rel", "")).startswith("graph_c")
-        or meta.get("corpus") != fp_all
-        or mio.is_dir(mio.join(art, "tombstones"))
-    ):
-        mio.remove_tree(art)
+    def _rebuild():
         base = corpus.filter(F.col("vec_id") % 5 != 0)
         delta = corpus.filter(F.col("vec_id") % 5 == 0)
         build_hnsw_index(
@@ -299,6 +317,25 @@ def ann_hnsw_vendored_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame
         upsert_hnsw_index(spark, delta, art)
         delete_from_hnsw_index(spark, art, list(_SIGN_DELETED_IDS))
         compact_hnsw_index(spark, art)
+
+    # the recipe captures every build knob AND the delete set (review
+    # r9-3: the old check compared none of them — retuning m or the
+    # deleted ids silently served the stale graph on this rows-only
+    # tier); base_rel prefix + tombstone absence stay structural
+    _rebuild_if_stale(
+        art,
+        {
+            "m": 16, "ef_construction": 100, "n_parts": 4, "seed": 42,
+            "dim": EMB_DIM, "base_mod": [5, 0],
+            "deleted": sorted(_SIGN_DELETED_IDS),
+            "corpus": _corpus_fingerprint(corpus, "vec_id"),
+        },
+        _rebuild,
+        meta_stale=lambda m: (
+            not str(m.get("base_rel", "")).startswith("graph_c")
+            or mio.is_dir(mio.join(art, "tombstones"))
+        ),
+    )
     return ann_hnsw_topk_indexed(
         spark, eio.query_vectors(spark, sf_dir), art, k=10, ef_search=128
     )
@@ -490,11 +527,7 @@ def ann_signlsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stochastic-build parity story."""
     import os
 
-    art = os.path.join(
-        mio.artifacts_root(),
-        "ann_sign",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("ann_sign", sf_dir)
     return ann_sign_topk_indexed(
         spark,
         eio.query_vectors(spark, sf_dir),
@@ -523,11 +556,7 @@ def ann_signlsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit flip — the X3 recall/cost knob, fully oracle-backed."""
     import os
 
-    art = os.path.join(
-        mio.artifacts_root(),
-        "ann_sign",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("ann_sign", sf_dir)
     return ann_sign_multiprobe_topk(
         spark,
         eio.query_vectors(spark, sf_dir),
@@ -580,11 +609,7 @@ def ann_signlsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from inside_vectordb_spark.operators.ann_sign import ann_sign_probe_sweep
 
-    art = os.path.join(
-        mio.artifacts_root(),
-        "ann_sign",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("ann_sign", sf_dir)
     q = eio.query_vectors(spark, sf_dir)
     c = eio.load_table(spark, sf_dir, "embeddings")
     return ann_sign_probe_sweep(spark, q, c, art)
@@ -608,11 +633,7 @@ def ann_signlsh_bits10(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator — not just the Spark side."""
     import os
 
-    art = os.path.join(
-        mio.artifacts_root(),
-        "ann_sign_b10",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("ann_sign_b10", sf_dir)
     return ann_sign_topk_indexed(
         spark,
         eio.query_vectors(spark, sf_dir),
@@ -651,29 +672,26 @@ def ann_signlsh_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = eio.load_table(spark, sf_dir, "embeddings")
     base = corpus.filter(F.col("vec_id") % 5 != 4)
     delta = corpus.filter(F.col("vec_id") % 5 == 4)
-    art = os.path.join(
-        mio.artifacts_root(),
-        "ann_sign_upsert",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("ann_sign_upsert", sf_dir)
     # current iff the merged fingerprint equals the FULL corpus's —
-    # else rebuild base-then-delta (same cache rule as the IVF twin).
-    # SUBSET compare against the module constants, not dict equality
-    # against literals (review r7): a SIGN_BITS/SIGN_DIM default
-    # change (or any future lifecycle key in meta) would otherwise
-    # make every invocation a silent full rebuild — the exact
-    # cache-defeat the ensure_* fixes closed in r6s2.
+    # else rebuild base-then-delta (same cache rule as the IVF twin);
+    # recipe keyed on the module constants so a SIGN_BITS/SIGN_DIM
+    # default change rebuilds exactly once (review r7 rule, now via
+    # the shared gate)
     from inside_vectordb_spark.operators.ann_sign import SIGN_BITS, SIGN_DIM
 
-    want = {
-        "kind": "sign_lsh", "bits": SIGN_BITS, "dim": SIGN_DIM,
-        "corpus": _corpus_fingerprint(corpus, "vec_id"),
-    }
-    have = mio.read_json(mio.join(art, "meta.json")) or {}
-    if any(have.get(k) != v for k, v in want.items()):
-        mio.remove_tree(art)
-        ensure_sign_index(spark, base, art)
-        upsert_sign_index(spark, delta, art)
+    _rebuild_if_stale(
+        art,
+        {
+            "kind": "sign_lsh", "bits": SIGN_BITS, "dim": SIGN_DIM,
+            "base_mod": [5, 4],
+            "corpus": _corpus_fingerprint(corpus, "vec_id"),
+        },
+        lambda: (
+            ensure_sign_index(spark, base, art),
+            upsert_sign_index(spark, delta, art),
+        ),
+    )
     return ann_sign_topk_indexed(
         spark,
         eio.query_vectors(spark, sf_dir),
@@ -709,11 +727,7 @@ def ann_signlsh_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = eio.load_table(spark, sf_dir, "embeddings")
-    art = os.path.join(
-        mio.artifacts_root(),
-        "ann_sign_del",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("ann_sign_del", sf_dir)
     ensure_sign_index(spark, corpus, art)
     delete_from_sign_index(spark, art, list(_SIGN_DELETED_IDS))
     return ann_sign_topk_indexed(
@@ -749,32 +763,33 @@ def ann_signlsh_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = eio.load_table(spark, sf_dir, "embeddings")
-    art = os.path.join(
-        mio.artifacts_root(),
-        "ann_sign_compact",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("ann_sign_compact", sf_dir)
     # cache rule: the artifact must carry compaction's own commit
     # marker (meta["compacted"] — an ensure-triggered full rebuild
     # rewrites meta WITHOUT it, so a plain index can never
-    # impersonate the lifecycle artifact), fingerprint the full
-    # ingest lineage (base ∪ delta = the whole corpus; compaction
-    # never changes the lineage identity), and have no tombstone dir
-    meta = mio.read_json(mio.join(art, "meta.json"))
-    fp_all = _corpus_fingerprint(corpus, "vec_id")
-    if (
-        meta is None
-        or not meta.get("compacted")
-        or meta.get("corpus") != fp_all
-        or mio.is_dir(mio.join(art, "tombstones"))
-    ):
-        mio.remove_tree(art)
+    # impersonate the lifecycle artifact), match the recipe
+    # (fingerprint of the full ingest lineage — base ∪ delta = the
+    # whole corpus; compaction never changes the lineage identity —
+    # plus the split rule and delete set), and have no tombstone dir
+    def _rebuild_compacted():
         base = corpus.filter(F.col("vec_id") % 4 != 1)
         delta = corpus.filter(F.col("vec_id") % 4 == 1)
         ensure_sign_index(spark, base, art)
         upsert_sign_index(spark, delta, art)
         delete_from_sign_index(spark, art, list(_SIGN_DELETED_IDS))
         compact_sign_index(spark, art)
+
+    _rebuild_if_stale(
+        art,
+        {
+            "base_mod": [4, 1], "deleted": sorted(_SIGN_DELETED_IDS),
+            "corpus": _corpus_fingerprint(corpus, "vec_id"),
+        },
+        _rebuild_compacted,
+        meta_stale=lambda m: (
+            not m.get("compacted") or mio.is_dir(mio.join(art, "tombstones"))
+        ),
+    )
     return ann_sign_topk_indexed(
         spark,
         eio.query_vectors(spark, sf_dir),
@@ -849,11 +864,7 @@ def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.operators.ann_sign import ensure_sign_index
 
     corpus = eio.load_table(spark, sf_dir, "embeddings")
-    art = os.path.join(
-        mio.artifacts_root(),
-        "ann_sign",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("ann_sign", sf_dir)
     ensure_sign_index(spark, corpus, art)
     sz = (
         spark.read.parquet(os.path.join(art, "buckets"))
@@ -896,11 +907,7 @@ def ann_signlsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL DuckDB oracle."""
     import os
 
-    art = os.path.join(
-        mio.artifacts_root(),
-        "ann_sign",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("ann_sign", sf_dir)
     from inside_vectordb_spark.operators.ann_sign import ann_sign_topk_indexed
 
     return ann_sign_topk_indexed(
@@ -1072,12 +1079,14 @@ def ann_ivf_det_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = corpus.filter((F.col("vec_id") % 37) != 5)
     delta = corpus.filter((F.col("vec_id") % 37) == 5)
     art = _idx_path("ivf_det_upsert", sf_dir)
-    meta = mio.read_json(mio.join(art, "meta.json"))
-    want_fp = _corpus_fingerprint(corpus, "vec_id")
-    if meta is None or meta.get("corpus") != want_fp:
-        mio.remove_tree(art)
-        ensure_ivf_det_index(spark, base, art)
-        upsert_ivf_det_index(spark, delta, art)
+    _rebuild_if_stale(
+        art,
+        {"base_mod": [37, 5], "corpus": _corpus_fingerprint(corpus, "vec_id")},
+        lambda: (
+            ensure_ivf_det_index(spark, base, art),
+            upsert_ivf_det_index(spark, delta, art),
+        ),
+    )
     return ann_ivf_det_topk_indexed(
         spark, eio.query_vectors(spark, sf_dir), corpus, art, k=10, n_probe=4
     )
@@ -1226,7 +1235,6 @@ def ann_ivf_det_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__pc", F.round(cosine_similarity("__qv", "__cv"), 6))
         .withColumn("__rn", F.row_number().over(pw))
     )
-    lists = spark.read.parquet(os.path.join(path, "lists"))
     vecs = corpus.select(
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("__dv")
     )
@@ -1238,6 +1246,12 @@ def ann_ivf_det_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ranked.filter(F.col("__rn") <= 4).select(
         "query_id", "__qv", "cid", "__rn"
     )
+    # prune the lists scan to the probed cids like the indexed
+    # search does (review r9-3: the unfiltered read scanned every
+    # list partition to use at most |Q|·4 of them)
+    from inside_vectordb_spark.operators.ann_sign import pruned_lists
+
+    lists = pruned_lists(spark, path, probes)
     cand = probes.join(lists, "cid").join(vecs, "doc_id")
     per = cand.rollup("query_id", "__rn").agg(
         F.count("*").alias("n_candidates"),
@@ -1434,12 +1448,14 @@ def ann_pq_det_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = corpus.filter((F.col("vec_id") % 29) != 5)
     delta = corpus.filter((F.col("vec_id") % 29) == 5)
     art = _idx_path("pq_det_upsert", sf_dir)
-    meta = mio.read_json(mio.join(art, "meta.json"))
-    want_fp = _corpus_fingerprint(corpus, "vec_id")
-    if meta is None or meta.get("corpus") != want_fp:
-        mio.remove_tree(art)
-        ensure_pq_det_index(spark, base, art)
-        upsert_pq_det_index(spark, delta, art)
+    _rebuild_if_stale(
+        art,
+        {"base_mod": [29, 5], "corpus": _corpus_fingerprint(corpus, "vec_id")},
+        lambda: (
+            ensure_pq_det_index(spark, base, art),
+            upsert_pq_det_index(spark, delta, art),
+        ),
+    )
     return ann_pq_det_topk_indexed(
         spark, eio.query_vectors(spark, sf_dir), corpus, art, k=10
     )
@@ -1803,12 +1819,14 @@ def ann_ivf_km_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = corpus.filter((F.col("vec_id") % 37) != 5)
     delta = corpus.filter((F.col("vec_id") % 37) == 5)
     art = _idx_path("ivf_km_upsert", sf_dir)
-    meta = mio.read_json(mio.join(art, "meta.json"))
-    want_fp = _corpus_fingerprint(corpus, "vec_id")
-    if meta is None or meta.get("corpus") != want_fp:
-        mio.remove_tree(art)
-        ensure_ivf_km_index(spark, base, art)
-        upsert_ivf_km_index(spark, delta, art)
+    _rebuild_if_stale(
+        art,
+        {"base_mod": [37, 5], "corpus": _corpus_fingerprint(corpus, "vec_id")},
+        lambda: (
+            ensure_ivf_km_index(spark, base, art),
+            upsert_ivf_km_index(spark, delta, art),
+        ),
+    )
     return ann_ivf_km_topk_indexed(
         spark, eio.query_vectors(spark, sf_dir), corpus, art, k=10, n_probe=4
     )
@@ -2072,16 +2090,14 @@ def ann_mrl_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.operators.mrl import MRL_PREFIX_DIM
 
     art = _idx_path("mrl_upsert", sf_dir)
-    meta = mio.read_json(mio.join(art, "meta.json"))
-    want_fp = _corpus_fingerprint(corpus, "vec_id")
-    if (
-        meta is None
-        or meta.get("corpus") != want_fp
-        or meta.get("prefix_dim") != MRL_PREFIX_DIM
-    ):
-        mio.remove_tree(art)
-        build_mrl_index(base, art)
-        upsert_mrl_index(delta, art)
+    _rebuild_if_stale(
+        art,
+        {
+            "base_mod": [37, 5], "prefix_dim": MRL_PREFIX_DIM,
+            "corpus": _corpus_fingerprint(corpus, "vec_id"),
+        },
+        lambda: (build_mrl_index(base, art), upsert_mrl_index(delta, art)),
+    )
     return ann_mrl_topk_indexed(
         eio.query_vectors(spark, sf_dir), corpus, art, k=10
     )

@@ -42,16 +42,13 @@ _K = 10
 
 
 def _sign_art(sf_dir: str) -> str:
-    # the ONE artifacts-root derivation (review r7): this path must
-    # resolve identically to registry/ann.py's, or compare would
-    # silently rebuild its own copy of the persisted sign-LSH index
+    # must resolve identically to registry/ann.py's derivation, or
+    # compare silently rebuilds its own copy of the persisted
+    # sign-LSH index — so both now call the ONE shared helper
+    # (review r7 warned; review r9-3 removed the copies)
     from inside_vectordb_spark import _meta_io as mio
 
-    return os.path.join(
-        mio.artifacts_root(),
-        "ann_sign",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    return mio.art_path("ann_sign", sf_dir)
 
 
 def _method_topks(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

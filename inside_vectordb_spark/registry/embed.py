@@ -325,11 +325,7 @@ def similarity_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark import _meta_io as mio
     from inside_vectordb_spark.operators.similarity import similarity_join
 
-    art = os.path.join(
-        mio.artifacts_root(),
-        "ann_sign",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("ann_sign", sf_dir)
     return similarity_join(
         spark,
         eio.query_vectors(spark, sf_dir),

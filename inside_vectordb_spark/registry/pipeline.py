@@ -2145,11 +2145,7 @@ def bm25_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = eio.load_table(spark, sf_dir, "documents")
-    art = os.path.join(
-        mio.artifacts_root(),
-        "lexical",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("lexical", sf_dir)
     ensure_lexical_index(docs, art)
     toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
     queries = docs.filter(F.col("doc_id") < 6).select(
@@ -2176,11 +2172,7 @@ def tfidf_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = eio.load_table(spark, sf_dir, "documents")
-    art = os.path.join(
-        mio.artifacts_root(),
-        "lexical",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("lexical", sf_dir)
     ensure_lexical_index(docs, art)
     toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
     queries = docs.filter(F.col("doc_id") < 6).select(
@@ -2241,10 +2233,8 @@ def hybrid_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_lexical_index,
     )
 
-    root = mio.artifacts_root()
-    sf = os.path.basename(sf_dir.rstrip("/")) or "default"
     docs = eio.load_table(spark, sf_dir, "documents")
-    lex_art = os.path.join(root, "lexical", sf)
+    lex_art = mio.art_path("lexical", sf_dir)
     ensure_lexical_index(docs, lex_art)
     toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
     tqueries = docs.filter(F.col("doc_id") < 6).select(
@@ -2257,7 +2247,7 @@ def hybrid_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vqueries = emb.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    sign_art = os.path.join(root, "ann_sign", sf)
+    sign_art = mio.art_path("ann_sign", sf_dir)
     vec_run = ann_sign_topk_indexed(
         spark, vqueries, emb, sign_art, k=50, query_id_col="query_id"
     )
@@ -2293,11 +2283,7 @@ def bm25_upsert_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = eio.load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 5 != 2)
     delta = docs.filter(F.col("doc_id") % 5 == 2)
-    art = os.path.join(
-        mio.artifacts_root(),
-        "lexical_upsert",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("lexical_upsert", sf_dir)
     meta = mio.read_json(mio.join(art, "meta.json"))
     want_fp = _corpus_fingerprint(docs, "doc_id", content_col="text")
     if (
@@ -2346,11 +2332,7 @@ def bm25_compacted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = eio.load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 5 != 2)
     delta = docs.filter(F.col("doc_id") % 5 == 2)
-    art = os.path.join(
-        mio.artifacts_root(),
-        "lexical_compact",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    art = mio.art_path("lexical_compact", sf_dir)
     meta = mio.read_json(mio.join(art, "meta.json"))
     want_fp = _corpus_fingerprint(docs, "doc_id", content_col="text")
     if (
@@ -2403,7 +2385,7 @@ _SEMDEDUP_ORACLE = f"""
                  row_number() OVER (PARTITION BY doc_b, cid
                                     ORDER BY doc_a, sim) AS rn
           FROM f)
-    SELECT doc_id, doc_a AS kept_twin, cid, sim FROM d WHERE rn = 1
+    SELECT doc_id, doc_a AS senior_twin, cid, sim FROM d WHERE rn = 1
 """
 
 
@@ -2412,9 +2394,11 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-level near-duplicate
     removal — catches paraphrases/templated rewrites that lexical
     MinHash/SimHash miss. Deterministic quantizer shards the quadratic
-    pairwise pass per cluster (the paper's own k-means trick), greedy
-    min-id keeper; one row per dropped doc with its kept near-twin
-    witness. Fully oracle-backed end to end
+    pairwise pass per cluster (the paper's own k-means trick),
+    upper-triangular min-id seniority rule; one row per dropped doc
+    with its lowest-id senior near-twin as the drop-cause witness
+    (which may itself be dropped — see semantic_dedup_dropped's
+    docstring). Fully oracle-backed end to end
     (operators/semdedup.py)."""
     from inside_vectordb_spark.operators.semdedup import semantic_dedup_dropped
 

@@ -285,11 +285,7 @@ def snapshot_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = eio.load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    root = os.path.join(
-        mio.artifacts_root(),
-        "stream_merge",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    root = mio.art_path("stream_merge", sf_dir)
     snap = os.path.join(root, "snapshot")
     inbox = os.path.join(root, "inbox")
     # the query IS the full ingest story; reset state each run so the
@@ -353,11 +349,7 @@ def ann_signlsh_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.streaming.events import run_upsert_to_sign_index
 
     emb = eio.load_table(spark, sf_dir, "embeddings")
-    root = os.path.join(
-        mio.artifacts_root(),
-        "stream_sign_upsert",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    root = mio.art_path("stream_sign_upsert", sf_dir)
     art = os.path.join(root, "index")
     inbox = os.path.join(root, "inbox")
     mio.remove_tree(root)
@@ -427,11 +419,7 @@ def minhash_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = eio.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    root = os.path.join(
-        mio.artifacts_root(),
-        "stream_neardup",
-        os.path.basename(sf_dir.rstrip("/")) or "default",
-    )
+    root = mio.art_path("stream_neardup", sf_dir)
     band_store = os.path.join(root, "bands")
     pairs_store = os.path.join(root, "pairs")
     inbox = os.path.join(root, "inbox")

@@ -29,7 +29,9 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 COLLECT_BUDGET = {
     "operators/ann.py": 1,            # k-row centroid table (bounded k)
     "operators/ann_index.py": 7,      # meta fingerprints (1-row aggs), k-row centroids
-    "operators/ann_sign.py": 7,       # probed-cid lists (≤ |Q|·n_probe), 1-row meta
+    "operators/ann_sign.py": 6,       # probed-cid lists (≤ |Q|·n_probe), 1-row
+                                      # meta; two det-IVF copies folded into
+                                      # the shared pruned_lists (review r9-3)
     "operators/bm25.py": 1,           # 1-row corpus stats literal (N, avgdl)
     "operators/compare.py": 2,        # per-method 1-row metric tables
     "operators/hnsw_index.py": 3,     # |Q|-row query matrix (broadcast

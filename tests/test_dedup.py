@@ -19,8 +19,8 @@ def test_semantic_dedup_greedy_seniority(spark):
         by_b.setdefault(r.doc_b, []).append(r.doc_a)
     assert {r.doc_id for r in dropped} == set(by_b)
     for r in dropped:
-        assert r.kept_twin == min(by_b[r.doc_id])
-        assert r.kept_twin < r.doc_id
+        assert r.senior_twin == min(by_b[r.doc_id])
+        assert r.senior_twin < r.doc_id
 
 
 def test_semantic_dedup_cluster_knob_shrinks_pair_stage(spark):

@@ -79,3 +79,55 @@ def test_hash_embed_memo_identical_output():
     # memoized rows are consistent: same tokens → proportional counts
     assert np.array_equal(mat[0], mat[1] + mat[1] + (mat[0] - 2 * mat[1]))
     assert mat[2].sum() == 0
+
+
+def test_rebuild_if_stale_recipe_gate(tmp_path):
+    """Review r9-3: the shared staleness gate rebuilds when ANY
+    recipe key changes (the hnsw lifecycle's hand-rolled check
+    compared none of its build knobs — a retune silently served the
+    stale graph on a rows-only tier), and records the recipe only
+    AFTER a successful rebuild so a crash reads as stale."""
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.registry.ann import _rebuild_if_stale
+
+    art = str(tmp_path / "art")
+    calls = []
+
+    def rebuild(meta=None):
+        calls.append(1)
+        mio.write_json(mio.join(art, "meta.json"), meta or {"kind": "t"})
+
+    _rebuild_if_stale(art, {"m": 16, "deleted": [5, 7]}, rebuild)
+    assert len(calls) == 1
+    # same recipe → cached
+    _rebuild_if_stale(art, {"m": 16, "deleted": [5, 7]}, rebuild)
+    assert len(calls) == 1
+    # tuple-vs-list normalization: (5, 7) == [5, 7] after round-trip
+    _rebuild_if_stale(art, {"m": 16, "deleted": (5, 7)}, rebuild)
+    assert len(calls) == 1
+    # any knob change → rebuild
+    _rebuild_if_stale(art, {"m": 32, "deleted": [5, 7]}, rebuild)
+    assert len(calls) == 2
+    # delete-set change → rebuild
+    _rebuild_if_stale(art, {"m": 32, "deleted": [5, 7, 11]}, rebuild)
+    assert len(calls) == 3
+    # meta_stale predicate forces a rebuild even with a current recipe
+    _rebuild_if_stale(
+        art, {"m": 32, "deleted": [5, 7, 11]}, rebuild,
+        meta_stale=lambda m: True,
+    )
+    assert len(calls) == 4
+    # a rebuild that fails must NOT record the recipe
+
+    def failing():
+        calls.append(1)
+        raise RuntimeError("boom")
+
+    try:
+        _rebuild_if_stale(art, {"m": 64}, failing)
+    except RuntimeError:
+        pass
+    assert len(calls) == 5
+    # next call with the same recipe sees stale (no sidecar) and retries
+    _rebuild_if_stale(art, {"m": 64}, rebuild)
+    assert len(calls) == 6

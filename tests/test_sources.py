@@ -161,6 +161,64 @@ def test_zorder_layout_skipping_property(spark, tmp_path):
     assert mean_spread(zpath, "hod") < 0.75 * mean_spread(upath, "hod")
 
 
+def test_zorder_wide_range_bigint_no_overflow(spark, tmp_path):
+    """Regression (review r9-3): a bigint key whose range exceeds
+    ~2^63/65535 (epoch-MICROSECOND timestamps spanning a few years)
+    overflowed the integer-domain (col - lo) * span multiply, so the
+    Morton key interleaved garbage bits and the files silently
+    stopped covering compact tiles. The scaled() difference now
+    leaves integer domain before the multiply; the skipping property
+    must hold at this range too."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    # 4 years of epoch-microseconds: range ≈ 1.26e14, * 65535 ≈ 8.3e18
+    # — just past 2^63 ≈ 9.2e18 with any value headroom, and far past
+    # it for longer spans; use 8 years to be decisive (wraps for sure)
+    base = 1_600_000_000_000_000
+    span_us = 8 * 365 * 24 * 3600 * 1_000_000
+    step = span_us // 4096
+    df = (
+        spark.range(0, 4096)
+        .select(
+            # a permutation of the id space spread across the FULL
+            # 8-year span (the range, not the values, is what wraps)
+            (F.lit(base) + ((F.col("id") * 2039) % 4096) * F.lit(step)).alias(
+                "ts_us"
+            ),
+            (F.col("id") % 97).alias("grp"),
+        )
+    )
+    zpath = str(tmp_path / "zwide")
+    upath = str(tmp_path / "uwide")
+    from inside_vectordb_spark.operators.layout import zorder_write
+
+    zorder_write(df, zpath, "ts_us", "grp", n_files=8)
+    df.repartition(8).write.mode("overwrite").parquet(upath)
+
+    def mean_spread(path: str, col: str) -> float:
+        spreads = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    c = row.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            if lo is not None:
+                spreads.append(hi - lo)
+        assert spreads, f"no stats found for {col} under {path}"
+        return sum(spreads) / len(spreads)
+
+    assert mean_spread(zpath, "ts_us") < 0.75 * mean_spread(upath, "ts_us")
+    assert mean_spread(zpath, "grp") < 0.75 * mean_spread(upath, "grp")
+
+
 def test_compaction_collapses_files(spark, tmp_path):
     """Compaction rewrites 64 fragments into ~target-size files with
     identical contents and an order-of-magnitude fewer files."""
