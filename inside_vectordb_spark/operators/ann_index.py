@@ -247,50 +247,56 @@ def upsert_lsh_index(
     meta's fingerprint stale, which the next ``ensure_lsh_index``
     call detects as a mismatch and repairs via full rebuild.
     """
-    meta = _read_meta(path)
-    if meta is None or meta.get("kind") != "lsh":
-        raise FileNotFoundError(f"no complete LSH index at {path}")
-    spark = new_vectors.sparkSession
-    buckets_path = os.path.join(path, "buckets")
-    _assert_disjoint_delta(
-        spark.read.parquet(buckets_path).select("id").distinct(),
-        new_vectors.select(id_col),
-        path,
-    )
-    nb = lsh_bucket_ids(
-        new_vectors, id_col, vec_col,
-        meta["dim"], meta["n_tables"], meta["n_bits"], meta["seed"],
-    )
-    cap = meta.get("max_bucket_size")
-    if cap is not None:
-        touched = nb.select("table_idx", "bucket").distinct()
-        occupancy = (
-            spark.read.parquet(buckets_path)
-            .join(F.broadcast(touched), ["table_idx", "bucket"], "left_semi")
-            .groupBy("table_idx", "bucket")
-            .agg(F.count("*").alias("__occ"))
+    # serialize maintenance under the commit lock (review r9-4, the
+    # hnsw/sign r9-2 rule applied tier-wide): without it the
+    # disjointness guard races a concurrent upsert of the same delta
+    # (both pass, the second appends duplicate rows), and readers /
+    # ensure_* hit the marker window of a healthy index mid-append
+    with mio.commit_lock(path):
+        meta = _read_meta(path)
+        if meta is None or meta.get("kind") != "lsh":
+            raise FileNotFoundError(f"no complete LSH index at {path}")
+        spark = new_vectors.sparkSession
+        buckets_path = os.path.join(path, "buckets")
+        _assert_disjoint_delta(
+            spark.read.parquet(buckets_path).select("id").distinct(),
+            new_vectors.select(id_col),
+            path,
         )
-        w = Window.partitionBy("table_idx", "bucket").orderBy("id")
-        nb = (
-            nb.withColumn("__pos", F.row_number().over(w))
-            .join(F.broadcast(occupancy), ["table_idx", "bucket"], "left")
-            .filter(F.coalesce(F.col("__occ"), F.lit(0)) + F.col("__pos") <= cap)
-            .drop("__pos", "__occ")
+        nb = lsh_bucket_ids(
+            new_vectors, id_col, vec_col,
+            meta["dim"], meta["n_tables"], meta["n_bits"], meta["seed"],
         )
-    # invalidate the completeness marker BEFORE the append: a crash
-    # mid-append (partially visible task commits) must read as "no
-    # complete index" — the next ensure_* rebuilds — never a valid
-    # meta over torn appended rows; the meta rewrite below restores
-    # the marker as the commit point (review r8)
-    _begin_rebuild(path)
-    nb.repartition("table_idx").write.mode("append").partitionBy(
-        "table_idx"
-    ).parquet(buckets_path)
-    meta["corpus"] = _merge_fingerprint(
-        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
-    )
-    _write_meta(path, meta)
-    return meta
+        cap = meta.get("max_bucket_size")
+        if cap is not None:
+            touched = nb.select("table_idx", "bucket").distinct()
+            occupancy = (
+                spark.read.parquet(buckets_path)
+                .join(F.broadcast(touched), ["table_idx", "bucket"], "left_semi")
+                .groupBy("table_idx", "bucket")
+                .agg(F.count("*").alias("__occ"))
+            )
+            w = Window.partitionBy("table_idx", "bucket").orderBy("id")
+            nb = (
+                nb.withColumn("__pos", F.row_number().over(w))
+                .join(F.broadcast(occupancy), ["table_idx", "bucket"], "left")
+                .filter(F.coalesce(F.col("__occ"), F.lit(0)) + F.col("__pos") <= cap)
+                .drop("__pos", "__occ")
+            )
+        # invalidate the completeness marker BEFORE the append: a crash
+        # mid-append (partially visible task commits) must read as "no
+        # complete index" — the next ensure_* rebuilds — never a valid
+        # meta over torn appended rows; the meta rewrite below restores
+        # the marker as the commit point (review r8)
+        _begin_rebuild(path)
+        nb.repartition("table_idx").write.mode("append").partitionBy(
+            "table_idx"
+        ).parquet(buckets_path)
+        meta["corpus"] = _merge_fingerprint(
+            meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+        )
+        _write_meta(path, meta)
+        return meta
 
 
 def upsert_ivf_index(
@@ -305,34 +311,40 @@ def upsert_ivf_index(
     the full corpus against the stored quantizer (pinned in
     tests/test_ann_index.py), and probing/partition pruning see the
     union of old + delta files per list automatically."""
-    meta = _read_meta(path)
-    if meta is None or meta.get("kind") != "ivf":
-        raise FileNotFoundError(f"no complete IVF index at {path}")
-    spark = new_vectors.sparkSession
-    _assert_disjoint_delta(
-        spark.read.parquet(os.path.join(path, "assignments")).select("id"),
-        new_vectors.select(id_col),
-        path,
-    )
-    cents = load_ivf_centroids(spark, path)
-    # invalidate the completeness marker BEFORE the append: a crash
-    # mid-append (partially visible task commits) must read as "no
-    # complete index" — the next ensure_* rebuilds — never a valid
-    # meta over torn appended rows; the meta rewrite below restores
-    # the marker as the commit point (review r8)
-    _begin_rebuild(path)
-    (
-        ivf_assign(new_vectors, id_col, vec_col, cents)
-        .repartition("centroid_id")
-        .write.mode("append")
-        .partitionBy("centroid_id")
-        .parquet(os.path.join(path, "assignments"))
-    )
-    meta["corpus"] = _merge_fingerprint(
-        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
-    )
-    _write_meta(path, meta)
-    return meta
+    # serialize maintenance under the commit lock (review r9-4, the
+    # hnsw/sign r9-2 rule applied tier-wide): without it the
+    # disjointness guard races a concurrent upsert of the same delta
+    # (both pass, the second appends duplicate rows), and readers /
+    # ensure_* hit the marker window of a healthy index mid-append
+    with mio.commit_lock(path):
+        meta = _read_meta(path)
+        if meta is None or meta.get("kind") != "ivf":
+            raise FileNotFoundError(f"no complete IVF index at {path}")
+        spark = new_vectors.sparkSession
+        _assert_disjoint_delta(
+            spark.read.parquet(os.path.join(path, "assignments")).select("id"),
+            new_vectors.select(id_col),
+            path,
+        )
+        cents = load_ivf_centroids(spark, path)
+        # invalidate the completeness marker BEFORE the append: a crash
+        # mid-append (partially visible task commits) must read as "no
+        # complete index" — the next ensure_* rebuilds — never a valid
+        # meta over torn appended rows; the meta rewrite below restores
+        # the marker as the commit point (review r8)
+        _begin_rebuild(path)
+        (
+            ivf_assign(new_vectors, id_col, vec_col, cents)
+            .repartition("centroid_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(os.path.join(path, "assignments"))
+        )
+        meta["corpus"] = _merge_fingerprint(
+            meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+        )
+        _write_meta(path, meta)
+        return meta
 
 
 def ann_lsh_topk_indexed(
@@ -887,28 +899,34 @@ def delete_from_sq_index(
     Idempotent per id: already-tombstoned ids are skipped, so re-runs
     do not grow the tombstone table or the meta counter.
     """
-    meta = _read_meta(path)
-    if meta is None or meta.get("kind") != "sq":
-        raise FileNotFoundError(f"no complete SQ index at {path}")
-    # idempotency via executor-side anti-join (the pq_det twin's
-    # shape): the ACCUMULATED tombstone set can be corpus-sized after
-    # crawl-scale delete campaigns, and the old deleted_ids() collect
-    # round-tripped ALL of it through the driver on every delete of a
-    # handful of ids (review r8). The delta side is caller-provided
-    # and small; the anti-join count is bounded by len(ids).
-    ids_df = spark.createDataFrame(
-        pd.DataFrame({"doc_id": np.array(sorted(set(int(i) for i in ids)),
-                                         dtype=np.int64)})
-    ).distinct()
-    tomb = os.path.join(path, "tombstones")
-    if mio.is_dir(tomb):
-        ids_df = ids_df.join(spark.read.parquet(tomb), "doc_id", "left_anti")
-    n_fresh = ids_df.count()
-    if n_fresh:
-        ids_df.write.mode("append").parquet(tomb)
-        meta["n_deleted"] = meta.get("n_deleted", 0) + n_fresh
-        _write_meta(path, meta)
-    return meta
+    # serialize maintenance under the commit lock (review r9-4, the
+    # hnsw/sign r9-2 rule applied tier-wide): without it the
+    # disjointness guard races a concurrent upsert of the same delta
+    # (both pass, the second appends duplicate rows), and readers /
+    # ensure_* hit the marker window of a healthy index mid-append
+    with mio.commit_lock(path):
+        meta = _read_meta(path)
+        if meta is None or meta.get("kind") != "sq":
+            raise FileNotFoundError(f"no complete SQ index at {path}")
+        # idempotency via executor-side anti-join (the pq_det twin's
+        # shape): the ACCUMULATED tombstone set can be corpus-sized after
+        # crawl-scale delete campaigns, and the old deleted_ids() collect
+        # round-tripped ALL of it through the driver on every delete of a
+        # handful of ids (review r8). The delta side is caller-provided
+        # and small; the anti-join count is bounded by len(ids).
+        ids_df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": np.array(sorted(set(int(i) for i in ids)),
+                                             dtype=np.int64)})
+        ).distinct()
+        tomb = os.path.join(path, "tombstones")
+        if mio.is_dir(tomb):
+            ids_df = ids_df.join(spark.read.parquet(tomb), "doc_id", "left_anti")
+        n_fresh = ids_df.count()
+        if n_fresh:
+            ids_df.write.mode("append").parquet(tomb)
+            meta["n_deleted"] = meta.get("n_deleted", 0) + n_fresh
+            _write_meta(path, meta)
+        return meta
 
 
 def deleted_ids(spark: SparkSession, path: str) -> set[int]:

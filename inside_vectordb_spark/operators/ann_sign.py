@@ -767,6 +767,20 @@ def ann_ivf_det_topk(
         ((F.col(id_col) % centroid_stride) == 1)
         & (F.col(id_col) < centroid_stride * n_centroids_cap)
     ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"))
+    # same loud guard as the build path (review r9-4): an offset id
+    # space (snowflake/partition-encoded) selects NO centroids, and
+    # every downstream join is then empty — the similarity_join auto
+    # route would silently return a zero-row "top-k" for any large
+    # corpus with non-dense ids. The probe is a limit(1) early-exit
+    # scan in the healthy case (dense ids hit the rule within the
+    # first stride rows).
+    if cents.limit(1).count() == 0:
+        raise ValueError(
+            f"ivf_det centroid rule (id % {centroid_stride} == 1, id < "
+            f"{centroid_stride * n_centroids_cap}) selects no corpus rows "
+            "— ids don't intersect the rule range; use the km tier or "
+            "adjust stride/cap"
+        )
     return _ivf_search(
         queries, corpus, cents, k, n_probe, query_id_col, id_col, vec_col,
         filter_col=filter_col,
@@ -988,40 +1002,46 @@ def upsert_ivf_det_index(
     the centroid rule (``id % stride == 1 AND id < stride*cap``) — a
     rule-matching delta would change the re-derived quantizer, so it
     is REJECTED (rebuild instead, FAISS retrain semantics)."""
-    from inside_vectordb_spark.operators.ann_index import (
-        _corpus_fingerprint,
-        _merge_fingerprint,
-    )
-
-    meta = mio.read_json(mio.join(path, "meta.json"))
-    if meta is None or meta.get("kind") != "ivf_det":
-        raise FileNotFoundError(f"no complete ivf_det index at {path}")
-    stride, cap = int(meta["stride"]), int(meta["cap"])
-    bad = new_vectors.filter(
-        ((F.col(id_col) % stride) == 1) & (F.col(id_col) < stride * cap)
-    ).count()
-    if bad:
-        raise ValueError(
-            f"{bad} delta ids match the centroid rule (id % {stride} == 1, "
-            f"id < {stride * cap}); rebuild via ensure_ivf_det_index instead"
+    # serialize maintenance under the commit lock (review r9-4, the
+    # hnsw/sign r9-2 rule applied tier-wide): without it the
+    # disjointness guard races a concurrent upsert of the same delta
+    # (both pass, the second appends duplicate rows), and readers /
+    # ensure_* hit the marker window of a healthy index mid-append
+    with mio.commit_lock(path):
+        from inside_vectordb_spark.operators.ann_index import (
+            _corpus_fingerprint,
+            _merge_fingerprint,
         )
-    from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
 
-    _assert_disjoint_delta(
-        spark.read.parquet(os.path.join(path, "lists")).select("doc_id"),
-        new_vectors.select(id_col),
-        path,
-    )
-    cents = spark.read.parquet(os.path.join(path, "cents"))
-    assign = _assign_nearest(new_vectors, cents, id_col, vec_col)
-    assign.repartition("cid").write.mode("append").partitionBy("cid").parquet(
-        os.path.join(path, "lists")
-    )
-    meta["corpus"] = _merge_fingerprint(
-        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
-    )
-    mio.write_json(mio.join(path, "meta.json"), meta)
-    return meta
+        meta = mio.read_json(mio.join(path, "meta.json"))
+        if meta is None or meta.get("kind") != "ivf_det":
+            raise FileNotFoundError(f"no complete ivf_det index at {path}")
+        stride, cap = int(meta["stride"]), int(meta["cap"])
+        bad = new_vectors.filter(
+            ((F.col(id_col) % stride) == 1) & (F.col(id_col) < stride * cap)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"{bad} delta ids match the centroid rule (id % {stride} == 1, "
+                f"id < {stride * cap}); rebuild via ensure_ivf_det_index instead"
+            )
+        from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
+
+        _assert_disjoint_delta(
+            spark.read.parquet(os.path.join(path, "lists")).select("doc_id"),
+            new_vectors.select(id_col),
+            path,
+        )
+        cents = spark.read.parquet(os.path.join(path, "cents"))
+        assign = _assign_nearest(new_vectors, cents, id_col, vec_col)
+        assign.repartition("cid").write.mode("append").partitionBy("cid").parquet(
+            os.path.join(path, "lists")
+        )
+        meta["corpus"] = _merge_fingerprint(
+            meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+        )
+        mio.write_json(mio.join(path, "meta.json"), meta)
+        return meta
 
 
 def ann_ivf_det_topk_indexed(
@@ -1283,28 +1303,34 @@ def upsert_ivf_km_index(
     instead of corrupting served results. Drift stays the retrain
     decision (rebuild via ensure_ivf_km_index), exactly FAISS's
     train/add split."""
-    from inside_vectordb_spark.operators.ann_index import (
-        _corpus_fingerprint,
-        _merge_fingerprint,
-    )
+    # serialize maintenance under the commit lock (review r9-4, the
+    # hnsw/sign r9-2 rule applied tier-wide): without it the
+    # disjointness guard races a concurrent upsert of the same delta
+    # (both pass, the second appends duplicate rows), and readers /
+    # ensure_* hit the marker window of a healthy index mid-append
+    with mio.commit_lock(path):
+        from inside_vectordb_spark.operators.ann_index import (
+            _corpus_fingerprint,
+            _merge_fingerprint,
+        )
 
-    meta = mio.read_json(mio.join(path, "meta.json"))
-    if meta is None or meta.get("kind") != "ivf_km":
-        raise FileNotFoundError(f"no complete ivf_km index at {path}")
-    from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
+        meta = mio.read_json(mio.join(path, "meta.json"))
+        if meta is None or meta.get("kind") != "ivf_km":
+            raise FileNotFoundError(f"no complete ivf_km index at {path}")
+        from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
 
-    _assert_disjoint_delta(
-        spark.read.parquet(os.path.join(path, "lists")).select("doc_id"),
-        new_vectors.select(id_col),
-        path,
-    )
-    cents = spark.read.parquet(os.path.join(path, "cents"))
-    assign = _assign_nearest(new_vectors, cents, id_col, vec_col)
-    assign.repartition("cid").write.mode("append").partitionBy("cid").parquet(
-        os.path.join(path, "lists")
-    )
-    meta["corpus"] = _merge_fingerprint(
-        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
-    )
-    mio.write_json(mio.join(path, "meta.json"), meta)
-    return meta
+        _assert_disjoint_delta(
+            spark.read.parquet(os.path.join(path, "lists")).select("doc_id"),
+            new_vectors.select(id_col),
+            path,
+        )
+        cents = spark.read.parquet(os.path.join(path, "cents"))
+        assign = _assign_nearest(new_vectors, cents, id_col, vec_col)
+        assign.repartition("cid").write.mode("append").partitionBy("cid").parquet(
+            os.path.join(path, "lists")
+        )
+        meta["corpus"] = _merge_fingerprint(
+            meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+        )
+        mio.write_json(mio.join(path, "meta.json"), meta)
+        return meta

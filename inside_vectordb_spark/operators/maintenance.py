@@ -19,6 +19,7 @@ _COMPACTORS = {
     "sign_lsh": "inside_vectordb_spark.operators.ann_sign:compact_sign_index",
     "lexical": "inside_vectordb_spark.operators.lexical_index:compact_lexical_index",
     "hnsw_vendored": "inside_vectordb_spark.operators.hnsw_index:compact_hnsw_index",
+    "mrl": "inside_vectordb_spark.operators.mrl:compact_mrl_index",
 }
 
 
@@ -26,9 +27,14 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     """Fold delta artifacts (upsert generations, appended files) and
     apply tombstones for the index at ``path``, whatever its tier.
     Raises FileNotFoundError when no complete index exists there and
-    NotImplementedError for tiers whose deltas need no folding (the
-    det-IVF/PQ/SQ/MRL appends are already partition-aligned; a full
-    rebuild via their ``ensure_*`` is their compaction)."""
+    NotImplementedError for tiers without a compactor. The det-IVF /
+    det-PQ / km-IVF / LSH appends land INSIDE the cid/bucket
+    partition layout, so searching never pays for them beyond file
+    count; their remedy when file counts matter is a full rebuild —
+    note that means a DIRECT ``build_*`` call, NOT ``ensure_*``
+    (review r9-4: ensure fingerprint-matches a maintained index and
+    correctly no-ops). MRL's flat prefix appends DO get a real
+    compactor (``compact_mrl_index``) for the same reason."""
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None:
         raise FileNotFoundError(f"no complete index at {path}")
@@ -37,8 +43,10 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     if target is None:
         raise NotImplementedError(
             f"index kind {kind!r} has no delta compaction — its appends "
-            "are partition-aligned; rebuild via its ensure_* to reclaim "
-            "space"
+            "are partition-aligned (no tombstone/generation debt); when "
+            "file counts matter, rebuild via a direct build_* call "
+            "(ensure_* fingerprint-matches a maintained index and "
+            "no-ops by design)"
         )
     mod_name, fn_name = target.split(":")
     import importlib

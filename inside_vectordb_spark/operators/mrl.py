@@ -399,32 +399,89 @@ def upsert_mrl_index(corpus_delta: DataFrame, path: str, id_col: str = "vec_id",
         _read_meta,
     )
 
-    meta = _read_meta(path)  # the shared meta seam, like every sibling
-    if meta is None or meta.get("kind") != "mrl":
-        raise FileNotFoundError(f"no complete MRL index at {path}")
-    _assert_disjoint_delta(
-        corpus_delta.sparkSession.read.parquet(
-            os.path.join(path, "prefixes")
-        ).select("doc_id"),
-        corpus_delta.select(id_col),
-        path,
-    )
-    prefix_dim = int(meta["prefix_dim"])
-    # invalidate the completeness marker BEFORE the append: a crash
-    # mid-append must read as "no complete index" (the next ensure_*
-    # rebuilds), never a valid meta over torn appended rows — the
-    # meta rewrite below restores the marker (review r8)
-    mio.remove_file(mio.join(path, "meta.json"))
-    (
-        corpus_delta.select(
-            F.col(id_col).alias("doc_id"),
-            F.slice(vec_col, 1, prefix_dim).alias("prefix"),
+    # the whole read-meta → append → write-meta sequence runs under
+    # the commit lock (review r9-4): without it a concurrent reader
+    # hits FileNotFoundError on a healthy index during the marker
+    # window, and a concurrent ensure_* sees meta=None and starts a
+    # full overwrite that interleaves with the in-flight append — the
+    # surviving dir can hold rebuilt files PLUS the delta under a
+    # fresh valid meta, serving duplicate doc_ids in top-k (the hnsw
+    # and sign tiers have serialized maintenance since r9-2)
+    with mio.commit_lock(path):
+        meta = _read_meta(path)  # the shared meta seam, like every sibling
+        if meta is None or meta.get("kind") != "mrl":
+            raise FileNotFoundError(f"no complete MRL index at {path}")
+        _assert_disjoint_delta(
+            corpus_delta.sparkSession.read.parquet(
+                os.path.join(path, "prefixes")
+            ).select("doc_id"),
+            corpus_delta.select(id_col),
+            path,
         )
-        .write.mode("append")
-        .parquet(os.path.join(path, "prefixes"))
+        prefix_dim = int(meta["prefix_dim"])
+        # invalidate the completeness marker BEFORE the append: a
+        # crash mid-append must read as "no complete index" (the next
+        # ensure_* rebuilds), never a valid meta over torn appended
+        # rows — the meta rewrite below restores the marker (review r8)
+        mio.remove_file(mio.join(path, "meta.json"))
+        (
+            corpus_delta.select(
+                F.col(id_col).alias("doc_id"),
+                F.slice(vec_col, 1, prefix_dim).alias("prefix"),
+            )
+            .write.mode("append")
+            .parquet(os.path.join(path, "prefixes"))
+        )
+        meta["corpus"] = _merge_fingerprint(
+            meta.get("corpus"), _corpus_fingerprint(corpus_delta, id_col)
+        )
+        _write_meta(path, meta)
+    return meta
+
+
+def compact_mrl_index(spark, path: str) -> dict:
+    """OPTIMIZE for the MRL prefix table (review r9-4): O(delta)
+    upserts append small files into ``prefixes`` without bound, and
+    the documented remedy — "rebuild via ensure_mrl_index" — no-ops
+    by design (the merged fingerprint matches what a full build would
+    record, so ensure correctly sees the index as current). Compaction
+    is the real remedy: under the commit lock, rewrite the prefix
+    table into ~target-size files with the engine's zero-shuffle
+    small-file compactor (scan bin-packing — pure sequential I/O, no
+    recompute: the prefixes are already materialized), validate the
+    row count, then swap. Rows, meta, and the corpus fingerprint are
+    unchanged — search results are bit-identical before and after
+    (the tier has no tombstones; compaction is purely physical)."""
+    import os
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.ann_index import (
+        _begin_rebuild,
+        _read_meta,
+        _write_meta,
     )
-    meta["corpus"] = _merge_fingerprint(
-        meta.get("corpus"), _corpus_fingerprint(corpus_delta, id_col)
-    )
-    _write_meta(path, meta)
+    from inside_vectordb_spark.operators.layout import compact_small_files
+
+    with mio.commit_lock(path):
+        meta = _read_meta(path)
+        if meta is None or meta.get("kind") != "mrl":
+            raise FileNotFoundError(f"no complete MRL index at {path}")
+        prefixes = os.path.join(path, "prefixes")
+        tmp = mio.join(path, "prefixes_compact_tmp")
+        mio.remove_tree(tmp)  # orphan from a crashed prior compaction
+        n_before = spark.read.parquet(prefixes).count()
+        stats = compact_small_files(spark, prefixes, tmp)
+        if spark.read.parquet(tmp).count() != n_before:
+            mio.remove_tree(tmp)
+            raise RuntimeError(
+                f"compaction wrote a torn prefix table at {tmp} — "
+                "index left untouched"
+            )
+        _begin_rebuild(path)  # marker OFF before the non-atomic swap
+        mio.remove_tree(prefixes)
+        mio.move(tmp, prefixes)
+        meta["compacted"] = True
+        _write_meta(path, meta)
+        meta["files_before"] = stats.get("files_before")
+        meta["files_after"] = stats.get("files_after")
     return meta

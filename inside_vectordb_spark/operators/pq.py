@@ -288,6 +288,18 @@ def ann_pq_topk(
     -index path — encode once, search many)."""
     from inside_vectordb_spark.operators.ann import _rerank_candidates
 
+    # stored codes are only meaningful against the codebooks that
+    # produced them: codes WITHOUT codebooks would silently train
+    # FRESH codebooks from the current corpus sample and gather ADC
+    # LUTs against foreign codes — scores become noise with no error
+    # (review r9-4). Codebooks WITHOUT codes stays legal: a frozen
+    # codebook with a fresh encode is self-consistent.
+    if codes is not None and codebooks is None:
+        raise ValueError(
+            "stored codes require the codebooks that encoded them — "
+            "pass codes and codebooks together; codes looked up in "
+            "freshly trained codebooks produce meaningless ADC scores"
+        )
     if codebooks is None:
         codebooks = pq_train(
             corpus, corpus_vec, dim, m, ks, seed, id_col=corpus_id

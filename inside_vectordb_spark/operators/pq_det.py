@@ -299,57 +299,63 @@ def upsert_pq_det_index(
     re-derived codebook and silently diverge from a rebuild, so it is
     REJECTED here (the caller rebuilds instead, exactly like FAISS
     retraining)."""
-    from inside_vectordb_spark.operators.ann_index import (
-        _corpus_fingerprint,
-        _merge_fingerprint,
-    )
-
-    meta = mio.read_json(mio.join(path, "meta.json"))
-    if meta is None or meta.get("kind") != "pq_det":
-        raise FileNotFoundError(f"no complete pq_det index at {path}")
-    stride, cap = int(meta["stride"]), int(meta["cap"])
-    m_sub, dim = int(meta["m"]), int(meta["dim"])
-    bad = new_vectors.filter(
-        ((F.col(id_col) % stride) == 1) & (F.col(id_col) < stride * cap)
-    ).count()
-    if bad:
-        raise ValueError(
-            f"{bad} delta ids match the centroid rule (id % {stride} == 1, "
-            f"id < {stride * cap}); they would retrain the codebook — "
-            "rebuild via ensure_pq_det_index instead"
+    # serialize maintenance under the commit lock (review r9-4, the
+    # hnsw/sign r9-2 rule applied tier-wide): without it the
+    # disjointness guard races a concurrent upsert of the same delta
+    # (both pass, the second appends duplicate rows), and readers /
+    # ensure_* hit the marker window of a healthy index mid-append
+    with mio.commit_lock(path):
+        from inside_vectordb_spark.operators.ann_index import (
+            _corpus_fingerprint,
+            _merge_fingerprint,
         )
-    from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
 
-    _assert_disjoint_delta(
-        # distinct: codes carry m rows per doc — without it a single
-        # duplicate id reports as m duplicates and the semi-join scans
-        # the un-deduplicated relation (review r8; the LSH twin
-        # already dedupes)
-        spark.read.parquet(os.path.join(path, "codes"))
-        .select("doc_id")
-        .distinct(),
-        new_vectors.select(id_col),
-        path,
-    )
-    # encode the delta against the FROZEN codebook: the centroid rows
-    # live in the stored corpus, which the caller passes as new_vectors'
-    # sibling — re-derive them from the codes' source by the rule is
-    # impossible from the delta alone, so the codebook rides in from
-    # the stored raw vectors at search time; here we only need the
-    # centroid VECTORS, which the index stores for exactly this reason.
-    cents_sub = spark.read.parquet(os.path.join(path, "cents"))
-    codes = _encode(new_vectors, cents_sub, id_col, vec_col, m_sub, dim)
-    # invalidate the completeness marker BEFORE the append: a crash
-    # mid-append must read as "no complete index" (the next ensure_*
-    # rebuilds), never a valid meta over torn appended rows — the
-    # meta rewrite below restores the marker (review r8)
-    mio.remove_file(mio.join(path, "meta.json"))
-    codes.write.mode("append").parquet(os.path.join(path, "codes"))
-    meta["corpus"] = _merge_fingerprint(
-        meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
-    )
-    mio.write_json(mio.join(path, "meta.json"), meta)
-    return meta
+        meta = mio.read_json(mio.join(path, "meta.json"))
+        if meta is None or meta.get("kind") != "pq_det":
+            raise FileNotFoundError(f"no complete pq_det index at {path}")
+        stride, cap = int(meta["stride"]), int(meta["cap"])
+        m_sub, dim = int(meta["m"]), int(meta["dim"])
+        bad = new_vectors.filter(
+            ((F.col(id_col) % stride) == 1) & (F.col(id_col) < stride * cap)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"{bad} delta ids match the centroid rule (id % {stride} == 1, "
+                f"id < {stride * cap}); they would retrain the codebook — "
+                "rebuild via ensure_pq_det_index instead"
+            )
+        from inside_vectordb_spark.operators.ann_index import _assert_disjoint_delta
+
+        _assert_disjoint_delta(
+            # distinct: codes carry m rows per doc — without it a single
+            # duplicate id reports as m duplicates and the semi-join scans
+            # the un-deduplicated relation (review r8; the LSH twin
+            # already dedupes)
+            spark.read.parquet(os.path.join(path, "codes"))
+            .select("doc_id")
+            .distinct(),
+            new_vectors.select(id_col),
+            path,
+        )
+        # encode the delta against the FROZEN codebook: the centroid rows
+        # live in the stored corpus, which the caller passes as new_vectors'
+        # sibling — re-derive them from the codes' source by the rule is
+        # impossible from the delta alone, so the codebook rides in from
+        # the stored raw vectors at search time; here we only need the
+        # centroid VECTORS, which the index stores for exactly this reason.
+        cents_sub = spark.read.parquet(os.path.join(path, "cents"))
+        codes = _encode(new_vectors, cents_sub, id_col, vec_col, m_sub, dim)
+        # invalidate the completeness marker BEFORE the append: a crash
+        # mid-append must read as "no complete index" (the next ensure_*
+        # rebuilds), never a valid meta over torn appended rows — the
+        # meta rewrite below restores the marker (review r8)
+        mio.remove_file(mio.join(path, "meta.json"))
+        codes.write.mode("append").parquet(os.path.join(path, "codes"))
+        meta["corpus"] = _merge_fingerprint(
+            meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
+        )
+        mio.write_json(mio.join(path, "meta.json"), meta)
+        return meta
 
 
 def delete_from_pq_det_index(
@@ -366,33 +372,39 @@ def delete_from_pq_det_index(
     ``ids`` is a DataFrame with one LONG column (stays on the
     executors end to end — a delete set can be O(corpus) at crawl
     scale and must never round-trip the driver) or a small list."""
-    meta = mio.read_json(mio.join(path, "meta.json"))
-    if meta is None or meta.get("kind") != "pq_det":
-        raise FileNotFoundError(f"no complete pq_det index at {path}")
-    tomb = os.path.join(path, "tombstones")
-    if isinstance(ids, DataFrame):
-        ids_df = ids.select(ids.columns[0]).toDF("id").distinct()
-    else:
-        ids_df = spark.createDataFrame(
-            [(int(i),) for i in ids], "id long"
-        ).distinct()
-    if mio.is_dir(tomb):
-        # No broadcast hint: the ACCUMULATED tombstone table is
-        # O(total deleted) — after crawl-scale delete campaigns it can
-        # be corpus-sized, and a forced broadcast would blow the
-        # driver. AQE picks broadcast while it is actually small
-        # (advice r6).
-        ids_df = ids_df.join(
-            spark.read.parquet(tomb), "id", "left_anti"
-        )
-    fresh_rows = ids_df.persist()
-    n_fresh = fresh_rows.count()
-    if n_fresh:
-        fresh_rows.write.mode("append").parquet(tomb)
-        meta["n_deleted"] = meta.get("n_deleted", 0) + n_fresh
-        mio.write_json(mio.join(path, "meta.json"), meta)
-    fresh_rows.unpersist()
-    return meta
+    # serialize maintenance under the commit lock (review r9-4, the
+    # hnsw/sign r9-2 rule applied tier-wide): without it the
+    # disjointness guard races a concurrent upsert of the same delta
+    # (both pass, the second appends duplicate rows), and readers /
+    # ensure_* hit the marker window of a healthy index mid-append
+    with mio.commit_lock(path):
+        meta = mio.read_json(mio.join(path, "meta.json"))
+        if meta is None or meta.get("kind") != "pq_det":
+            raise FileNotFoundError(f"no complete pq_det index at {path}")
+        tomb = os.path.join(path, "tombstones")
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(ids.columns[0]).toDF("id").distinct()
+        else:
+            ids_df = spark.createDataFrame(
+                [(int(i),) for i in ids], "id long"
+            ).distinct()
+        if mio.is_dir(tomb):
+            # No broadcast hint: the ACCUMULATED tombstone table is
+            # O(total deleted) — after crawl-scale delete campaigns it can
+            # be corpus-sized, and a forced broadcast would blow the
+            # driver. AQE picks broadcast while it is actually small
+            # (advice r6).
+            ids_df = ids_df.join(
+                spark.read.parquet(tomb), "id", "left_anti"
+            )
+        fresh_rows = ids_df.persist()
+        n_fresh = fresh_rows.count()
+        if n_fresh:
+            fresh_rows.write.mode("append").parquet(tomb)
+            meta["n_deleted"] = meta.get("n_deleted", 0) + n_fresh
+            mio.write_json(mio.join(path, "meta.json"), meta)
+        fresh_rows.unpersist()
+        return meta
 
 
 def ann_pq_det_topk_indexed(

@@ -46,11 +46,15 @@ def deterministic_range_ids(
     column, which is safe because equal keys are never split across
     buckets.
 
-    NULL keys land in bucket 0 (every boundary comparison is NULL →
-    counted as 0), consistent with Spark's ASC NULLS FIRST window
-    ordering inside the bucket; without the coalesce a single NULL
-    key produced a NULL bucket id that crashed the driver-side
-    offset accumulation (review r7)."""
+    NULL keys follow Spark's window null ordering for the requested
+    direction: bucket 0 under ascending (ASC NULLS FIRST — every
+    boundary comparison is NULL → counted as 0; without the coalesce
+    a single NULL key produced a NULL bucket id that crashed the
+    driver-side offset accumulation, review r7), and the LAST bucket
+    under descending (DESC NULLS LAST — review r9-4: the coalesce
+    alone put NULLs in bucket 0 NEXT TO THE TOP keys, so a NULL-key
+    row consumed budget/rank ahead of every mid/low key instead of
+    sorting last as the global descending contract requires)."""
     if n_parts < 2:
         return df.withColumn(pid_col, F.lit(0))
     probs = [i / n_parts for i in range(1, n_parts)]
@@ -64,6 +68,8 @@ def deterministic_range_ids(
     for b in bounds:
         cmp = (F.col(key) > F.lit(b)) if ascending else (F.col(key) < F.lit(b))
         pid = pid + F.coalesce(cmp.cast("int"), F.lit(0))
+    if not ascending:
+        pid = F.when(F.col(key).isNull(), F.lit(len(bounds))).otherwise(pid)
     return df.withColumn(pid_col, pid)
 
 

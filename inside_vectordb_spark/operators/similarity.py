@@ -103,9 +103,31 @@ def similarity_join(
     if method == "signlsh":
         from inside_vectordb_spark.operators.ann_sign import ann_sign_topk_indexed
 
-        path = index_path or mio.join(
-            mio.artifacts_root(), "similarity_join", "sign"
-        )
+        if index_path is None:
+            # key the default artifact dir by the CORPUS identity, not
+            # one fixed location (review r9-4): two corpora alternating
+            # through the facade at a shared path each see a
+            # fingerprint mismatch and silently pay a full index
+            # rebuild per call. The fingerprint is the same cheap
+            # (count, id-range) aggregate ensure_sign_index computes
+            # anyway; hashing it keys the dir without a registry-style
+            # sf_dir. Callers serving a registry-built index pass
+            # index_path explicitly (as registry/embed.py does).
+            import hashlib as _hl
+            import json as _json
+
+            from inside_vectordb_spark.operators.ann_index import (
+                _corpus_fingerprint,
+            )
+
+            fp = _corpus_fingerprint(corpus, id_col)
+            key = _hl.md5(
+                _json.dumps(fp, sort_keys=True).encode()
+            ).hexdigest()[:16]
+            index_path = mio.join(
+                mio.artifacts_root(), "similarity_join", f"sign_{key}"
+            )
+        path = index_path
         return ann_sign_topk_indexed(
             spark,
             queries,

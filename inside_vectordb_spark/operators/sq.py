@@ -111,6 +111,18 @@ def ann_sq_topk(
     """
     from inside_vectordb_spark.operators.ann import _rerank_candidates
 
+    # stored codes only decode against the min/span stats that
+    # produced them: codes WITHOUT stats would silently train fresh
+    # stats from the current corpus and decode foreign codes into
+    # noise (review r9-4). Stats WITHOUT codes stays legal — frozen
+    # stats with a fresh encode is self-consistent (the delete-twin
+    # test's frozen-at-build semantics).
+    if codes is not None and stats is None:
+        raise ValueError(
+            "stored codes require the stats that encoded them — "
+            "pass codes and stats together; codes decoded with "
+            "freshly trained stats produce meaningless scores"
+        )
     mins, spans = stats if stats is not None else sq_train(corpus, corpus_vec)
     if codes is None:
         codes = corpus.select(
