@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotates by OBSERVATION AGE: 10 sentinels (one multi-round-
 # reproducible representative per SURVEY.md §2 tier) plus 40 slots
 # holding the rows whose last driver observation is OLDEST — this
-# round all 27 r3-last-observed rows and 13 of the 40 r4 cohort
+# round all 27 r3-last-observed rows and 12 of the 40 r4 cohort
 # (the verdict-named priorities first), minus slots taken by queries
 # NEW this round (which always get their first observation here).
 # Rotated-out green rows remain registered and locally oracle-tested
@@ -93,18 +93,19 @@ WINDOW_PRIORITY = [
     "text_embeddings",           # F4 batch embedding encode
     "qrels_table",               # P1 qrels flatten
     "bm25_topk",                 # fresh BM25 scorer
-    "word_stats",                # A3 word-length stats
     # -- new this round (first driver observation) --------------------
     "ann_hnsw_vendored_indexed", # persisted vendored-HNSW graph (S9 at rest)
     "ann_hnsw_vendored_lifecycle",  # graph add/delete/compact chain
     "ann_signlsh_compacted",     # lifecycle: upsert+delete+COMPACT (oracle)
     "bm25_compacted_topk",       # lexical delta compaction (oracle)
     "ann_mrl_sq_topk",           # MRL+SQ8 quantized prefix table (oracle)
+    "ann_mrl_compacted_topk",    # MRL OPTIMIZE lifecycle (oracle, r9-4)
 ]
 
 # Round-9 rotation state: union coverage is 236/236 (r8); the window
-# refreshes the stalest proofs — all 27 r3 rows + 13 of the 40-row r4
-# cohort. Remaining r4 rows (27) are the round-10 pool, then r5.
+# refreshes the stalest proofs — all 27 r3 rows + 7 of the 40-row r4
+# cohort (6 new-query slots displaced the rest). Remaining r4 rows
+# (33, word_stats rejoined the pool) are the round-10 pool, then r5.
 # Sentinels stay every round; queries NEW in a round always take
 # window slots (test_union_driver_coverage_complete enforces it).
 

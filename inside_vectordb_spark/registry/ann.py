@@ -2101,3 +2101,46 @@ def ann_mrl_upsert_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_mrl_topk_indexed(
         eio.query_vectors(spark, sf_dir), corpus, art, k=10
     )
+
+
+@register("ann_mrl_compacted_topk", oracle=_MRL_ORACLE)
+def ann_mrl_compacted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRL OPTIMIZE lifecycle (review r9-4): build on a base slice,
+    append two deltas (small files accumulate), COMPACT via the
+    maintenance facade (zero-shuffle small-file fold under the commit
+    lock), search the compacted artifact. Shares the full-corpus
+    oracle — the green hash proves compaction moves bytes, not rows
+    (operators/mrl.py:compact_mrl_index)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.ann_index import _corpus_fingerprint
+    from inside_vectordb_spark.operators.maintenance import compact_index
+    from inside_vectordb_spark.operators.mrl import (
+        MRL_PREFIX_DIM,
+        ann_mrl_topk_indexed,
+        build_mrl_index,
+        upsert_mrl_index,
+    )
+
+    corpus = eio.load_table(spark, sf_dir, "embeddings")
+    art = _idx_path("mrl_compacted", sf_dir)
+
+    def _rebuild():
+        base = corpus.filter((F.col("vec_id") % 4) != 1)
+        build_mrl_index(base, art)
+        upsert_mrl_index(corpus.filter((F.col("vec_id") % 8) == 1), art)
+        upsert_mrl_index(corpus.filter((F.col("vec_id") % 8) == 5), art)
+        compact_index(spark, art)
+
+    _rebuild_if_stale(
+        art,
+        {
+            "base_mod": [4, 1], "prefix_dim": MRL_PREFIX_DIM,
+            "corpus": _corpus_fingerprint(corpus, "vec_id"),
+        },
+        _rebuild,
+        meta_stale=lambda m: not m.get("compacted"),
+    )
+    return ann_mrl_topk_indexed(
+        eio.query_vectors(spark, sf_dir), corpus, art, k=10
+    )

@@ -48,8 +48,8 @@ MUST_COVER = {
 
 # Rows rotated into the round-9 window: the observation-age policy's
 # first execution — all 27 rows whose last driver observation was r3,
-# plus 13 of the 40-row r4 cohort (the verdict-named priorities
-# first). They stay pinned here until CORRECTNESS_r09 proves them
+# plus 7 of the 40-row r4 cohort (the verdict-named priorities
+# first; new-query slots displaced the rest). They stay pinned here until CORRECTNESS_r09 proves them
 # green.
 ROTATED_IN_R9 = {
     # last observed r3 (all 27)
@@ -62,12 +62,13 @@ ROTATED_IN_R9 = {
     "qrels_tsv_roundtrip", "queries_with_judgments", "ranked_lists",
     "relevance_histogram", "results_enriched", "seeded_sample",
     "simhash_signatures", "table_counts", "top_lineitems",
-    # oldest r4 (8 of 40)
+    # oldest r4 (7 of 40)
     "search_hits", "precision_at_k", "mrr", "evaluation_report",
-    "text_embeddings", "qrels_table", "bm25_topk", "word_stats",
+    "text_embeddings", "qrels_table", "bm25_topk",
     # new this round
     "ann_hnsw_vendored_indexed", "ann_hnsw_vendored_lifecycle",
     "ann_signlsh_compacted", "bm25_compacted_topk", "ann_mrl_sq_topk",
+    "ann_mrl_compacted_topk",
 }
 
 
