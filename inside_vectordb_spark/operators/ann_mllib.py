@@ -14,7 +14,9 @@ them, quality is asserted statistically (recall retention vs exact,
 Knobs (ef_search analogues): ``num_tables`` (more tables → more
 candidate overlap → higher recall), ``bucket_length`` (wider buckets
 → more candidates per bucket), ``threshold`` (distance cutoff for
-the candidate join; 2.0 admits any cosine ≥ −1).
+the candidate join — MLlib filters ``dist < threshold`` STRICTLY, so
+the 2.0 + ε default admits any cosine ≥ −1 including exact opposites
+at d = 2.0; a plain 2.0 silently excluded them, review r9-5).
 
 Scale: MLlib's approxSimilarityJoin explodes each side to (table,
 hash-bucket) keys and equi-joins — the same banded join shape as our
@@ -37,7 +39,7 @@ def ann_brp_topk(
     k: int = 10,
     num_tables: int = 3,
     bucket_length: float = 1.0,
-    threshold: float = 2.0,
+    threshold: float = 2.0 + 1e-9,
     seed: int = 42,
     query_id: str = "query_id",
     query_vec: str = "embedding",
@@ -90,16 +92,25 @@ def ann_brp_topk(
     scored = joined.select(
         F.col("datasetB.qid").alias("query_id"),
         F.col("datasetA.doc_id").alias("doc_id"),
-        # `is not None`, not truthiness: round_to=0 means round to 0
-        # decimals, not "don't round" (review r7; sibling operators'
-        # contract)
-        (F.round(score, round_to) if round_to is not None else score).alias(
-            "score"
-        ),
+        # rank on the UNROUNDED score like every sibling tier
+        # (_rerank_candidates rounds AFTER row_number) so near-tie
+        # top-k membership matches exact/ann_lsh (review r9-5), then
+        # round for display. `is not None`, not truthiness: round_to=0
+        # means round to 0 decimals (review r7).
+        score.alias("__raw"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__raw"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.round(F.col("__raw"), round_to)
+                if round_to is not None
+                else F.col("__raw")
+            ).alias("score"),
+            "rank",
+        )
     )

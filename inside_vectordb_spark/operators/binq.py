@@ -45,7 +45,14 @@ def _packed_words(
     bit = (F.col("val") > F.col("mu")).cast("bigint")
     term = bit * F.pow(F.lit(2.0), (F.col("pos") % WORD_BITS)).cast("bigint")
     return (
-        pv.join(means, "pos")
+        # broadcast by construction: ``means`` is exactly ``dim`` rows
+        # (≤ a few thousand), but the aggregate output has no size
+        # stats at planning, so without the hint the corpus-rows × dim
+        # exploded relation hash-partitions onto at most ``dim`` keys
+        # — the skew shape the repo audits against — and only AQE
+        # might rescue it at runtime (review r9-5; matches the qw
+        # broadcast below)
+        pv.join(F.broadcast(means), "pos")
         .select(
             id_out,
             (F.col("pos") / WORD_BITS).cast("int").alias("half"),

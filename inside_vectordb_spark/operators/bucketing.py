@@ -39,7 +39,18 @@ def write_bucketed(
         # means overwrite
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(warehouse.removeprefix("file:"), table.split(".")[-1])
+        root = warehouse.removeprefix("file:")
+        # the managed location mirrors the catalog's rules: names are
+        # lowercased, and a database-qualified table lives under
+        # <warehouse>/<db>.db/<table> — the old basename-only guess
+        # missed both, so the stale-dir cleanup this block exists for
+        # silently skipped qualified/mixed-case names and saveAsTable
+        # then failed on the non-empty leftover dir (review r9-5)
+        parts = [p.lower() for p in table.split(".")]
+        if len(parts) == 1:
+            loc = os.path.join(root, parts[0])
+        else:
+            loc = os.path.join(root, f"{parts[-2]}.db", parts[-1])
         if os.path.isdir(loc):
             shutil.rmtree(loc)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *cols)

@@ -29,14 +29,20 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_CENTROID_SCHEMA = StructType(
-    [
-        StructField("label", IntegerType()),
-        StructField("component", IntegerType()),
-        StructField("mean_value", DoubleType()),
-        StructField("n_vectors", LongType()),
-    ]
-)
+def _centroid_schema(label_type) -> StructType:
+    """Output schema with ``label`` typed as the caller's group
+    column (review r9-5: a hard-coded IntegerType + int() coercion
+    made every non-int group column — ``lang``, ``source`` — crash
+    as an opaque executor PythonException despite the ``group_col``
+    parameter inviting exactly those)."""
+    return StructType(
+        [
+            StructField("label", label_type),
+            StructField("component", IntegerType()),
+            StructField("mean_value", DoubleType()),
+            StructField("n_vectors", LongType()),
+        ]
+    )
 
 
 def group_centroids(
@@ -46,12 +52,13 @@ def group_centroids(
 ) -> DataFrame:
     """Per-group embedding centroid, long-form: (label, component,
     mean_value, n_vectors) — one GEMM-free columnwise mean per group
-    inside a grouped-map pandas UDF."""
+    inside a grouped-map pandas UDF. ``label`` keeps the group
+    column's own type (int labels, string langs/sources alike)."""
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.array(list(pdf["v"]), dtype=np.float64)
         mean = mat.mean(axis=0)
-        label = int(pdf["g"].iloc[0])
+        label = pdf["g"].iloc[0]
         return pd.DataFrame(
             {
                 "label": label,
@@ -61,10 +68,10 @@ def group_centroids(
             }
         )
 
-    return (
-        embeddings.select(
-            F.col(group_col).alias("g"), F.col(vec_col).alias("v")
-        )
-        .groupBy("g")
-        .applyInPandas(centroid, schema=_CENTROID_SCHEMA)
+    src = embeddings.select(
+        F.col(group_col).alias("g"), F.col(vec_col).alias("v")
+    )
+    label_type = src.schema["g"].dataType
+    return src.groupBy("g").applyInPandas(
+        centroid, schema=_centroid_schema(label_type)
     )

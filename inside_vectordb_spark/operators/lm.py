@@ -127,9 +127,15 @@ def perplexity_gate(
 ) -> DataFrame:
     """The filter itself: documents whose unigram perplexity is at or
     below the ceiling (CCNet keeps the low-perplexity head). Returns
-    the surviving docs with their scores attached."""
-    scores = unigram_lm_scores(docs, id_col, text_col, alpha)
+    the surviving docs with their scores attached. Chaining-safe:
+    score columns already present on ``docs`` (a previous gate's
+    output) are REPLACED by freshly computed values — without the
+    drop, the join produced duplicate ``perplexity`` columns and the
+    filter crashed with AMBIGUOUS_REFERENCE (review r9-5)."""
+    score_cols = ("n_tokens", "cross_entropy", "perplexity")
+    base = docs.drop(*[c for c in score_cols if c in docs.columns])
+    scores = unigram_lm_scores(base, id_col, text_col, alpha)
     return (
-        docs.join(scores.withColumnRenamed("doc_id", id_col), id_col)
+        base.join(scores.withColumnRenamed("doc_id", id_col), id_col)
         .filter(F.col("perplexity") <= max_perplexity)
     )

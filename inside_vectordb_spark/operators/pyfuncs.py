@@ -122,13 +122,30 @@ def doc_chunks_udtf(spark, docs: DataFrame, width: int = 32) -> DataFrame:
     join surface. Scale note: UDTFs execute row-at-a-time in Python —
     the Catalyst ``doc_chunks`` (slice/transform expressions) is the
     production path; this pins the API surface with the same oracle
-    shape."""
-    spark.udtf.register("word_chunks", _ChunkUDTF)
-    docs.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
-    return spark.sql(
+    shape.
+
+    The view and UDTF names are per-call unique (review r9-5): fixed
+    session-global names let a second caller's
+    ``createOrReplaceTempView`` between this call's registration and
+    its ``spark.sql`` re-point the lateral join at the OTHER caller's
+    documents, and silently clobbered any user object of the same
+    name. The lazy plan resolves the view at sql() time, which is why
+    the race window was real; unique names close it. The temp view is
+    dropped once the returned plan is resolved (the plan holds its
+    own reference)."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    fn_name = f"word_chunks_{tag}"
+    view = f"__udtf_docs_{tag}"
+    spark.udtf.register(fn_name, _ChunkUDTF)
+    docs.select("doc_id", "text").createOrReplaceTempView(view)
+    out = spark.sql(
         f"""
         SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words
-        FROM __udtf_docs d,
-             LATERAL word_chunks(d.text, {int(width)}) c
+        FROM {view} d,
+             LATERAL {fn_name}(d.text, {int(width)}) c
         """
     )
+    spark.catalog.dropTempView(view)
+    return out

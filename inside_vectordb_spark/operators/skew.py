@@ -52,7 +52,16 @@ def salted_equi_join(
     spark = skewed.sparkSession
     salts = spark.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
     salted = skewed.withColumn(
-        "__salt", F.pmod(F.crc32(F.col(row_col).cast("string")), F.lit(n_salts)).cast("int")
+        # coalesce: crc32(NULL) is NULL and a NULL salt never equi-
+        # matches, so a skewed row with a NULL row_col silently fell
+        # out of the join the docstring declares equivalent to the
+        # plain one (review r9-5); NULL-id rows all land in salt 0 —
+        # correct, and skew from them is the caller's id-quality issue
+        "__salt",
+        F.coalesce(
+            F.pmod(F.crc32(F.col(row_col).cast("string")), F.lit(n_salts)),
+            F.lit(0),
+        ).cast("int"),
     )
     replicated = small.crossJoin(F.broadcast(salts))
     return salted.join(replicated, [key, "__salt"], how).drop("__salt")

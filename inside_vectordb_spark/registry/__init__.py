@@ -26,7 +26,13 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        assert name not in QUERIES, f"duplicate query name: {name}"
+        # explicit raise, not assert (review r9-5): under python -O a
+        # duplicate register() silently replaced the query while a
+        # stale oracle for the OLD implementation could survive in
+        # ORACLES — the gate would then compare the new query against
+        # the wrong oracle instead of failing fast at import
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
