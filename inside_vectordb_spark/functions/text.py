@@ -16,17 +16,49 @@ from pyspark.sql import functions as F
 
 
 def tokenize(col: Column | str) -> Column:
-    """Whitespace tokenization, reference semantics: Python
-    ``str.split()`` (no empty tokens, any-width whitespace)."""
+    """THE engine-wide whitespace tokenizer: split on the explicit
+    class ``[ \\t\\n\\f\\r ]+`` and drop empty tokens.
+
+    Two deliberate decisions (review r9-6), both for cross-engine
+    determinism with the DuckDB oracles:
+
+    - The whitespace class is spelled explicitly because Java ``\\s``
+      includes vertical tab (\\x0B) while RE2's does not — the same
+      divergence review r9-1 fixed in the hash encoder, which this
+      function still carried: a document containing \\x0B tokenized
+      differently in Spark than in every oracle. \\x0B and Unicode
+      spaces are TOKEN characters on both engines now (a deviation
+      from Python ``str.split()``, which treats them as separators —
+      acceptable: the reference corpus is ASCII-spaced, and the rule
+      is the same one the oracles can express).
+    - Empty tokens are dropped HERE, not ad hoc downstream: text with
+      leading/trailing tab/newline (``trim`` strips only spaces)
+      split to a phantom ``''`` first element that only SOME
+      consumers guarded (the n=1 shingle guard, the hash encoder,
+      two oracles) — every unguarded pair silently agreed only
+      because the fixtures lack such text. One clean token stream
+      ends the class."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.array_remove(F.split(c, r"[ \t\n\f\r]+"), "")
+
+
+# The oracle-side twin of ``tokenize`` — splice into DuckDB SQL with
+# the text expression substituted. One definition so the two engines'
+# token streams can never drift again.
+def tokenize_sql(text_expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array({text_expr}, "
+        "'[ \\t\\n\\f\\r]+'), t -> t <> '')"
+    )
 
 
 def token_count(col: Column | str) -> Column:
     """``len(text.split())`` (``000-get_data.py:217-218``); empty or
-    all-whitespace text counts 0."""
+    all-whitespace text counts 0 (``tokenize`` yields an empty array
+    for it — no special case needed since the phantom-''-token drop
+    moved into the tokenizer, review r9-6)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokenize(c)))
+    return F.size(tokenize(c))
 
 
 def normalize_text(col: Column | str) -> Column:

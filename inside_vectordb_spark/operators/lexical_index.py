@@ -48,8 +48,11 @@ from inside_vectordb_spark.functions.text import token_count, tokenize
 from inside_vectordb_spark.operators.bm25 import BM25_B, BM25_K1
 
 N_TERM_BUCKETS = 64
-LEXICAL_LAYOUT = 3  # v3: postings dl uses token_count semantics (phantom
-# empties included — review r8); v2: dl denormalized, versioned df dir
+LEXICAL_LAYOUT = 4  # v4: canonical tokenizer — explicit [ \t\n\f\r]+
+# class (Java \s carried \x0B; RE2's does not) and NO empty tokens
+# anywhere (review r9-6); v3: postings dl uses token_count semantics
+# (phantom empties included — review r8); v2: dl denormalized,
+# versioned df dir
 
 
 def _term_bucket(col) -> F.Column:

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from inside_vectordb_spark.functions.text import tokenize
 from pyspark.sql.types import (
     ByteType,
     DateType,
@@ -277,7 +279,7 @@ def cms_heavy_hitters(
     toks = (
         docs.select(
             F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                tokenize(F.lower(F.col(text_col)))
             ).alias("t")
         )
         .filter(F.col("t") != "")
@@ -346,7 +348,17 @@ def column_correlations(
         # dotted names don't parse as nested refs
         x = F.col("`" + a.replace("`", "``") + "`").cast("double")
         y = F.col("`" + b.replace("`", "``") + "`").cast("double")
-        aggs.append(F.corr(x, y).alias(f"__c_{i}"))
+        # Pearson via try_divide of the sample moments: a zero-variance
+        # column makes Spark's corr() RAISE under ANSI (DIVIDE_BY_ZERO)
+        # while DuckDB's corr() returns NULL — a crash vs a row
+        # (review r9-6). covar_samp/(sx·sy) is algebraically identical
+        # to corr (the n−1 factors cancel) and try_divide yields the
+        # SQL-standard NULL for the undefined case; the 6-dp rounding
+        # absorbs the sqrt(a)·sqrt(b)-vs-sqrt(ab) ulp difference.
+        c = F.try_divide(
+            F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y)
+        )
+        aggs.append(c.alias(f"__c_{i}"))
         aggs.append(F.covar_samp(x, y).alias(f"__v_{i}"))
     row = df.agg(*aggs)
 

@@ -24,7 +24,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 # A BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
 # symbols — the usual GPT-2-style pre-split shape, kept regex-portable.
-BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"  # explicit ws class: Java \\s has \\x0B, RE2 does not (review r9-6)
 
 
 def _marker_hits(toks: Column, lang: str) -> Column:
@@ -150,7 +150,7 @@ def _quality_parts(text_col: str):
     n = token_count(text_col).cast("double")
     text = F.col(text_col)
     n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
-    n_nonspace = F.length(F.regexp_replace(text, "\\s", ""))
+    n_nonspace = F.length(F.regexp_replace(text, "[ \\t\\n\\f\\r]", ""))
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to", "is"))
     ).cast("double")

@@ -556,7 +556,7 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     reduces to it first; this is the only pass that touches raw text."""
     return (
         docs.select(
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -762,7 +762,7 @@ def bpe_encode(
     words = (
         docs.select(
             F.col("doc_id"),
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"),
         )
         .filter(F.col("w") != "")
     )

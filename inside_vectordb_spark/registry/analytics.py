@@ -245,10 +245,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_moving_avg",
     oracle="""
     SELECT event_id, user_id, ts,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts NULLS FIRST, event_id
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
                AS mov_avg3,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts NULLS FIRST, event_id
                                   ROWS UNBOUNDED PRECEDING), 6) AS cum_value
     FROM events
     """,
@@ -391,6 +393,7 @@ def events_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type, count(*) AS n_events,
            round(sum(value), 6) AS total_value
     FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -600,7 +603,7 @@ _CMS_BUCKET = (
     "heavy_hitters_cms",
     oracle=f"""
     WITH tok AS (
-      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+'), t -> t <> '')) AS t
       FROM documents WHERE trim(text) <> ''),
     tok2 AS (SELECT t FROM tok WHERE t <> ''),
     exact AS (SELECT t, count(*) AS exact_cnt FROM tok2 GROUP BY t),

@@ -36,7 +36,7 @@ _DIM = DEFAULT_DIM
 _DENSE_CTE = f"""
     toks AS (
       SELECT doc_id, tok FROM (
-        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+        SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS tok
         FROM documents)
       WHERE tok <> ''
     ),

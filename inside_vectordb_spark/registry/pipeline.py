@@ -13,13 +13,14 @@ from pyspark.sql import functions as F
 
 from inside_vectordb_spark import io as eio
 from inside_vectordb_spark.operators import dedup as dd
+from inside_vectordb_spark.functions.text import tokenize
 from inside_vectordb_spark.operators import textstats as ts
 from inside_vectordb_spark import _meta_io as mio
 from inside_vectordb_spark.registry import register
 
 # ---- shared DuckDB fragments -------------------------------------------
 
-_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_TOKS = "list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), t -> t <> '')"
 
 _SHINGLES = f"""
     list_distinct(list_transform(
@@ -89,7 +90,7 @@ _JACCARD = """
 _QUALITY_RAW_SELECT = f"""SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0.0 ELSE len({_TOKS}) * 1.0 END AS n,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 AS n_alpha,
-             length(regexp_replace(text, '\\s', '', 'g')) * 1.0 AS n_nonspace,
+             length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) * 1.0 AS n_nonspace,
              CASE WHEN trim(text) = '' THEN 0.0
                   ELSE len(list_filter({_TOKS},
                        t -> t IN ('the','a','and','of','to','is'))) * 1.0 END AS stop_hits
@@ -760,7 +761,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.pack_sequences(docs, n_shards=_PACK_SHARDS)
 
 
-_LTOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_LTOKS = "list_filter(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'), t -> t <> '')"
 
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -784,7 +785,7 @@ def _bm25_ctes(depth: int) -> str:
            FROM documents),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
     qterms AS (
-      SELECT query_id, unnest(list_distinct(regexp_split_to_array(trim(qt), '\\s+'))) AS term
+      SELECT query_id, unnest(list_distinct(list_filter(regexp_split_to_array(qt, '[ \\t\\n\\f\\r]+'), t -> t <> ''))) AS term
       FROM q),
     dft AS (SELECT term, count(*) AS df FROM tf
             WHERE term IN (SELECT term FROM qterms) GROUP BY term),
@@ -828,7 +829,7 @@ _TFIDF_ORACLE = f"""
     qtf AS (
       SELECT query_id, term, count(*) AS tf FROM (
         SELECT query_id,
-               unnest(regexp_split_to_array(trim(qt), '\\s+')) AS term
+               unnest(list_filter(regexp_split_to_array(qt, '[ \\t\\n\\f\\r]+'), t -> t <> '')) AS term
         FROM q)
       WHERE term <> '' GROUP BY query_id, term),
     qw AS (
@@ -866,7 +867,7 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.operators.tfidf import tfidf_topk
 
     docs = eio.load_table(spark, sf_dir, "documents")
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     queries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),
@@ -891,7 +892,7 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.operators.bm25 import bm25_topk
 
     docs = eio.load_table(spark, sf_dir, "documents")
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     queries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),
@@ -960,7 +961,7 @@ def bm25_rm3_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.operators.rm3 import bm25_rm3_topk
 
     docs = eio.load_table(spark, sf_dir, "documents")
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     queries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),
@@ -1015,7 +1016,7 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.operators.topk import exact_cosine_topk
 
     docs = eio.load_table(spark, sf_dir, "documents")
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     tqueries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),
@@ -1046,7 +1047,7 @@ def _tfidf_tail_ctes(depth: int) -> str:
     tqtf AS (
       SELECT query_id, term, count(*) AS tf FROM (
         SELECT query_id,
-               unnest(regexp_split_to_array(trim(qt), '\\s+')) AS term
+               unnest(list_filter(regexp_split_to_array(qt, '[ \\t\\n\\f\\r]+'), t -> t <> '')) AS term
         FROM q)
       WHERE term <> '' GROUP BY query_id, term),
     tqw AS (
@@ -1115,7 +1116,7 @@ def hybrid_rrf3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.operators.topk import exact_cosine_topk
 
     docs = eio.load_table(spark, sf_dir, "documents")
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     tqueries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),
@@ -1287,7 +1288,7 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPL_BUCKET_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+             unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+'), t -> t <> '')) AS term
       FROM documents),
     t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
     counts AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
@@ -1501,13 +1502,13 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtok AS (
       SELECT query_id,
              CASE WHEN trim(qt) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE list_distinct(regexp_split_to_array(trim(lower(qt)), '\\s+'))
+                  ELSE list_distinct(list_filter(regexp_split_to_array(lower(qt), '[ \\t\\n\\f\\r]+'), t -> t <> ''))
              END AS qset
       FROM q),
     dtok AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  ELSE list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+'), t -> t <> ''))
              END AS dset
       FROM documents),
     ce AS (
@@ -1538,7 +1539,7 @@ def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.operators.rerank import cross_encoder_rerank
 
     docs = eio.load_table(spark, sf_dir, "documents")
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     queries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),
@@ -1821,7 +1822,7 @@ def incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+             unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+'), t -> t <> '')) AS term
       FROM documents),
     t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
     counts AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
@@ -2147,7 +2148,7 @@ def bm25_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = eio.load_table(spark, sf_dir, "documents")
     art = mio.art_path("lexical", sf_dir)
     ensure_lexical_index(docs, art)
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     queries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),
@@ -2174,7 +2175,7 @@ def tfidf_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = eio.load_table(spark, sf_dir, "documents")
     art = mio.art_path("lexical", sf_dir)
     ensure_lexical_index(docs, art)
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     queries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),
@@ -2236,7 +2237,7 @@ def hybrid_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = eio.load_table(spark, sf_dir, "documents")
     lex_art = mio.art_path("lexical", sf_dir)
     ensure_lexical_index(docs, lex_art)
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     tqueries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),
@@ -2294,7 +2295,7 @@ def bm25_upsert_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         mio.remove_tree(art)
         build_lexical_index(base, art)
         upsert_lexical_index(delta, art)
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     queries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),
@@ -2345,7 +2346,7 @@ def bm25_compacted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_lexical_index(base, art)
         upsert_lexical_index(delta, art)
         compact_lexical_index(spark, art)
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     queries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),
@@ -2532,7 +2533,7 @@ def hybrid_linear_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inside_vectordb_spark.operators.topk import exact_cosine_topk
 
     docs = eio.load_table(spark, sf_dir, "documents")
-    toks = F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5)
+    toks = F.slice(tokenize(F.lower(F.col("text"))), 1, 5)
     tqueries = docs.filter(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", toks).alias("qtext"),

@@ -67,7 +67,7 @@ def label_mean_norm_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
                          t -> t <> '') AS t
       FROM documents WHERE doc_id < 40),
     chunks AS (

@@ -165,7 +165,7 @@ def avg_relevant_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+                  ELSE len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'), t -> t <> '')) END AS n_words
       FROM documents)
     SELECT min(n_words) AS min_words, max(n_words) AS max_words,
            round(avg(n_words), 6) AS avg_words
@@ -568,14 +568,15 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                        > INTERVAL 30 MINUTE OR
-                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     s AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             sum(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts NULLS FIRST, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM w)
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -1141,7 +1142,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(4) OVER w AS INT) AS quartile,
            round(cume_dist() OVER w, 6) AS cd
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
 )
 def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,7 +1336,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_brand <> 'Brand#1'
       AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
       AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                              WHERE s_acctbal < 0)
+                              WHERE s_acctbal < 0
+                                AND s_suppkey IS NOT NULL)
     GROUP BY 1, 2, 3
     """,
 )
@@ -1351,9 +1353,14 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1")
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
     )
+    # the IS NOT NULL on BOTH sides pins NOT-IN-vs-anti-join
+    # semantics: a NULL s_suppkey in the bad set empties a NOT IN
+    # result entirely (three-valued logic) while a null-unsafe anti
+    # join ignores it (review r9-6) — excluding NULL keys makes the
+    # two formulations identical on any data
     bad = (
         eio.load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        .filter((F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull())
         .select("s_suppkey")
     )
     return (

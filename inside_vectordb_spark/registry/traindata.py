@@ -17,7 +17,7 @@ from inside_vectordb_spark.operators import traindata as td
 from inside_vectordb_spark.registry.core import topk_ctes
 from inside_vectordb_spark.registry import register
 
-_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_TOKS = "list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), t -> t <> '')"
 
 # ---------------------------------------------------------------------------
 # Span-level dedup (C4/Lee-et-al. shape; spans = 10-word windows)
@@ -351,7 +351,7 @@ _CHUNK_CTE = f"""
     oracle=f"""
     WITH {_CHUNK_CTE}
     SELECT doc_id, chunk_id, chunk AS chunk_text,
-           CAST(len(regexp_split_to_array(chunk, '\\s+')) AS INT)
+           CAST(len(list_filter(regexp_split_to_array(chunk, '[ \\t\\n\\f\\r]+'), t -> t <> '')) AS INT)
                AS n_tokens_chunk
     FROM chunks
     """,
@@ -376,7 +376,7 @@ def _sparse_vec_cte(name: str, src: str, keys: str, txt: str) -> str:
       FROM (
         SELECT {keys}, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
         FROM (SELECT {keys},
-                     unnest(regexp_split_to_array(trim({txt}), '\\s+')) AS tok
+                     unnest(list_filter(regexp_split_to_array({txt}, '[ \\t\\n\\f\\r]+'), t -> t <> '')) AS tok
               FROM {src} WHERE trim({txt}) <> '') u)
       GROUP BY ALL)
     """
@@ -395,7 +395,26 @@ def _encode_chunks(chunks, id_out: str, chunk_out: str, vec_out: str):
 
     enc = encode_documents(
         chunks.select(
-            (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
+            # assert_true: a >= 10000-chunk document (≈160k words at
+            # width 32 / stride 16) would silently pack into the NEXT
+            # doc_id's space and mis-attribute every later chunk
+            # (review r9-6) — fail loudly instead; ANSI mode surfaces
+            # the error at the first offending row
+            F.when(
+                F.col("chunk_id") < 10000,
+                F.col("doc_id") * 10000 + F.col("chunk_id"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("composite chunk id overflow: chunk_id "),
+                        F.col("chunk_id").cast("string"),
+                        F.lit(" >= 10000 for doc_id "),
+                        F.col("doc_id").cast("string"),
+                    )
+                )
+            )
+            .alias("doc_id"),
             F.col("chunk_text").alias("text"),
         )
     )
@@ -621,7 +640,7 @@ def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently diverge on tokenization (same rule as Spark's
 # word_frequencies: trim+lower, \\s+ split, drop empties).
 _WORDS_WC_CTES = """words AS (
-      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+'), t -> t <> '')) AS w
       FROM documents WHERE trim(text) <> ''),
     wc AS (SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w)"""
 
@@ -710,7 +729,7 @@ def _bpe_encode_oracle(n_merges: int = 8) -> str:
                AS n_subtokens
            FROM s{n_merges}),
     dw AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+'), t -> t <> '')) AS w
       FROM documents WHERE trim(text) <> '')
     SELECT doc_id, count(*) AS n_words,
            CAST(sum(n_subtokens) AS BIGINT) AS n_tokens
