@@ -592,3 +592,60 @@ def test_ndcg_matches_reference_semantics(spark, results, qrels):
         assert k not in got or got[k] is None or math.isnan(got[k]) or got[k] == 0.0
     else:
         assert math.isclose(got[k], want, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# tokenize must agree with its DuckDB twin on ARBITRARY text
+# (review r9-6: the canonical-tokenizer contract, generalized past the
+# fixed dirty-text list)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab1. \t\n\f\r\x0b\xa0é")),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_tokenize_matches_duckdb_twin_on_any_text(spark, texts):
+    """For any mix of token chars, ASCII whitespace, vertical tab,
+    NBSP, and non-ASCII letters: tokenize() == tokenize_sql() token
+    for token, and token_count() == the list length."""
+    import duckdb as _duck
+
+    from inside_vectordb_spark.functions.text import (
+        token_count,
+        tokenize,
+        tokenize_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: (r["toks"], r["n"])
+        for r in df.select(
+            "id", tokenize("text").alias("toks"), token_count("text").alias("n")
+        ).collect()
+    }
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") v(id, text)",
+        texts,
+    )
+    want = {
+        r[0]: (r[1], len(r[1]))
+        for r in con.execute(
+            f"SELECT id, {tokenize_sql('text')} FROM t ORDER BY id"
+        ).fetchall()
+    }
+    assert got == want
