@@ -106,6 +106,27 @@ _PARTIAL_SCHEMA = StructType(
 )
 
 
+def _tomb_dir(path: str, meta: dict) -> str:
+    """The CURRENT tombstone relation. Partial compaction shrinks the
+    tombstone set; an in-place rewrite of one fixed dir would lose the
+    surviving tombstones on a crash between remove and rewrite
+    (deleted docs reappearing), so the live relation is versioned in
+    meta (``tomb_rel``) and swapped by the atomic meta commit, exactly
+    like the graph generation dirs."""
+    return mio.join(path, meta.get("tomb_rel", "tombstones"))
+
+
+def _gc_dirs(path: str, gc_now: list) -> None:
+    """Reclaim dirs a PREVIOUS commit superseded: ``[rel, part]``
+    entries are one graph partition dir; ``[rel, None]`` entries are a
+    whole relation (superseded tombstone generations)."""
+    for old_rel, p in gc_now:
+        if p is None:
+            mio.remove_tree(os.path.join(path, old_rel))
+        else:
+            mio.remove_tree(os.path.join(path, old_rel, f"part={p}"))
+
+
 def _part_expr(id_col: str, n_parts: int):
     """THE partition-routing rule. xxhash64 is seed-stable across
     sessions, so deltas route to the same graph partition their
@@ -252,9 +273,8 @@ def build_hnsw_index(
     # from a prior index must not leak into the rebuilt one (the
     # marker is already off, so no reader resolves them mid-cleanup)
     for name in os.listdir(path) if os.path.isdir(path) else []:
-        if name.startswith("graph_u") or name.startswith("graph_c"):
+        if name.startswith(("graph_u", "graph_c", "tombstones")):
             mio.remove_tree(os.path.join(path, name))
-    mio.remove_tree(mio.join(path, "tombstones"))
     meta = {
         "kind": "hnsw_vendored",
         "dim": dim,
@@ -417,7 +437,7 @@ def ann_hnsw_topk_indexed(
         partials = branch if partials is None else partials.unionByName(branch)
     if partials is None:
         raise FileNotFoundError(f"no graph relations at {path}")
-    tomb = mio.join(path, "tombstones")
+    tomb = _tomb_dir(path, meta)
     if mio.is_dir(tomb):
         partials = partials.join(
             spark.read.parquet(tomb).withColumnRenamed("id", "doc_id"),
@@ -492,7 +512,7 @@ def _upsert_hnsw_locked(
     stored_ids = graph.filter(F.col("level") == 0).select(
         F.col("node_id").alias(id_col)
     )
-    tomb = mio.join(path, "tombstones")
+    tomb = _tomb_dir(path, meta)
     if mio.is_dir(tomb):
         # a re-added deleted id would stay permanently masked by the
         # surviving tombstone while the merged fingerprint counted it
@@ -609,8 +629,7 @@ def _upsert_hnsw_locked(
     gc_now = meta.get("gc_pending", [])
     meta["gc_pending"] = superseded
     mio.write_json(mio.join(path, "meta.json"), meta, indent=2)  # commit
-    for old_rel, p in gc_now:
-        mio.remove_tree(os.path.join(path, old_rel, f"part={p}"))
+    _gc_dirs(path, gc_now)
     return meta
 
 
@@ -628,7 +647,7 @@ def delete_from_hnsw_index(
         meta = mio.read_json(mio.join(path, "meta.json"))
         if meta is None or meta.get("kind") != "hnsw_vendored":
             raise FileNotFoundError(f"no complete vendored-HNSW index at {path}")
-        tomb = mio.join(path, "tombstones")
+        tomb = _tomb_dir(path, meta)
         existing: set[int] = set()
         if mio.is_dir(tomb):
             existing = {r["id"] for r in spark.read.parquet(tomb).collect()}
@@ -636,7 +655,7 @@ def delete_from_hnsw_index(
         if fresh:
             spark.createDataFrame(
                 pd.DataFrame({"id": np.array(fresh, dtype=np.int64)})
-            ).write.mode("append").parquet(os.path.join(path, "tombstones"))
+            ).write.mode("append").parquet(tomb)
             meta["n_deleted"] = meta.get("n_deleted", 0) + len(fresh)
             mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
         return meta
@@ -649,45 +668,124 @@ def _fresh_compact_rel(path: str) -> str:
     return f"graph_c{n}"
 
 
-def compact_hnsw_index(spark: SparkSession, path: str) -> dict[str, Any]:
+def _fresh_tomb_rel(path: str) -> str:
+    n = 1
+    while os.path.isdir(os.path.join(path, f"tombstones_g{n}")):
+        n += 1
+    return f"tombstones_g{n}"
+
+
+def compact_hnsw_index(
+    spark: SparkSession,
+    path: str,
+    min_dead_fraction: float | None = None,
+) -> dict[str, Any]:
     """OPTIMIZE for the graph tier: fold upsert generations and apply
-    tombstones by REBUILDING each partition's kernel from its live
+    tombstones by REBUILDING a partition's kernel from its live
     level-0 vectors (graph deletion is structural — unlike the
     sign/lexical tiers a row filter can't express it, so compaction
     here pays the per-partition graph build, exactly what hnswlib
-    users do when deleted mass grows). The rebuilt partition inserts
-    id-ASC with a fresh seeded RNG, so the compacted index is
-    BIT-IDENTICAL to ``build_hnsw_index`` over the live rows — the
-    canonical form (pinned in tests). Commit = the atomic meta write
-    repointing ``base_rel`` at the fresh generation with
-    ``part_rels`` cleared; superseded dirs get one commit of reader
-    grace. No-op when there is nothing to fold."""
+    users do when deleted mass grows). A rebuilt partition inserts
+    id-ASC with a fresh seeded RNG, so it is BIT-IDENTICAL to
+    ``build_hnsw_index`` over its live rows (pinned in tests). Commit
+    = one atomic meta write; superseded dirs get one commit of reader
+    grace. No-op when there is nothing to fold.
+
+    ``min_dead_fraction=None`` (default) is the full OPTIMIZE: every
+    partition rebuilds to canonical form (``base_rel`` repointed,
+    ``part_rels`` cleared, all tombstones physically gone) — the
+    compacted index equals a fresh build over the live corpus.
+
+    ``min_dead_fraction=x`` is INCREMENTAL OPTIMIZE (round-10): only
+    partitions whose tombstoned fraction exceeds ``x`` rebuild —
+    O(dirty partitions), not O(index). Clean partitions' generation
+    dirs are untouched (byte-for-byte, pinned in tests); tombstones
+    routed to uncompacted partitions SURVIVE into a fresh versioned
+    tombstone relation (``tomb_rel``) swapped by the same meta commit,
+    so they keep masking until their partition's turn. At 100 TB this
+    is the difference between rewriting the whole index and rewriting
+    the churned shards — the same dirty-partition economics as delta
+    compaction in table formats."""
     with mio.commit_lock(path):
         meta = mio.read_json(mio.join(path, "meta.json"))
         if meta is None or meta.get("kind") != "hnsw_vendored":
             raise FileNotFoundError(f"no complete vendored-HNSW index at {path}")
-        tomb = mio.join(path, "tombstones")
-        if not (meta.get("part_rels") or mio.is_dir(tomb)):
-            return meta  # single clean generation already
+        tomb = _tomb_dir(path, meta)
+        has_tomb = mio.is_dir(tomb)
+        if min_dead_fraction is None:
+            if not (meta.get("part_rels") or has_tomb):
+                return meta  # single clean generation already
+        elif not has_tomb:
+            return meta  # incremental mode folds only dead mass
         m, efc, dim, seed = (
             meta["m"],
             meta["ef_construction"],
             meta["dim"],
             meta.get("seed", 42),
         )
-        live = _read_graph(spark, path, meta).filter(F.col("level") == 0).select(
+        g0 = _read_graph(spark, path, meta).filter(F.col("level") == 0)
+        tomb_df = (
+            spark.read.parquet(tomb).withColumnRenamed("id", "doc_id")
+            if has_tomb
+            else None
+        )
+        live = g0.select(
             "part",
             F.col("node_id").alias("doc_id"),
             F.col("vector").alias("v"),
         )
-        if mio.is_dir(tomb):
-            live = live.join(
-                spark.read.parquet(tomb).withColumnRenamed("id", "doc_id"),
-                "doc_id",
-                "left_anti",
+        if tomb_df is not None:
+            live = live.join(tomb_df, "doc_id", "left_anti")
+
+        part_rels = dict(meta.get("part_rels", {}) or {})
+        base_rel = meta.get("base_rel", "graph")
+        if min_dead_fraction is None:
+            dirty = list(range(int(meta["n_parts"])))
+            n_removed = meta.get("n_deleted", 0)
+            remaining: list[int] = []
+        else:
+            # one bounded aggregate (≤ n_parts rows): per-partition
+            # node count and dead count decide which shards rebuild
+            stats = (
+                g0.select("part", "node_id")
+                .join(
+                    tomb_df.select(
+                        F.col("doc_id").alias("node_id"),
+                        F.lit(1).alias("__dead"),
+                    ),
+                    "node_id",
+                    "left",
+                )
+                .groupBy("part")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.count("__dead").alias("dead"),
+                )
+                .collect()
             )
+            dirty = sorted(
+                int(r["part"])
+                for r in stats
+                if r["dead"] and r["dead"] / r["n"] > min_dead_fraction
+            )
+            if not dirty:
+                return meta  # no shard over the threshold
+            dirty_set = set(dirty)
+            # tombstone routing uses THE partition rule (xxhash64 is a
+            # Spark-side hash) — one bounded collect (≤ deletes, the
+            # mark_deleted contract)
+            tomb_rows = tomb_df.withColumn(
+                "part", _part_expr("doc_id", int(meta["n_parts"]))
+            ).collect()
+            remaining = sorted(
+                int(r["doc_id"])
+                for r in tomb_rows
+                if int(r["part"]) not in dirty_set
+            )
+            n_removed = len(tomb_rows) - len(remaining)
+            live = live.filter(F.col("part").isin(dirty))
         n_live = live.count()
-        if n_live == 0:
+        if n_live == 0 and min_dead_fraction is None:
             raise ValueError(
                 f"compaction would leave the HNSW index at {path} EMPTY "
                 "(every row tombstoned) — rebuild over a fresh corpus instead"
@@ -701,25 +799,59 @@ def compact_hnsw_index(spark: SparkSession, path: str) -> dict[str, Any]:
         ).write.mode("overwrite").partitionBy("part").parquet(
             os.path.join(path, rel)
         )
-        part_rels = dict(meta.get("part_rels", {}) or {})
-        base_rel = meta.get("base_rel", "graph")
         superseded = []
-        for p in range(int(meta["n_parts"])):
+        for p in dirty:
             old = part_rels.get(str(p), base_rel)
             if mio.is_dir(os.path.join(path, old, f"part={p}")):
                 superseded.append([old, p])
-        removed = meta.pop("n_deleted", 0)
-        if removed:
-            meta["n_compacted_away"] = meta.get("n_compacted_away", 0) + removed
-        meta["base_rel"] = rel
-        meta["part_rels"] = {}
+        if has_tomb and min_dead_fraction is not None and remaining:
+            # partial mode with survivors: the superseded tombstone
+            # relation gets the same one-commit reader grace as graph
+            # generations (the fresh relation is committed by this
+            # meta write). With NO survivors the dir is removed
+            # immediately below instead — leaving it under grace while
+            # meta drops tomb_rel would make the DEFAULT relation name
+            # resolve back to the stale dir (a re-added id would be
+            # rejected as a duplicate by the upsert disjointness check)
+            superseded.append([meta.get("tomb_rel", "tombstones"), None])
+        if n_removed:
+            meta["n_compacted_away"] = (
+                meta.get("n_compacted_away", 0) + n_removed
+            )
+        if min_dead_fraction is None:
+            meta.pop("n_deleted", None)
+            meta["base_rel"] = rel
+            meta["part_rels"] = {}
+            meta.pop("tomb_rel", None)
+        else:
+            for p in dirty:
+                part_rels[str(p)] = rel
+            meta["part_rels"] = part_rels
+            if remaining:
+                # survivors move to a FRESH versioned relation; the
+                # meta commit swaps it in atomically (a crash before
+                # the commit leaves the old relation fully live)
+                new_tomb = _fresh_tomb_rel(path)
+                spark.createDataFrame(
+                    pd.DataFrame({"id": np.array(remaining, dtype=np.int64)})
+                ).write.mode("overwrite").parquet(
+                    os.path.join(path, new_tomb)
+                )
+                meta["tomb_rel"] = new_tomb
+                meta["n_deleted"] = len(remaining)
+            else:
+                meta.pop("n_deleted", None)
+                meta.pop("tomb_rel", None)
         gc_now = meta.get("gc_pending", [])
         meta["gc_pending"] = superseded
         # fingerprint: recompute over live ids is WRONG here for the
         # same reason as the sign tier (lineage identity — ensure
         # callers pass the ORIGINAL corpus); it stays as committed.
         mio.write_json(mio.join(path, "meta.json"), meta, indent=2)  # commit
-        mio.remove_tree(tomb)  # masked rows are now physically gone
-        for old_rel, p in gc_now:
-            mio.remove_tree(os.path.join(path, old_rel, f"part={p}"))
+        if has_tomb and (min_dead_fraction is None or not remaining):
+            # every mask is physically folded away; the tombstone dir
+            # goes with them immediately (the lifecycle's "cleared"
+            # contract, and the default-relation-name hazard above)
+            mio.remove_tree(tomb)
+        _gc_dirs(path, gc_now)
         return meta

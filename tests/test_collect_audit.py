@@ -34,11 +34,14 @@ COLLECT_BUDGET = {
                                       # the shared pruned_lists (review r9-3)
     "operators/bm25.py": 1,           # 1-row corpus stats literal (N, avgdl)
     "operators/compare.py": 2,        # per-method 1-row metric tables
-    "operators/hnsw_index.py": 3,     # |Q|-row query matrix (broadcast
+    "operators/hnsw_index.py": 5,     # |Q|-row query matrix (broadcast
                                       # contract, as topk.py); delta's
                                       # distinct part keys (≤ n_parts);
                                       # tombstone id set (≤ deletes,
-                                      # mark_deleted contract)
+                                      # mark_deleted contract); partial
+                                      # compaction's per-part stats
+                                      # (≤ n_parts rows) and tombstone
+                                      # routing (≤ deletes)
     "operators/ivfpq_det.py": 1,      # probed-cid list (≤ |Q|·n_probe)
     "operators/lexical_index.py": 4,  # 1-row stats + per-bucket offset rows
     "operators/partitioned_ann.py": 1,  # per-partition top-k merge (≤ parts·Q·k)

@@ -525,3 +525,98 @@ def test_empty_corpus_build_refused(spark, tmp_path):
     corpus = _corpus(spark).filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="EMPTY corpus"):
         build_hnsw_index(corpus, art, dim=DIM, n_parts=N_PARTS)
+
+
+def _dir_snapshot(root):
+    """(relpath, size, mtime_ns) for every file under root — byte-level
+    'untouched' evidence without hashing."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_partial_compact_rebuilds_only_dirty_partitions(spark, tmp_path):
+    """Incremental OPTIMIZE (round-10): with min_dead_fraction set,
+    only partitions whose dead fraction exceeds the threshold rebuild;
+    clean partitions' generation dirs are byte-untouched; tombstones
+    routed to uncompacted partitions survive (versioned tomb_rel) and
+    keep masking; served results are unchanged; a second pass under
+    the same threshold is a no-op; a final full compact reaches the
+    same canonical form as ever."""
+    from inside_vectordb_spark.operators.hnsw_index import (
+        compact_hnsw_index,
+        delete_from_hnsw_index,
+    )
+
+    art = _art(tmp_path, "partial")
+    corpus = _corpus(spark)
+    build_hnsw_index(
+        corpus, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    routed = corpus.select(
+        "vec_id", _part_expr("vec_id", N_PARTS).alias("part")
+    ).toPandas()
+    by_part = {
+        p: sorted(g["vec_id"]) for p, g in routed.groupby("part")
+    }
+    # make partition 1 heavily dead (40%) and partition 2 lightly dead
+    heavy = by_part[1][: max(2, int(0.4 * len(by_part[1])))]
+    light = by_part[2][:1]
+    delete_from_hnsw_index(spark, art, heavy + light)
+    pre = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K, ef_search=EF_SEARCH)
+    )
+    snap_before = {
+        p: _dir_snapshot(os.path.join(art, "graph", f"part={p}"))
+        for p in range(N_PARTS)
+    }
+
+    meta = compact_hnsw_index(spark, art, min_dead_fraction=0.2)
+    # only partition 1 crossed the threshold
+    assert set(meta["part_rels"]) == {"1"}
+    assert meta["part_rels"]["1"].startswith("graph_c")
+    assert meta["base_rel"] == "graph" if "base_rel" in meta else True
+    assert meta["n_compacted_away"] == len(heavy)
+    assert meta["n_deleted"] == len(light)
+    assert meta["tomb_rel"].startswith("tombstones_g")
+    assert mio.is_dir(os.path.join(art, meta["tomb_rel"]))
+    # clean partitions byte-untouched
+    for p in (0, 2, 3):
+        assert (
+            _dir_snapshot(os.path.join(art, "graph", f"part={p}"))
+            == snap_before[p]
+        ), f"clean partition {p} was touched"
+    # served results unchanged; every deleted id still absent
+    post = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K, ef_search=EF_SEARCH)
+    )
+    pd.testing.assert_frame_equal(pre, post)
+    assert not set(post["doc_id"]) & set(heavy + light)
+
+    # same threshold again: no shard qualifies -> no-op commit
+    meta2 = compact_hnsw_index(spark, art, min_dead_fraction=0.2)
+    assert meta2["part_rels"] == meta["part_rels"]
+    assert meta2["tomb_rel"] == meta["tomb_rel"]
+
+    # full compact folds the rest to canonical form == fresh build
+    compact_hnsw_index(spark, art)
+    meta3 = mio.read_json(os.path.join(art, "meta.json"))
+    assert meta3["part_rels"] == {} and meta3["base_rel"].startswith("graph_c")
+    assert "tomb_rel" not in meta3 and "n_deleted" not in meta3
+    assert meta3["n_compacted_away"] == len(heavy) + len(light)
+    live = corpus.filter(~F.col("vec_id").isin(heavy + light))
+    twin = _art(tmp_path, "partial_twin")
+    build_hnsw_index(
+        live, twin, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    a = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K, ef_search=EF_SEARCH)
+    )
+    b = _sorted_frame(
+        ann_hnsw_topk_indexed(spark, _queries(spark), twin, k=K, ef_search=EF_SEARCH)
+    )
+    pd.testing.assert_frame_equal(a, b)
