@@ -22,6 +22,14 @@ Routing rule (``method="auto"``):
 - larger                 → deterministic IVF (bounded quantizer,
   probe pruning) — reference 004's FAISS role.
 
+``method="hnsw"`` routes the persisted vendored-HNSW graph tier
+(``operators/hnsw_index.py`` — the closest analogue to the
+reference's actual hnswlib index, ``003:313-343``) explicitly. It is
+not part of the auto ladder: graph builds are insertion-order
+dependent, so auto stays on the hash-verifiable routes and callers
+opt into the graph tier by name, exactly as the reference opts into
+hnswlib by running 003.
+
 ``corpus_size`` short-circuits the count when the caller already
 knows it (a real store reads it from table stats; Spark exposes it
 via the catalog at zero cost — we never force a count on a path the
@@ -36,6 +44,39 @@ from inside_vectordb_spark import _meta_io as mio
 
 EXACT_CUTOFF = 100_000
 IVF_CUTOFF = 50_000_000
+
+
+def _corpus_keyed_path(corpus: DataFrame, id_col: str, vec_col: str, kind: str) -> str:
+    """Default artifact dir keyed by the CORPUS identity, not one
+    fixed location (review r9-4): two corpora alternating through the
+    facade at a shared path each see a fingerprint mismatch and
+    silently pay a full index rebuild per call. The key folds a cheap
+    CONTENT signal (6dp sum of each vector's first component) into the
+    (count, id-range) census the ensure_* fingerprint uses (advice
+    r10): two corpora with the same id census but different vectors —
+    e.g. re-encoded embeddings at unchanged ids — land in distinct
+    dirs instead of colliding onto one whose census-only ensure check
+    would silently serve the stale index. One bounded 1-row aggregate;
+    keyed dirs accumulate one small index per distinct corpus (no
+    eviction — callers with churning corpora should pass index_path
+    and own its lifecycle)."""
+    import hashlib as _hl
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    row = corpus.select(
+        F.count(F.col(id_col)).alias("n"),
+        F.min(F.col(id_col)).alias("lo"),
+        F.max(F.col(id_col)).alias("hi"),
+        F.round(F.sum(F.element_at(F.col(vec_col), 1)), 6).alias("c1"),
+    ).first()
+    key = _hl.md5(
+        _json.dumps(
+            [row["n"], str(row["lo"]), str(row["hi"]), str(row["c1"])]
+        ).encode()
+    ).hexdigest()[:16]
+    return mio.join(mio.artifacts_root(), "similarity_join", f"{kind}_{key}")
 
 
 def similarity_join(
@@ -54,10 +95,14 @@ def similarity_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 4,
+    dim: int | None = None,
+    ef_search: int = 128,
 ) -> DataFrame:
     """Top-k cosine similarity join, routed by corpus size (or forced
-    via ``method`` in {"exact", "signlsh", "ivf_det"}). Returns
-    (query_id, doc_id, score, rank).
+    via ``method`` in {"exact", "signlsh", "ivf_det", "hnsw"}).
+    Returns (query_id, doc_id, score, rank).
+    ``dim``/``ef_search`` apply to the hnsw route only (``dim`` is
+    inferred from the corpus with a 1-row aggregate when omitted).
 
     ``filter_col``: optional metadata predicate — rank only corpus
     rows whose value equals the query's (all three routes: the exact
@@ -104,29 +149,7 @@ def similarity_join(
         from inside_vectordb_spark.operators.ann_sign import ann_sign_topk_indexed
 
         if index_path is None:
-            # key the default artifact dir by the CORPUS identity, not
-            # one fixed location (review r9-4): two corpora alternating
-            # through the facade at a shared path each see a
-            # fingerprint mismatch and silently pay a full index
-            # rebuild per call. The fingerprint is the same cheap
-            # (count, id-range) aggregate ensure_sign_index computes
-            # anyway; hashing it keys the dir without a registry-style
-            # sf_dir. Callers serving a registry-built index pass
-            # index_path explicitly (as registry/embed.py does).
-            import hashlib as _hl
-            import json as _json
-
-            from inside_vectordb_spark.operators.ann_index import (
-                _corpus_fingerprint,
-            )
-
-            fp = _corpus_fingerprint(corpus, id_col)
-            key = _hl.md5(
-                _json.dumps(fp, sort_keys=True).encode()
-            ).hexdigest()[:16]
-            index_path = mio.join(
-                mio.artifacts_root(), "similarity_join", f"sign_{key}"
-            )
+            index_path = _corpus_keyed_path(corpus, id_col, vec_col, "sign")
         path = index_path
         return ann_sign_topk_indexed(
             spark,
@@ -153,6 +176,42 @@ def similarity_join(
             id_col=id_col,
             vec_col=vec_col,
             filter_col=filter_col,
+        )
+
+    if method == "hnsw":
+        from pyspark.sql import functions as F
+
+        from inside_vectordb_spark.operators.hnsw_index import (
+            ann_hnsw_topk_indexed,
+            ensure_hnsw_index,
+        )
+
+        if filter_col is not None:
+            # the graph beam has no post-filterable full candidate set
+            # at a fixed ef (filtering after top-k silently under-fills
+            # k) — real graph stores either filter-aware-traverse or
+            # route elsewhere; we route elsewhere, loudly
+            raise ValueError(
+                "method='hnsw' does not compose with filter_col — use "
+                "'signlsh' or 'ivf_det' for filtered search"
+            )
+        if index_path is None:
+            index_path = _corpus_keyed_path(corpus, id_col, vec_col, "hnsw")
+        if dim is None:
+            dim = int(
+                corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+            )
+        ensure_hnsw_index(
+            corpus, index_path, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+        return ann_hnsw_topk_indexed(
+            spark,
+            queries,
+            index_path,
+            k=k,
+            ef_search=ef_search,
+            query_id=query_id_col,
+            query_vec=vec_col,
         )
 
     raise ValueError(f"unknown method: {method!r}")

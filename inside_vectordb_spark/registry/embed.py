@@ -376,6 +376,56 @@ _IVF_FILTERED_ORACLE = _ivf_oracle(
 )
 
 
+_SJ_HNSW_ORACLE = (
+    "SELECT 'hnsw' AS method, 10 AS k, "
+    "CAST(0.95 AS DOUBLE) AS recall_floor, true AS floor_ok"
+)
+
+
+@register("similarity_join_hnsw", oracle=_SJ_HNSW_ORACLE)
+def similarity_join_hnsw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade's graph route (round-10): ``method='hnsw'`` serves
+    the persisted vendored-HNSW index through the one entry point,
+    reusing the ``hnsw_vendored`` artifact the S9 sentinel builds
+    (same knobs → ensure_hnsw_index reuses, proving stored-index reuse
+    through the facade). Graph results are insertion-order dependent,
+    so the hash-checkable row is the quality envelope: recall@10 of
+    the routed search vs the exact engine against the pinned 0.95
+    floor (the reference's acceptance metric for its hnswlib access
+    path, ``003:313-343`` + ``005:469-487``)."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.operators.similarity import similarity_join
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+    from inside_vectordb_spark.registry.ann import EMB_DIM
+
+    q = eio.query_vectors(spark, sf_dir)
+    c = eio.load_table(spark, sf_dir, "embeddings")
+    n_gt = q.count() * 10  # corpus >> k at every SF (floor-query rule)
+    routed = similarity_join(
+        spark,
+        q,
+        c,
+        k=10,
+        method="hnsw",
+        index_path=mio.art_path("hnsw_vendored", sf_dir),
+        dim=EMB_DIM,
+    )
+    exact = exact_cosine_topk(q, c, k=10).select("query_id", "doc_id")
+    hits = routed.select("query_id", "doc_id").join(
+        exact, ["query_id", "doc_id"]
+    )
+    return hits.agg(F.count("*").alias("n_hits")).select(
+        F.lit("hnsw").alias("method"),
+        F.lit(10).alias("k"),
+        F.lit(0.95).alias("recall_floor"),
+        (F.col("n_hits") / F.lit(float(n_gt)) >= F.lit(0.95)).alias(
+            "floor_ok"
+        ),
+    )
+
+
 @register("similarity_join_ivf_filtered", oracle=_IVF_FILTERED_ORACLE)
 def similarity_join_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The facade's third route with the predicate: det-IVF filtered

@@ -885,3 +885,44 @@ def test_similarity_join_facade_routes_all_tiers(spark):
     ).toPandas()
     assert set(fivf.columns) == cols and len(fivf) > 0
     assert not (fivf["query_id"] == fivf["doc_id"]).any()
+
+
+def test_similarity_join_facade_hnsw_route(spark, tmp_path):
+    """The facade's graph route (round-10): method='hnsw' builds or
+    reuses the persisted vendored-HNSW index and serves the same
+    contract; recall@10 vs exact clears the graph tier's floor; a
+    filtered call fails loudly (no silent under-filled top-k); dim is
+    inferred when omitted."""
+    import pytest
+
+    from inside_vectordb_spark.operators.similarity import similarity_join
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+
+    q = eio.query_vectors(spark, SF_DIR_MED)
+    c = eio.load_table(spark, SF_DIR_MED, "embeddings")
+    art = str(tmp_path / "facade_hnsw")
+
+    res = similarity_join(
+        spark, q, c, k=10, method="hnsw", index_path=art
+    ).toPandas()
+    assert set(res.columns) == {"query_id", "doc_id", "score", "rank"}
+    assert res.groupby("query_id")["rank"].max().eq(10).all()
+    exact = exact_cosine_topk(q, c, k=10).toPandas()
+    gt = set(map(tuple, exact[["query_id", "doc_id"]].to_numpy()))
+    got = set(map(tuple, res[["query_id", "doc_id"]].to_numpy()))
+    assert len(got & gt) / len(gt) >= 0.95
+
+    # second call reuses the stored graph (ensure path): same rows
+    res2 = similarity_join(
+        spark, q, c, k=10, method="hnsw", index_path=art
+    ).toPandas()
+    key = ["query_id", "rank"]
+    assert res2.sort_values(key).reset_index(drop=True).equals(
+        res.sort_values(key).reset_index(drop=True)
+    )
+
+    with pytest.raises(ValueError, match="filter_col"):
+        similarity_join(
+            spark, q, c, k=5, method="hnsw", filter_col="label",
+            index_path=art,
+        )
