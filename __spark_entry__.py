@@ -39,14 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotates by OBSERVATION AGE: 10 sentinels (one multi-round-
 # reproducible representative per SURVEY.md §2 tier) plus 40 slots
 # holding the rows whose last driver observation is OLDEST — this
-# round all 27 r3-last-observed rows and 12 of the 40 r4 cohort
-# (the verdict-named priorities first), minus slots taken by queries
-# NEW this round (which always get their first observation here).
-# Rotated-out green rows remain registered and locally oracle-tested
-# just past the prefix (scripts/check_gate.py --all covers every
-# entry).
+# round the full 33-row r4 cohort plus the 3 oldest r5 rows (first in
+# registration order), minus slots taken by queries NEW this round
+# (which always get their first observation here). Rotated-out green
+# rows remain registered and locally oracle-tested just past the
+# prefix (scripts/check_gate.py --all covers every entry).
 WINDOW_PRIORITY = [
-    # -- sentinels: one per §2 tier (driver-green r4-r8) ------------
+    # -- sentinels: one per §2 tier (driver-green r4-r9) ------------
     "flagship_topk",          # J5 exact cosine top-k (flagship)
     "recall_at_k",            # A5-A7 metric chain representative
     "beir_roundtrip",         # S2-S6 source/sink round-trip
@@ -57,57 +56,59 @@ WINDOW_PRIORITY = [
     "corpus_curation",        # curation DAG composition
     "events_asof_join",       # temporal tier
     "events_hourly_stream",   # streaming tier
-    # -- stale refresh: ALL 27 rows last observed r3 ------------------
-    "avg_relevant_per_query",    # A2 mean relevant/query
-    "corpus_subset",             # J6/SET1 union
-    "decontamination",           # exact n-gram decontamination
-    "doc_concat",                # P2/F1 title‖text concat
-    "doc_json",                  # F11 JSON serialize
-    "doc_truncate",              # P8/F3 display truncate
-    "docs_without_judgments",    # J2 anti join
-    "embedding_near_duplicates", # embedding-cosine near-dup (det)
-    "embeddings_parquet_roundtrip",  # S7 embeddings sink round-trip
-    "head_n_docs",               # P6 head-N sampling
-    "ids_except",                # SET2 difference
-    "ids_intersect",             # SET3 intersection
-    "layer_histogram",           # A8/F8 HNSW layer distribution
-    "missing_relevant_check",    # SET4 integrity check
-    "mixture_sample",            # training-mixture quota sample
-    "ngram_jaccard_neighbors",   # n-gram Jaccard near-dup
-    "order_date_format",         # F10 timestamp format
-    "pii_redaction",             # PII scrub
-    "qrels_tsv_roundtrip",       # S5 qrels TSV scan
-    "queries_with_judgments",    # P3 judged-queries filter
-    "ranked_lists",              # T2 ranked result lists
-    "relevance_histogram",       # A4 relevance histogram
-    "results_enriched",          # J4 broadcast lookup join
-    "seeded_sample",             # P7 deterministic sample twin
-    "simhash_signatures",        # SimHash signature matrix
-    "table_counts",              # A1 table counts
-    "top_lineitems",             # per-group top-k (T1 variant)
-    # -- stale refresh: 13 oldest-r4 rows (verdict priorities first) --
-    "search_hits",               # J3 inner join (qid,did)
-    "precision_at_k",            # A6 Precision@K
-    "mrr",                       # A7 MRR
-    "evaluation_report",         # T5 sorted metric display
-    "text_embeddings",           # F4 batch embedding encode
-    "qrels_table",               # P1 qrels flatten
-    "bm25_topk",                 # fresh BM25 scorer
+    # -- stale refresh: ALL 33 rows last observed r4 ------------------
+    "ann_binary_topk",           # binary-quantized Hamming tier
+    "ann_hnsw_partitioned",      # scatter-gather HNSW (in-memory)
+    "ann_signlsh_bits10",        # sign-LSH bit-width knob
+    "ann_signlsh_filtered",      # predicated sign-LSH
+    "ann_signlsh_multiprobe",    # multiprobe sign-LSH
+    "ann_signlsh_sweep",         # full ef-sweep oracle
+    "ann_sq_topk_deleted",       # SQ8 tombstone semantics
+    "chunked_retrieval",         # chunk→doc max-pool retrieval
+    "corpus_merge_upsert",       # MERGE upsert semantics
+    "decontamination_fuzzy",     # MinHash fuzzy decontamination
+    "decontamination_ngram",     # windowed n-gram decontamination
+    "heavy_hitters_cms",         # count-min sketch heavy hitters
+    "hybrid_rrf_topk",           # reciprocal-rank fusion
+    "incremental_view_refresh",  # incremental MV maintenance
+    "index_stats",               # index layout statistics
+    "kmeans_lloyd",              # Lloyd k-means fixed point
+    "lang_id",                   # n-gram language ID
+    "late_interaction_topk",     # ColBERT-style late interaction
+    "mmr_diversified_topk",      # MMR diversification
+    "multimodal_manifest",       # multimodal manifest projection
+    "near_dup_clusters",         # connected-components dup clusters
+    "price_histogram_equidepth", # equi-depth histogram
+    "q18_large_volume_customer", # TPC-H Q18
+    "q21_waiting_suppliers",     # TPC-H Q21
+    "q2_min_cost_supplier",      # TPC-H Q2
+    "rerank_cross_encoder",      # cross-encoder rerank twin
+    "sequence_packing",          # greedy sequence packing
+    "snapshot_change_feed",      # CDC change feed
+    "snapshot_time_travel",      # snapshot time travel
+    "span_dedup",                # span-level dedup (Lee et al.)
+    "topk_gemm",                 # GEMM twin of the flagship
+    "winnowing_fingerprints",    # winnowing fingerprints
+    "word_stats",                # A3 word-length stats
+    # -- stale refresh: 3 oldest r5 rows -------------------------------
+    "ann_ivf_det_sweep",         # det-IVF probe sweep
+    "ann_ivf_det_topk_indexed",  # persisted det-IVF
+    "ann_pq_det_topk_indexed",   # persisted det-PQ
     # -- new this round (first driver observation) --------------------
-    "ann_hnsw_vendored_indexed", # persisted vendored-HNSW graph (S9 at rest)
-    "ann_hnsw_vendored_lifecycle",  # graph add/delete/compact chain
-    "ann_signlsh_compacted",     # lifecycle: upsert+delete+COMPACT (oracle)
-    "bm25_compacted_topk",       # lexical delta compaction (oracle)
-    "ann_mrl_sq_topk",           # MRL+SQ8 quantized prefix table (oracle)
-    "ann_mrl_compacted_topk",    # MRL OPTIMIZE lifecycle (oracle, r9-4)
+    "ann_hnsw_recall_vs_exact",  # graph-tier recall floor AS DATA (oracle)
+    "ann_hnsw_lifecycle_invariants",  # compaction contract AS DATA (oracle)
+    "ann_hnsw_partial_compact_invariants",  # incremental OPTIMIZE (oracle)
+    "similarity_join_hnsw",      # facade graph route, recall floor (oracle)
 ]
 
-# Round-9 rotation state: union coverage is 236/236 (r8); the window
-# refreshes the stalest proofs — all 27 r3 rows + 7 of the 40-row r4
-# cohort (6 new-query slots displaced the rest). Remaining r4 rows
-# (33, word_stats rejoined the pool) are the round-10 pool, then r5.
-# Sentinels stay every round; queries NEW in a round always take
-# window slots (test_union_driver_coverage_complete enforces it).
+# Round-10 rotation state: the window refreshes the stalest proofs —
+# the whole 33-row r4 cohort + the 3 oldest r5 rows (4 new-query
+# slots displaced the rest). Remaining r5 rows (36) are the round-11
+# pool, then r6. Sentinels stay every round; queries NEW in a round
+# always take window slots (test_union_driver_coverage_complete
+# enforces it). This round's window is 100% oracle-backed — the r9
+# graph tier's two rows-only entries rotated out and their quality
+# envelope re-enters as the hash-checkable ann_hnsw_* rows above.
 
 
 def _ordered(mapping: dict) -> dict:

@@ -14,18 +14,13 @@ from inside_vectordb_spark.registry import ORACLES, QUERIES
 
 WINDOW = 50
 
-# Rows-only entries allowed inside the window. The round-8 window
-# rotated the 12 never-driver-checked stochastic/sketch tiers through
-# their first (and green) driver observation; the round-9 window is
-# fully oracle-backed except queries NEW this round whose semantics
-# are inherently order-dependent (graph-build tiers).
-NO_ORACLE_OK: set[str] = {
-    # HNSW graph builds are insertion-order dependent (hnswlib too);
-    # stored==fresh / load-then-add parity / compacted==rebuild /
-    # recall floor are pinned in tests/test_hnsw_index.py
-    "ann_hnsw_vendored_indexed",
-    "ann_hnsw_vendored_lifecycle",
-}
+# Rows-only entries allowed inside the window. The round-10 window is
+# 100% oracle-backed: the r9 graph tier's two rows-only entries
+# (ann_hnsw_vendored_indexed/_lifecycle) rotated out after their green
+# first observation, and the graph tier's quality envelope re-enters
+# as hash-checkable rows (ann_hnsw_recall_vs_exact,
+# ann_hnsw_lifecycle_invariants, ann_hnsw_partial_compact_invariants).
+NO_ORACLE_OK: set[str] = set()
 
 # One representative per §2 tier that MUST sit inside the window
 # every round (reproducible multi-round anchors). Round 5 shrank the
@@ -46,35 +41,37 @@ MUST_COVER = {
 }
 
 
-# Rows rotated into the round-9 window: the observation-age policy's
-# first execution — all 27 rows whose last driver observation was r3,
-# plus 7 of the 40-row r4 cohort (the verdict-named priorities
-# first; new-query slots displaced the rest). They stay pinned here until CORRECTNESS_r09 proves them
-# green.
-ROTATED_IN_R9 = {
-    # last observed r3 (all 27)
-    "avg_relevant_per_query", "corpus_subset", "decontamination",
-    "doc_concat", "doc_json", "doc_truncate", "docs_without_judgments",
-    "embedding_near_duplicates", "embeddings_parquet_roundtrip",
-    "head_n_docs", "ids_except", "ids_intersect", "layer_histogram",
-    "missing_relevant_check", "mixture_sample",
-    "ngram_jaccard_neighbors", "order_date_format", "pii_redaction",
-    "qrels_tsv_roundtrip", "queries_with_judgments", "ranked_lists",
-    "relevance_histogram", "results_enriched", "seeded_sample",
-    "simhash_signatures", "table_counts", "top_lineitems",
-    # oldest r4 (7 of 40)
-    "search_hits", "precision_at_k", "mrr", "evaluation_report",
-    "text_embeddings", "qrels_table", "bm25_topk",
+# Rows rotated into the round-10 window by observation age: the full
+# 33-row r4-last-observed cohort, the 3 oldest r5 rows (registration
+# order), and the queries NEW this round (first observation). They
+# stay pinned here until CORRECTNESS_r10 proves them green.
+ROTATED_IN_R10 = {
+    # last observed r4 (all 33)
+    "ann_binary_topk", "ann_hnsw_partitioned", "ann_signlsh_bits10",
+    "ann_signlsh_filtered", "ann_signlsh_multiprobe",
+    "ann_signlsh_sweep", "ann_sq_topk_deleted", "chunked_retrieval",
+    "corpus_merge_upsert", "decontamination_fuzzy",
+    "decontamination_ngram", "heavy_hitters_cms", "hybrid_rrf_topk",
+    "incremental_view_refresh", "index_stats", "kmeans_lloyd",
+    "lang_id", "late_interaction_topk", "mmr_diversified_topk",
+    "multimodal_manifest", "near_dup_clusters",
+    "price_histogram_equidepth", "q18_large_volume_customer",
+    "q21_waiting_suppliers", "q2_min_cost_supplier",
+    "rerank_cross_encoder", "sequence_packing", "snapshot_change_feed",
+    "snapshot_time_travel", "span_dedup", "topk_gemm",
+    "winnowing_fingerprints", "word_stats",
+    # oldest r5 (3 of 39)
+    "ann_ivf_det_sweep", "ann_ivf_det_topk_indexed",
+    "ann_pq_det_topk_indexed",
     # new this round
-    "ann_hnsw_vendored_indexed", "ann_hnsw_vendored_lifecycle",
-    "ann_signlsh_compacted", "bm25_compacted_topk", "ann_mrl_sq_topk",
-    "ann_mrl_compacted_topk",
+    "ann_hnsw_recall_vs_exact", "ann_hnsw_lifecycle_invariants",
+    "ann_hnsw_partial_compact_invariants", "similarity_join_hnsw",
 }
 
 
 def test_rotated_rows_in_window():
     window = set(list(e.queries())[:WINDOW])
-    missing = ROTATED_IN_R9 - window
+    missing = ROTATED_IN_R10 - window
     assert not missing, f"rotation rows fell out of the window: {missing}"
 
 
