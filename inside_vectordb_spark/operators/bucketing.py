@@ -38,21 +38,30 @@ def write_bucketed(
         # their warehouse directories persist; clear both so overwrite
         # means overwrite
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        root = warehouse.removeprefix("file:")
-        # the managed location mirrors the catalog's rules: names are
-        # lowercased, and a database-qualified table lives under
-        # <warehouse>/<db>.db/<table> — the old basename-only guess
-        # missed both, so the stale-dir cleanup this block exists for
-        # silently skipped qualified/mixed-case names and saveAsTable
-        # then failed on the non-empty leftover dir (review r9-5)
+        # the managed location comes from the CATALOG's database
+        # locationUri, not a hand-reconstructed <warehouse>/<db>.db
+        # path (advice r10): the default database lives at the
+        # warehouse ROOT (no default.db segment), unqualified names
+        # belong to the CURRENT database (not necessarily default),
+        # and a database created WITH LOCATION lives wherever it says.
+        # The old reconstruction missed all three, so the stale-dir
+        # cleanup this block exists for (an in-memory catalog forgets
+        # tables between sessions while their warehouse dirs persist)
+        # silently skipped them and saveAsTable failed on the
+        # non-empty leftover dir (review r9-5 history).
         parts = [p.lower() for p in table.split(".")]
-        if len(parts) == 1:
-            loc = os.path.join(root, parts[0])
-        else:
-            loc = os.path.join(root, f"{parts[-2]}.db", parts[-1])
-        if os.path.isdir(loc):
-            shutil.rmtree(loc)
+        db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase().lower()
+        try:
+            db_root = spark.catalog.getDatabase(db).locationUri.removeprefix(
+                "file:"
+            )
+        except Exception:
+            db_root = None  # unknown database: saveAsTable will fail
+            # on its own terms; there is no managed dir to clean
+        if db_root is not None:
+            loc = os.path.join(db_root, parts[-1])
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *cols)
     if sort_cols:
         sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)

@@ -177,7 +177,22 @@ def ensure_mrl_index(corpus: DataFrame, path: str, **params) -> dict:
     }
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
         return meta
-    return build_mrl_index(corpus, path, **params)
+    # the REBUILD branch runs under the commit lock with a post-
+    # acquisition re-check (advice r10): without it, an ensure_* racing
+    # a locked upsert sees the upsert's deliberately-removed marker,
+    # decides "stale", and starts a full overwrite that interleaves
+    # with the in-flight append — the surviving dir can hold rebuilt
+    # files PLUS the delta under a fresh valid meta. Waiting for the
+    # lock and re-reading meta turns that into rebuild-after-commit
+    # (and the re-check skips the rebuild entirely when the interim
+    # committer made the index current).
+    from inside_vectordb_spark import _meta_io as mio
+
+    with mio.commit_lock(path):
+        meta = _read_meta(path)
+        if meta is not None and all(meta.get(k) == v for k, v in want.items()):
+            return meta
+        return build_mrl_index(corpus, path, **params)
 
 
 def ann_mrl_topk_indexed(
@@ -332,7 +347,15 @@ def ensure_mrl_sq_index(corpus: DataFrame, path: str, **params) -> dict:
     }
     if meta is not None and all(meta.get(k) == v for k, v in want.items()):
         return meta
-    return build_mrl_sq_index(corpus, path, **params)
+    # locked rebuild with post-acquisition re-check — same ensure-vs-
+    # maintenance interleaving fix as ensure_mrl_index (advice r10)
+    from inside_vectordb_spark import _meta_io as mio
+
+    with mio.commit_lock(path):
+        meta = _read_meta(path)
+        if meta is not None and all(meta.get(k) == v for k, v in want.items()):
+            return meta
+        return build_mrl_sq_index(corpus, path, **params)
 
 
 def ann_mrl_sq_topk_indexed(
@@ -400,13 +423,18 @@ def upsert_mrl_index(corpus_delta: DataFrame, path: str, id_col: str = "vec_id",
     )
 
     # the whole read-meta → append → write-meta sequence runs under
-    # the commit lock (review r9-4): without it a concurrent reader
-    # hits FileNotFoundError on a healthy index during the marker
-    # window, and a concurrent ensure_* sees meta=None and starts a
-    # full overwrite that interleaves with the in-flight append — the
-    # surviving dir can hold rebuilt files PLUS the delta under a
-    # fresh valid meta, serving duplicate doc_ids in top-k (the hnsw
-    # and sign tiers have serialized maintenance since r9-2)
+    # the commit lock (review r9-4): without it two concurrent upserts
+    # read-modify-write the same fingerprint (the loser's rows vanish
+    # from meta), and an ensure_* rebuild — which also takes this lock
+    # since advice r10 — would see the deliberately-removed marker and
+    # start a full overwrite that interleaves with the in-flight
+    # append, leaving rebuilt files PLUS the delta under a fresh valid
+    # meta (duplicate doc_ids in top-k). READERS take no lock: one that
+    # loads meta inside the marker window still fails LOUDLY with
+    # FileNotFoundError (availability, not correctness — retry after
+    # the commit succeeds); the hnsw/sign tiers avoid even that by
+    # writing generation dirs, a layout this single-relation append
+    # deliberately trades away for O(delta) simplicity.
     with mio.commit_lock(path):
         meta = _read_meta(path)  # the shared meta seam, like every sibling
         if meta is None or meta.get("kind") != "mrl":

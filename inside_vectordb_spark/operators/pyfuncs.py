@@ -130,9 +130,13 @@ def doc_chunks_udtf(spark, docs: DataFrame, width: int = 32) -> DataFrame:
     its ``spark.sql`` re-point the lateral join at the OTHER caller's
     documents, and silently clobbered any user object of the same
     name. The lazy plan resolves the view at sql() time, which is why
-    the race window was real; unique names close it. The temp view is
-    dropped once the returned plan is resolved (the plan holds its
-    own reference)."""
+    the race window was real; unique names close it. Both temporaries
+    are dropped once the returned plan is resolved (the plan holds
+    its own references) — without the function drop, repeated calls
+    grew the session function registry unboundedly (advice r10).
+    The resolve-then-drop step relies on classic PySpark's EAGER
+    analysis at sql() time; under Spark Connect (lazy analysis) the
+    drops would have to move to after the first action instead."""
     import uuid
 
     tag = uuid.uuid4().hex[:12]
@@ -148,4 +152,5 @@ def doc_chunks_udtf(spark, docs: DataFrame, width: int = 32) -> DataFrame:
         """
     )
     spark.catalog.dropTempView(view)
+    spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn_name}")
     return out

@@ -13,14 +13,19 @@ from pyspark.sql import functions as F
 
 from inside_vectordb_spark import io as eio
 from inside_vectordb_spark.operators import dedup as dd
-from inside_vectordb_spark.functions.text import tokenize
+from inside_vectordb_spark.functions.text import tokenize, tokenize_sql
 from inside_vectordb_spark.operators import textstats as ts
 from inside_vectordb_spark import _meta_io as mio
 from inside_vectordb_spark.registry import register
 
 # ---- shared DuckDB fragments -------------------------------------------
 
-_TOKS = "list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), t -> t <> '')"
+# spelled via the canonical tokenize_sql helper (advice r10): the old
+# inline fragment embedded raw control characters (unescaped
+# '\t\n\f\r') into the regex literal — functionally identical, but
+# fragile to whitespace-normalizing tooling and a second spelling of
+# the ONE cross-engine tokenizer rule
+_TOKS = tokenize_sql("text")
 
 _SHINGLES = f"""
     list_distinct(list_transform(
@@ -761,7 +766,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.pack_sequences(docs, n_shards=_PACK_SHARDS)
 
 
-_LTOKS = "list_filter(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'), t -> t <> '')"
+_LTOKS = tokenize_sql("lower(text)")
 
 _BM25_K1 = 1.2
 _BM25_B = 0.75

@@ -46,3 +46,16 @@ def test_bucketed_groupby_has_no_exchange(spark, no_broadcast):
     write_bucketed(emb, "t_emb_g", "vec_id", n_buckets=8)
     agg = read_bucketed(spark, "t_emb_g").groupBy("vec_id").count()
     assert count_in_plan(agg, "Exchange") == 0, "bucket-key groupBy must not shuffle"
+
+
+def test_overwrite_default_qualified_and_repeated(spark):
+    """The stale-dir cleanup resolves the managed location from the
+    catalog (advice r10): 'default.t' lives at the warehouse ROOT
+    (no default.db segment), so a second overwrite — and one through
+    the unqualified spelling of the same table — must not fail on a
+    leftover non-empty dir."""
+    emb = eio.load_table(spark, SF_DIR, "embeddings").select("vec_id", "label")
+    for name in ("default.t_defq_b", "t_defq_b", "default.T_DefQ_B"):
+        write_bucketed(emb, name, "vec_id", n_buckets=4)
+        assert read_bucketed(spark, name).count() == emb.count()
+    spark.sql("DROP TABLE IF EXISTS t_defq_b")
