@@ -331,7 +331,7 @@ def embedding_near_duplicates_lsh(
     dim: int,
     threshold: float = 0.8,
     n_tables: int = 4,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     seed: int = 42,
     max_bucket_size: int | None = 2000,
     id_col: str = "vec_id",
@@ -344,9 +344,25 @@ def embedding_near_duplicates_lsh(
     ``n_tables`` tables, then exact cosine verifies. Same capped
     bucket-join shape as ``ann_lsh_topk`` — never a cross product;
     high-threshold near-dups collide with high probability (cosine
-    ≥ 0.8 ⇒ sign-agreement per plane ≈ 1 - θ/π ≈ 0.8)."""
+    ≥ 0.8 ⇒ sign-agreement per plane ≈ 1 - θ/π ≈ 0.8).
+
+    ``n_bits=None`` (default) scales the bucket width with the
+    corpus: bits = log2(N / ~8 docs-per-bucket). A FIXED bit width is
+    quadratic in disguise — mean bucket size grows with N, so the
+    unrelated-pair noise floor grows as N²/2^bits (the round-10 scale
+    soak measured exactly 100× candidate records at 10× corpus with
+    bits pinned at 8). Scaling bits holds docs-per-bucket — and with
+    it candidate records per doc — constant, while true near-dups
+    (per-plane agreement ≈ cos-driven) keep colliding in ≥1 table.
+    The recall trade is the standard LSH s-curve: more bits sharpens
+    the gate, n_tables compensates."""
     from inside_vectordb_spark.operators.ann import lsh_bucket_ids
 
+    if n_bits is None:
+        import math as _math
+
+        n = embeddings.count()
+        n_bits = max(4, _math.ceil(_math.log2(max(n / 8.0, 2.0))))
     b = lsh_bucket_ids(embeddings, id_col, vec_col, dim, n_tables, n_bits, seed)
     e = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     return _bucketed_cosine_pairs(b, e, max_bucket_size, threshold, round_to)
