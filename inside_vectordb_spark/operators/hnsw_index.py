@@ -259,6 +259,23 @@ def build_hnsw_index(
             "refusing to persist an HNSW index over an EMPTY corpus — "
             "it would serve empty top-k forever under a valid marker"
         )
+    # the full rebuild runs under the commit lock (review r10): an
+    # unlocked build racing a LOCKED upsert removed the marker and
+    # deleted graph_u* generation dirs while the upsert was writing
+    # them — the upsert's meta commit then named relations the build
+    # had destroyed. Serializing here turns that into
+    # rebuild-after-commit; a maintenance op waiting on this lock
+    # re-reads meta after acquisition and sees the rebuilt index.
+    with mio.commit_lock(path):
+        return _build_hnsw_locked(
+            corpus, path, fp, dim, m, ef_construction, n_parts, seed,
+            id_col, vec_col,
+        )
+
+
+def _build_hnsw_locked(
+    corpus, path, fp, dim, m, ef_construction, n_parts, seed, id_col, vec_col
+) -> dict[str, Any]:
     _begin_rebuild(path)
     c = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")
@@ -804,15 +821,17 @@ def compact_hnsw_index(
             old = part_rels.get(str(p), base_rel)
             if mio.is_dir(os.path.join(path, old, f"part={p}")):
                 superseded.append([old, p])
-        if has_tomb and min_dead_fraction is not None and remaining:
-            # partial mode with survivors: the superseded tombstone
-            # relation gets the same one-commit reader grace as graph
-            # generations (the fresh relation is committed by this
-            # meta write). With NO survivors the dir is removed
-            # immediately below instead — leaving it under grace while
-            # meta drops tomb_rel would make the DEFAULT relation name
-            # resolve back to the stale dir (a re-added id would be
-            # rejected as a duplicate by the upsert disjointness check)
+        if has_tomb:
+            # the superseded tombstone relation ALWAYS enters
+            # gc_pending (crash resilience: if the immediate removal
+            # below doesn't run, the next commit's GC reclaims it);
+            # with survivors it additionally gets the one-commit
+            # reader grace, with none it is removed immediately below
+            # as well — leaving a fully-folded dir named "tombstones"
+            # on disk while meta drops tomb_rel would make the DEFAULT
+            # relation name resolve back to the stale dir (a re-added
+            # id would be rejected as a duplicate by the upsert
+            # disjointness check)
             superseded.append([meta.get("tomb_rel", "tombstones"), None])
         if n_removed:
             meta["n_compacted_away"] = (

@@ -23,7 +23,7 @@ _COMPACTORS = {
 }
 
 
-def compact_index(spark: SparkSession, path: str) -> dict:
+def compact_index(spark: SparkSession, path: str, **kwargs) -> dict:
     """Fold delta artifacts (upsert generations, appended files) and
     apply tombstones for the index at ``path``, whatever its tier.
     Raises FileNotFoundError when no complete index exists there and
@@ -34,7 +34,12 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     note that means a DIRECT ``build_*`` call, NOT ``ensure_*``
     (review r9-4: ensure fingerprint-matches a maintained index and
     correctly no-ops). MRL's flat prefix appends DO get a real
-    compactor (``compact_mrl_index``) for the same reason."""
+    compactor (``compact_mrl_index``) for the same reason.
+
+    Tier-specific knobs pass through ``**kwargs`` verbatim — e.g. the
+    graph tier's incremental ``min_dead_fraction`` (round-10); a tier
+    that doesn't support a knob rejects it loudly (TypeError), which
+    is the accurate failure."""
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None:
         raise FileNotFoundError(f"no complete index at {path}")
@@ -52,4 +57,4 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     import importlib
 
     fn = getattr(importlib.import_module(mod_name), fn_name)
-    return fn(spark, path)
+    return fn(spark, path, **kwargs)
