@@ -5,7 +5,15 @@ build environment does not allow installing them), so these tests
 skip cleanly here — but on a cluster image WITH the deps they run the
 exact code paths the deterministic twins stand in for, closing the
 only remaining never-executed branches (partitioned_ann.py hnswlib
-kernel; embed.py sentence-transformers encoder)."""
+kernel; embed.py sentence-transformers encoder).
+
+Blocker re-verified round 10 (2026-08-16): the package index is
+unreachable from this container (pip resolves no distribution for
+hnswlib — DNS failure on the index host), and installs remain
+prohibited by the environment contract regardless. The vendored NumPy
+kernel (operators/hnsw_kernel.py) continues to cover the HNSW
+algorithm semantics; only the BINDING-level parity stays untested
+in-container."""
 
 from __future__ import annotations
 
