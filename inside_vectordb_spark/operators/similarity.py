@@ -65,11 +65,19 @@ def _corpus_keyed_path(corpus: DataFrame, id_col: str, vec_col: str, kind: str) 
 
     from pyspark.sql import functions as F
 
+    # the content signal is an INTEGER sum (each first component
+    # quantized to 1e-3 before summing): float summation order varies
+    # with partition scheduling, so a double-sum key could flip
+    # between runs of the same corpus and re-trigger the rebuild
+    # thrash this keying exists to prevent; integer addition is
+    # order-independent
     row = corpus.select(
         F.count(F.col(id_col)).alias("n"),
         F.min(F.col(id_col)).alias("lo"),
         F.max(F.col(id_col)).alias("hi"),
-        F.round(F.sum(F.element_at(F.col(vec_col), 1)), 6).alias("c1"),
+        F.sum(
+            (F.element_at(F.col(vec_col), 1) * 1000).cast("long")
+        ).alias("c1"),
     ).first()
     key = _hl.md5(
         _json.dumps(
