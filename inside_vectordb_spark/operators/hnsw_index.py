@@ -286,6 +286,16 @@ def _build_hnsw_locked(
     rows.write.mode("overwrite").partitionBy("part").parquet(
         os.path.join(path, "graph")
     )
+    # per-partition node counts ride the meta (round-10): incremental
+    # OPTIMIZE's dirty-shard decision then reads metadata + the
+    # bounded tombstone set instead of scanning the whole graph — at
+    # 100 TB the "which shards to compact" question must not cost a
+    # full index pass. One narrow agg over the corpus the build is
+    # already scanning; ≤ n_parts rows collected.
+    part_counts = {
+        str(r["part"]): r["count"]
+        for r in c.groupBy("part").count().collect()
+    }
     # fresh lifecycle: upsert/compaction generations and tombstones
     # from a prior index must not leak into the rebuilt one (the
     # marker is already off, so no reader resolves them mid-cleanup)
@@ -306,6 +316,7 @@ def _build_hnsw_locked(
         # destroyed a valid index)
         "part_rels": {},  # part -> rel; absent parts resolve to "graph"
         "gc_pending": [],  # [rel, part] dirs superseded by THIS commit
+        "part_counts": part_counts,  # stored nodes per partition
         "corpus": fp,
     }
     mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
@@ -551,7 +562,14 @@ def _upsert_hnsw_locked(
             "deduplicate the delta before adding"
         )
 
-    touched = sorted(r["part"] for r in delta.select("part").distinct().collect())
+    # per-part delta sizes (≤ n_parts rows): names the touched
+    # partitions AND maintains meta's part_counts in the same bounded
+    # collect the old distinct() spent on names alone
+    delta_counts = {
+        int(r["part"]): r["count"]
+        for r in delta.groupBy("part").count().collect()
+    }
+    touched = sorted(delta_counts)
     if not touched:
         return meta
 
@@ -638,6 +656,14 @@ def _upsert_hnsw_locked(
     for p in touched:
         part_rels[str(p)] = rel
     meta["part_rels"] = part_rels
+    # maintain the per-partition node counts ONLY on post-r10 lineage
+    # (a pre-r10 meta has no baseline to add deltas to — compaction
+    # falls back to the graph-scan stats path for those)
+    if "part_counts" in meta:
+        counts = dict(meta["part_counts"] or {})
+        for p, n in delta_counts.items():
+            counts[str(p)] = counts.get(str(p), 0) + n
+        meta["part_counts"] = counts
     meta["corpus"] = _merge_fingerprint(
         meta.get("corpus"), _corpus_fingerprint(new_vectors, id_col)
     )
@@ -761,39 +787,40 @@ def compact_hnsw_index(
             n_removed = meta.get("n_deleted", 0)
             remaining: list[int] = []
         else:
-            # one bounded aggregate (≤ n_parts rows): per-partition
-            # node count and dead count decide which shards rebuild
-            stats = (
-                g0.select("part", "node_id")
-                .join(
-                    tomb_df.select(
-                        F.col("doc_id").alias("node_id"),
-                        F.lit(1).alias("__dead"),
-                    ),
-                    "node_id",
-                    "left",
-                )
-                .groupBy("part")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.count("__dead").alias("dead"),
-                )
-                .collect()
-            )
-            dirty = sorted(
-                int(r["part"])
-                for r in stats
-                if r["dead"] and r["dead"] / r["n"] > min_dead_fraction
-            )
-            if not dirty:
-                return meta  # no shard over the threshold
-            dirty_set = set(dirty)
             # tombstone routing uses THE partition rule (xxhash64 is a
             # Spark-side hash) — one bounded collect (≤ deletes, the
             # mark_deleted contract)
             tomb_rows = tomb_df.withColumn(
                 "part", _part_expr("doc_id", int(meta["n_parts"]))
             ).collect()
+            dead_by_part: dict[int, int] = {}
+            for r in tomb_rows:
+                p = int(r["part"])
+                dead_by_part[p] = dead_by_part.get(p, 0) + 1
+            # dirty-shard decision from METADATA (round-10): the
+            # per-partition node counts ride meta since this round, so
+            # "which shards to compact" costs zero graph I/O — at
+            # 100 TB a full index pass just to find dirty shards IS
+            # the cost incremental OPTIMIZE exists to avoid. Pre-r10
+            # artifacts (no part_counts) fall back to one graph scan.
+            pc = meta.get("part_counts")
+            if pc:
+                sizes = {int(k): int(v) for k, v in pc.items()}
+            else:
+                sizes = {
+                    int(r["part"]): int(r["n"])
+                    for r in g0.groupBy("part")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            dirty = sorted(
+                p
+                for p, dead in dead_by_part.items()
+                if sizes.get(p) and dead / sizes[p] > min_dead_fraction
+            )
+            if not dirty:
+                return meta  # no shard over the threshold
+            dirty_set = set(dirty)
             remaining = sorted(
                 int(r["doc_id"])
                 for r in tomb_rows
@@ -801,7 +828,13 @@ def compact_hnsw_index(
             )
             n_removed = len(tomb_rows) - len(remaining)
             live = live.filter(F.col("part").isin(dirty))
-        n_live = live.count()
+        # one bounded collect (≤ n_parts rows): the emptiness guard's
+        # total AND the rebuilt partitions' node counts for meta
+        live_counts = {
+            int(r["part"]): int(r["count"])
+            for r in live.groupBy("part").count().collect()
+        }
+        n_live = sum(live_counts.values())
         if n_live == 0 and min_dead_fraction is None:
             raise ValueError(
                 f"compaction would leave the HNSW index at {path} EMPTY "
@@ -842,10 +875,21 @@ def compact_hnsw_index(
             meta["base_rel"] = rel
             meta["part_rels"] = {}
             meta.pop("tomb_rel", None)
+            # canonical rebuild: the live counts ARE the new census
+            meta["part_counts"] = {
+                str(p): n for p, n in sorted(live_counts.items())
+            }
         else:
             for p in dirty:
                 part_rels[str(p)] = rel
             meta["part_rels"] = part_rels
+            if "part_counts" in meta:
+                counts = dict(meta["part_counts"] or {})
+                for p in dirty:
+                    # a fully-tombstoned shard rebuilds to zero rows;
+                    # recording 0 keeps future dirty decisions honest
+                    counts[str(p)] = live_counts.get(p, 0)
+                meta["part_counts"] = counts
             if remaining:
                 # survivors move to a FRESH versioned relation; the
                 # meta commit swaps it in atomically (a crash before

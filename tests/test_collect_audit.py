@@ -34,14 +34,18 @@ COLLECT_BUDGET = {
                                       # the shared pruned_lists (review r9-3)
     "operators/bm25.py": 1,           # 1-row corpus stats literal (N, avgdl)
     "operators/compare.py": 2,        # per-method 1-row metric tables
-    "operators/hnsw_index.py": 5,     # |Q|-row query matrix (broadcast
-                                      # contract, as topk.py); delta's
-                                      # distinct part keys (≤ n_parts);
-                                      # tombstone id set (≤ deletes,
-                                      # mark_deleted contract); partial
-                                      # compaction's per-part stats
-                                      # (≤ n_parts rows) and tombstone
-                                      # routing (≤ deletes)
+    "operators/hnsw_index.py": 7,     # |Q|-row query matrix (broadcast
+                                      # contract, as topk.py); build's
+                                      # and delta's per-part counts and
+                                      # compact's live counts (each
+                                      # ≤ n_parts rows — they maintain
+                                      # meta part_counts so incremental
+                                      # OPTIMIZE's dirty decision costs
+                                      # zero graph I/O); tombstone id
+                                      # set + routing (≤ deletes, the
+                                      # mark_deleted contract); pre-r10
+                                      # fallback per-part sizes
+                                      # (≤ n_parts rows)
     "operators/ivfpq_det.py": 1,      # probed-cid list (≤ |Q|·n_probe)
     "operators/lexical_index.py": 4,  # 1-row stats + per-bucket offset rows
     "operators/partitioned_ann.py": 1,  # per-partition top-k merge (≤ parts·Q·k)

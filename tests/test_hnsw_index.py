@@ -620,3 +620,60 @@ def test_partial_compact_rebuilds_only_dirty_partitions(spark, tmp_path):
         ann_hnsw_topk_indexed(spark, _queries(spark), twin, k=K, ef_search=EF_SEARCH)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_part_counts_ride_meta_across_the_lifecycle(spark, tmp_path):
+    """Incremental OPTIMIZE's dirty-shard decision is metadata-only
+    (round-10): build/upsert/compact maintain per-partition node
+    counts in meta, so finding dirty shards costs zero graph I/O. A
+    pre-r10 meta (no part_counts) still compacts via the graph-scan
+    fallback."""
+    from inside_vectordb_spark.operators.hnsw_index import (
+        compact_hnsw_index,
+        delete_from_hnsw_index,
+    )
+
+    art = _art(tmp_path, "counts")
+    corpus = _corpus(spark)
+    base = corpus.filter(F.col("vec_id") % 4 != 0)
+    delta = corpus.filter(F.col("vec_id") % 4 == 0)
+    meta = build_hnsw_index(
+        base, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    truth = {
+        str(r["part"]): r["count"]
+        for r in base.select(_part_expr("vec_id", N_PARTS).alias("part"))
+        .groupBy("part").count().collect()
+    }
+    assert meta["part_counts"] == truth
+    assert sum(meta["part_counts"].values()) == base.count()
+
+    meta = upsert_hnsw_index(spark, delta, art)
+    assert sum(meta["part_counts"].values()) == corpus.count()
+
+    # partial compact: only dirty shards' counts change, to live sizes
+    victims = [int(r["vec_id"]) for r in corpus.limit(3).collect()]
+    delete_from_hnsw_index(spark, art, victims)
+    pre_counts = dict(meta["part_counts"])
+    meta = compact_hnsw_index(spark, art, min_dead_fraction=0.0)
+    assert sum(meta["part_counts"].values()) == corpus.count() - len(victims)
+    dirty = set(meta["part_rels"])
+    for p, n in meta["part_counts"].items():
+        if p not in dirty:
+            assert n == pre_counts[p], f"clean shard {p} count changed"
+
+    # full compact: census equals the live corpus
+    meta = compact_hnsw_index(spark, art)
+    assert sum(meta["part_counts"].values()) == corpus.count() - len(victims)
+
+    # pre-r10 artifact: drop part_counts, the scan fallback still works
+    raw = mio.read_json(os.path.join(art, "meta.json"))
+    raw.pop("part_counts")
+    mio.write_json(os.path.join(art, "meta.json"), raw)
+    delete_from_hnsw_index(spark, art, [int(r["vec_id"]) for r in corpus.limit(8).collect()[3:]])
+    meta = compact_hnsw_index(spark, art, min_dead_fraction=0.0)
+    assert "part_counts" not in meta  # legacy lineage stays legacy
+    res = ann_hnsw_topk_indexed(
+        spark, _queries(spark), art, k=K, ef_search=EF_SEARCH
+    ).toPandas()
+    assert len(res) > 0
