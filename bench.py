@@ -407,13 +407,19 @@ def main() -> None:
     # parsed=null with the line beheaded. Spreads and work counters
     # live in reports/spark_headline_*.json (written above); stdout
     # carries exactly the documented contract keys.
-    compact = {
-        k: v
-        for k, v in result.items()
-        if k in ("metric", "value", "unit", "queries",
-                 "median_total_sec", "calibration", "sf",
-                 "curation_gates", "near_dup_cluster_rounds")
-    }
+    # Key ORDER is load-bearing: the round driver records only the
+    # LAST ~2000 chars of stdout, and the 75-query dict alone exceeds
+    # that — in r8/r9 the headline total sat first on the line and was
+    # truncated away (BENCH tail parsed=null). The headline-critical
+    # keys (median_total_sec, calibration/host_busy, value) therefore
+    # go LAST so any tail window contains them; JSON parsers are
+    # order-insensitive, so nothing else changes.
+    order = (
+        "metric", "unit", "sf", "curation_gates",
+        "near_dup_cluster_rounds", "queries",
+        "median_total_sec", "calibration", "value",
+    )
+    compact = {k: result[k] for k in order if k in result}
     print(json.dumps(compact))
 
 
