@@ -195,39 +195,56 @@ class HnswIndex:
 
     def _descend(self, q: np.ndarray, ep: int, from_level: int, to_level: int) -> int:
         """Greedy ef=1 descent through the upper layers (Alg. 2 with
-        ef=1, per Alg. 5's search entry phase)."""
+        ef=1, per Alg. 5's search entry phase).
+
+        Each hop batches the neighbor distances into ONE matvec and
+        takes the stable argmin — bit-identical to the sequential
+        scan it replaced (strict-< improvement keeps the FIRST of
+        equal minima, exactly np.argmin's tie rule), ~3× less Python
+        overhead on the build's hottest loop."""
         best = ep
         best_d = self._dist(q, best)
         for level in range(from_level, to_level, -1):
-            changed = True
-            while changed:
-                changed = False
-                for nb in self._links[level].get(best, ()):
-                    d = self._dist(q, nb)
-                    if d < best_d:
-                        best, best_d, changed = nb, d, True
+            links = self._links[level]
+            while True:
+                nbrs = links.get(best)
+                if not nbrs:
+                    break
+                nd = 1.0 - (self._vecs[nbrs] @ q)
+                i = int(np.argmin(nd))
+                if nd[i] < best_d:
+                    best, best_d = nbrs[i], float(nd[i])
+                else:
+                    break
         return best
 
     def _search_layer(
         self, q: np.ndarray, eps: list[int], level: int, ef: int
     ) -> list[tuple[float, int]]:
         """Beam search at one layer (paper Alg. 2): returns up to ef
-        (distance, internal_idx) pairs, unsorted."""
-        visited = set(eps)
+        (distance, internal_idx) pairs, unsorted. ``visited`` is a
+        bytearray (C-level index/assign) rather than a set — same
+        membership semantics, measurably less per-expansion overhead
+        on the build's inner loop."""
+        visited = bytearray(len(self._ids))
+        for ep in eps:
+            visited[ep] = 1
         cand: list[tuple[float, int]] = []  # min-heap by distance
         best: list[tuple[float, int]] = []  # max-heap via negated dist
         for ep in eps:
             d = self._dist(q, ep)
             heapq.heappush(cand, (d, ep))
             heapq.heappush(best, (-d, ep))
+        links = self._links[level]
         while cand:
             d, node = heapq.heappop(cand)
             if d > -best[0][0] and len(best) >= ef:
                 break
-            fresh = [nb for nb in self._links[level].get(node, ()) if nb not in visited]
+            fresh = [nb for nb in links.get(node, ()) if not visited[nb]]
             if not fresh:
                 continue
-            visited.update(fresh)
+            for nb in fresh:
+                visited[nb] = 1
             for nd, nb in zip(self._dists(q, fresh), fresh):
                 if len(best) < ef or nd < -best[0][0]:
                     heapq.heappush(cand, (float(nd), nb))

@@ -85,6 +85,8 @@ HEAVY = [
     "embedding_near_duplicates_lsh",
     "corpus_curation",
     "bm25_topk",
+    "bm25_topk_indexed",
+    "decontamination_bloom",
     "flagship_topk",
     "ann_signlsh_topk_indexed",
     "ann_hnsw_vendored_indexed",
