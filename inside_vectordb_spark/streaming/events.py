@@ -229,7 +229,15 @@ def run_to_memory(
                     f"stream drain exceeded {timeout_sec}s; refusing to return "
                     f"a partially-drained memory table ({name})"
                 )
-        finally:
+        except BaseException:
+            q.stop()
+            # the failure path must not leak the partially-drained
+            # memory table either (review r10-2 — the success path has
+            # dropped it since r8, so repeated FAILED drains were the
+            # one remaining growth vector)
+            spark.catalog.dropTempView(name)
+            raise
+        else:
             q.stop()
     # Detach the result from the memory sink and DROP the sink table:
     # every drain otherwise leaves its full result registered (and
