@@ -341,6 +341,20 @@ def run_bench(sf_dir: str) -> dict:
                 or calib_end["dispersion"] > 0.5
             ),
         }
+        # dispersion sees VARIANCE, not absolute throughput: a
+        # steady-but-slow host (fewer effective cores — the r10
+        # capture pattern: every query +20% at byte-identical
+        # counters) needs an absolute yardstick. The committed
+        # reference is the probe's floor on a known-quiet run;
+        # vs_ref ≈ 1 on a healthy box, and host_slow flags ≥2×.
+        ref_p = os.path.join("reports", "CALIB_REF.json")
+        try:
+            ref = json.load(open(ref_p))["min_sec"]
+            vs_ref = round(calib_start["min_sec"] / ref, 2)
+            calibration["vs_ref"] = vs_ref
+            calibration["host_slow"] = bool(vs_ref > 2.0)
+        except (OSError, KeyError, ValueError):
+            pass  # no committed reference: dispersion-only signal
         print(f"[bench] calibration: {calibration}", file=sys.stderr)
     finally:
         spark.stop()
