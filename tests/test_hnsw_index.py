@@ -677,3 +677,92 @@ def test_part_counts_ride_meta_across_the_lifecycle(spark, tmp_path):
         spark, _queries(spark), art, k=K, ef_search=EF_SEARCH
     ).toPandas()
     assert len(res) > 0
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_P_N = 60  # property-test corpus size (3 shards of ~20)
+_P_PARTS = 3
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    deleted=st.sets(st.integers(min_value=0, max_value=_P_N - 1), max_size=20),
+    threshold=st.floats(min_value=0.0, max_value=0.5),
+)
+def test_partial_compact_invariants_hold_for_arbitrary_deletes(
+    spark, tmp_path_factory, deleted, threshold
+):
+    """Property pin for incremental OPTIMIZE: for ANY delete set and
+    threshold, (a) exactly the shards whose dead fraction exceeds the
+    threshold move to a fresh generation, (b) untouched shards keep
+    their relation, (c) the served top-k equals exact cosine over the
+    live rows (ef covers every shard, so the beam is exhaustive),
+    (d) meta's node census equals the live count plus surviving
+    masked rows."""
+    from inside_vectordb_spark.operators.hnsw_index import (
+        compact_hnsw_index,
+        delete_from_hnsw_index,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(_P_N, 8))
+    mat = _normalize_rows(mat)
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(_P_N, dtype=np.int64), "embedding": list(mat)}
+        )
+    )
+    art = str(tmp_path_factory.mktemp("hprop") / "idx")
+    build_hnsw_index(
+        corpus, art, dim=8, m=4, ef_construction=24, n_parts=_P_PARTS, seed=1
+    )
+    deleted = sorted(deleted)
+    if deleted:
+        delete_from_hnsw_index(spark, art, deleted)
+    routed = {
+        int(r["vec_id"]): int(r["part"])
+        for r in corpus.select(
+            "vec_id", _part_expr("vec_id", _P_PARTS).alias("part")
+        ).collect()
+    }
+    sizes: dict[int, int] = {}
+    for p in routed.values():
+        sizes[p] = sizes.get(p, 0) + 1
+    dead: dict[int, int] = {}
+    for i in deleted:
+        dead[routed[i]] = dead.get(routed[i], 0) + 1
+    expect_dirty = {
+        p for p, d in dead.items() if d / sizes[p] > threshold
+    }
+
+    meta = compact_hnsw_index(spark, art, min_dead_fraction=threshold)
+    assert {int(p) for p in meta.get("part_rels", {})} == expect_dirty
+    for p, rel in meta.get("part_rels", {}).items():
+        assert rel.startswith("graph_c")
+    surviving = [i for i in deleted if routed[i] not in expect_dirty]
+    assert meta.get("n_deleted", 0) == len(surviving)
+    assert sum(meta["part_counts"].values()) == _P_N - (
+        len(deleted) - len(surviving)
+    )
+
+    live_ids = set(range(_P_N)) - set(deleted)
+    if not live_ids:
+        return  # fully-deleted corpora serve nothing; delete-guard tested elsewhere
+    qs = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_hnsw_topk_indexed(
+        spark, qs, art, k=5, ef_search=128
+    ).toPandas()
+    assert not set(got["doc_id"]) & set(deleted)
+    live = corpus.filter(F.col("vec_id").isin(list(live_ids)))
+    exact = exact_cosine_topk(
+        qs, live, k=5, corpus_id="vec_id", corpus_vec="embedding"
+    ).toPandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[["query_id", "doc_id", "rank"]],
+        exact.sort_values(key).reset_index(drop=True)[["query_id", "doc_id", "rank"]],
+    )
