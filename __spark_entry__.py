@@ -90,25 +90,26 @@ WINDOW_PRIORITY = [
     "topk_gemm",                 # GEMM twin of the flagship
     "winnowing_fingerprints",    # winnowing fingerprints
     "word_stats",                # A3 word-length stats
-    # -- stale refresh: 3 oldest r5 rows -------------------------------
+    # -- stale refresh: 2 oldest r5 rows -------------------------------
     "ann_ivf_det_sweep",         # det-IVF probe sweep
     "ann_ivf_det_topk_indexed",  # persisted det-IVF
-    "ann_pq_det_topk_indexed",   # persisted det-PQ
     # -- new this round (first driver observation) --------------------
     "ann_hnsw_recall_vs_exact",  # graph-tier recall floor AS DATA (oracle)
     "ann_hnsw_lifecycle_invariants",  # compaction contract AS DATA (oracle)
     "ann_hnsw_partial_compact_invariants",  # incremental OPTIMIZE (oracle)
     "similarity_join_hnsw",      # facade graph route, recall floor (oracle)
+    "report_roundtrip",          # S11+S12 report sink/scan (oracle)
 ]
 
 # Round-10 rotation state: the window refreshes the stalest proofs —
-# the whole 33-row r4 cohort + the 3 oldest r5 rows (4 new-query
-# slots displaced the rest). Remaining r5 rows (36) are the round-11
-# pool, then r6. Sentinels stay every round; queries NEW in a round
-# always take window slots (test_union_driver_coverage_complete
-# enforces it). This round's window is 100% oracle-backed — the r9
-# graph tier's two rows-only entries rotated out and their quality
-# envelope re-enters as the hash-checkable ann_hnsw_* rows above.
+# the whole 33-row r4 cohort + the 2 oldest r5 rows (5 new-query
+# slots displaced the rest). Remaining r5 rows (37, incl.
+# ann_pq_det_topk_indexed) are the round-11 pool, then r6. Sentinels
+# stay every round; queries NEW in a round always take window slots
+# (test_union_driver_coverage_complete enforces it). This round's
+# window is 100% oracle-backed — the r9 graph tier's two rows-only
+# entries rotated out and their quality envelope re-enters as the
+# hash-checkable ann_hnsw_* rows above.
 
 
 def _ordered(mapping: dict) -> dict:

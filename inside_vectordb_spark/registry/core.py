@@ -417,6 +417,57 @@ def evaluation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from inside_vectordb_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+# same oracle as evaluation_report: the report sink/scan layer must be
+# value-transparent, so the SQL truth is unchanged
+@register("report_roundtrip", oracle=_ORACLES["evaluation_report"])
+def report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11+S12 as one oracle-backed driver row (round-10 — these were
+    the last source/sink operators verified only in pytest): the full
+    evaluation report flows through the reference's JSON report SINK
+    (``utils.py:113-135`` layout: ``{dir}/{method}/{method}_{stamp}
+    .json``) and back through the newest-by-mtime report SCAN
+    (``005-compare_benchmarks.py:46-80``). A DECOY report with
+    poisoned values is written FIRST under an older stamp, so a green
+    hash proves the scan's latest-file selection, not just JSON
+    round-tripping. The metric values themselves are pinned by the
+    same SQL as ``evaluation_report`` — the sink/scan layer must be
+    value-transparent."""
+    import os
+
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark.sources.reports import (
+        load_latest_reports,
+        save_metrics_report,
+    )
+
+    rows = evaluation_report(spark, sf_dir).collect()  # ≤ 10 metric rows
+
+    def _key(r) -> str:
+        return r["metric"] if r["k"] is None else f"{r['metric']}@{r['k']}"
+
+    real = {_key(r): r["value"] for r in rows}
+    decoy = {k: -1.0 for k in real}
+    rep_dir = os.path.join(
+        mio.artifacts_root(),
+        "roundtrip",
+        f"reports_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    # decoy first → strictly older mtime than the real report
+    save_metrics_report("exact", decoy, rep_dir, stamp="19700101_000000")
+    save_metrics_report("exact", real, rep_dir, stamp="19700102_000000")
+    back = load_latest_reports(rep_dir)["exact"]["metrics"]
+    out = []
+    for key, value in back.items():
+        metric, _, kk = key.partition("@")
+        out.append((metric, int(kk) if kk else None, float(value)))
+    return spark.createDataFrame(
+        out, "metric string, k int, value double"
+    ).orderBy("metric", "k")
+
+
 @register(
     "range_search",
     oracle=f"""

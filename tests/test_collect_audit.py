@@ -61,6 +61,9 @@ COLLECT_BUDGET = {
                                       # DSIR log-ratio table (≤ n_buckets
                                       # = 4096 rows — replaced the leaked
                                       # O(occurrences) persist, advice r6)
+    "registry/core.py": 1,            # report_roundtrip's ≤10 metric rows
+                                      # (the report SINK is a driver-side
+                                      # json.dump by design — S11)
     "registry/pipeline.py": 1,        # temperature_mixture 1-row max-weight agg
     "registry/traindata.py": 1,       # bpe_vocab 8-row learned merge table
 }

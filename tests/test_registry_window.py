@@ -60,12 +60,12 @@ ROTATED_IN_R10 = {
     "rerank_cross_encoder", "sequence_packing", "snapshot_change_feed",
     "snapshot_time_travel", "span_dedup", "topk_gemm",
     "winnowing_fingerprints", "word_stats",
-    # oldest r5 (3 of 39)
+    # oldest r5 (2 of 39)
     "ann_ivf_det_sweep", "ann_ivf_det_topk_indexed",
-    "ann_pq_det_topk_indexed",
     # new this round
     "ann_hnsw_recall_vs_exact", "ann_hnsw_lifecycle_invariants",
     "ann_hnsw_partial_compact_invariants", "similarity_join_hnsw",
+    "report_roundtrip",
 }
 
 
