@@ -361,14 +361,21 @@ def _read_graph(spark: SparkSession, path: str, meta: dict) -> DataFrame:
     base_rel = meta.get("base_rel", "graph")
     by_rel: dict[str, list[int]] = {}
     for p in range(int(meta["n_parts"])):
-        by_rel.setdefault(part_rels.get(str(p), base_rel), []).append(p)
+        rel = part_rels.get(str(p), base_rel)
+        # resolve per-(rel, part): a pair whose part=p subdir is absent
+        # is a partition that was never populated OR rebuilt to zero
+        # rows (incremental compact of a fully-tombstoned shard writes
+        # a generation dir with no part=p data — advice r10: falling
+        # back to base_rel here would resurrect compacted-away rows,
+        # and reading a data-less generation dir raises
+        # UNABLE_TO_INFER_SCHEMA). Same guard as the indexed search.
+        if not mio.is_dir(os.path.join(path, rel, f"part={p}")):
+            continue
+        by_rel.setdefault(rel, []).append(p)
     out = None
     for rel, parts in sorted(by_rel.items()):
-        d = os.path.join(path, rel)
-        if not mio.is_dir(d):
-            continue  # base dir absent for parts never populated
         g = (
-            spark.read.parquet(d)
+            spark.read.parquet(os.path.join(path, rel))
             .withColumn("part", F.col("part").cast("long"))
             .filter(F.col("part").isin(parts))
         )
@@ -835,7 +842,14 @@ def compact_hnsw_index(
             for r in live.groupBy("part").count().collect()
         }
         n_live = sum(live_counts.values())
-        if n_live == 0 and min_dead_fraction is None:
+        if n_live == 0 and (
+            min_dead_fraction is None
+            # incremental: only refuse when the dirty set covers every
+            # populated shard — i.e. the rebuild would leave ZERO
+            # physical rows anywhere (non-dirty shards keep their rows;
+            # their tombstones just mask them)
+            or all(p in dirty_set for p, n in sizes.items() if n)
+        ):
             raise ValueError(
                 f"compaction would leave the HNSW index at {path} EMPTY "
                 "(every row tombstoned) — rebuild over a fresh corpus instead"

@@ -65,12 +65,20 @@ def _corpus_keyed_path(corpus: DataFrame, id_col: str, vec_col: str, kind: str) 
 
     from pyspark.sql import functions as F
 
-    # the content signal is an INTEGER sum (each first component
-    # quantized to 1e-3 before summing): float summation order varies
-    # with partition scheduling, so a double-sum key could flip
-    # between runs of the same corpus and re-trigger the rebuild
-    # thrash this keying exists to prevent; integer addition is
-    # order-independent
+    # the content signals are INTEGER sums (quantized to 1e-3 per
+    # vector before summing): float summation order varies with
+    # partition scheduling, so a double-sum key could flip between
+    # runs of the same corpus and re-trigger the rebuild thrash this
+    # keying exists to prevent; integer addition is order-independent.
+    # Three independent signals (advice r11: first-component-only let
+    # corpora differing beyond dim 1 collide onto one dir and serve a
+    # stale index): first component, last component, and the squared
+    # L2 norm, which folds EVERY dimension into the key.
+    sq_norm = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
     row = corpus.select(
         F.count(F.col(id_col)).alias("n"),
         F.min(F.col(id_col)).alias("lo"),
@@ -78,10 +86,21 @@ def _corpus_keyed_path(corpus: DataFrame, id_col: str, vec_col: str, kind: str) 
         F.sum(
             (F.element_at(F.col(vec_col), 1) * 1000).cast("long")
         ).alias("c1"),
+        F.sum(
+            (F.element_at(F.col(vec_col), -1) * 1000).cast("long")
+        ).alias("cz"),
+        F.sum((sq_norm * 1000).cast("long")).alias("nrm"),
     ).first()
     key = _hl.md5(
         _json.dumps(
-            [row["n"], str(row["lo"]), str(row["hi"]), str(row["c1"])]
+            [
+                row["n"],
+                str(row["lo"]),
+                str(row["hi"]),
+                str(row["c1"]),
+                str(row["cz"]),
+                str(row["nrm"]),
+            ]
         ).encode()
     ).hexdigest()[:16]
     return mio.join(mio.artifacts_root(), "similarity_join", f"{kind}_{key}")

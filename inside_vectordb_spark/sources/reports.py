@@ -49,7 +49,14 @@ def load_latest_reports(reports_dir: str = "reports") -> dict[str, dict]:
         files = glob.glob(os.path.join(method_dir, "*.json"))
         if not files:
             continue
-        latest = max(files, key=os.path.getmtime)
+        # tie-break equal mtimes on the filename's embedded stamp
+        # (advice r10: two reports written milliseconds apart can tie
+        # on coarse-mtime filesystems, letting glob order pick the
+        # older one) — the zero-padded %Y%m%d_%H%M%S stamp makes
+        # lexicographic == chronological, deterministically
+        latest = max(
+            files, key=lambda f: (os.path.getmtime(f), os.path.basename(f))
+        )
         with open(latest) as f:
             out[os.path.basename(method_dir)] = json.load(f)
     return out

@@ -230,12 +230,19 @@ def run_to_memory(
                     f"a partially-drained memory table ({name})"
                 )
         except BaseException:
-            q.stop()
             # the failure path must not leak the partially-drained
             # memory table either (review r10-2 — the success path has
             # dropped it since r8, so repeated FAILED drains were the
-            # one remaining growth vector)
-            spark.catalog.dropTempView(name)
+            # one remaining growth vector). Each cleanup step runs
+            # even if the other raises, and neither's failure may
+            # replace the ORIGINAL exception (advice r11: a q.stop()
+            # raise used to skip dropTempView entirely, and a
+            # dropTempView raise masked the drain error).
+            for _cleanup in (q.stop, lambda: spark.catalog.dropTempView(name)):
+                try:
+                    _cleanup()
+                except Exception:
+                    pass
             raise
         else:
             q.stop()
