@@ -155,6 +155,9 @@ def _index_to_rows(part: int, index: HnswIndex) -> pd.DataFrame:
         "max_level": state["max_level"],
         "rng_state_json": state["rng_state_json"],
         "n": len(ids),
+        # Alg. 4 flag rides the header so a reconstructed kernel keeps
+        # the build's selection rule for continued inserts (r11)
+        "heuristic": bool(state.get("heuristic", False)),
     }
     body = pd.DataFrame(
         {
@@ -211,6 +214,7 @@ def _index_from_rows(pdf: pd.DataFrame, m: int, ef_construction: int, dim: int) 
             "entry": int(hdr["entry"]),
             "max_level": int(hdr["max_level"]),
             "rng_state_json": hdr["rng_state_json"],
+            "heuristic": bool(hdr.get("heuristic", False)),
             "ids": ids,
             "vecs": vecs,
             "links": links,
@@ -218,7 +222,9 @@ def _index_from_rows(pdf: pd.DataFrame, m: int, ef_construction: int, dim: int) 
     )
 
 
-def _build_partition_udf(m: int, ef_construction: int, seed: int, dim: int):
+def _build_partition_udf(
+    m: int, ef_construction: int, seed: int, dim: int, heuristic: bool = False
+):
     def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(columns=[f.name for f in GRAPH_SCHEMA.fields])
@@ -229,7 +235,13 @@ def _build_partition_udf(m: int, ef_construction: int, seed: int, dim: int):
         pdf = pdf.sort_values("doc_id")
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         mat = _normalize_rows(np.array(list(pdf["v"]), dtype=np.float64))
-        index = HnswIndex(dim=dim, m=m, ef_construction=ef_construction, seed=seed)
+        index = HnswIndex(
+            dim=dim,
+            m=m,
+            ef_construction=ef_construction,
+            seed=seed,
+            heuristic=heuristic,
+        )
         index.add_items(mat, ids)
         return _index_to_rows(part, index)
 
@@ -246,6 +258,7 @@ def build_hnsw_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    heuristic: bool = False,
 ) -> dict[str, Any]:
     """Build and persist the partitioned HNSW graph (hnswlib
     ``save_index`` analogue, ``003-hnswlib_demo.py:234-243``). One
@@ -269,19 +282,21 @@ def build_hnsw_index(
     with mio.commit_lock(path):
         return _build_hnsw_locked(
             corpus, path, fp, dim, m, ef_construction, n_parts, seed,
-            id_col, vec_col,
+            id_col, vec_col, heuristic,
         )
 
 
 def _build_hnsw_locked(
-    corpus, path, fp, dim, m, ef_construction, n_parts, seed, id_col, vec_col
+    corpus, path, fp, dim, m, ef_construction, n_parts, seed, id_col,
+    vec_col, heuristic=False,
 ) -> dict[str, Any]:
     _begin_rebuild(path)
     c = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")
     ).withColumn("part", _part_expr("doc_id", n_parts))
     rows = c.groupBy("part").applyInPandas(
-        _build_partition_udf(m, ef_construction, seed, dim), GRAPH_SCHEMA
+        _build_partition_udf(m, ef_construction, seed, dim, heuristic),
+        GRAPH_SCHEMA,
     )
     rows.write.mode("overwrite").partitionBy("part").parquet(
         os.path.join(path, "graph")
@@ -309,6 +324,10 @@ def _build_hnsw_locked(
         "ef_construction": ef_construction,
         "n_parts": n_parts,
         "seed": seed,
+        # Alg. 4 selection flag: every later maintenance op (upsert
+        # fresh-partition kernels, compaction rebuilds) must reproduce
+        # the build's selection rule or stored==fresh breaks (r11)
+        "heuristic": bool(heuristic),
         # per-partition relation map: upserts repoint a partition at a
         # fresh generation dir instead of rewriting the live one in
         # place (review r9 — dynamic overwrite deleted files under
@@ -342,9 +361,16 @@ def ensure_hnsw_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, 
         "ef_construction": params.get("ef_construction", 100),
         "n_parts": params.get("n_parts", 4),
         "seed": params.get("seed", 42),
+        # pre-r11 metas carry no flag; they were built simple, so a
+        # missing key matches heuristic=False instead of forcing a
+        # rebuild of every existing artifact
+        "heuristic": bool(params.get("heuristic", False)),
         "corpus": _corpus_fingerprint(corpus, params.get("id_col", "vec_id")),
     }
-    if meta is not None and all(meta.get(k) == v for k, v in want.items()):
+    if meta is not None and all(
+        meta.get(k, False if k == "heuristic" else None) == v
+        for k, v in want.items()
+    ):
         return meta
     return build_hnsw_index(corpus, path, **params)
 
@@ -394,17 +420,37 @@ def ann_hnsw_topk_indexed(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     round_to: int | None = 6,
+    filter_df: DataFrame | None = None,
+    filter_id_col: str = "vec_id",
 ) -> DataFrame:
     """Search the stored graph without rebuilding (hnswlib
     ``load_index`` analogue, ``003:245-257``): per stored partition,
     reconstruct the kernel from its own rows inside one task, answer
     the broadcast query batch with the ef beam, merge partition-local
     top-k through one global (score DESC, doc_id ASC) window. Output
-    contract matches ``exact_cosine_topk``."""
+    contract matches ``exact_cosine_topk``.
+
+    ``filter_df`` (r10 verdict #7) enables FILTER-DURING-SEARCH: its
+    ``filter_id_col`` values are the allowed doc ids; disallowed nodes
+    still route the beam but never enter results (hnswlib
+    filter-function semantics), so a selective predicate keeps its
+    recall instead of paying the post-filter loss. The allowed set
+    joins each partition's pruned scan broadcast-side — right for the
+    selective predicates filtered search exists for; a broad predicate
+    at 100 TB belongs in metadata columns co-partitioned with the
+    graph (and is cheaper as post-filtering anyway, since it barely
+    cuts the candidate pool)."""
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None or meta.get("kind") != "hnsw_vendored":
         raise FileNotFoundError(f"no complete vendored-HNSW index at {path}")
     m, efc, dim = meta["m"], meta["ef_construction"], meta["dim"]
+    allowed = (
+        None
+        if filter_df is None
+        else filter_df.select(
+            F.col(filter_id_col).cast("long").alias("__fid")
+        ).distinct()
+    )
 
     qrows = (
         queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("v"))
@@ -425,11 +471,21 @@ def ann_hnsw_topk_indexed(
     def search_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+        allow = None
+        if "__allowed" in pdf.columns:
+            # internal idx == ord (contiguous by construction), so the
+            # level-0 rows in ord order ARE the mask's index space
+            lvl0 = pdf[pdf["level"] == 0].sort_values("ord")
+            allow = (
+                lvl0["__allowed"].fillna(False).to_numpy(dtype=bool)
+            )
+            if not allow.any():
+                return pd.DataFrame(columns=["query_id", "doc_id", "score"])
         index = _index_from_rows(pdf, m, efc, dim)
         qids, qmat = bc.value
         kk = min(k + n_deleted, len(index))
         index.set_ef(max(ef_search, kk))
-        labels, dists = index.knn_query(qmat, k=kk)
+        labels, dists = index.knn_query(qmat, k=kk, allow=allow)
         rows = np.repeat(np.arange(len(qids)), labels.shape[1])
         out = pd.DataFrame(
             {
@@ -461,13 +517,23 @@ def ann_hnsw_topk_indexed(
         d = os.path.join(path, part_rels.get(str(p), base_rel))
         if not mio.is_dir(os.path.join(d, f"part={p}")):
             continue
-        branch = (
-            spark.read.parquet(d)
+        src = spark.read.parquet(d).filter(
             # no cast on the partition column — it would block the
             # PartitionFilters prune that makes this scan one dir
-            .filter(F.col("part") == p)
-            .coalesce(1)
-            .mapInPandas(search_whole_partition, _PARTIAL_SCHEMA)
+            F.col("part") == p
+        )
+        if allowed is not None:
+            # left broadcast join: graph rows stay put (no exchange of
+            # index payload); only the small allowed-id set ships
+            src = src.join(
+                F.broadcast(allowed),
+                F.col("node_id") == F.col("__fid"),
+                "left",
+            ).withColumn(
+                "__allowed", F.col("__fid").isNotNull()
+            ).drop("__fid")
+        branch = src.coalesce(1).mapInPandas(
+            search_whole_partition, _PARTIAL_SCHEMA
         )
         partials = branch if partials is None else partials.unionByName(branch)
     if partials is None:
@@ -542,6 +608,7 @@ def _upsert_hnsw_locked(
         meta["n_parts"],
         meta.get("seed", 42),
     )
+    heur = bool(meta.get("heuristic", False))
 
     graph = _read_graph(spark, path, meta)
     stored_ids = graph.filter(F.col("level") == 0).select(
@@ -592,7 +659,10 @@ def _upsert_hnsw_locked(
             # previously-empty partition: a fresh kernel, exactly what
             # a full rebuild would build there (review r9 — this case
             # crashed AND the crash landed after the marker removal)
-            index = HnswIndex(dim=dim, m=m, ef_construction=efc, seed=seed)
+            index = HnswIndex(
+                dim=dim, m=m, ef_construction=efc, seed=seed,
+                heuristic=heur,
+            )
         dp = pdf[is_delta].sort_values("node_id")  # id-ASC, like build
         ids = dp["node_id"].to_numpy(dtype=np.int64)
         mat = _normalize_rows(np.array(list(dp["__delta_v"]), dtype=np.float64))
@@ -859,7 +929,10 @@ def compact_hnsw_index(
         # which is idempotent on unit vectors — the rebuilt partition is
         # bit-identical to a fresh build over the live rows
         live.groupBy("part").applyInPandas(
-            _build_partition_udf(m, efc, seed, dim), GRAPH_SCHEMA
+            _build_partition_udf(
+                m, efc, seed, dim, bool(meta.get("heuristic", False))
+            ),
+            GRAPH_SCHEMA
         ).write.mode("overwrite").partitionBy("part").parquet(
             os.path.join(path, rel)
         )

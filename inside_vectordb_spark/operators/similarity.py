@@ -213,15 +213,6 @@ def similarity_join(
             ensure_hnsw_index,
         )
 
-        if filter_col is not None:
-            # the graph beam has no post-filterable full candidate set
-            # at a fixed ef (filtering after top-k silently under-fills
-            # k) — real graph stores either filter-aware-traverse or
-            # route elsewhere; we route elsewhere, loudly
-            raise ValueError(
-                "method='hnsw' does not compose with filter_col — use "
-                "'signlsh' or 'ivf_det' for filtered search"
-            )
         if index_path is None:
             index_path = _corpus_keyed_path(corpus, id_col, vec_col, "hnsw")
         if dim is None:
@@ -239,6 +230,17 @@ def similarity_join(
             ef_search=ef_search,
             query_id=query_id_col,
             query_vec=vec_col,
+            # filter-during-search (r11): disallowed nodes still route
+            # the beam but never enter results, so the graph route now
+            # composes with metadata predicates instead of rejecting
+            # them (pre-r11 this raised)
+            filter_df=(
+                corpus.filter(F.col(filter_col)).select(
+                    F.col(id_col).alias("vec_id")
+                )
+                if filter_col is not None
+                else None
+            ),
         )
 
     raise ValueError(f"unknown method: {method!r}")

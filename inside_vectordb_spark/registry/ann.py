@@ -416,6 +416,77 @@ def ann_hnsw_recall_vs_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HNSW_FILTERED_ORACLE = (
+    "SELECT 'hnsw_filtered' AS method, 10 AS k, "
+    "CAST(0.95 AS DOUBLE) AS recall_floor, true AS predicate_kept, "
+    "true AS floor_ok, true AS high_ef_equals_exact_filtered"
+)
+
+
+@register("ann_hnsw_filtered_invariants", oracle=_HNSW_FILTERED_ORACLE)
+def ann_hnsw_filtered_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicated graph-tier search as a hash-checkable row (r10
+    verdict #7; reference anchor: the qrels-filtered query flow,
+    ``003-hnswlib_demo.py:109-131``). FILTER-DURING-SEARCH on the
+    stored vendored-HNSW graph (disallowed nodes route the beam but
+    never enter results — hnswlib filter-function semantics), asserted
+    as data: (a) every served doc satisfies the predicate, (b)
+    recall@10 vs exact search over the FILTERED corpus clears the
+    tier's 0.95 floor at working ef, and (c) at saturating ef the
+    filtered search equals the exact filtered top-k outright — the
+    post-filter-equivalence bound that distinguishes
+    filter-during-search from lossy post-filtering."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.hnsw_index import (
+        ann_hnsw_topk_indexed,
+        ensure_hnsw_index,
+    )
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+
+    q = eio.query_vectors(spark, sf_dir)
+    c = eio.load_table(spark, sf_dir, "embeddings")
+    art = mio.art_path("hnsw_vendored", sf_dir)
+    ensure_hnsw_index(
+        c, art, dim=EMB_DIM, m=16, ef_construction=100, n_parts=4, seed=42
+    )
+    allowed_corpus = c.filter(F.col("label") % 3 == 0)
+    allowed = allowed_corpus.select("vec_id")
+
+    exact_f = exact_cosine_topk(q, allowed_corpus, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    n_gt = exact_f.count()  # |Q|·10, bounded
+
+    filt = ann_hnsw_topk_indexed(
+        spark, q, art, k=10, ef_search=128, filter_df=allowed
+    )
+    predicate_kept = (
+        filt.join(allowed, filt.doc_id == allowed.vec_id, "left_anti").count()
+        == 0
+    )
+    n_hits = filt.join(
+        exact_f.select("query_id", "doc_id"), ["query_id", "doc_id"]
+    ).count()
+    floor_ok = n_hits / float(n_gt) >= 0.95
+
+    # ef saturating every partition (max shard ≤ 500 at all testdata
+    # SFs): the beam visits the whole component, so the filtered
+    # result must EQUAL exact filtered top-k including rank order
+    hi = ann_hnsw_topk_indexed(
+        spark, q, art, k=10, ef_search=2048, filter_df=allowed
+    ).select("query_id", "doc_id", "rank")
+    high_ef_equal = (
+        hi.exceptAll(exact_f).count() == 0
+        and exact_f.exceptAll(hi).count() == 0
+    )
+    return spark.createDataFrame(
+        [("hnsw_filtered", 10, 0.95, predicate_kept, floor_ok, high_ef_equal)],
+        "method string, k int, recall_floor double, predicate_kept boolean, "
+        "floor_ok boolean, high_ef_equals_exact_filtered boolean",
+    )
+
+
 _HNSW_LIFECYCLE_ORACLE = """
     SELECT CAST((SELECT count(*) FROM embeddings) - 5 AS BIGINT) AS n_live,
            true AS tombstones_cleared,

@@ -170,11 +170,26 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
+def _progress_dicts(q) -> list[dict]:
+    """Normalize StreamingQuery.recentProgress across PySpark versions
+    (plain dicts in some, StreamingQueryProgress objects in others)."""
+    import json as _json
+
+    out = []
+    for p in q.recentProgress:
+        if isinstance(p, dict):
+            out.append(p)
+        else:
+            out.append(_json.loads(p.json))
+    return out
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     output_mode: str | None = None,
     timeout_sec: int = 300,
     state_partitions: int | None = 8,
+    progress: list | None = None,
 ) -> DataFrame:
     """Drain a streaming aggregation with Trigger.AvailableNow into a
     memory sink; returns the result as a BATCH DataFrame. This is the
@@ -245,6 +260,13 @@ def run_to_memory(
                     pass
             raise
         else:
+            if progress is not None:
+                # per-micro-batch progress (input rows, state-store
+                # totals): the memory-sink drain hides this work from
+                # plan-level counters, so observers (the scale soak)
+                # read it here. Collected BEFORE stop() — stopping
+                # clears nothing, but keeps the contract obvious.
+                progress.extend(_progress_dicts(q))
             q.stop()
     # Detach the result from the memory sink and DROP the sink table:
     # every drain otherwise leaves its full result registered (and

@@ -91,6 +91,11 @@ HEAVY = [
     "ann_signlsh_topk_indexed",
     "ann_hnsw_vendored_indexed",
     "ann_hnsw_vendored_lifecycle",
+    # traindata spine (r10 verdict #5): token-weighted selection and
+    # packing carry the same 100 TB claims as the dedup spine
+    "sequence_packing",
+    "dsir_select",
+    "token_budget_select",
 ]
 
 
@@ -183,6 +188,42 @@ def _semdedup_soak(spark, sf_dir: str):
     )
 
 
+def _dedup_stream_soak(spark, sf_dir: str) -> dict:
+    """Streaming exact dedup (r10 verdict #5) with STATE observability:
+    the memory-sink drain hides per-batch work from plan counters, so
+    this subject reads the query-progress stream instead and maps it
+    onto the bounded counter keys — rows_read = total input rows
+    across micro-batches, shuffle_records = peak dropDuplicates
+    state-store rows, shuffle_bytes = peak state memory. Linear state
+    growth IS the 100 TB claim for this operator."""
+    from inside_vectordb_spark.streaming import (
+        distinct_content_stream,
+        read_table_stream,
+        run_to_memory,
+    )
+
+    prog: list[dict] = []
+    run_to_memory(
+        distinct_content_stream(read_table_stream(spark, sf_dir, "documents")),
+        output_mode="append",
+        progress=prog,
+    )
+    rows_in = sum(int(p.get("numInputRows", 0)) for p in prog)
+    state_rows = state_bytes = 0
+    for p in prog:
+        for so in p.get("stateOperators") or []:
+            state_rows = max(state_rows, int(so.get("numRowsTotal", 0)))
+            state_bytes = max(state_bytes, int(so.get("memoryUsedBytes", 0)))
+    return {
+        "rows_read": rows_in,
+        "shuffle_records": state_rows,
+        "shuffle_bytes": state_bytes,
+        "exchanges": 0,
+        "scans": 0,
+        "progress_batches": len(prog),
+    }
+
+
 def measure(spark, sf_dir: str) -> dict:
     from inside_vectordb_spark.plans.audit import work_counters
     from inside_vectordb_spark.registry import QUERIES
@@ -190,9 +231,13 @@ def measure(spark, sf_dir: str) -> dict:
     out = {}
     subjects = {name: QUERIES[name] for name in HEAVY}
     subjects["semantic_dedup_scaled"] = _semdedup_soak
+    subjects["dedup_exact_stream_state"] = _dedup_stream_soak
     for name, fn in subjects.items():
         t0 = time.perf_counter()
-        w = work_counters(fn(spark, sf_dir))
+        res = fn(spark, sf_dir)
+        # a subject may return ready-made counters (streaming state
+        # metrics) instead of a DataFrame for the plan auditor
+        w = res if isinstance(res, dict) else work_counters(res)
         w["wall_sec"] = round(time.perf_counter() - t0, 3)
         out[name] = w
         print(f"[soak] {sf_dir} {name}: {w}", file=sys.stderr)

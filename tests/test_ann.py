@@ -891,8 +891,9 @@ def test_similarity_join_facade_hnsw_route(spark, tmp_path):
     """The facade's graph route (round-10): method='hnsw' builds or
     reuses the persisted vendored-HNSW index and serves the same
     contract; recall@10 vs exact clears the graph tier's floor; a
-    filtered call fails loudly (no silent under-filled top-k); dim is
-    inferred when omitted."""
+    filtered call runs filter-during-search (r11 — pre-r11 it raised);
+    dim is inferred when omitted."""
+    from pyspark.sql import functions as F
     import pytest
 
     from inside_vectordb_spark.operators.similarity import similarity_join
@@ -921,8 +922,19 @@ def test_similarity_join_facade_hnsw_route(spark, tmp_path):
         res.sort_values(key).reset_index(drop=True)
     )
 
-    with pytest.raises(ValueError, match="filter_col"):
-        similarity_join(
-            spark, q, c, k=5, method="hnsw", filter_col="label",
-            index_path=art,
-        )
+    # r11: the graph route now COMPOSES with filter_col via
+    # filter-during-search (pre-r11 it raised) — results must satisfy
+    # the predicate and match exact filtered search at high recall
+    cf = c.withColumn("keep", F.col("label") % 2 == 0)
+    resf = similarity_join(
+        spark, q, cf, k=5, method="hnsw", filter_col="keep",
+        index_path=art, ef_search=256,
+    ).toPandas()
+    keep_ids = {
+        r["vec_id"] for r in cf.filter("keep").select("vec_id").collect()
+    }
+    assert set(resf["doc_id"]) <= keep_ids
+    exact_f = exact_cosine_topk(q, cf.filter("keep"), k=5).toPandas()
+    gt_f = set(map(tuple, exact_f[["query_id", "doc_id"]].to_numpy()))
+    got_f = set(map(tuple, resf[["query_id", "doc_id"]].to_numpy()))
+    assert len(got_f & gt_f) / len(gt_f) >= 0.95

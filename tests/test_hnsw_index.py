@@ -766,3 +766,99 @@ def test_partial_compact_invariants_hold_for_arbitrary_deletes(
         got.sort_values(key).reset_index(drop=True)[["query_id", "doc_id", "rank"]],
         exact.sort_values(key).reset_index(drop=True)[["query_id", "doc_id", "rank"]],
     )
+
+
+def test_heuristic_build_persists_and_maintains(spark, tmp_path):
+    """Alg. 4 through the persisted tier (r11): the flag lands in meta
+    and the graph header, search serves, an upsert's continued inserts
+    keep the selection rule (stored==fresh twin at heuristic=True),
+    and ensure treats the flag as identity (flips rebuild)."""
+    from inside_vectordb_spark.operators.hnsw_index import compact_hnsw_index
+
+    art = _art(tmp_path, "heur")
+    corpus = _corpus(spark)
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0)
+    meta = build_hnsw_index(
+        base, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS,
+        seed=42, heuristic=True,
+    )
+    assert meta["heuristic"] is True
+    upsert_hnsw_index(spark, delta, art)
+    # full compact rebuilds with the stored flag; the result must equal
+    # a fresh heuristic build over the full corpus
+    compact_hnsw_index(spark, art)
+    twin = _art(tmp_path, "heur_twin")
+    build_hnsw_index(
+        corpus, twin, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS,
+        seed=42, heuristic=True,
+    )
+    a = (
+        ann_hnsw_topk_indexed(spark, _queries(spark), art, k=K, ef_search=EF_SEARCH)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        ann_hnsw_topk_indexed(spark, _queries(spark), twin, k=K, ef_search=EF_SEARCH)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # ensure identity: same params reuse, flag flip rebuilds
+    m1 = ensure_hnsw_index(
+        corpus, twin, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS,
+        seed=42, heuristic=True,
+    )
+    assert m1["corpus"] == mio.read_json(os.path.join(twin, "meta.json"))["corpus"]
+    m2 = ensure_hnsw_index(
+        corpus, twin, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS,
+        seed=42,  # heuristic defaults False -> identity mismatch
+    )
+    assert m2["heuristic"] is False
+
+
+def test_filtered_graph_search(spark, tmp_path):
+    """Filter-during-search on the graph tier (r11): results satisfy
+    the predicate; at saturating ef the filtered search equals exact
+    cosine top-k over the filtered corpus (post-filter equivalence);
+    at moderate ef recall vs exact-filtered stays above the tier
+    floor."""
+    art = _art(tmp_path, "filtered")
+    corpus = _corpus(spark)
+    build_hnsw_index(
+        corpus, art, dim=DIM, m=M, ef_construction=EFC, n_parts=N_PARTS, seed=42
+    )
+    allowed = corpus.filter(F.col("label") % 3 == 0).select("vec_id")
+    allowed_ids = {r["vec_id"] for r in allowed.collect()}
+    q = _queries(spark)
+
+    got = ann_hnsw_topk_indexed(
+        spark, q, art, k=K, ef_search=4096, filter_df=allowed
+    ).toPandas()
+    assert set(got["doc_id"]) <= allowed_ids, "predicate violated"
+
+    exact = (
+        exact_cosine_topk(
+            q, corpus.filter(F.col("label") % 3 == 0), k=K
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "doc_id"]], exact[["query_id", "doc_id"]]
+    )
+
+    # moderate ef: recall floor vs exact-filtered
+    mod = ann_hnsw_topk_indexed(
+        spark, q, art, k=K, ef_search=EF_SEARCH, filter_df=allowed
+    ).toPandas()
+    hits = mod.merge(exact, on=["query_id", "doc_id"], how="inner")
+    recall = len(hits) / len(exact)
+    assert recall >= 0.95, f"filtered recall {recall:.3f} < 0.95"
+
+    # no filter -> byte-identical to the unfiltered contract
+    a = ann_hnsw_topk_indexed(spark, q, art, k=K, ef_search=EF_SEARCH).toPandas()
+    b = ann_hnsw_topk_indexed(
+        spark, q, art, k=K, ef_search=EF_SEARCH, filter_df=None
+    ).toPandas()
+    pd.testing.assert_frame_equal(a, b)

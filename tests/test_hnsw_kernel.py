@@ -154,3 +154,95 @@ def test_disconnected_nodes_pad_instead_of_crash():
             # pads are only ever a suffix (dists ascending)
             if pad.any():
                 assert pad[np.argmax(pad):].all()
+
+
+# -- Alg. 4 diversity heuristic (r10 verdict #3) ----------------------
+
+
+def _hard_clustered(n=1200, n_clusters=24, seed=11, spread=0.04):
+    """Tighter clusters + low m is the regime where simple closest-M
+    selection spends every edge INSIDE a cluster and inter-cluster
+    navigation starves — the case Alg. 4 exists for."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[rng.integers(0, n_clusters, n)] + spread * rng.normal(
+        size=(n, DIM)
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    q = centers[rng.integers(0, n_clusters, 80)] + spread * rng.normal(
+        size=(80, DIM)
+    )
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return pts, np.arange(n, dtype=np.int64), q
+
+
+def _build_pair(pts, ids, m=6, efc=60):
+    simple = HnswIndex(dim=DIM, m=m, ef_construction=efc, seed=42)
+    simple.add_items(pts, ids)
+    heur = HnswIndex(dim=DIM, m=m, ef_construction=efc, seed=42, heuristic=True)
+    heur.add_items(pts, ids)
+    return simple, heur
+
+
+def test_heuristic_recall_at_least_simple_on_clustered_data():
+    """Alg. 4 neighbor selection lifts (never hurts) recall on
+    clustered data at equal ef — the verdict's acceptance bar."""
+    pts, ids, q = _hard_clustered()
+    simple, heur = _build_pair(pts, ids)
+    exact = _exact_sets(pts, ids, q)
+    for ef in (16, 32, 64):
+        simple.set_ef(ef)
+        heur.set_ef(ef)
+        rs = _recall(simple.knn_query(q, K)[0], exact)
+        rh = _recall(heur.knn_query(q, K)[0], exact)
+        assert rh >= rs - 1e-9, (
+            f"heuristic recall {rh:.3f} < simple {rs:.3f} at ef={ef}"
+        )
+
+
+def test_heuristic_improves_connectivity_on_tight_clusters():
+    """On tightly clustered data the heuristic must WIN outright at
+    low ef (if it only ever ties, the implementation is inert)."""
+    pts, ids, q = _hard_clustered(seed=3, spread=0.02)
+    simple, heur = _build_pair(pts, ids, m=4, efc=40)
+    exact = _exact_sets(pts, ids, q)
+    simple.set_ef(12)
+    heur.set_ef(12)
+    rs = _recall(simple.knn_query(q, K)[0], exact)
+    rh = _recall(heur.knn_query(q, K)[0], exact)
+    assert rh > rs, f"heuristic {rh:.3f} did not beat simple {rs:.3f}"
+
+
+def test_heuristic_default_off_builds_identical_graph():
+    """heuristic=False (the default) must build the EXACT graph the
+    pre-r11 kernel built — stored graphs and checksum pins stay valid."""
+    pts, ids, _ = _clustered(n=300)
+    a = HnswIndex(dim=DIM, m=8, ef_construction=50, seed=42)
+    a.add_items(pts, ids)
+    b = HnswIndex(dim=DIM, m=8, ef_construction=50, seed=42, heuristic=False)
+    b.add_items(pts, ids)
+    assert a.get_state()["links"] == b.get_state()["links"]
+
+
+def test_heuristic_flag_roundtrips_through_state():
+    """save/load keeps the selection rule; continued adds on the
+    restored index equal never-saved adds (the hnswlib
+    load_index→add_items contract, heuristic variant)."""
+    pts, ids, q = _hard_clustered(n=400, n_clusters=8)
+    idx = HnswIndex(dim=DIM, m=6, ef_construction=60, seed=42, heuristic=True)
+    idx.add_items(pts[:300], ids[:300])
+    restored = HnswIndex.from_state(idx.get_state())
+    assert restored.heuristic is True
+    restored.add_items(pts[300:], ids[300:])
+    never_saved = HnswIndex(
+        dim=DIM, m=6, ef_construction=60, seed=42, heuristic=True
+    )
+    never_saved.add_items(pts[:300], ids[:300])
+    never_saved.add_items(pts[300:], ids[300:])
+    assert restored.get_state()["links"] == never_saved.get_state()["links"]
+    restored.set_ef(64)
+    never_saved.set_ef(64)
+    la, da = restored.knn_query(q, K)
+    lb, db = never_saved.knn_query(q, K)
+    assert np.array_equal(la, lb) and np.allclose(da, db)

@@ -7,7 +7,7 @@ exact code paths the deterministic twins stand in for, closing the
 only remaining never-executed branches (partitioned_ann.py hnswlib
 kernel; embed.py sentence-transformers encoder).
 
-Blocker re-verified round 10 (2026-08-16): the package index is
+Blocker re-verified round 11 (2026-08-16): the package index is
 unreachable from this container (pip resolves no distribution for
 hnswlib — DNS failure on the index host), and installs remain
 prohibited by the environment contract regardless. The vendored NumPy

@@ -41,37 +41,35 @@ MUST_COVER = {
 }
 
 
-# Rows rotated into the round-10 window by observation age: the full
-# 33-row r4-last-observed cohort, the 3 oldest r5 rows (registration
-# order), and the queries NEW this round (first observation). They
-# stay pinned here until CORRECTNESS_r10 proves them green.
-ROTATED_IN_R10 = {
-    # last observed r4 (all 33)
-    "ann_binary_topk", "ann_hnsw_partitioned", "ann_signlsh_bits10",
-    "ann_signlsh_filtered", "ann_signlsh_multiprobe",
-    "ann_signlsh_sweep", "ann_sq_topk_deleted", "chunked_retrieval",
-    "corpus_merge_upsert", "decontamination_fuzzy",
-    "decontamination_ngram", "heavy_hitters_cms", "hybrid_rrf_topk",
-    "incremental_view_refresh", "index_stats", "kmeans_lloyd",
-    "lang_id", "late_interaction_topk", "mmr_diversified_topk",
-    "multimodal_manifest", "near_dup_clusters",
-    "price_histogram_equidepth", "q18_large_volume_customer",
-    "q21_waiting_suppliers", "q2_min_cost_supplier",
-    "rerank_cross_encoder", "sequence_packing", "snapshot_change_feed",
-    "snapshot_time_travel", "span_dedup", "topk_gemm",
-    "winnowing_fingerprints", "word_stats",
-    # oldest r5 (2 of 39)
-    "ann_ivf_det_sweep", "ann_ivf_det_topk_indexed",
-    # new this round
-    "ann_hnsw_recall_vs_exact", "ann_hnsw_lifecycle_invariants",
-    "ann_hnsw_partial_compact_invariants", "similarity_join_hnsw",
-    "report_roundtrip",
+# Rows rotated into the round-11 window by observation age: the full
+# 37-row r5-last-observed cohort plus r6 fill rows (the stochastic
+# rows-only embedding_near_duplicates_lsh skipped for its det twin so
+# the window stays 100% oracle-backed), and the queries NEW this
+# round (first observation). They stay pinned here until
+# CORRECTNESS_r11 proves them green.
+ROTATED_IN_R11 = {
+    # last observed r5 (all 37)
+    "q12_priority_shipments", "q7_volume_shipping", "q8_market_share",
+    "q17_small_quantity_revenue", "q19_discounted_revenue",
+    "q15_top_supplier", "q9_product_profit", "q11_important_stock",
+    "q16_supplier_part_variety", "q20_promo_part_suppliers",
+    "simhash_near_duplicates", "tfidf_topk", "hybrid_rrf3_topk",
+    "lm_perplexity_scores", "cluster_safe_split", "token_budget_select",
+    "curriculum_stages", "corpus_datasheet", "bm25_topk_indexed",
+    "tfidf_topk_indexed", "hybrid_serving_topk",
+    "bm25_upsert_topk_indexed", "ann_signlsh_upsert_topk",
+    "ann_signlsh_deleted", "ann_pq_det_topk_indexed", "hard_negatives",
+    "training_triples", "partitioned_layout_roundtrip",
+    "zorder_layout_roundtrip", "method_comparison", "comparison_extrema",
+    "events_sessionized_stream", "events_user_totals_stream",
+    "dedup_exact_stream", "events_click_purchase_stream",
+    "snapshot_stream_merge", "image_features",
 }
 
 
 def test_rotated_rows_in_window():
     window = set(list(e.queries())[:WINDOW])
-    missing = ROTATED_IN_R10 - window
+    missing = ROTATED_IN_R11 - window
     assert not missing, f"rotation rows fell out of the window: {missing}"
 
 
