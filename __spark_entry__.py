@@ -95,23 +95,24 @@ WINDOW_PRIORITY = [
     "events_click_purchase_stream",  # stream-stream interval join
     "snapshot_stream_merge",     # snapshot + change-stream merge
     "image_features",            # multimodal feature extraction
-    # -- fill: oldest r6 rows (displaced first by NEW queries) --------
+    # -- fill: oldest r6 row (displaced first by NEW queries) ---------
     "range_search",              # epsilon range search
-    "events_user_journey",       # user-journey sequence analytics
     # -- new this round (first driver observation) --------------------
     "ann_hnsw_filtered_invariants",  # filter-during-search envelope (oracle)
+    "ann_hnsw_heuristic_recall",     # Alg. 4 selection envelope (oracle)
 ]
 
 # Round-11 rotation state: the window refreshes the stalest proofs —
-# the whole 37-row r5 cohort, 2 r6 fill rows, and the round's NEW
-# query (ann_hnsw_filtered_invariants, which displaced the third r6
-# fill). The r6 row embedding_near_duplicates_lsh (stochastic,
-# rows-only) is deliberately deferred in favor of oracle-backed rows
-# so the window stays 100% oracle-backed; it rotates in a later round
-# under the rows-only policy. Remaining pool: r6 (38 rows incl. the
-# displaced det twin), then r7. Sentinels stay every round; queries
-# NEW in a round always take window slots
-# (test_union_driver_coverage_complete enforces it).
+# the whole 37-row r5 cohort, 1 r6 fill row, and the round's 2 NEW
+# queries (ann_hnsw_filtered_invariants, ann_hnsw_heuristic_recall —
+# each displaced one r6 fill). The r6 row
+# embedding_near_duplicates_lsh (stochastic, rows-only) is
+# deliberately deferred in favor of oracle-backed rows so the window
+# stays 100% oracle-backed; it rotates in a later round under the
+# rows-only policy. Remaining pool: r6 (39 rows incl. the displaced
+# fills), then r7. Sentinels stay every round; queries NEW in a round
+# always take window slots (test_union_driver_coverage_complete
+# enforces it).
 
 def _ordered(mapping: dict) -> dict:
     head = {n: mapping[n] for n in WINDOW_PRIORITY if n in mapping}

@@ -487,6 +487,56 @@ def ann_hnsw_filtered_invariants_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_HNSW_HEURISTIC_ORACLE = (
+    "SELECT 'hnsw_heuristic' AS method, 10 AS k, "
+    "CAST(0.95 AS DOUBLE) AS recall_floor, true AS floor_ok, "
+    "true AS at_least_simple"
+)
+
+
+@register("ann_hnsw_heuristic_recall", oracle=_HNSW_HEURISTIC_ORACLE)
+def ann_hnsw_heuristic_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alg. 4 diversity selection as a hash-checkable row (r10 verdict
+    #3; reference anchor: hnswlib/FAISS both build with the heuristic,
+    ``003-hnswlib_demo.py:200-201`` build params): a graph built with
+    ``heuristic=True`` clears the tier's 0.95 recall floor vs exact at
+    working ef, AND its recall is >= the simple-selection build's at
+    the same ef — the paper's §4 claim (diversity spends M edges
+    across clusters) as data. Deterministic per (corpus, seed): both
+    builds are pure functions of their inputs."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.hnsw_index import (
+        ann_hnsw_topk_indexed,
+        ensure_hnsw_index,
+    )
+    from inside_vectordb_spark.operators.topk import exact_cosine_topk
+
+    q = eio.query_vectors(spark, sf_dir)
+    c = eio.load_table(spark, sf_dir, "embeddings")
+    art_s = mio.art_path("hnsw_vendored", sf_dir)  # shared simple build
+    art_h = mio.art_path("hnsw_heuristic", sf_dir)
+    common = dict(dim=EMB_DIM, m=16, ef_construction=100, n_parts=4, seed=42)
+    ensure_hnsw_index(c, art_s, **common)
+    ensure_hnsw_index(c, art_h, heuristic=True, **common)
+
+    gt = exact_cosine_topk(q, c, k=10).select("query_id", "doc_id")
+    n_gt = gt.count()  # |Q|·10, bounded
+
+    def recall(art: str) -> float:
+        res = ann_hnsw_topk_indexed(spark, q, art, k=10, ef_search=64)
+        return (
+            res.join(gt, ["query_id", "doc_id"]).count() / float(n_gt)
+        )
+
+    r_h, r_s = recall(art_h), recall(art_s)
+    return spark.createDataFrame(
+        [("hnsw_heuristic", 10, 0.95, r_h >= 0.95, r_h >= r_s)],
+        "method string, k int, recall_floor double, floor_ok boolean, "
+        "at_least_simple boolean",
+    )
+
+
 _HNSW_LIFECYCLE_ORACLE = """
     SELECT CAST((SELECT count(*) FROM embeddings) - 5 AS BIGINT) AS n_live,
            true AS tombstones_cleared,
