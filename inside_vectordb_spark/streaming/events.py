@@ -84,23 +84,50 @@ def read_table_stream(
         f"{name}_{src_key}",
     )
     os.makedirs(stage, exist_ok=True)
-    staged = os.path.join(stage, f"{name}.parquet")
+    # a table may be ONE parquet file (driver testdata) or a DIRECTORY
+    # of part files (engine-written, e.g. the scale-soak replicas);
+    # the file source does not recurse into a linked subdirectory, so
+    # a directory source stages one link PER part file — which also
+    # gives maxFilesPerTrigger its micro-batch granularity (r11: the
+    # dir case silently streamed ZERO rows before)
+    if os.path.isdir(path):
+        import glob as _glob
+
+        srcs = sorted(_glob.glob(os.path.join(path, "part-*.parquet")))
+        if not srcs:
+            raise FileNotFoundError(f"no part files under {path}")
+        pairs = [
+            (s, os.path.join(stage, f"{name}_{i}.parquet"))
+            for i, s in enumerate(srcs)
+        ]
+        # drop stale links from a previous (larger or single-file)
+        # layout of the same resolved source dir
+        keep = {os.path.basename(dst) for _, dst in pairs}
+        for existing in os.listdir(stage):
+            if existing not in keep:
+                os.remove(os.path.join(stage, existing))
+    else:
+        pairs = [(path, os.path.join(stage, f"{name}.parquet"))]
     # Symlinks track source updates for free; a copy fallback must be
     # refreshed when the source changes (mtime/size drift), or the
     # stream silently replays stale data forever.
-    if os.path.islink(staged):
-        if os.path.realpath(staged) != os.path.realpath(path):
-            os.remove(staged)
-    elif os.path.exists(staged):
-        src_st, cp_st = os.stat(path), os.stat(staged)
-        if (src_st.st_mtime, src_st.st_size) != (cp_st.st_mtime, cp_st.st_size):
-            os.remove(staged)
-    if not os.path.exists(staged):
-        try:
-            os.symlink(path, staged)
-        except OSError:
-            shutil.copyfile(path, staged)
-            shutil.copystat(path, staged)
+    for src, staged in pairs:
+        if os.path.islink(staged):
+            if os.path.realpath(staged) != os.path.realpath(src):
+                os.remove(staged)
+        elif os.path.exists(staged):
+            src_st, cp_st = os.stat(src), os.stat(staged)
+            if (src_st.st_mtime, src_st.st_size) != (
+                cp_st.st_mtime,
+                cp_st.st_size,
+            ):
+                os.remove(staged)
+        if not os.path.exists(staged):
+            try:
+                os.symlink(src, staged)
+            except OSError:
+                shutil.copyfile(src, staged)
+                shutil.copystat(src, staged)
     return (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -202,6 +229,12 @@ def run_to_memory(
     don't support complete; the rejection happens before any
     processing, so the retry is clean). Pass a mode explicitly to
     pin it — ``update`` is never auto-chosen.
+
+    ``progress`` (optional list) receives the drain's per-micro-batch
+    StreamingQueryProgress dicts on success — input rows and
+    state-store totals that the memory-sink bridge otherwise hides
+    from plan-level counters (the scale soak's state-growth subject
+    reads these).
 
     ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
     stream's lifetime — in Structured Streaming this is THE state
