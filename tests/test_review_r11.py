@@ -209,3 +209,55 @@ def test_run_to_memory_failure_cleanup_survives_stop_raising(spark, monkeypatch)
     monkeypatch.undo()
     for q in spark.streams.active:
         q.stop()
+
+
+def test_bench_counter_fingerprint_and_best_total(tmp_path, monkeypatch):
+    """bench.py's same-code evidence (r10 verdict #1): the counter
+    fingerprint hashes only STABLE-envelope queries (a documented-
+    variance query can't split it), and min_total_over_runs returns
+    the best committed same-code/same-sf total."""
+    import json
+
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    baseline = {
+        "queries": {
+            "stable_q": {"rows_read": [10, 10], "shuffle_bytes": [5, 5]},
+            "unstable_q": {"rows_read": [10, 20], "shuffle_bytes": [5, 5]},
+        }
+    }
+    json.dump(baseline, open(tmp_path / "counters_baseline.json", "w"))
+    spreads_a = {
+        "stable_q": {"work": {"rows_read": 10, "shuffle_bytes": 5}},
+        "unstable_q": {"work": {"rows_read": 13, "shuffle_bytes": 5}},
+    }
+    spreads_b = {
+        "stable_q": {"work": {"rows_read": 10, "shuffle_bytes": 5}},
+        "unstable_q": {"work": {"rows_read": 19, "shuffle_bytes": 5}},
+    }
+    fa, fb = bench._counter_fingerprint(spreads_a), bench._counter_fingerprint(spreads_b)
+    assert fa == fb, "unstable-query drift must not split the fingerprint"
+    spreads_c = {
+        "stable_q": {"work": {"rows_read": 11, "shuffle_bytes": 5}},
+    }
+    assert bench._counter_fingerprint(spreads_c) != fa
+
+    os.makedirs(tmp_path / "reports", exist_ok=True)
+    for i, (tot, fp, sf) in enumerate(
+        [(90.0, fa, 0.1), (120.0, fa, 0.1), (50.0, "other", 0.1), (40.0, fa, 0.01)]
+    ):
+        json.dump(
+            {"total_sec": tot, "median_total_sec": tot + 5,
+             "counter_fingerprint": fp, "sf": sf},
+            open(tmp_path / "reports" / f"spark_headline_r{i}.json", "w"),
+        )
+    result = {"value": 110.0, "median_total_sec": 115.0, "sf": 0.1}
+    best = bench._min_total_over_runs(fa, result)
+    # picks 90.0 (same fp, same sf); ignores the 50.0 (other code) and
+    # the 40.0 (other sf); counts this run plus the two matches
+    assert best == {
+        "total_sec": 90.0, "median_total_sec": 95.0, "n_same_code_runs": 3
+    }
+    # no fingerprint -> this run is its own best
+    assert bench._min_total_over_runs(None, result)["n_same_code_runs"] == 1
