@@ -449,7 +449,15 @@ def ann_hnsw_topk_indexed(
         if filter_df is None
         else filter_df.select(
             F.col(filter_id_col).cast("long").alias("__fid")
-        ).distinct()
+        )
+        .distinct()
+        # materialize ONCE before fanning out: each partition branch
+        # broadcast-joins this set, and without pinning it the plan
+        # re-runs the predicate scan + distinct per branch (measured:
+        # n_parts BroadcastExchanges, zero reuse — at 1000 shards
+        # that's 1000 duplicate subtree executions). localCheckpoint
+        # keeps the set executor-side (no driver collect).
+        .localCheckpoint(eager=True)
     )
 
     qrows = (

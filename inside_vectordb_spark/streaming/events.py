@@ -108,6 +108,10 @@ def read_table_stream(
                 os.remove(os.path.join(stage, existing))
     else:
         pairs = [(path, os.path.join(stage, f"{name}.parquet"))]
+        # same stale-link cleanup when a source flips dir -> file
+        for existing in os.listdir(stage):
+            if existing != f"{name}.parquet":
+                os.remove(os.path.join(stage, existing))
     # Symlinks track source updates for free; a copy fallback must be
     # refreshed when the source changes (mtime/size drift), or the
     # stream silently replays stale data forever.
