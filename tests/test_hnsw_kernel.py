@@ -246,3 +246,52 @@ def test_heuristic_flag_roundtrips_through_state():
     la, da = restored.knn_query(q, K)
     lb, db = never_saved.knn_query(q, K)
     assert np.array_equal(la, lb) and np.allclose(da, db)
+
+
+def test_alg4_sub_flags_roundtrip_and_semantics():
+    """The paper's Alg. 4 sub-flags: keep_pruned_connections fills the
+    neighbor list back to min(m, |candidates|) (plain heuristic may
+    under-fill on tight clusters); extend_candidates widens the
+    working set; both round-trip through save/load and keep the build
+    deterministic."""
+    pts, ids, q = _hard_clustered(n=600, n_clusters=6, seed=5, spread=0.015)
+
+    def build(**kw):
+        idx = HnswIndex(dim=DIM, m=4, ef_construction=40, seed=42,
+                        heuristic=True, **kw)
+        idx.add_items(pts, ids)
+        return idx
+
+    plain = build()
+    kept = build(keep_pruned_connections=True)
+    ext = build(extend_candidates=True)
+
+    # under-fill evidence + the fill contract: on tight clusters the
+    # plain heuristic leaves some layer-0 lists short; keep_pruned
+    # restores them to the cap whenever enough candidates existed
+    def l0_sizes(idx):
+        return [len(v) for v in idx.get_state()["links"][0].values()]
+
+    assert min(l0_sizes(plain)) < 4 <= max(l0_sizes(plain))
+    assert sum(l0_sizes(kept)) > sum(l0_sizes(plain))
+
+    # determinism + state round-trip for each variant
+    for idx in (kept, ext):
+        st = idx.get_state()
+        back = HnswIndex.from_state(st)
+        assert back.extend_candidates == idx.extend_candidates
+        assert back.keep_pruned_connections == idx.keep_pruned_connections
+        la, da = idx.knn_query(q, K)
+        lb, db = back.knn_query(q, K)
+        assert np.array_equal(la, lb) and np.allclose(da, db)
+        twin = build(
+            extend_candidates=idx.extend_candidates,
+            keep_pruned_connections=idx.keep_pruned_connections,
+        )
+        assert twin.get_state()["links"] == st["links"]
+
+    # every variant still clears the tier recall floor at working ef
+    exact = _exact_sets(pts, ids, q)
+    for idx in (plain, kept, ext):
+        idx.set_ef(64)
+        assert _recall(idx.knn_query(q, K)[0], exact) >= 0.9
