@@ -95,8 +95,11 @@ WINDOW_PRIORITY = [
     "events_click_purchase_stream",  # stream-stream interval join
     "snapshot_stream_merge",     # snapshot + change-stream merge
     "image_features",            # multimodal feature extraction
-    # -- fill: oldest r6 row (displaced first by NEW queries) ---------
-    "range_search",              # epsilon range search
+    # -- fill: r6 row whose OUTPUT changed this round (5 -> 10 arms:
+    # the indexed/upsert/composed stochastic tiers joined the recall
+    # envelope), so its fresh shape gets a driver observation now
+    # rather than waiting for the r6 pool's turn
+    "ann_stochastic_recall_floor",  # stochastic-tier recall envelope
     # -- new this round (first driver observation) --------------------
     "ann_hnsw_filtered_invariants",  # filter-during-search envelope (oracle)
     "ann_hnsw_heuristic_recall",     # Alg. 4 selection envelope (oracle)

@@ -2021,17 +2021,26 @@ def ann_ivfpq_det_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stochastic-tier quality envelope (round-5 verdict item 7)
 # ---------------------------------------------------------------------------
 
-# Floors chosen with wide margin under the measured recalls at both
-# test scales (sf0.001 / sf0.01, seed-fixed so deterministic in-engine:
-# lsh 0.915-0.94, ivf 0.785-0.795, pq 0.805-0.83, brp 0.99-0.995,
-# hnsw 1.0) — the reference's own acceptance style states retention
-# floors, not point values (BENCHMARK_SUMMARY.txt:36-44).
+# Floors chosen with wide margin under the measured recalls at all
+# three test scales (sf0.001/0.01/0.1, seed-fixed so deterministic
+# in-engine: lsh 0.915-0.94, ivf 0.785-0.795, ivf_upsert 0.805-0.850,
+# pq 0.77-0.83, ivfpq 0.710-0.735, brp 0.99-0.995, hnsw 1.0) — the
+# reference's own acceptance style states retention floors, not point
+# values (BENCHMARK_SUMMARY.txt:36-44). r11 widened the arm set from
+# the five base tiers to the indexed/upsert/composed variants, so
+# every rows-only retrieval tier now has a driver-hash-checked
+# envelope, not just a pytest one.
 _STOCH_FLOORS = {
     "brp": 0.90,
     "hnsw": 0.90,
     "ivf": 0.65,
+    "ivf_indexed": 0.65,
+    "ivf_upsert": 0.70,
+    "ivfpq_indexed": 0.62,
     "lsh": 0.80,
+    "lsh_indexed": 0.80,
     "pq": 0.65,
+    "pq_indexed": 0.65,
 }
 
 _STOCH_FLOOR_ORACLE = "\nUNION ALL\n".join(
@@ -2070,8 +2079,13 @@ def ann_stochastic_recall_floor_q(spark: SparkSession, sf_dir: str) -> DataFrame
         "brp": ann_brp_topk_q,
         "hnsw": ann_hnsw_vendored_q,
         "ivf": ann_ivf_topk_q,
+        "ivf_indexed": ann_ivf_topk_indexed_q,
+        "ivf_upsert": ann_ivf_upsert_topk_q,
+        "ivfpq_indexed": ann_ivfpq_topk_indexed_q,
         "lsh": ann_lsh_topk_q,
+        "lsh_indexed": ann_lsh_topk_indexed_q,
         "pq": ann_pq_topk_q,
+        "pq_indexed": ann_pq_topk_indexed_q,
     }
     tagged = None
     for m, fn in arms.items():
