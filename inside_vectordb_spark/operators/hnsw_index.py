@@ -155,9 +155,13 @@ def _index_to_rows(part: int, index: HnswIndex) -> pd.DataFrame:
         "max_level": state["max_level"],
         "rng_state_json": state["rng_state_json"],
         "n": len(ids),
-        # Alg. 4 flag rides the header so a reconstructed kernel keeps
+        # Alg. 4 flags ride the header so a reconstructed kernel keeps
         # the build's selection rule for continued inserts (r11)
         "heuristic": bool(state.get("heuristic", False)),
+        "extend_candidates": bool(state.get("extend_candidates", False)),
+        "keep_pruned_connections": bool(
+            state.get("keep_pruned_connections", False)
+        ),
     }
     body = pd.DataFrame(
         {
@@ -215,6 +219,10 @@ def _index_from_rows(pdf: pd.DataFrame, m: int, ef_construction: int, dim: int) 
             "max_level": int(hdr["max_level"]),
             "rng_state_json": hdr["rng_state_json"],
             "heuristic": bool(hdr.get("heuristic", False)),
+            "extend_candidates": bool(hdr.get("extend_candidates", False)),
+            "keep_pruned_connections": bool(
+                hdr.get("keep_pruned_connections", False)
+            ),
             "ids": ids,
             "vecs": vecs,
             "links": links,
