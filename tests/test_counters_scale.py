@@ -43,6 +43,14 @@ def test_soak_covers_the_heavy_list(soak):
     missing = set(ss.HEAVY) - set(soak["queries"])
     assert not missing, f"heavy queries missing from the soak: {missing}"
     assert "semantic_dedup_scaled" in soak["queries"]
+    # the streaming STATE subject (r11): its rows/state counters come
+    # from query progress, not the plan auditor — dropping it would
+    # silently lose the streaming tier's only measured exponent
+    assert "dedup_exact_stream_state" in soak["queries"]
+    stream = soak["queries"]["dedup_exact_stream_state"]["counters"]
+    assert all(c["rows_read"] > 0 for c in stream.values()), (
+        "stream subject measured zero input rows — the r11 staging bug class"
+    )
 
 
 def test_soak_measured_three_scales(soak):
