@@ -453,14 +453,19 @@ def ann_hnsw_filtered_invariants_q(spark: SparkSession, sf_dir: str) -> DataFram
     allowed_corpus = c.filter(F.col("label") % 3 == 0)
     allowed = allowed_corpus.select("vec_id")
 
-    exact_f = exact_cosine_topk(q, allowed_corpus, k=10).select(
-        "query_id", "doc_id", "rank"
+    # |Q|·10 rows, consumed by FOUR downstream actions (count, hits
+    # join, two exceptAll counts) — pin once or the O(Q·N) exact scan
+    # re-executes per action
+    exact_f = (
+        exact_cosine_topk(q, allowed_corpus, k=10)
+        .select("query_id", "doc_id", "rank")
+        .localCheckpoint(eager=True)
     )
     n_gt = exact_f.count()  # |Q|·10, bounded
 
     filt = ann_hnsw_topk_indexed(
         spark, q, art, k=10, ef_search=128, filter_df=allowed
-    )
+    ).localCheckpoint(eager=True)  # consumed twice
     predicate_kept = (
         filt.join(allowed, filt.doc_id == allowed.vec_id, "left_anti").count()
         == 0
@@ -473,9 +478,13 @@ def ann_hnsw_filtered_invariants_q(spark: SparkSession, sf_dir: str) -> DataFram
     # ef saturating every partition (max shard ≤ 500 at all testdata
     # SFs): the beam visits the whole component, so the filtered
     # result must EQUAL exact filtered top-k including rank order
-    hi = ann_hnsw_topk_indexed(
-        spark, q, art, k=10, ef_search=2048, filter_df=allowed
-    ).select("query_id", "doc_id", "rank")
+    hi = (
+        ann_hnsw_topk_indexed(
+            spark, q, art, k=10, ef_search=2048, filter_df=allowed
+        )
+        .select("query_id", "doc_id", "rank")
+        .localCheckpoint(eager=True)  # consumed twice (both exceptAll)
+    )
     high_ef_equal = (
         hi.exceptAll(exact_f).count() == 0
         and exact_f.exceptAll(hi).count() == 0
