@@ -32,6 +32,12 @@ from pyspark.sql import functions as F
 
 from inside_vectordb_spark.functions.vector import l2_norm, l2_normalize
 
+# ann_brp_topk force-broadcasts its query side (build-side pin);
+# batches above this ceiling are rejected rather than risking a
+# broadcast OOM (advice r11). 1M rows × (64-dim float64 + hashes) is
+# ~1 GB exploded — already generous for a serving batch.
+_BROADCAST_QUERY_CEILING = 1_000_000
+
 
 def ann_brp_topk(
     queries: DataFrame,
@@ -53,7 +59,25 @@ def ann_brp_topk(
     ``ann_lsh_topk`` / ``exact_cosine_topk`` so retention is directly
     comparable. score = cosine, recovered exactly from the euclidean
     distance on the unit sphere (``cos = 1 − d²/2``).
+
+    BOUNDED QUERY BATCH ASSUMED (advice r11): the query side is
+    force-broadcast to pin approxSimilarityJoin's build side (see the
+    hint comment below), so the exploded query relation —
+    |Q| · num_tables rows — must fit executor broadcast memory. That
+    is the right contract for a top-k SERVING batch (every tier in
+    this engine already driver-collects or broadcasts its query
+    batch); feeding a corpus-sized "query" set through this operator
+    is a near-dup-join misuse and raises here rather than OOMing the
+    broadcast at runtime — ``dedup.embedding_near_duplicates_*`` is
+    the operator that shape wants.
     """
+    nq = queries.count()
+    if nq > _BROADCAST_QUERY_CEILING:
+        raise ValueError(
+            f"ann_brp_topk broadcasts the query batch ({nq} rows > "
+            f"{_BROADCAST_QUERY_CEILING}): pass a bounded serving batch, "
+            "or use the near-dup join operators for corpus×corpus shapes"
+        )
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 

@@ -132,10 +132,16 @@ def similarity_join(
     inferred from the corpus with a 1-row aggregate when omitted).
 
     ``filter_col``: optional metadata predicate — rank only corpus
-    rows whose value equals the query's (all three routes: the exact
-    route hash-joins on the predicate; the ANN routes post-filter
-    the rerank join, the strategy real vector stores use when the
-    filter is not bucket-aligned)."""
+    rows whose value EQUALS the query's, self-matches excluded; one
+    contract on ALL FOUR routes (advice r11 — the graph route
+    previously read it as a global boolean predicate, silently
+    diverging from the other three). The exact route hash-joins on
+    the predicate; signlsh/ivf_det post-filter the rerank join; the
+    hnsw route runs one filter-during-search pass per distinct query
+    filter value (the per-value allow mask IS hnswlib's
+    filter-function, so selective predicates keep graph recall).
+    Callers who want a raw global allow-list on the graph tier call
+    ``ann_hnsw_topk_indexed(filter_df=...)`` directly."""
     if method == "auto":
         n = corpus_size if corpus_size is not None else corpus.count()
         if n <= exact_cutoff:
@@ -222,25 +228,72 @@ def similarity_join(
         ensure_hnsw_index(
             corpus, index_path, dim=dim, id_col=id_col, vec_col=vec_col
         )
-        return ann_hnsw_topk_indexed(
-            spark,
-            queries,
-            index_path,
-            k=k,
-            ef_search=ef_search,
-            query_id=query_id_col,
-            query_vec=vec_col,
-            # filter-during-search (r11): disallowed nodes still route
-            # the beam but never enter results, so the graph route now
-            # composes with metadata predicates instead of rejecting
-            # them (pre-r11 this raised)
-            filter_df=(
-                corpus.filter(F.col(filter_col)).select(
-                    F.col(id_col).alias("vec_id")
+        if filter_col is None:
+            return ann_hnsw_topk_indexed(
+                spark,
+                queries,
+                index_path,
+                k=k,
+                ef_search=ef_search,
+                query_id=query_id_col,
+                query_vec=vec_col,
+            )
+        # Per-query equality (advice r11): one filter-during-search
+        # pass per distinct QUERY filter value — each pass's allow
+        # mask is exactly the corpus rows matching that value, so
+        # disallowed nodes route the beam but never surface (hnswlib
+        # filter-function semantics) and the contract matches the
+        # other routes. The value list is bounded by the query batch,
+        # which this route already driver-collects to broadcast; the
+        # union is over DISJOINT query subsets. Self-exclusion matches
+        # signlsh: over-fetch by one, drop self, re-rank in the
+        # original (score DESC, doc_id ASC) order.
+        from pyspark.sql import Window
+
+        # Pin the query frame ONCE before deriving the value list and
+        # the per-value subsets: the plan re-executes per value, and a
+        # nondeterministic query source (limit, sample) would otherwise
+        # produce subsets inconsistent with the collected value list
+        # (observed: an "empty query set" raise from exactly that).
+        pinned = queries.select(
+            F.col(query_id_col), F.col(vec_col), F.col(filter_col)
+        ).localCheckpoint(eager=True)
+        vals = [
+            r["__fv"]
+            for r in pinned.select(F.col(filter_col).alias("__fv"))
+            .distinct()
+            .collect()
+        ]
+        parts = []
+        for v in sorted(vals, key=lambda x: (x is None, x)):
+            if v is None:
+                continue  # NULL never equals anything (SQL semantics)
+            parts.append(
+                ann_hnsw_topk_indexed(
+                    spark,
+                    pinned.filter(F.col(filter_col) == F.lit(v)),
+                    index_path,
+                    k=k + 1,
+                    ef_search=ef_search,
+                    query_id=query_id_col,
+                    query_vec=vec_col,
+                    filter_df=corpus.filter(F.col(filter_col) == F.lit(v))
+                    .select(F.col(id_col).alias("vec_id")),
                 )
-                if filter_col is not None
-                else None
-            ),
+            )
+        if not parts:
+            raise ValueError(
+                f"filter_col={filter_col!r}: no non-NULL query filter values"
+            )
+        fetched = parts[0]
+        for p in parts[1:]:
+            fetched = fetched.unionByName(p)
+        w = Window.partitionBy("query_id").orderBy("rank")
+        return (
+            fetched.filter(F.col("query_id") != F.col("doc_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
         )
 
     raise ValueError(f"unknown method: {method!r}")

@@ -27,7 +27,7 @@ number of OPEN windows, not history; the file source feeds
 from __future__ import annotations
 
 import uuid
-from contextlib import contextmanager
+from contextlib import ExitStack, contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -201,9 +201,39 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
+@contextmanager
+def _pinned_conf(spark: SparkSession, key: str, value: str):
+    """Pin one session conf for a block and restore it (unset if it
+    had no explicit value)."""
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+# recentProgress retention pinned for drains that CAPTURE progress
+# (advice r11): Spark keeps only the last
+# spark.sql.streaming.numRecentProgressUpdates entries (default 100),
+# so a maxFilesPerTrigger=1 drain over >100 part files would silently
+# drop its earliest micro-batches and undercount rows_read. 10k
+# micro-batches is far past any drain this engine runs; the collector
+# still hard-fails if the cap is ever reached rather than undercount.
+_PROGRESS_RETENTION = 10_000
+
+
 def _progress_dicts(q) -> list[dict]:
     """Normalize StreamingQuery.recentProgress across PySpark versions
-    (plain dicts in some, StreamingQueryProgress objects in others)."""
+    (plain dicts in some, StreamingQueryProgress objects in others).
+    Raises rather than return a silently-truncated capture when the
+    retention cap was reached (advice r11)."""
     import json as _json
 
     out = []
@@ -212,6 +242,12 @@ def _progress_dicts(q) -> list[dict]:
             out.append(p)
         else:
             out.append(_json.loads(p.json))
+    if len(out) >= _PROGRESS_RETENTION:
+        raise RuntimeError(
+            f"recentProgress hit the retention cap ({_PROGRESS_RETENTION}); "
+            "earliest micro-batches were evicted, so progress totals would "
+            "undercount — raise _PROGRESS_RETENTION or coalesce the source"
+        )
     return out
 
 
@@ -253,7 +289,19 @@ def run_to_memory(
     """
     spark = streaming_df.sparkSession
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    with _pinned_state_partitions(spark, state_partitions):
+    with ExitStack() as _stack:
+        if progress is not None:
+            # capture requested: raise the progress-retention cap for
+            # the drain's lifetime so a many-micro-batch drain can't
+            # silently evict its earliest entries (advice r11)
+            _stack.enter_context(
+                _pinned_conf(
+                    spark,
+                    "spark.sql.streaming.numRecentProgressUpdates",
+                    str(_PROGRESS_RETENTION),
+                )
+            )
+        _stack.enter_context(_pinned_state_partitions(spark, state_partitions))
         def _start(mode: str):
             return (
                 streaming_df.writeStream.format("memory")
