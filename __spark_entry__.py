@@ -39,9 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotates by OBSERVATION AGE: 10 sentinels (one multi-round-
 # reproducible representative per SURVEY.md §2 tier) plus 40 slots
 # holding the rows whose last driver observation is OLDEST — this
-# round the 37 remaining r5-last-observed rows (registration order)
-# plus fill from the oldest r6 rows, minus slots taken by queries NEW
-# this round (which always get their first observation here).
+# round 38 of the 39 r6-last-observed rows, minus slots taken by
+# queries NEW this round (which always get their first observation
+# here).
 # Rotated-out green rows remain registered and locally oracle-tested
 # just past the prefix (scripts/check_gate.py --all covers every
 # entry).
@@ -57,65 +57,63 @@ WINDOW_PRIORITY = [
     "corpus_curation",        # curation DAG composition
     "events_asof_join",       # temporal tier
     "events_hourly_stream",   # streaming tier
-    # -- stale refresh: ALL 37 rows last observed r5 ------------------
-    "q12_priority_shipments",    # TPC-H Q12
-    "q7_volume_shipping",        # TPC-H Q7
-    "q8_market_share",           # TPC-H Q8
-    "q17_small_quantity_revenue",  # TPC-H Q17
-    "q19_discounted_revenue",    # TPC-H Q19
-    "q15_top_supplier",          # TPC-H Q15
-    "q9_product_profit",         # TPC-H Q9
-    "q11_important_stock",       # TPC-H Q11
-    "q16_supplier_part_variety",  # TPC-H Q16
-    "q20_promo_part_suppliers",  # TPC-H Q20
-    "simhash_near_duplicates",   # SimHash near-dup tier
-    "tfidf_topk",                # TF-IDF lexical retrieval
-    "hybrid_rrf3_topk",          # 3-arm reciprocal-rank fusion
-    "lm_perplexity_scores",      # KenLM-style perplexity scores
-    "cluster_safe_split",        # leakage-safe train/test split
-    "token_budget_select",       # token-budget selection
-    "curriculum_stages",         # curriculum staging
-    "corpus_datasheet",          # datasheet summary stats
-    "bm25_topk_indexed",         # persisted BM25 index
-    "tfidf_topk_indexed",        # persisted TF-IDF index
-    "hybrid_serving_topk",       # hybrid serving path
-    "bm25_upsert_topk_indexed",  # BM25 index upsert
-    "ann_signlsh_upsert_topk",   # sign-LSH index upsert
-    "ann_signlsh_deleted",       # sign-LSH tombstone semantics
-    "ann_pq_det_topk_indexed",   # persisted det-PQ (noted r10 verdict)
-    "hard_negatives",            # hard-negative mining
-    "training_triples",          # (q, pos, neg) triples
-    "partitioned_layout_roundtrip",  # partitioned parquet layout
-    "zorder_layout_roundtrip",   # z-order interleaved layout
-    "method_comparison",         # B5 comparison pivot
-    "comparison_extrema",        # A9 summary extrema
-    "events_sessionized_stream",  # sessionization stream
-    "events_user_totals_stream",  # per-user running totals stream
-    "dedup_exact_stream",        # streaming exact dedup
-    "events_click_purchase_stream",  # stream-stream interval join
-    "snapshot_stream_merge",     # snapshot + change-stream merge
-    "image_features",            # multimodal feature extraction
-    # -- fill: r6 row whose OUTPUT changed this round (5 -> 10 arms:
-    # the indexed/upsert/composed stochastic tiers joined the recall
-    # envelope), so its fresh shape gets a driver observation now
-    # rather than waiting for the r6 pool's turn
-    "ann_stochastic_recall_floor",  # stochastic-tier recall envelope
+    # -- stale refresh: 38 of the 39 rows last observed r6 ------------
+    "ann_ivf_det_topk",          # det-IVF in-memory
+    "ann_ivf_det_upsert_topk",   # det-IVF upsert lifecycle
+    "ann_ivf_topk",              # trained-IVF (rows-only; envelope-covered)
+    "ann_ivfpq_det_topk",        # det-IVFPQ in-memory
+    "ann_ivfpq_det_topk_indexed",  # det-IVFPQ at rest
+    "ann_lsh_topk",              # hyperplane-LSH (rows-only; envelope-covered)
+    "ann_pq_det_refine_sweep",   # PQ refine-depth sweep
+    "ann_pq_det_topk",           # det-PQ in-memory
+    "ann_pq_det_topk_deleted",   # det-PQ tombstone semantics
+    "ann_pq_det_upsert_topk",    # det-PQ upsert lifecycle
+    "ann_recall_vs_exact",       # ANN recall-retention envelope
+    "ann_signlsh_stream_upsert",  # streaming index upsert
+    "ann_sq_topk",               # SQ8 in-memory
+    "bm25_rm3_topk",             # BM25 + RM3 pseudo-relevance feedback
+    "corpus_curation_clustered",  # clustered curation DAG
+    "corpus_distinct_ngrams",    # distinct n-gram stats
+    "decontamination_bloom",     # bloom-filter decontamination
+    "dsir_select",               # DSIR importance sampling
+    "embedding_column_stats",    # embedding column statistics
+    "embedding_near_duplicates_det",  # det near-dup twin
+    "events_cohort_retention",   # cohort retention matrix
+    "events_funnel",             # funnel analysis
+    "events_stream_enriched",    # stream-static enrichment join
+    "events_user_distinct",      # exact distinct-user twin
+    "events_user_journey",       # per-user journey assembly
+    "events_value_zscore",       # windowed z-score
+    "label_centroids",           # per-label centroid table
+    "lineitem_correlations",     # correlation matrix
+    "method_candidate_costs",    # candidate-volume cost audit
+    "minhash_stream_pairs",      # streaming MinHash pairs
+    "quality_percentile_gate",   # percentile-based quality gate
+    "range_search",              # threshold range search
+    "repetition_stats",          # intra-doc repetition stats
+    "semantic_dedup",            # SemDeDup cluster dedup
+    "source_term_kl",            # per-source term KL divergence
+    "temperature_mixture",       # temperature-scaled mixture weights
+    "weighted_sample",           # weighted deterministic sample
+    "zipf_fit",                  # Zipf exponent fit
     # -- new this round (first driver observation) --------------------
-    "ann_hnsw_filtered_invariants",  # filter-during-search envelope (oracle)
-    "ann_hnsw_heuristic_recall",     # Alg. 4 selection envelope (oracle)
+    "sketch_accuracy_envelope",          # HLL + approx-percentile bounds (oracle)
+    "embedding_near_duplicates_lsh_recall",  # planted near-dup recall (oracle)
 ]
 
-# Round-11 rotation state: the window refreshes the stalest proofs —
-# the whole 37-row r5 cohort, 1 r6 fill row, and the round's 2 NEW
-# queries (ann_hnsw_filtered_invariants, ann_hnsw_heuristic_recall —
-# each displaced one r6 fill). The r6 row
-# embedding_near_duplicates_lsh (stochastic, rows-only) is
-# deliberately deferred in favor of oracle-backed rows so the window
-# stays 100% oracle-backed; it rotates in a later round under the
-# rows-only policy. Remaining pool: r6 (39 rows incl. the displaced
-# fills), then r7. Sentinels stay every round; queries NEW in a round
-# always take window slots (test_union_driver_coverage_complete
-# enforces it).
+# Round-12 rotation state: the window refreshes the stalest proofs —
+# 38 of the 39 r6-last-observed rows — plus the round's 2 NEW
+# envelope queries (sketch_accuracy_envelope,
+# embedding_near_duplicates_lsh_recall). The one deferred r6 row is
+# embedding_near_duplicates_lsh itself: its blocking path is executed
+# INSIDE the new recall envelope with a hash-checked quality bound,
+# strictly stronger evidence than the rows-only re-observation a slot
+# would buy; it rejoins the pool as the oldest row next round.
+# ann_ivf_topk / ann_lsh_topk rotate in rows-only per the standing
+# policy (both quality-covered by ann_stochastic_recall_floor, green
+# r11). Remaining pool: r7 (40 rows) + embedding_near_duplicates_lsh.
+# Sentinels stay every round; queries NEW in a round always take
+# window slots (test_union_driver_coverage_complete enforces it).
 
 def _ordered(mapping: dict) -> dict:
     head = {n: mapping[n] for n in WINDOW_PRIORITY if n in mapping}

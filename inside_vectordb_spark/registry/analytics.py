@@ -440,6 +440,100 @@ def doc_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_SKETCH_ENV_ORACLE = """
+    SELECT 'doc_length_percentile' AS subject, k AS key,
+           round(v, 6) AS exact_value,
+           CAST(0.05 AS DOUBLE) AS tol, true AS within_tol
+    FROM (SELECT unnest(['p25', 'p50', 'p75', 'p95']) AS k,
+                 unnest([quantile_cont(n_chars, 0.25),
+                         quantile_cont(n_chars, 0.50),
+                         quantile_cont(n_chars, 0.75),
+                         quantile_cont(n_chars, 0.95)]) AS v
+          FROM documents)
+    UNION ALL
+    SELECT 'hll_distinct_users' AS subject, event_type AS key,
+           round(CAST(count(DISTINCT user_id) AS DOUBLE), 6) AS exact_value,
+           CAST(0.05 AS DOUBLE) AS tol, true AS within_tol
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'hll_distinct_users' AS subject, 'ALL' AS key,
+           round(CAST(count(DISTINCT user_id) AS DOUBLE), 6) AS exact_value,
+           CAST(0.05 AS DOUBLE) AS tol, true AS within_tol
+    FROM events
+"""
+
+
+@register("sketch_accuracy_envelope", oracle=_SKETCH_ENV_ORACLE)
+def sketch_accuracy_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backs the two sketch queries (r11 verdict #2, the
+    reference's tolerance-based acceptance style, ``005:469-487``):
+    per subject the row carries the EXACT value — hash-verified
+    cross-engine, so the exact twins themselves stay driver-proven —
+    and ``within_tol``, which asserts the sketch estimate sits inside
+    the pinned relative-error band (±5%) AS DATA. A drifting HLL
+    (``hll_sketch_agg`` + merge-for-ALL rollup, the
+    ``events_user_sketch`` plan) or approx-percentile
+    (``percentile_approx`` accuracy=1000, the
+    ``doc_length_percentiles_approx`` plan) flips the boolean and the
+    driver hash catches it; the exact arms run only in THIS
+    verification row — the sketch queries remain the production
+    100-TB paths (mergeable partials, no distinct-key shuffle / no
+    full sort)."""
+    ev = eio.load_table(spark, sf_dir, "events")
+    docs = eio.load_table(spark, sf_dir, "documents")
+
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("double").alias("approx"),
+        F.col("exact").cast("double").alias("exact"),
+    )
+    allr = (
+        per_type.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact")))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("sk").cast("double").alias("approx"),
+            F.col("exact").cast("double").alias("exact"),
+        )
+    )
+    hll_rows = typed.unionByName(allr).select(
+        F.lit("hll_distinct_users").alias("subject"),
+        F.col("event_type").alias("key"),
+        F.round("exact", 6).alias("exact_value"),
+        F.lit(0.05).alias("tol"),
+        (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")).alias(
+            "within_tol"
+        ),
+    )
+
+    ps = [0.25, 0.50, 0.75, 0.95]
+    names = F.array(*[F.lit(n) for n in ["p25", "p50", "p75", "p95"]])
+    pcts = F.array(*[F.lit(p) for p in ps])
+    pct_rows = (
+        docs.agg(
+            F.percentile("n_chars", pcts).alias("ex"),
+            F.percentile_approx("n_chars", pcts, 1000).alias("ap"),
+        )
+        .select(names.alias("nm"), "ex", "ap")
+        .select(F.explode(F.arrays_zip("nm", "ex", "ap")).alias("z"))
+        .select(
+            F.lit("doc_length_percentile").alias("subject"),
+            F.col("z.nm").alias("key"),
+            F.round(F.col("z.ex").cast("double"), 6).alias("exact_value"),
+            F.lit(0.05).alias("tol"),
+            (
+                F.abs(F.col("z.ap").cast("double") - F.col("z.ex"))
+                <= 0.05 * F.col("z.ex")
+            ).alias("within_tol"),
+        )
+    )
+    return pct_rows.unionByName(hll_rows).orderBy("subject", "key")
+
+
 @register(
     "stratified_sample",
     oracle="""

@@ -394,6 +394,101 @@ def embedding_near_duplicates_det_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# Floors for the planted-near-dup recall envelope. At the production
+# threshold (0.8) the synthetic fixture has NO true pairs (max
+# pairwise cosine ≈ 0.51), and at a threshold low enough to have
+# pairs (0.35) BOTH blockings are deliberately lossy s-curve samples
+# (measured: the stochastic and det candidate sets overlap at only
+# 0.17-0.29) — so a raw vs-det-twin floor would certify noise. The
+# envelope instead PLANTS deterministic near-dup twins (cos ≈ 0.9998)
+# and asserts recall of that ground truth for both blockings at the
+# threshold the operator actually targets; s-curve math puts the
+# per-pair miss probability below 1e-5 at these corpus sizes, and the
+# measured recall is 1.0 at sf0.001/0.01/0.1 for both arms. The 0.9
+# floor leaves margin for the adaptive-bit-width step at other
+# corpus sizes.
+_ND_RECALL_FLOORS = {"det": 0.9, "lsh": 0.9}
+_ND_PLANT_OFFSET = 10_000_000
+_ND_PLANT_MOD = 5
+
+_ND_LSH_RECALL_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{m}' AS method, CAST(0.8 AS DOUBLE) AS threshold, "
+    f"CAST({f} AS DOUBLE) AS recall_floor, true AS floor_ok"
+    for m, f in sorted(_ND_RECALL_FLOORS.items())
+)
+
+
+@register("embedding_near_duplicates_lsh_recall", oracle=_ND_LSH_RECALL_ORACLE)
+def embedding_near_duplicates_lsh_recall_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality envelope for the near-dup BLOCKING stage (r11 verdict
+    #3), the ``ann_stochastic_recall_floor`` pattern: every 5th vector
+    gets a planted twin (id + 1e7, alternate dims scaled ±2% → cosine
+    ≈ 0.9998), then both near-dup variants run at the production
+    threshold 0.8 on the augmented corpus and their recall of the
+    planted pairs is asserted against a pinned floor AS DATA. The
+    verify stage makes precision exact by construction (every emitted
+    pair is exact-cosine-checked ≥ threshold — and the original corpus
+    has no 0.8-pairs, so emitted ≈ planted); what can be lost is
+    candidate-generation recall, which is exactly what this row
+    bounds, for the stochastic hyperplanes AND the det md5-parity
+    planes in one tagged pass."""
+    from pyspark.sql import functions as F
+
+    emb = eio.load_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") % _ND_PLANT_MOD == 0).select(
+        (F.col("vec_id") + _ND_PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x * F.when(i % 2 == 0, F.lit(1.02)).otherwise(F.lit(0.98))
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    planted = emb.select("vec_id", "embedding", "label").unionByName(twins)
+    # the planted ground truth: (original, twin) canonical pairs
+    truth = emb.filter(F.col("vec_id") % _ND_PLANT_MOD == 0).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + _ND_PLANT_OFFSET).alias("id_b"),
+    )
+    n_truth = truth.count()  # N/5, metadata-cheap
+    arms = {
+        "det": dd.embedding_near_duplicates_det(planted, threshold=0.8),
+        "lsh": dd.embedding_near_duplicates_lsh(
+            planted, dim=64, threshold=0.8
+        ),
+    }
+    tagged = None
+    for m, pairs in arms.items():
+        part = pairs.select(
+            F.lit(m).alias("method"), "id_a", "id_b"
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    hits = (
+        tagged.join(truth, ["id_a", "id_b"])
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    floors = spark.createDataFrame(
+        sorted(_ND_RECALL_FLOORS.items()), "method string, recall_floor double"
+    )
+    return (
+        floors.join(F.broadcast(hits), "method", "left")
+        .select(
+            "method",
+            F.lit(0.8).alias("threshold"),
+            "recall_floor",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(n_truth))
+                >= F.col("recall_floor")
+            ).alias("floor_ok"),
+        )
+        .orderBy("method")
+    )
+
+
 # ---- text analysis -------------------------------------------------------
 
 _MARKERS_SQL = {

@@ -29,6 +29,52 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WINDOW = 50
 
 
+def window_budget_report(queries: dict) -> None:
+    """Rotation accounting (r11 verdict #8): per run, print which
+    registered rows have never had a driver observation and the
+    oldest-observation histogram, so rotation planning reads off the
+    gate output instead of living in comments."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        try:
+            for k in json.load(open(f)):
+                last[k] = rnd
+        except Exception:
+            continue
+    window = set(list(queries)[:WINDOW])
+    never = [n for n in queries if n not in last and n not in window]
+    pending = [n for n in queries if n not in last and n in window]
+    hist: dict[int, int] = {}
+    for n in queries:
+        if n in last:
+            hist[last[n]] = hist.get(last[n], 0) + 1
+    print("-- window budget --")
+    print(f"registered: {len(queries)}  window: {len(window)}")
+    print(
+        "last-observation histogram (round: count): "
+        + ", ".join(f"r{r}: {c}" for r, c in sorted(hist.items()))
+    )
+    if pending:
+        print(f"first observation pending (in window): {sorted(pending)}")
+    if never:
+        print(f"NEVER observed and NOT in window: {sorted(never)}")
+    oldest = min(hist) if hist else None
+    if oldest is not None:
+        stale = sorted(n for n, r in last.items() if r == oldest)
+        in_w = sum(1 for n in stale if n in window)
+        print(
+            f"oldest cohort r{oldest}: {len(stale)} rows, {in_w} in the "
+            "current window"
+        )
+    print("-------------------")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -46,6 +92,7 @@ def main() -> int:
 
     queries = e.queries()
     oracles = e.oracle_sql()
+    window_budget_report(queries)
     if args.only:
         names = [n.strip() for n in args.only.split(",") if n.strip()]
         unknown = [n for n in names if n not in queries]
