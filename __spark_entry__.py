@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotates by OBSERVATION AGE: 10 sentinels (one multi-round-
 # reproducible representative per SURVEY.md §2 tier) plus 40 slots
 # holding the rows whose last driver observation is OLDEST — this
-# round 38 of the 39 r6-last-observed rows, minus slots taken by
+# round 37 of the 39 r6-last-observed rows, minus slots taken by
 # queries NEW this round (which always get their first observation
 # here).
 # Rotated-out green rows remain registered and locally oracle-tested
@@ -57,13 +57,12 @@ WINDOW_PRIORITY = [
     "corpus_curation",        # curation DAG composition
     "events_asof_join",       # temporal tier
     "events_hourly_stream",   # streaming tier
-    # -- stale refresh: 38 of the 39 rows last observed r6 ------------
+    # -- stale refresh: 37 of the 39 rows last observed r6 ------------
     "ann_ivf_det_topk",          # det-IVF in-memory
     "ann_ivf_det_upsert_topk",   # det-IVF upsert lifecycle
     "ann_ivf_topk",              # trained-IVF (rows-only; envelope-covered)
     "ann_ivfpq_det_topk",        # det-IVFPQ in-memory
     "ann_ivfpq_det_topk_indexed",  # det-IVFPQ at rest
-    "ann_lsh_topk",              # hyperplane-LSH (rows-only; envelope-covered)
     "ann_pq_det_refine_sweep",   # PQ refine-depth sweep
     "ann_pq_det_topk",           # det-PQ in-memory
     "ann_pq_det_topk_deleted",   # det-PQ tombstone semantics
@@ -96,22 +95,26 @@ WINDOW_PRIORITY = [
     "temperature_mixture",       # temperature-scaled mixture weights
     "weighted_sample",           # weighted deterministic sample
     "zipf_fit",                  # Zipf exponent fit
+    # -- changed output this round (fresh observation for the new
+    # 2-arm shape; displaced ann_lsh_topk, rows-only + envelope-covered)
+    "ann_hnsw_heuristic_recall",  # Alg. 4 envelope + clustered strict-win arm
     # -- new this round (first driver observation) --------------------
     "sketch_accuracy_envelope",          # HLL + approx-percentile bounds (oracle)
     "embedding_near_duplicates_lsh_recall",  # planted near-dup recall (oracle)
 ]
 
 # Round-12 rotation state: the window refreshes the stalest proofs —
-# 38 of the 39 r6-last-observed rows — plus the round's 2 NEW
+# 37 of the 39 r6-last-observed rows — plus the round's 2 NEW
 # envelope queries (sketch_accuracy_envelope,
-# embedding_near_duplicates_lsh_recall). The one deferred r6 row is
-# embedding_near_duplicates_lsh itself: its blocking path is executed
-# INSIDE the new recall envelope with a hash-checked quality bound,
-# strictly stronger evidence than the rows-only re-observation a slot
-# would buy; it rejoins the pool as the oldest row next round.
-# ann_ivf_topk / ann_lsh_topk rotate in rows-only per the standing
-# policy (both quality-covered by ann_stochastic_recall_floor, green
-# r11). Remaining pool: r7 (40 rows) + embedding_near_duplicates_lsh.
+# embedding_near_duplicates_lsh_recall) and a fresh observation for
+# ann_hnsw_heuristic_recall's changed 2-arm shape. The two deferred
+# r6 rows: embedding_near_duplicates_lsh (its blocking path executes
+# INSIDE the new recall envelope with a hash-checked quality bound —
+# strictly stronger evidence than a rows-only re-observation) and
+# ann_lsh_topk (rows-only, quality covered by the r11-green
+# ann_stochastic_recall_floor lsh arm). ann_ivf_topk rotates in
+# rows-only per the standing policy (same envelope coverage).
+# Remaining pool: r7 (40 rows) + the two deferred r6 rows.
 # Sentinels stay every round; queries NEW in a round always take
 # window slots (test_union_driver_coverage_complete enforces it).
 

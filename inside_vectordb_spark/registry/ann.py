@@ -500,19 +500,45 @@ _HNSW_HEURISTIC_ORACLE = (
     "SELECT 'hnsw_heuristic' AS method, 10 AS k, "
     "CAST(0.95 AS DOUBLE) AS recall_floor, true AS floor_ok, "
     "true AS at_least_simple"
+    "\nUNION ALL\n"
+    "SELECT 'hnsw_heuristic_clustered' AS method, 10 AS k, "
+    "CAST(0.90 AS DOUBLE) AS recall_floor, true AS floor_ok, "
+    "true AS at_least_simple"
 )
+
+# clustered-arm geometry (r11 verdict #6): 24 fixture vectors as
+# cluster centers, 50 deterministic hash-noise replicas each
+_HEUR_CLU_CENTERS = 24
+_HEUR_CLU_REPS = 50
+_HEUR_CLU_QREPS = 4
+_HEUR_CLU_SPREAD = 0.02
 
 
 @register("ann_hnsw_heuristic_recall", oracle=_HNSW_HEURISTIC_ORACLE)
 def ann_hnsw_heuristic_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alg. 4 diversity selection as a hash-checkable row (r10 verdict
     #3; reference anchor: hnswlib/FAISS both build with the heuristic,
-    ``003-hnswlib_demo.py:200-201`` build params): a graph built with
-    ``heuristic=True`` clears the tier's 0.95 recall floor vs exact at
-    working ef, AND its recall is >= the simple-selection build's at
-    the same ef — the paper's §4 claim (diversity spends M edges
-    across clusters) as data. Deterministic per (corpus, seed): both
-    builds are pure functions of their inputs."""
+    ``003-hnswlib_demo.py:200-201`` build params), TWO arms:
+
+    - ``hnsw_heuristic`` — on the raw fixture corpus at working ef
+      the heuristic build clears the 0.95 floor vs exact AND its
+      recall is >= the simple build's. REGIME NOTE (r11 verdict nit):
+      ef_search=64 saturates these corpus sizes, so both builds
+      typically sit at 1.0 and this arm proves the heuristic DOESN'T
+      HURT, not that it helps — non-regression, by design.
+    - ``hnsw_heuristic_clustered`` — the DISCRIMINATING arm (r11
+      verdict #6): a tight-cluster corpus built deterministically
+      from the first 24 fixture vectors (50 hash-noise replicas
+      each, spread 0.02 — the regime where simple closest-M selection
+      spends every edge inside a cluster and inter-cluster navigation
+      starves, Malkov-Yashunin §4), low-m build (m=6, efc=60),
+      below-saturation ef=12. Here ``at_least_simple`` is a STRICT
+      >= +0.10 win (measured gap +0.28..+0.43 at sf0.001/0.01/0.1;
+      simple 0.53-0.68 vs heuristic 0.94-0.96), mirroring
+      ``tests/test_hnsw_kernel.py``'s strict-win pin at driver scale.
+
+    Deterministic per (corpus, seed): hash-based noise, seeded
+    builds — both arms are pure functions of their inputs."""
     from pyspark.sql import functions as F
 
     from inside_vectordb_spark.operators.hnsw_index import (
@@ -532,15 +558,73 @@ def ann_hnsw_heuristic_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = exact_cosine_topk(q, c, k=10).select("query_id", "doc_id")
     n_gt = gt.count()  # |Q|·10, bounded
 
-    def recall(art: str) -> float:
-        res = ann_hnsw_topk_indexed(spark, q, art, k=10, ef_search=64)
-        return (
-            res.join(gt, ["query_id", "doc_id"]).count() / float(n_gt)
+    def recall(art: str, queries, truth, n_truth: float, ef: int) -> float:
+        res = ann_hnsw_topk_indexed(spark, queries, art, k=10, ef_search=ef)
+        return res.join(truth, ["query_id", "doc_id"]).count() / n_truth
+
+    r_h = recall(art_h, q, gt, float(n_gt), 64)
+    r_s = recall(art_s, q, gt, float(n_gt), 64)
+
+    # -- clustered arm: deterministic synthetic tight clusters --------
+    centers = c.filter(F.col("vec_id") < _HEUR_CLU_CENTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+
+    def replicas(tag: int, n_reps: int, id_col: str):
+        """n_reps hash-noise points around each center: unit center +
+        spread·uniform[-1,1] per dim, noise keyed by (cid, rid, dim,
+        tag) through Spark's Murmur3 — reproducible on any engine."""
+        reps = spark.range(n_reps).select(F.col("id").alias("rid"))
+        return centers.crossJoin(reps).select(
+            (F.col("cid") * n_reps + F.col("rid")).alias(id_col),
+            F.transform(
+                "cv",
+                lambda x, i: (
+                    x
+                    / F.sqrt(
+                        F.aggregate(
+                            F.col("cv"),
+                            F.lit(0.0),
+                            lambda a, y: a + y.cast("double") * y.cast("double"),
+                        )
+                    )
+                    + _HEUR_CLU_SPREAD
+                    * (
+                        (F.hash(F.col("cid"), F.col("rid"), i, F.lit(tag)) % 2001)
+                        / 1000.0
+                    )
+                ).cast("float"),
+            ).alias("embedding"),
         )
 
-    r_h, r_s = recall(art_h), recall(art_s)
+    clu_corpus = replicas(0, _HEUR_CLU_REPS, "vec_id")
+    clu_queries = replicas(99, _HEUR_CLU_QREPS, "query_id")
+    clu_gt = (
+        exact_cosine_topk(clu_queries, clu_corpus, k=10)
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=True)  # consumed by 2 recall joins
+    )
+    n_clu_gt = float(clu_gt.count())
+    clu = {}
+    for heur, name in ((False, "hnsw_heur_clu_simple"), (True, "hnsw_heur_clu")):
+        art = mio.art_path(name, sf_dir)
+        ensure_hnsw_index(
+            clu_corpus, art, dim=EMB_DIM, m=6, ef_construction=60,
+            n_parts=1, seed=42, heuristic=heur,
+        )
+        clu[heur] = recall(art, clu_queries, clu_gt, n_clu_gt, 12)
+
     return spark.createDataFrame(
-        [("hnsw_heuristic", 10, 0.95, r_h >= 0.95, r_h >= r_s)],
+        [
+            ("hnsw_heuristic", 10, 0.95, r_h >= 0.95, r_h >= r_s),
+            (
+                "hnsw_heuristic_clustered",
+                10,
+                0.90,
+                clu[True] >= 0.90,
+                clu[True] >= clu[False] + 0.10,
+            ),
+        ],
         "method string, k int, recall_floor double, floor_ok boolean, "
         "at_least_simple boolean",
     )

@@ -17,11 +17,12 @@ WINDOW = 50
 # Rows-only entries allowed inside the window (the standing rows-only
 # rotation policy: stochastic tiers whose QUALITY is already bounded
 # by a driver-green oracle envelope may take a slot for their
-# staleness refresh). Round 12 rotates in the two r6 stochastic
-# retrieval tiers; both are arms of ann_stochastic_recall_floor
-# (green r11), so their rows-only observation only re-proves
-# run-and-schema, not quality — which is already covered.
-NO_ORACLE_OK: set[str] = {"ann_ivf_topk", "ann_lsh_topk"}
+# staleness refresh). Round 12 rotates in ann_ivf_topk (an arm of
+# ann_stochastic_recall_floor, green r11), so its rows-only
+# observation only re-proves run-and-schema, not quality — which
+# is already covered; ann_lsh_topk (same coverage) deferred to
+# make room for the changed-shape heuristic envelope refresh.
+NO_ORACLE_OK: set[str] = {"ann_ivf_topk"}
 
 # One representative per §2 tier that MUST sit inside the window
 # every round (reproducible multi-round anchors). Round 5 shrank the
@@ -42,16 +43,17 @@ MUST_COVER = {
 }
 
 
-# Rows rotated into the round-12 window by observation age: 38 of
-# the 39 r6-last-observed rows (embedding_near_duplicates_lsh defers
-# one round — the new recall envelope executes its blocking path with
-# a hash-checked bound, strictly stronger than a rows-only slot), and
+# Rows rotated into the round-12 window by observation age: 37 of
+# the 39 r6-last-observed rows (embedding_near_duplicates_lsh defers —
+# the new recall envelope executes its blocking path with a
+# hash-checked bound, strictly stronger than a rows-only slot;
+# ann_lsh_topk defers for the changed-shape heuristic refresh), plus
 # the queries NEW this round (first observation). They stay pinned
 # here until CORRECTNESS_r12 proves them green.
 ROTATED_IN_R12 = {
-    # last observed r6 (38 of 39)
+    # last observed r6 (37 of 39)
     "ann_ivf_det_topk", "ann_ivf_det_upsert_topk", "ann_ivf_topk",
-    "ann_ivfpq_det_topk", "ann_ivfpq_det_topk_indexed", "ann_lsh_topk",
+    "ann_ivfpq_det_topk", "ann_ivfpq_det_topk_indexed",
     "ann_pq_det_refine_sweep", "ann_pq_det_topk",
     "ann_pq_det_topk_deleted", "ann_pq_det_upsert_topk",
     "ann_recall_vs_exact", "ann_signlsh_stream_upsert", "ann_sq_topk",
@@ -64,6 +66,12 @@ ROTATED_IN_R12 = {
     "minhash_stream_pairs", "quality_percentile_gate", "range_search",
     "repetition_stats", "semantic_dedup", "source_term_kl",
     "temperature_mixture", "weighted_sample", "zipf_fit",
+    # changed output this round (1 -> 2 arms: the clustered
+    # strict-win arm joined) — fresh observation per the standing
+    # changed-shape policy; it displaced ann_lsh_topk (rows-only,
+    # quality already envelope-covered, deferred with
+    # embedding_near_duplicates_lsh)
+    "ann_hnsw_heuristic_recall",
     # new this round
     "sketch_accuracy_envelope", "embedding_near_duplicates_lsh_recall",
 }
