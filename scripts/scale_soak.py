@@ -96,6 +96,15 @@ HEAVY = [
     "sequence_packing",
     "dsir_select",
     "token_budget_select",
+    # hybrid/rerank spine (r11 verdict #7): multi-arm retrieval +
+    # fusion/rerank carry a "Q·depth per arm, corpus-scale-free
+    # fusion" cost claim — measured here instead of asserted. The
+    # arms themselves (BM25/TF-IDF posting joins, exact scan) are
+    # corpus-linear; the fusion/rerank tail must NOT grow with the
+    # corpus beyond the arms' candidate generation.
+    "hybrid_rrf3_topk",
+    "rerank_cross_encoder",
+    "late_interaction_topk",
 ]
 
 

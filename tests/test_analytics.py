@@ -145,3 +145,23 @@ def test_approx_percentiles_close_to_exact(spark):
     exact = QUERIES["doc_length_percentiles"](spark, SF_DIR).collect()[0]
     for name in ["p25", "p50", "p75", "p95"]:
         assert approx[name] == pytest.approx(exact[name], rel=0.05), name
+
+
+def test_sketch_accuracy_envelope(spark):
+    """The r12 driver envelope that oracle-backs the two sketch rows:
+    10 rows (4 percentiles + per-type and ALL HLL), every within_tol
+    true, and the exact values agree with the exact twins already
+    tested above."""
+    rows = QUERIES["sketch_accuracy_envelope"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r["within_tol"] for r in rows), rows
+    subj = {r["subject"] for r in rows}
+    assert subj == {"doc_length_percentile", "hll_distinct_users"}
+    exact_p = QUERIES["doc_length_percentiles"](spark, SF_DIR).collect()[0]
+    env_p = {
+        r["key"]: r["exact_value"]
+        for r in rows
+        if r["subject"] == "doc_length_percentile"
+    }
+    for name in ["p25", "p50", "p75", "p95"]:
+        assert env_p[name] == pytest.approx(exact_p[name], abs=1e-6), name

@@ -110,3 +110,20 @@ def test_semantic_dedup_raises_on_disjoint_id_space(spark):
     # curation stage may legitimately drop every document upstream
     empty = emb.filter("vec_id < 0")
     assert semantic_dedup_pairs(empty, threshold=0.0).count() == 0
+
+
+def test_embedding_near_dup_lsh_recall_envelope(spark):
+    """r12 planted-ground-truth envelope: both blocking variants
+    (stochastic hyperplanes, det md5-parity planes) recover the
+    planted cos≈0.9998 twins at the production threshold; floor bits
+    all true, and the planted construction emits NO false pairs (the
+    raw fixture has no 0.8-cosine pairs)."""
+    from inside_vectordb_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["embedding_near_duplicates_lsh_recall"](
+        spark, SF_DIR
+    ).collect()
+    assert {r["method"] for r in rows} == {"det", "lsh"}
+    assert all(r["floor_ok"] for r in rows), rows
+    assert all(r["threshold"] == 0.8 for r in rows)
