@@ -482,10 +482,14 @@ def sketch_accuracy_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = eio.load_table(spark, sf_dir, "events")
     docs = eio.load_table(spark, sf_dir, "documents")
 
+    # one row per event type, consumed by TWO branches (typed + the
+    # merged-ALL rollup) whose differing column pruning defeats
+    # ReusedExchange — unpinned, the events scan + agg runs twice
+    # (measured: 3 scans → 2, the irreducible per-type + ALL pair)
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("exact"),
-    )
+    ).localCheckpoint(eager=True)
     typed = per_type.select(
         "event_type",
         F.hll_sketch_estimate("sk").cast("double").alias("approx"),

@@ -447,7 +447,15 @@ def embedding_near_duplicates_lsh_recall_q(
         ).alias("embedding"),
         "label",
     )
-    planted = emb.select("vec_id", "embedding", "label").unionByName(twins)
+    # pinned once: BOTH near-dup variants consume this frame several
+    # times each (signature fold, bucket count, verify probes) and the
+    # union+transform lineage would otherwise re-scan embeddings per
+    # consumer (measured: 17 scans in the unpinned plan → 1)
+    planted = (
+        emb.select("vec_id", "embedding", "label")
+        .unionByName(twins)
+        .localCheckpoint(eager=True)
+    )
     # the planted ground truth: (original, twin) canonical pairs
     truth = emb.filter(F.col("vec_id") % _ND_PLANT_MOD == 0).select(
         F.col("vec_id").alias("id_a"),
