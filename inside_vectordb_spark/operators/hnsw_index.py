@@ -430,6 +430,8 @@ def ann_hnsw_topk_indexed(
     round_to: int | None = 6,
     filter_df: DataFrame | None = None,
     filter_id_col: str = "vec_id",
+    query_filter_col: str | None = None,
+    corpus_filter_df: DataFrame | None = None,
 ) -> DataFrame:
     """Search the stored graph without rebuilding (hnswlib
     ``load_index`` analogue, ``003:245-257``): per stored partition,
@@ -447,10 +449,32 @@ def ann_hnsw_topk_indexed(
     selective predicates filtered search exists for; a broad predicate
     at 100 TB belongs in metadata columns co-partitioned with the
     graph (and is cheaper as post-filtering anyway, since it barely
-    cuts the candidate pool)."""
+    cuts the candidate pool).
+
+    ``query_filter_col`` + ``corpus_filter_df`` (r12, the facade's
+    per-query-EQUALITY contract pushed down): each query ranks only
+    corpus rows whose ``corpus_filter_df`` value equals the query's
+    ``query_filter_col`` value — ONE grouped pass instead of one
+    search per distinct value. The (id, value) mapping broadcasts
+    with the partition scan exactly like ``filter_df``; inside each
+    task the kernel is reconstructed ONCE and the per-value boolean
+    masks are cut from the attached value column, so the cost is
+    V-independent: one graph scan, one broadcast, one reconstruct per
+    partition regardless of how many distinct values the batch
+    carries. NULL-valued queries match nothing (SQL equality).
+    Mutually exclusive with ``filter_df``."""
     meta = mio.read_json(mio.join(path, "meta.json"))
     if meta is None or meta.get("kind") != "hnsw_vendored":
         raise FileNotFoundError(f"no complete vendored-HNSW index at {path}")
+    if filter_df is not None and query_filter_col is not None:
+        raise ValueError(
+            "filter_df (global allow-list) and query_filter_col (per-query "
+            "equality) are mutually exclusive"
+        )
+    if (query_filter_col is None) != (corpus_filter_df is None):
+        raise ValueError(
+            "query_filter_col and corpus_filter_df must be passed together"
+        )
     m, efc, dim = meta["m"], meta["ef_construction"], meta["dim"]
     allowed = (
         None
@@ -467,16 +491,31 @@ def ann_hnsw_topk_indexed(
         # keeps the set executor-side (no driver collect).
         .localCheckpoint(eager=True)
     )
-
-    qrows = (
-        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("v"))
-        .collect()
+    fvalues = (
+        None
+        if corpus_filter_df is None
+        else corpus_filter_df.select(
+            F.col(filter_id_col).cast("long").alias("__fid"),
+            F.col(query_filter_col).alias("__fval"),
+        )
+        # same pin rationale as `allowed` above
+        .localCheckpoint(eager=True)
     )
+
+    qcols = [F.col(query_id).alias("qid"), F.col(query_vec).alias("v")]
+    if query_filter_col is not None:
+        qcols.append(F.col(query_filter_col).alias("fv"))
+    qrows = queries.select(*qcols).collect()
     if not qrows:
         raise ValueError("empty query set")
     qids_l = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat_l = _normalize_rows(np.array([r["v"] for r in qrows], dtype=np.float64))
-    bc = spark.sparkContext.broadcast((qids_l, qmat_l))
+    qvals_l = (
+        np.array([r["fv"] for r in qrows], dtype=object)
+        if query_filter_col is not None
+        else None
+    )
+    bc = spark.sparkContext.broadcast((qids_l, qmat_l, qvals_l))
 
     # hnswlib mark_deleted semantics: tombstoned nodes stay in the
     # graph (they still ROUTE the beam) but are filtered from results;
@@ -484,23 +523,7 @@ def ann_hnsw_topk_indexed(
     # filtered-out neighbor can't starve the local top-k
     n_deleted = int(meta.get("n_deleted", 0))
 
-    def search_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
-        allow = None
-        if "__allowed" in pdf.columns:
-            # internal idx == ord (contiguous by construction), so the
-            # level-0 rows in ord order ARE the mask's index space
-            lvl0 = pdf[pdf["level"] == 0].sort_values("ord")
-            allow = (
-                lvl0["__allowed"].fillna(False).to_numpy(dtype=bool)
-            )
-            if not allow.any():
-                return pd.DataFrame(columns=["query_id", "doc_id", "score"])
-        index = _index_from_rows(pdf, m, efc, dim)
-        qids, qmat = bc.value
-        kk = min(k + n_deleted, len(index))
-        index.set_ef(max(ef_search, kk))
+    def _result_frame(qids, qmat, index, kk, allow):
         labels, dists = index.knn_query(qmat, k=kk, allow=allow)
         rows = np.repeat(np.arange(len(qids)), labels.shape[1])
         out = pd.DataFrame(
@@ -512,6 +535,45 @@ def ann_hnsw_topk_indexed(
         )
         # non-finite distances are fewer-than-k-reachable pads
         return out[np.isfinite(dists).ravel()]
+
+    def search_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=["query_id", "doc_id", "score"])
+        if pdf.empty:
+            return empty
+        allow = None
+        node_vals = None
+        if "__allowed" in pdf.columns:
+            # internal idx == ord (contiguous by construction), so the
+            # level-0 rows in ord order ARE the mask's index space
+            lvl0 = pdf[pdf["level"] == 0].sort_values("ord")
+            allow = (
+                lvl0["__allowed"].fillna(False).to_numpy(dtype=bool)
+            )
+            if not allow.any():
+                return empty
+        elif "__fval" in pdf.columns:
+            lvl0 = pdf[pdf["level"] == 0].sort_values("ord")
+            node_vals = lvl0["__fval"].to_numpy(dtype=object)
+        index = _index_from_rows(pdf, m, efc, dim)
+        qids, qmat, qvals = bc.value
+        kk = min(k + n_deleted, len(index))
+        index.set_ef(max(ef_search, kk))
+        if node_vals is None:
+            return _result_frame(qids, qmat, index, kk, allow)
+        # grouped per-query-equality pass: the kernel above was
+        # reconstructed ONCE; each distinct query value only cuts a
+        # boolean mask from the attached node values (None/NaN node
+        # values — ids absent from corpus_filter_df — equal nothing)
+        parts = []
+        for v in pd.unique(qvals):
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue  # NULL-valued queries match nothing
+            sel = np.array([qv == v for qv in qvals], dtype=bool)
+            mask = np.array([nv == v for nv in node_vals], dtype=bool)
+            if not mask.any():
+                continue  # this partition holds no rows for the value
+            parts.append(_result_frame(qids[sel], qmat[sel], index, kk, mask))
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     # NO shuffle of graph rows: the graph is already partitioned by
     # ``part`` at rest, but a groupBy("part") would hash-exchange the
@@ -547,6 +609,15 @@ def ann_hnsw_topk_indexed(
                 "left",
             ).withColumn(
                 "__allowed", F.col("__fid").isNotNull()
+            ).drop("__fid")
+        elif fvalues is not None:
+            # same shape for the grouped-equality mode: attach each
+            # node's filter VALUE instead of a boolean; ids absent
+            # from the mapping surface NULL (match nothing)
+            src = src.join(
+                F.broadcast(fvalues),
+                F.col("node_id") == F.col("__fid"),
+                "left",
             ).drop("__fid")
         branch = src.coalesce(1).mapInPandas(
             search_whole_partition, _PARTIAL_SCHEMA

@@ -137,11 +137,12 @@ def similarity_join(
     previously read it as a global boolean predicate, silently
     diverging from the other three). The exact route hash-joins on
     the predicate; signlsh/ivf_det post-filter the rerank join; the
-    hnsw route runs one filter-during-search pass per distinct query
-    filter value (the per-value allow mask IS hnswlib's
-    filter-function, so selective predicates keep graph recall).
-    Callers who want a raw global allow-list on the graph tier call
-    ``ann_hnsw_topk_indexed(filter_df=...)`` directly."""
+    hnsw route runs ONE grouped filter-during-search pass (the
+    per-value allow masks are hnswlib's filter-function, cut inside
+    each task — selective predicates keep graph recall at a
+    V-independent cost). Callers who want a raw global allow-list on
+    the graph tier call ``ann_hnsw_topk_indexed(filter_df=...)``
+    directly."""
     if method == "auto":
         n = corpus_size if corpus_size is not None else corpus.count()
         if n <= exact_cutoff:
@@ -238,56 +239,40 @@ def similarity_join(
                 query_id=query_id_col,
                 query_vec=vec_col,
             )
-        # Per-query equality (advice r11): one filter-during-search
-        # pass per distinct QUERY filter value — each pass's allow
-        # mask is exactly the corpus rows matching that value, so
-        # disallowed nodes route the beam but never surface (hnswlib
-        # filter-function semantics) and the contract matches the
-        # other routes. The value list is bounded by the query batch,
-        # which this route already driver-collects to broadcast; the
-        # union is over DISJOINT query subsets. Self-exclusion matches
-        # signlsh: over-fetch by one, drop self, re-rank in the
-        # original (score DESC, doc_id ASC) order.
+        # Per-query equality (advice r11; SINGLE-PASS since r12): the
+        # (id, value) mapping rides each partition scan broadcast-side
+        # and the per-value allow masks are cut INSIDE the task, so
+        # the whole predicated batch costs one graph scan + one kernel
+        # reconstruct per partition regardless of how many distinct
+        # values it carries (the first cut looped one full search per
+        # value — V graph scans). Disallowed nodes route the beam but
+        # never surface (hnswlib filter-function semantics);
+        # NULL-valued queries match nothing (SQL equality).
+        # Self-exclusion matches signlsh: over-fetch by one, drop
+        # self, re-rank in the original (score DESC, doc_id ASC)
+        # order.
         from pyspark.sql import Window
 
-        # Pin the query frame ONCE before deriving the value list and
-        # the per-value subsets: the plan re-executes per value, and a
-        # nondeterministic query source (limit, sample) would otherwise
-        # produce subsets inconsistent with the collected value list
-        # (observed: an "empty query set" raise from exactly that).
-        pinned = queries.select(
-            F.col(query_id_col), F.col(vec_col), F.col(filter_col)
-        ).localCheckpoint(eager=True)
-        vals = [
-            r["__fv"]
-            for r in pinned.select(F.col(filter_col).alias("__fv"))
-            .distinct()
-            .collect()
-        ]
-        parts = []
-        for v in sorted(vals, key=lambda x: (x is None, x)):
-            if v is None:
-                continue  # NULL never equals anything (SQL semantics)
-            parts.append(
-                ann_hnsw_topk_indexed(
-                    spark,
-                    pinned.filter(F.col(filter_col) == F.lit(v)),
-                    index_path,
-                    k=k + 1,
-                    ef_search=ef_search,
-                    query_id=query_id_col,
-                    query_vec=vec_col,
-                    filter_df=corpus.filter(F.col(filter_col) == F.lit(v))
-                    .select(F.col(id_col).alias("vec_id")),
-                )
-            )
-        if not parts:
+        if (
+            queries.filter(F.col(filter_col).isNotNull()).limit(1).count()
+            == 0
+        ):
             raise ValueError(
                 f"filter_col={filter_col!r}: no non-NULL query filter values"
             )
-        fetched = parts[0]
-        for p in parts[1:]:
-            fetched = fetched.unionByName(p)
+        fetched = ann_hnsw_topk_indexed(
+            spark,
+            queries,
+            index_path,
+            k=k + 1,
+            ef_search=ef_search,
+            query_id=query_id_col,
+            query_vec=vec_col,
+            query_filter_col=filter_col,
+            corpus_filter_df=corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(filter_col)
+            ),
+        )
         w = Window.partitionBy("query_id").orderBy("rank")
         return (
             fetched.filter(F.col("query_id") != F.col("doc_id"))

@@ -51,11 +51,6 @@ COLLECT_BUDGET = {
     "operators/partitioned_ann.py": 1,  # per-partition top-k merge (≤ parts·Q·k)
     "operators/pq.py": 1,             # ≤8192-row training sample (documented cap)
     "operators/ranks.py": 2,          # quantile-boundary literals (≤ n_buckets rows)
-    "operators/similarity.py": 1,     # distinct query filter values
-                                      # (≤ |Q|; the hnsw route already
-                                      # driver-collects the query batch
-                                      # to broadcast it — advice-r11
-                                      # per-value equality passes)
     "operators/rm3.py": 1,            # |Q|×fb_terms weight table (bounded
                                       # knobs); the duplicated corpus-stats
                                       # collect moved into bm25's shared

@@ -3,10 +3,14 @@
 Findings fixed this round:
 - MEDIUM: similarity_join's hnsw route read filter_col as a GLOBAL
   boolean predicate (and skipped self-exclusion) while every other
-  route means per-query EQUALITY. The graph route now runs one
-  filter-during-search pass per distinct query filter value with the
-  same self-exclusion, so the facade contract is uniform; the raw
-  allow-list form stays available via ann_hnsw_topk_indexed.
+  route means per-query EQUALITY. The graph route now runs a SINGLE
+  grouped filter-during-search pass (query_filter_col +
+  corpus_filter_df on ann_hnsw_topk_indexed: the id→value mapping
+  rides the partition scan broadcast-side, per-value masks are cut
+  inside each task — one graph scan and one kernel reconstruct per
+  partition regardless of distinct-value count) with the same
+  self-exclusion, so the facade contract is uniform; the raw
+  allow-list form stays available via filter_df.
 - LOW: run_to_memory progress capture read recentProgress, which
   Spark caps at spark.sql.streaming.numRecentProgressUpdates
   (default 100); a >100-micro-batch drain silently undercounted.
@@ -82,6 +86,73 @@ def test_facade_hnsw_filter_all_null_raises(spark, tmp_path):
             spark, q, c, k=5, method="hnsw", filter_col="grp",
             index_path=str(tmp_path / "hnsw_null"),
         )
+
+
+def test_hnsw_grouped_filter_single_pass_matches_loop(spark, tmp_path):
+    """The r12 single-pass grouped mode (query_filter_col +
+    corpus_filter_df) must return exactly what the per-value
+    filter_df loop returns — same masks, one graph scan. Also pins
+    STRING filter values (the facade's contract is any equality
+    type) and that ids absent from the mapping match nothing."""
+    from pyspark.sql import functions as F
+
+    from inside_vectordb_spark.operators.hnsw_index import (
+        ann_hnsw_topk_indexed,
+        ensure_hnsw_index,
+    )
+
+    c = eio.load_table(spark, SF_DIR, "embeddings").withColumn(
+        "grp", F.concat(F.lit("g"), (F.col("label") % 3).cast("string"))
+    )
+    q = eio.query_vectors(spark, SF_DIR).filter(F.col("query_id") < 12).withColumn(
+        "grp", F.concat(F.lit("g"), (F.col("label") % 3).cast("string"))
+    )
+    art = str(tmp_path / "grouped")
+    ensure_hnsw_index(c, art, dim=64)
+
+    single = ann_hnsw_topk_indexed(
+        spark, q, art, k=5, ef_search=128,
+        query_filter_col="grp",
+        corpus_filter_df=c.select("vec_id", "grp"),
+    ).toPandas()
+    loops = []
+    for v in ("g0", "g1", "g2"):
+        loops.append(
+            ann_hnsw_topk_indexed(
+                spark, q.filter(F.col("grp") == v), art, k=5, ef_search=128,
+                filter_df=c.filter(F.col("grp") == v).select("vec_id"),
+            ).toPandas()
+        )
+    import pandas as pd
+
+    loop = pd.concat(loops, ignore_index=True)
+    key = ["query_id", "rank"]
+    assert single.sort_values(key).reset_index(drop=True).equals(
+        loop.sort_values(key).reset_index(drop=True)
+    )
+
+    # ids absent from the mapping match nothing: restrict the mapping
+    # to even ids and assert only even docs are served
+    partial = ann_hnsw_topk_indexed(
+        spark, q, art, k=5, ef_search=128,
+        query_filter_col="grp",
+        corpus_filter_df=c.filter(F.col("vec_id") % 2 == 0).select(
+            "vec_id", "grp"
+        ),
+    ).toPandas()
+    assert len(partial) > 0 and (partial["doc_id"] % 2 == 0).all()
+
+    # the two filter modes are mutually exclusive
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ann_hnsw_topk_indexed(
+            spark, q, art, k=5,
+            filter_df=c.select("vec_id"),
+            query_filter_col="grp",
+            corpus_filter_df=c.select("vec_id", "grp"),
+        )
+    # and the grouped pair must be passed together
+    with pytest.raises(ValueError, match="together"):
+        ann_hnsw_topk_indexed(spark, q, art, k=5, query_filter_col="grp")
 
 
 # ---------------------------------------------------------------------------
