@@ -649,3 +649,30 @@ def test_tokenize_matches_duckdb_twin_on_any_text(spark, texts):
         ).fetchall()
     }
     assert got == want
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-10.0, max_value=10.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=2, max_size=64,
+    ).filter(lambda v: sum(x * x for x in v) > 1e-6)
+)
+@settings(max_examples=200, deadline=None)
+def test_planted_twin_scaling_keeps_cosine_near_one(vec):
+    """The r12 near-dup recall envelope plants twins by scaling
+    alternate dims ±2%; this pins the geometric guarantee the
+    envelope's production-threshold (0.8) verify stage relies on:
+    cos(v, twin) ≥ 0.999 for ANY non-degenerate vector, because the
+    scaling matrix S = diag(1±0.02) perturbs direction by at most its
+    spectral spread. No corpus assumption — the planted ground truth
+    can never fall below the verify threshold."""
+    import numpy as np
+
+    v = np.asarray(vec, dtype=np.float64)
+    s = np.where(np.arange(len(v)) % 2 == 0, 1.02, 0.98)
+    t = v * s
+    cos = float(v @ t / (np.linalg.norm(v) * np.linalg.norm(t)))
+    assert cos >= 0.999

@@ -110,11 +110,23 @@ def test_hnsw_grouped_filter_single_pass_matches_loop(spark, tmp_path):
     art = str(tmp_path / "grouped")
     ensure_hnsw_index(c, art, dim=64)
 
-    single = ann_hnsw_topk_indexed(
+    single_df = ann_hnsw_topk_indexed(
         spark, q, art, k=5, ef_search=128,
         query_filter_col="grp",
         corpus_filter_df=c.select("vec_id", "grp"),
-    ).toPandas()
+    )
+    # the single-pass claim, plan-level: the stored graph is scanned
+    # once per partition — NOT once per distinct filter value
+    import json
+
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    plan = single_df._jdf.queryExecution().executedPlan().toString()
+    n_graph_scans = plan.count(os.path.basename(art))
+    assert n_graph_scans <= meta["n_parts"], (
+        f"{n_graph_scans} graph scans for {meta['n_parts']} partitions — "
+        "the grouped pass must not fan out per value"
+    )
+    single = single_df.toPandas()
     loops = []
     for v in ("g0", "g1", "g2"):
         loops.append(
