@@ -498,6 +498,12 @@ def ann_hnsw_topk_indexed(
             F.col(filter_id_col).cast("long").alias("__fid"),
             F.col(query_filter_col).alias("__fval"),
         )
+        # dedupe like `allowed`: a duplicated (id, value) row would
+        # duplicate the joined graph rows and MISALIGN the task-side
+        # ord→mask index space (silent wrong results, not an error).
+        # An id mapped to two DIFFERENT values remains the caller's
+        # contract violation — corpus ids are unique engine-wide.
+        .dropDuplicates(["__fid", "__fval"])
         # same pin rationale as `allowed` above
         .localCheckpoint(eager=True)
     )

@@ -154,6 +154,20 @@ def test_hnsw_grouped_filter_single_pass_matches_loop(spark, tmp_path):
     ).toPandas()
     assert len(partial) > 0 and (partial["doc_id"] % 2 == 0).all()
 
+    # a duplicated (id, value) mapping row must not duplicate graph
+    # rows (which would misalign the task-side ord→mask index space):
+    # results equal the clean-mapping results exactly
+    dup = ann_hnsw_topk_indexed(
+        spark, q, art, k=5, ef_search=128,
+        query_filter_col="grp",
+        corpus_filter_df=c.select("vec_id", "grp").unionAll(
+            c.select("vec_id", "grp")
+        ),
+    ).toPandas()
+    assert dup.sort_values(key).reset_index(drop=True).equals(
+        single.sort_values(key).reset_index(drop=True)
+    )
+
     # the two filter modes are mutually exclusive
     with pytest.raises(ValueError, match="mutually exclusive"):
         ann_hnsw_topk_indexed(
