@@ -197,6 +197,38 @@ def _semdedup_soak(spark, sf_dir: str):
     )
 
 
+def _hnsw_filtered_grouped_soak(spark, sf_dir: str):
+    """The r12 grouped per-query-equality filter search on the stored
+    graph (similarity_join's predicated hnsw route). The 100 TB claim
+    under measurement: ONE graph scan per partition with the id→value
+    mapping broadcast alongside — so rows_read tracks the graph
+    (linear in corpus) and shuffle stays the Q·k partial merge (flat),
+    with NO per-value fan-out term. Reuses the vendored-index artifact
+    the ann_hnsw_vendored_indexed subject builds at each scale."""
+    from inside_vectordb_spark import _meta_io as mio
+    from inside_vectordb_spark import io as eio
+    from inside_vectordb_spark.operators.hnsw_index import (
+        ann_hnsw_topk_indexed,
+        ensure_hnsw_index,
+    )
+    from pyspark.sql import functions as F
+
+    c = eio.load_table(spark, sf_dir, "embeddings")
+    art = mio.art_path("hnsw_vendored", sf_dir)
+    ensure_hnsw_index(
+        c, art, dim=64, m=16, ef_construction=100, n_parts=4, seed=42
+    )
+    return ann_hnsw_topk_indexed(
+        spark,
+        eio.query_vectors(spark, sf_dir),
+        art,
+        k=10,
+        ef_search=128,
+        query_filter_col="label",
+        corpus_filter_df=c.select("vec_id", "label"),
+    )
+
+
 def _dedup_stream_soak(spark, sf_dir: str) -> dict:
     """Streaming exact dedup (r10 verdict #5) with STATE observability:
     the memory-sink drain hides per-batch work from plan counters, so
@@ -240,6 +272,7 @@ def measure(spark, sf_dir: str) -> dict:
     out = {}
     subjects = {name: QUERIES[name] for name in HEAVY}
     subjects["semantic_dedup_scaled"] = _semdedup_soak
+    subjects["hnsw_filtered_grouped"] = _hnsw_filtered_grouped_soak
     subjects["dedup_exact_stream_state"] = _dedup_stream_soak
     for name, fn in subjects.items():
         t0 = time.perf_counter()
