@@ -68,15 +68,42 @@ def sign_planes(bits: int = SIGN_BITS, dim: int = SIGN_DIM) -> tuple[tuple[int, 
 SIGN_PLANES: tuple[tuple[int, ...], ...] = sign_planes(SIGN_BITS, SIGN_DIM)
 
 
+def spark_plane_dot_sql(vec_expr: str, signs) -> str:
+    """The plane dot in Spark SQL: a left-associated literal sum over
+    0-indexed elements — the identical operand sequence to the
+    ``aggregate(zip_with(...))`` fold it replaces (fold: ((0.0 + x₀s₀)
+    + x₁s₁) + …; literal sum: ((x₀s₀ + x₁s₁) + x₂s₂) + … — the same
+    double-rounding chain, since 0.0 + x is exact), and to the DuckDB
+    twin ``plane_dot_sql`` (1-indexed there). One parsed string per
+    plane replaces ~70 py4j round trips, and the flat arithmetic
+    whole-stage-codegens where the interpreted higher-order-function
+    fold did not (optimization r12, guide §4.1 'prefer built-in
+    expressions')."""
+    return " + ".join(
+        f"CAST({vec_expr}[{j}] AS DOUBLE) * ({float(s)})"
+        for j, s in enumerate(signs)
+    )
+
+
+def spark_bucket_sql(vec_expr: str, planes=None) -> str:
+    """Spark-SQL twin of ``bucket_sql`` (0-indexed arrays)."""
+    planes = SIGN_PLANES if planes is None else planes
+    bits = [
+        f"(CASE WHEN ({spark_plane_dot_sql(vec_expr, signs)}) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, signs in enumerate(planes)
+    ]
+    return "CAST((" + " + ".join(bits) + ") AS INT)"
+
+
 def sign_bucket(vec_col: Column | str, planes=None) -> Column:
     """Bucket id = the sign-bit signature of the vector against the
-    hyperplanes — pure Catalyst (one sequential-fold dot per plane,
+    hyperplanes — pure Catalyst (one left-assoc dot per plane,
     identical order to the SQL twin's left-assoc sum)."""
     planes = SIGN_PLANES if planes is None else planes
-    v = F.transform(
-        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-        lambda x: x.cast("double"),
-    )
+    if isinstance(vec_col, str):
+        return F.expr(spark_bucket_sql(vec_col, planes))
+    v = F.transform(vec_col, lambda x: x.cast("double"))
     total = None
     for b, signs in enumerate(planes):
         sarr = F.array(*[F.lit(float(s)) for s in signs])

@@ -472,19 +472,23 @@ def embedding_near_duplicates_det(
     # buckets as an array of per-table folds instead made Spark
     # re-evaluate all folds per posexplode emission AND per self-join
     # side (~4× wall at sf0.1).
-    v = F.transform(F.col("__v"), lambda x: x.cast("double"))
-    sig = None
-    for pidx, signs in enumerate(planes):
-        sarr = F.array(*[F.lit(float(s)) for s in signs])
-        dot = F.aggregate(
-            F.zip_with(v, sarr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot >= 0, F.lit(1 << pidx)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
+    # Optimization r12: the 32-plane fold as ONE parsed SQL string —
+    # each plane a left-assoc literal sum (identical rounding chain to
+    # the aggregate(zip_with) fold it replaces, see
+    # ann_sign.spark_plane_dot_sql) — instead of ~2,200 py4j round
+    # trips of Column operators (~2 s of measured driver latency per
+    # construction at 32 planes × 64 dims), and flat codegen-able
+    # arithmetic instead of interpreted higher-order functions at
+    # execution time.
+    from inside_vectordb_spark.operators.ann_sign import spark_plane_dot_sql
+
+    sig_sql = "CAST((" + " + ".join(
+        f"(CASE WHEN ({spark_plane_dot_sql('__v', signs)}) >= 0 "
+        f"THEN {1 << pidx} ELSE 0 END)"
+        for pidx, signs in enumerate(planes)
+    ) + ") AS BIGINT)"
     mask = (1 << bits_per_table) - 1
-    sigd = e.select("__id", "__v", sig.cast("long").alias("__sig"))
+    sigd = e.select("__id", "__v", F.expr(sig_sql).alias("__sig"))
     b = sigd.select(
         F.col("__id").alias("id"),
         F.posexplode(
