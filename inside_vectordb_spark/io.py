@@ -54,7 +54,7 @@ N_QUERY_VECTORS = 20
 _SPLIT_TABLES = frozenset({"documents", "embeddings"})
 
 
-def _tz_normalize(df: DataFrame) -> DataFrame:
+def _tz_normalize(df: DataFrame, schema=None) -> DataFrame:
     """Cast any TIMESTAMP_NTZ column to TIMESTAMP (session tz = UTC, so
     wall-clock values are preserved bit-for-bit).
 
@@ -67,10 +67,56 @@ def _tz_normalize(df: DataFrame) -> DataFrame:
     sees plain TIMESTAMP either way) agnostic to the writer flavor. A
     per-column cast is a zero-cost projection — pushdown/pruning are
     unaffected."""
-    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if schema is not None:
+        # dtype check from the (cached) schema object — ``df.dtypes``
+        # triggers a py4j plan analysis per call (optimization r12)
+        ntz = [
+            f.name
+            for f in schema.fields
+            if f.dataType.simpleString() == "timestamp_ntz"
+        ]
+    else:
+        ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+# (path, mtime_ns, size) → inferred StructType. Schema inference reads
+# parquet footers on the DRIVER at every ``spark.read.parquet`` —
+# ~80 ms per call measured locally, paid once per table per QUERY
+# CONSTRUCTION (optimization r12). The key carries the file
+# metadata, so a rewritten table re-infers; the DATA is still scanned
+# fresh by every query — only the footer metadata is reused, exactly
+# what a table catalog provides at scale.
+_SCHEMA_CACHE: dict = {}
+
+
+def _path_stat(path: str) -> tuple:
+    """(mtime_ns, total_size) over a file or a directory of part
+    files — the schema-cache invalidation key."""
+    if os.path.isdir(path):
+        mt = sz = 0
+        with os.scandir(path) as it:
+            for e in it:
+                st = e.stat()
+                mt = max(mt, st.st_mtime_ns)
+                sz += st.st_size
+        return (mt, sz)
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _read_parquet(spark: SparkSession, path: str) -> tuple[DataFrame, object]:
+    """Parquet reader with a metadata-keyed schema cache; returns
+    (frame, schema)."""
+    key = (path, *_path_stat(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df, df.schema
+    return spark.read.schema(schema).parquet(path), schema
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -88,23 +134,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown on the other columns are unaffected.
 
     ``documents``/``embeddings`` are repartitioned to the session's
-    parallelism when the scan yields fewer partitions (single-row-group
+    parallelism when the scan yields fewer SPLITS (single-row-group
     testdata): shingling/encoding/GEMM on one core of 32 is the local
     bottleneck otherwise. At 100 TB the scan has far more splits than
-    cores and the branch never triggers.
+    cores and the branch never triggers. The split count is estimated
+    from file bytes / ``maxPartitionBytes`` in pure Python
+    (optimization r12) — the previous ``df.rdd.getNumPartitions()``
+    probe materialized a Java RDD per call (~40 ms of driver latency,
+    paid by almost every query construction).
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        df, schema = _read_parquet(spark, path)
+        if any(f.name == "ts" and f.dataType.simpleString() == "bigint" for f in schema.fields):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _tz_normalize(df)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    df = _tz_normalize(df)
+        return _tz_normalize(df, schema)
+    df, schema = _read_parquet(spark, path)
+    df = _tz_normalize(df, schema)
     if name in _SPLIT_TABLES:
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        try:
+            max_split = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes")
+            )
+        except Exception:
+            max_split = 128 * 1024 * 1024
+        est_splits = max(1, -(-_path_stat(path)[1] // max_split))
+        if est_splits < par:
             df = df.repartition(par)
+    # Source-identity tag for the index ensure paths (optimization
+    # r12): the frame returned HERE is a bare scan of exactly this
+    # file, so (path, mtime_ns, size) identifies its content for
+    # validity checks. Any transformation returns a new DataFrame
+    # object without the tag — derived/filtered frames never
+    # impersonate the table.
+    df._sg_source_stat = (os.path.realpath(path), *_path_stat(path))
     return df
 
 

@@ -93,6 +93,11 @@ def _write_meta(path: str, meta: dict[str, Any]) -> None:
     mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
 
 
+# (source file stat, id_col, content_col) → fingerprint dict; see the
+# memo note inside _corpus_fingerprint.
+_FINGERPRINT_MEMO: dict = {}
+
+
 def _corpus_fingerprint(
     corpus: DataFrame, id_col: str, content_col: str | None = None
 ) -> dict[str, int]:
@@ -109,6 +114,20 @@ def _corpus_fingerprint(
     of document text at unchanged ids (same count, same id range)
     still invalidates the cached index — closes the round-4 advisory
     gap on the lexical index. Still one cheap columnar aggregate."""
+    # Optimization r12: a bare ``io.load_table`` frame carries its
+    # source file's (path, mtime_ns, size) tag; the fingerprint of an
+    # UNCHANGED file is the same value every time, so recomputing the
+    # scalar agg per ensure call (~0.3 s of pure job overhead, paid by
+    # every indexed query construction) buys nothing. The memo is
+    # keyed by the file stat — any rewrite of the table invalidates
+    # it — and only exact load_table frames have the tag, so filtered
+    # deltas (upserts) always compute fresh. This is catalog-style
+    # metadata validation, not result caching: every query still
+    # scans its data in full.
+    stat = getattr(corpus, "_sg_source_stat", None)
+    memo_key = (stat, id_col, content_col) if stat is not None else None
+    if memo_key is not None and memo_key in _FINGERPRINT_MEMO:
+        return dict(_FINGERPRINT_MEMO[memo_key])
     aggs = [
         F.count("*").alias("n"),
         F.min(id_col).alias("lo"),
@@ -124,6 +143,8 @@ def _corpus_fingerprint(
     }
     if content_col is not None:
         fp["chars"] = int(row["chars"]) if row["chars"] is not None else 0
+    if memo_key is not None:
+        _FINGERPRINT_MEMO[memo_key] = dict(fp)
     return fp
 
 

@@ -584,23 +584,38 @@ def connected_components(
                 F.least("label", F.coalesce("nmin", "label")).alias("mid"),
             )
         )
+        # ONE action per round (optimization r12; was an eager
+        # checkpoint job + a probe-count job, i.e. 2× the driver/AQE
+        # job overhead per round): the LAZY localCheckpoint of the
+        # neighbor-min step is materialized — all partitions, lineage
+        # truncated — by the convergence count itself. Converging on
+        # the HALF-round (neighbor-min) check is exact: edges are
+        # symmetrized, so "no node saw a smaller neighbor label" means
+        # label(v) ≤ label(u) for every edge in BOTH directions ⇒
+        # labels are uniform per component; labels only decrease and
+        # only hold member ids, and label(m) ≤ m for the component min
+        # m, so the uniform value IS m — the global fixed point, at
+        # which the pointer jump below is the identity. The jump can
+        # therefore never fire after the check passes, and both loop
+        # forms take the same rounds and produce the same labels.
+        stepped = stepped.localCheckpoint(eager=False)
+        changed = stepped.filter(F.col("mid") < F.col("start")).count()
+        if changed == 0:
+            labels = stepped.select("id", F.col("mid").alias("label"))
+            break
         # Pointer jump: label(v) := label(label(v)). Every label value
-        # is itself a node id, so the lookup side is total.
+        # is itself a node id, so the lookup side is total. Derived
+        # lazily from the checkpointed step — the next round's count
+        # materializes it; its recompute base is the cached step, so
+        # the double reference below costs one cheap join, not a
+        # pipeline replay.
         jump = stepped.select(
             F.col("id").alias("mid"), F.col("mid").alias("jlabel")
         )
-        relabeled = stepped.join(jump, "mid", "left").select(
+        labels = stepped.join(jump, "mid", "left").select(
             "id",
-            "start",
             F.least("mid", F.coalesce("jlabel", "mid")).alias("label"),
         )
-        relabeled = relabeled.localCheckpoint(eager=True)
-        changed = (
-            relabeled.filter(F.col("label") < F.col("start")).limit(1).count()
-        )
-        labels = relabeled.select("id", "label")
-        if changed == 0:
-            break
     edges.unpersist()
     # scale-sensitive observability: rounds actually taken (tracked
     # round-over-round in the bench report — a corpus whose cluster

@@ -381,9 +381,17 @@ def click_purchase_join_stream(
     in-flight events), not O(stream length); without the time bound
     the buffers would grow forever. Append output mode: each matched
     pair emits exactly once, when the watermark passes it."""
+    # ONE source, both sides (optimization r12): a stream-stream
+    # SELF-join over a shared reader is fully supported, and the two
+    # separate read_events_stream sources each scanned the whole
+    # events table per micro-batch — numInputRows 200k for a 100k
+    # table, measured. Deriving both sides from one streaming frame
+    # halves the per-batch scan and the source bookkeeping; the rows
+    # entering the join (and therefore the emitted pairs) are
+    # byte-identical.
+    src = read_events_stream(spark, sf_dir, max_files_per_trigger)
     clicks = (
-        read_events_stream(spark, sf_dir, max_files_per_trigger)
-        .filter(F.col("event_type") == "click")
+        src.filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             "user_id",
@@ -392,8 +400,7 @@ def click_purchase_join_stream(
         .withWatermark("click_ts", watermark)
     )
     purchases = (
-        read_events_stream(spark, sf_dir, max_files_per_trigger)
-        .filter(F.col("event_type") == "purchase")
+        src.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user_id"),
