@@ -55,6 +55,27 @@ def art_path(kind: str, sf_dir: str) -> str:
     )
 
 
+def read_parquet_rows(
+    path: str, order_by: tuple[str, ...] = (), columns: list[str] | None = None
+) -> list[dict[str, Any]]:
+    """Driver-side read of a SMALL parquet artifact (codebooks,
+    centroids, quantizer stats, tombstones — relations that are
+    bounded by construction and whose values become driver literals
+    anyway). A ``spark.read.parquet(...).collect()`` pays a full
+    Spark job (~0.3 s of scheduling) to move a few hundred rows; a
+    pyarrow read is ~5 ms and yields the identical values — parquet
+    is the fidelity boundary, not the reader (optimization r12).
+    ``order_by`` sorts rows by the named columns ascending (the
+    artifacts carry no NULL keys), matching ``df.orderBy``."""
+    import pyarrow.parquet as _pq
+
+    table = _pq.ParquetDataset(path).read(columns=columns)
+    rows = table.to_pylist()
+    if order_by:
+        rows.sort(key=lambda r: tuple(r[c] for c in order_by))
+    return rows
+
+
 def exists(path: str) -> bool:
     return os.path.exists(path)
 

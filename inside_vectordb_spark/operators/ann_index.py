@@ -477,10 +477,8 @@ def ensure_ivf_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, A
 
 
 def load_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
-    rows = (
-        spark.read.parquet(os.path.join(path, "centroids"))
-        .orderBy("centroid_id")
-        .collect()
+    rows = mio.read_parquet_rows(
+        os.path.join(path, "centroids"), order_by=("centroid_id",)
     )
     return np.array([r["vector"] for r in rows], dtype=np.float64)
 
@@ -743,10 +741,8 @@ def ensure_pq_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, An
 
 def load_pq_codebooks(spark: SparkSession, path: str) -> np.ndarray:
     meta = _read_meta(path)
-    rows = (
-        spark.read.parquet(os.path.join(path, "codebooks"))
-        .orderBy("subspace", "code")
-        .collect()
+    rows = mio.read_parquet_rows(
+        os.path.join(path, "codebooks"), order_by=("subspace", "code")
     )
     books = np.array([r["vector"] for r in rows], dtype=np.float64)
     return books.reshape(meta["m"], meta["ks"], -1)
@@ -955,7 +951,7 @@ def deleted_ids(spark: SparkSession, path: str) -> set[int]:
     tomb = mio.join(path, "tombstones")
     if not mio.is_dir(tomb):
         return set()
-    return {r["doc_id"] for r in spark.read.parquet(tomb).collect()}
+    return {r["doc_id"] for r in mio.read_parquet_rows(tomb)}
 
 
 def ensure_sq_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, Any]:
@@ -971,7 +967,7 @@ def ensure_sq_index(corpus: DataFrame, path: str, **params: Any) -> dict[str, An
 
 
 def load_sq_stats(spark: SparkSession, path: str) -> tuple[np.ndarray, np.ndarray]:
-    rows = spark.read.parquet(os.path.join(path, "stats")).orderBy("pos").collect()
+    rows = mio.read_parquet_rows(os.path.join(path, "stats"), order_by=("pos",))
     mins = np.array([r["mn"] for r in rows], dtype=np.float64)
     spans = np.array([r["span"] for r in rows], dtype=np.float64)
     return mins, spans

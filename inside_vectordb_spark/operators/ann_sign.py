@@ -647,7 +647,7 @@ def sign_deleted_ids(spark: SparkSession, path: str) -> set[int]:
     tomb = mio.join(path, "tombstones")
     if not mio.is_dir(tomb):
         return set()
-    return {r["id"] for r in spark.read.parquet(tomb).collect()}
+    return {r["id"] for r in mio.read_parquet_rows(tomb)}
 
 
 def compact_sign_index(spark: SparkSession, path: str) -> dict:

@@ -306,24 +306,27 @@ def simhash(
         F.col(id_col).alias("doc_id"), F.col("gram").alias("tok")
     )
     # hash ONCE into a column: inlining the md5 into every per-bit
-    # aggregate would evaluate it ``bits`` times per token row
+    # aggregate would evaluate it ``bits`` times per token row.
+    # The per-bit aggregates and the signature fold are built as
+    # parsed SQL strings (optimization r12): the Column-operator form
+    # cost ~130 py4j round trips per construction for identical
+    # Catalyst trees.
     hashed = toks.select(
-        "doc_id", _hex15_to_long(F.md5(F.col("tok"))).alias("__h")
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("__h"),
     )
-    h = F.col("__h")
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"s{j}")
+            F.expr(f"sum((shiftright(__h, {j}) & 1) * 2 - 1)").alias(f"s{j}")
             for j in range(bits)
         ]
     )
-    sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return bit_sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+    sig_sql = "CAST((" + " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits)
+    ) + ") AS BIGINT)"
+    return bit_sums.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
 def embedding_near_duplicates_lsh(

@@ -863,7 +863,7 @@ def delete_from_hnsw_index(
         tomb = _tomb_dir(path, meta)
         existing: set[int] = set()
         if mio.is_dir(tomb):
-            existing = {r["id"] for r in spark.read.parquet(tomb).collect()}
+            existing = {r["id"] for r in mio.read_parquet_rows(tomb)}
         fresh = sorted(set(int(i) for i in ids) - existing)
         if fresh:
             spark.createDataFrame(

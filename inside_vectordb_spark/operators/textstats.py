@@ -145,32 +145,48 @@ def pack_sequences(
 
 def _quality_parts(text_col: str):
     """The quality heuristic's component expressions:
-    (n, avg_wl, stop_ratio, alpha_ratio, quality)."""
-    toks = tokenize(text_col)
-    n = token_count(text_col).cast("double")
-    text = F.col(text_col)
-    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
-    n_nonspace = F.length(F.regexp_replace(text, "[ \\t\\n\\f\\r]", ""))
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to", "is"))
-    ).cast("double")
-    avg_wl = F.when(n == 0, F.lit(0.0)).otherwise(n_nonspace / n)
-    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(stop_hits / n)
-    alpha_ratio = F.when(n_nonspace == 0, F.lit(0.0)).otherwise(
-        n_alpha.cast("double") / n_nonspace
+    (n, avg_wl, stop_ratio, alpha_ratio, quality).
+
+    Built as parsed SQL strings (optimization r12): the Column form
+    cost ~100 py4j round trips per construction; the SQL form is a
+    handful, with identical Catalyst semantics — every float literal
+    carries the ``D`` suffix so arithmetic stays DOUBLE (a bare SQL
+    ``0.25`` would parse as DECIMAL and change the rounding chain)."""
+    toks = r"array_remove(split(%s, '[ \\t\\n\\f\\r]+'), '')" % text_col
+    n = f"CAST(size({toks}) AS DOUBLE)"
+    n_alpha = f"length(regexp_replace({text_col}, '[^A-Za-z]', ''))"
+    n_nonspace = (
+        r"length(regexp_replace(%s, '[ \\t\\n\\f\\r]', ''))" % text_col
+    )
+    stop_hits = (
+        f"CAST(size(filter({toks}, t -> t IN "
+        f"('the', 'a', 'and', 'of', 'to', 'is'))) AS DOUBLE)"
+    )
+    avg_wl = f"CASE WHEN {n} = 0 THEN 0.0D ELSE {n_nonspace} / {n} END"
+    stop_ratio = f"CASE WHEN {n} = 0 THEN 0.0D ELSE {stop_hits} / {n} END"
+    alpha_ratio = (
+        f"CASE WHEN {n_nonspace} = 0 THEN 0.0D "
+        f"ELSE CAST({n_alpha} AS DOUBLE) / {n_nonspace} END"
     )
     # in-range word count [3..13 avg len], some-but-not-too-many
     # stopwords, mostly alphabetic ⇒ high quality
-    length_ok = F.when((n >= 5) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
-    wl_ok = F.when((avg_wl >= 2.0) & (avg_wl <= 13.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    quality = F.round(
-        0.25 * length_ok
-        + 0.25 * wl_ok
-        + 0.25 * F.least(stop_ratio * 5, F.lit(1.0))
-        + 0.25 * alpha_ratio,
-        6,
+    length_ok = f"CASE WHEN ({n} >= 5 AND {n} <= 1000) THEN 1.0D ELSE 0.0D END"
+    wl_ok = (
+        f"CASE WHEN (({avg_wl}) >= 2.0D AND ({avg_wl}) <= 13.0D) "
+        f"THEN 1.0D ELSE 0.0D END"
     )
-    return n, avg_wl, stop_ratio, alpha_ratio, quality
+    quality = (
+        f"round(0.25D * ({length_ok}) + 0.25D * ({wl_ok}) "
+        f"+ 0.25D * least(({stop_ratio}) * 5, 1.0D) "
+        f"+ 0.25D * ({alpha_ratio}), 6)"
+    )
+    return (
+        F.expr(n),
+        F.expr(avg_wl),
+        F.expr(stop_ratio),
+        F.expr(alpha_ratio),
+        F.expr(quality),
+    )
 
 
 def quality_expr(text_col: str = "text") -> Column:
