@@ -561,32 +561,49 @@ def connected_components(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .distinct()
     )
+    # No edge-dedup exchange (optimization r12): every aggregation in
+    # the loop is a MIN — duplicate edges cannot change any label —
+    # and the in-repo callers already feed canonical distinct pairs,
+    # so the old ``.distinct()`` was a pure extra shuffle of the edge
+    # list. (A caller with a massively duplicated edge list would
+    # trade per-round join volume for this saved shuffle; min-algebra
+    # correctness is unaffected either way.)
     from pyspark import StorageLevel
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-    )
+    labels = None
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        stepped = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
+        if labels is None:
+            # Round 1 specialization (optimization r12): initial
+            # labels ARE the node ids, so neighbor-min is ONE
+            # aggregation straight off the edge list — no init
+            # distinct, no edges⋈labels join (the symmetrized dst set
+            # is exactly the node universe). Identical to running the
+            # general round against labels(v) = v.
+            stepped = edges.groupBy(F.col("dst").alias("id")).agg(
+                F.min("src").alias("nmin")
+            ).select(
                 "id",
-                F.col("label").alias("start"),
-                F.least("label", F.coalesce("nmin", "label")).alias("mid"),
+                F.col("id").alias("start"),
+                F.least("id", "nmin").alias("mid"),
             )
-        )
+        else:
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nmin"))
+            )
+            stepped = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.col("label").alias("start"),
+                    F.least("label", F.coalesce("nmin", "label")).alias("mid"),
+                )
+            )
         # ONE action per round (optimization r12; was an eager
         # checkpoint job + a probe-count job, i.e. 2× the driver/AQE
         # job overhead per round): the LAZY localCheckpoint of the

@@ -226,11 +226,20 @@ def ngram_decontaminate_bloom(
             *[p.alias(f"__p{i}") for i, p in enumerate(probes("gram"))],
         )
     )
+    # ONE broadcast build for all n_hashes probes (optimization r12):
+    # the per-probe ``withColumnRenamed`` copies made each semi join
+    # broadcast a DIFFERENTLY-ALIASED plan, defeating Spark's
+    # exchange reuse — the bench gram pipeline was tokenized and
+    # broadcast-built n_hashes times per run. Joining every probe
+    # against the SAME relation (equi-condition on its one column)
+    # plans one BroadcastExchange + (n_hashes − 1) ReusedExchange
+    # nodes; the probe semantics (ALL positions must be set) are
+    # unchanged.
     survivors = tr
     for i in range(n_hashes):
         survivors = survivors.join(
-            F.broadcast(bench_pos.withColumnRenamed("pos", f"__p{i}")),
-            f"__p{i}",
+            F.broadcast(bench_pos),
+            survivors[f"__p{i}"] == bench_pos["pos"],
             "left_semi",
         )
     # md5 only for bloom-positive survivors; the raw gram never
