@@ -173,6 +173,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fast_count(df: DataFrame) -> int | None:
+    """Exact row count from parquet FILE METADATA for a bare
+    ``load_table`` frame (identified by its source tag); None for any
+    derived frame — the caller then falls back to ``df.count()``. A
+    count of an unfiltered table is answered by footers in ~5 ms
+    where the Spark job costs ~0.3 s of scheduling (optimization
+    r12); the value is identical by the parquet spec."""
+    stat = getattr(df, "_sg_source_stat", None)
+    if stat is None:
+        return None
+    import pyarrow.parquet as _pq
+
+    path = stat[0]
+    try:
+        if os.path.isdir(path):
+            return sum(
+                _pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return _pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

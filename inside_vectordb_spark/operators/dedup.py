@@ -364,7 +364,9 @@ def embedding_near_duplicates_lsh(
     if n_bits is None:
         import math as _math
 
-        n = embeddings.count()
+        from inside_vectordb_spark.io import fast_count
+
+        n = fast_count(embeddings) or embeddings.count()
         n_bits = max(4, _math.ceil(_math.log2(max(n / 8.0, 2.0))))
     b = lsh_bucket_ids(embeddings, id_col, vec_col, dim, n_tables, n_bits, seed)
     e = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))

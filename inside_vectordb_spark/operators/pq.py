@@ -309,7 +309,9 @@ def ann_pq_topk(
         # encoding is 1:1 — count the parquet-backed corpus (metadata
         # count), never the lazy mapInPandas encode (counting it would
         # execute the most expensive stage twice per search)
-        n_corpus = corpus.count()
+        from inside_vectordb_spark.io import fast_count
+
+        n_corpus = fast_count(corpus) or corpus.count()
     else:
         n_corpus = codes.count()  # stored codes table: columnar count
 

@@ -82,7 +82,9 @@ def _default_n_clusters(emb: DataFrame) -> int:
     """~1 centroid per 10k docs, floored at 16 — keeps the expected
     within-cluster pair cost O(N · docs_per_cluster) instead of
     O(N²/k) with a fixed k. One metadata-only count() job."""
-    n = emb.count()
+    from inside_vectordb_spark.io import fast_count
+
+    n = fast_count(emb) or emb.count()
     return max(SEMDEDUP_MIN_CLUSTERS, math.ceil(n / SEMDEDUP_DOCS_PER_CLUSTER))
 
 

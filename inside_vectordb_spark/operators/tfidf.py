@@ -80,7 +80,12 @@ def tfidf_scores(
     # rows unique per (doc_id, term) → count over the term partition
     # IS the document frequency
     tfw = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    n_docs = d.count()
+    # n_docs from parquet footer metadata when ``docs`` is a bare
+    # table frame (optimization r12) — same value, no Spark job; any
+    # derived frame falls back to the counting job.
+    from inside_vectordb_spark.io import fast_count
+
+    n_docs = fast_count(docs) or d.count()
     idf = smooth_idf(F.col("df"), n_docs)
     docw = tfw.select(
         "doc_id", "term", ((1.0 + F.log("tf")) * idf).alias("wd")
