@@ -330,20 +330,32 @@ def run_bench(sf_dir: str) -> dict:
         # same-plan variance burned an advisory cycle proving that);
         # diff PLANS.md for anything outside the spread.
         spreads: dict[str, dict[str, float]] = {}
+        construct: dict[str, float] = {}
         for name in HEADLINE:
             fn = QUERIES[name]
             runs: list[float] = []
+            c_runs: list[float] = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
-                _materialize(fn(spark, sf_dir))
+                df = fn(spark, sf_dir)
+                c_runs.append(time.perf_counter() - t0)
+                _materialize(df)
                 runs.append(time.perf_counter() - t0)
             runs.sort()
             best = runs[0]
             timings[name] = round(best, 3)
+            # Construct/execute split (r12 verdict #10): DataFrame
+            # CONSTRUCTION time (py4j expression building, Catalyst
+            # analysis, driver-side ensure/collect actions) separated
+            # from the noop-sink materialization. Pure observability —
+            # the timed total above is unchanged (construction remains
+            # inside the clock, same methodology as every prior round).
+            construct[name] = round(min(c_runs), 3)
             spreads[name] = {
                 "min": round(best, 3),
                 "median": round(statistics.median(runs), 3),
                 "spread": round((runs[-1] - best) / best, 3) if best else 0.0,
+                "construct": construct[name],
             }
             # Deterministic work counters (round-7 advisory #4): rows
             # read / bytes shuffled / exchange count from one extra
@@ -475,6 +487,12 @@ def run_bench(sf_dir: str) -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # additions-only key (r12 verdict #10): per-query construction
+        # seconds (min over the N runs), so construct-side wins are
+        # attributable from the BENCH line without a side script. The
+        # driver's parser ignores unknown keys; no existing key is
+        # removed or renamed.
+        "construct_sec": construct,
         "query_spreads": spreads,
         # sum of per-query MEDIANS (over the N in-process repeats): a
         # second total robust to a one-off spike on any single query
@@ -546,7 +564,7 @@ def main() -> None:
     # order-insensitive, so nothing else changes.
     order = (
         "metric", "unit", "sf", "curation_gates",
-        "near_dup_cluster_rounds", "queries",
+        "near_dup_cluster_rounds", "construct_sec", "queries",
         "counter_fingerprint", "min_total_over_runs",
         "median_total_sec", "calibration", "value",
     )

@@ -61,8 +61,8 @@ def read_parquet_rows(
     """Driver-side read of a SMALL parquet artifact (codebooks,
     centroids, quantizer stats, tombstones — relations that are
     bounded by construction and whose values become driver literals
-    anyway). A ``spark.read.parquet(...).collect()`` pays a full
-    Spark job (~0.3 s of scheduling) to move a few hundred rows; a
+    anyway). Collecting them through a full Spark read job pays
+    ~0.3 s of scheduling to move a few hundred rows; a
     pyarrow read is ~5 ms and yields the identical values — parquet
     is the fidelity boundary, not the reader (optimization r12).
     ``order_by`` sorts rows by the named columns ascending (the

@@ -23,8 +23,20 @@ the oracle verifies.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Only a SIMPLE identifier may be interpolated into the parsed-SQL
+# fast paths (advice r12): a name with dots/spaces/reserved words
+# would mis-parse or resolve as a struct-field access. Anything else
+# falls through to the Column builder, which handles any name.
+_SIMPLE_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _simple(name: object) -> bool:
+    return isinstance(name, str) and _SIMPLE_IDENT.fullmatch(name) is not None
 
 # Optimization r12 (guide §1.2 "per-task work" applied to the DRIVER):
 # when the operand is a plain column NAME, each helper builds its whole
@@ -59,15 +71,17 @@ def as_double_array(col: Column | str) -> Column:
     """Cast ``array<float>`` → ``array<double>`` so every downstream op
     runs in double precision (float32 storage, float64 math — the
     reference does the same: float32 matrices, float64 metrics)."""
-    if isinstance(col, str):
+    if _simple(col):
         return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+    if isinstance(col, str):
+        col = F.col(col)
     return F.transform(col, lambda x: x.cast("double"))
 
 
 def dot_product(a: Column | str, b: Column | str) -> Column:
     """Elementwise product then strict sequential sum — a Catalyst
     ``aggregate(zip_with(...))`` chain, all JVM-side."""
-    if isinstance(a, str) and isinstance(b, str):
+    if _simple(a) and _simple(b):
         return F.expr(_sql_dot(a, b))
     aa = as_double_array(a)
     bb = as_double_array(b)
@@ -79,7 +93,7 @@ def dot_product(a: Column | str, b: Column | str) -> Column:
 
 
 def l2_norm(a: Column | str) -> Column:
-    if isinstance(a, str):
+    if _simple(a):
         return F.expr(_sql_norm(a))
     return F.sqrt(dot_product(a, a))
 
@@ -87,7 +101,7 @@ def l2_norm(a: Column | str) -> Column:
 def l2_normalize(a: Column | str) -> Column:
     """x / ||x||, with zero vectors passed through unchanged
     (``faiss.normalize_L2`` semantics: 0-vector stays 0)."""
-    if isinstance(a, str):
+    if _simple(a):
         ad = _sql_dbl(a)
         nrm = (
             f"sqrt(aggregate(transform({ad}, x -> x * x), "
@@ -106,7 +120,7 @@ def l2_normalize(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (||a||·||b||); 0 when either side is a zero vector."""
-    if isinstance(a, str) and isinstance(b, str):
+    if _simple(a) and _simple(b):
         na, nb = _sql_norm(a), _sql_norm(b)
         return F.expr(
             f"CASE WHEN {na} = 0.0 OR {nb} = 0.0 THEN CAST(0.0 AS DOUBLE) "

@@ -93,13 +93,16 @@ _SCHEMA_CACHE: dict = {}
 
 
 def _path_stat(path: str) -> tuple:
-    """(mtime_ns, total_size) over a file or a directory of part
-    files — the schema-cache invalidation key."""
+    """(mtime_ns, total_size) over a file or a directory tree of part
+    files — the schema-cache invalidation key. RECURSIVE (advice r12):
+    a partitioned/nested layout must invalidate on a nested-file
+    rewrite, or a stale schema (and worse, a stale index-validity
+    fingerprint) survives the rewrite."""
     if os.path.isdir(path):
         mt = sz = 0
-        with os.scandir(path) as it:
-            for e in it:
-                st = e.stat()
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
                 mt = max(mt, st.st_mtime_ns)
                 sz += st.st_size
         return (mt, sz)
@@ -109,14 +112,18 @@ def _path_stat(path: str) -> tuple:
 
 def _read_parquet(spark: SparkSession, path: str) -> tuple[DataFrame, object]:
     """Parquet reader with a metadata-keyed schema cache; returns
-    (frame, schema)."""
-    key = (path, *_path_stat(path))
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
-        df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
-        return df, df.schema
-    return spark.read.schema(schema).parquet(path), schema
+    (frame, schema). Keyed by PATH with the stat tuple stored in the
+    value (advice r12): a rewritten table replaces its entry instead
+    of accreting one per (mtime, size), so the cache is bounded by the
+    number of live tables."""
+    stat = _path_stat(path)
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == stat:
+        schema = hit[1]
+        return spark.read.schema(schema).parquet(path), schema
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = (stat, df.schema)
+    return df, df.schema
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -183,17 +190,16 @@ def fast_count(df: DataFrame) -> int | None:
     stat = getattr(df, "_sg_source_stat", None)
     if stat is None:
         return None
-    import pyarrow.parquet as _pq
+    import pyarrow.dataset as _pads
 
     path = stat[0]
     try:
-        if os.path.isdir(path):
-            return sum(
-                _pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
-        return _pq.ParquetFile(path).metadata.num_rows
+        # Dataset discovery handles nested/partitioned layouts and
+        # batches footer metadata reads (advice r12 — the previous
+        # top-level-only os.listdir silently UNDERCOUNTED nested
+        # layouts); count_rows() without a filter is answered from
+        # row-group metadata, never a data scan.
+        return int(_pads.dataset(path, format="parquet").count_rows())
     except Exception:
         return None
 

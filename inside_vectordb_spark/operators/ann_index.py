@@ -93,8 +93,11 @@ def _write_meta(path: str, meta: dict[str, Any]) -> None:
     mio.write_json(mio.join(path, "meta.json"), meta, indent=2)
 
 
-# (source file stat, id_col, content_col) → fingerprint dict; see the
-# memo note inside _corpus_fingerprint.
+# (source path, id_col, content_col) → (file stat, fingerprint dict);
+# see the memo note inside _corpus_fingerprint. Keyed by PATH with the
+# stat tuple in the VALUE (advice r12): a rewritten table replaces its
+# entry instead of accreting one per (mtime, size), so the memo is
+# bounded by the number of live tables in a long-lived driver.
 _FINGERPRINT_MEMO: dict = {}
 
 
@@ -125,9 +128,11 @@ def _corpus_fingerprint(
     # metadata validation, not result caching: every query still
     # scans its data in full.
     stat = getattr(corpus, "_sg_source_stat", None)
-    memo_key = (stat, id_col, content_col) if stat is not None else None
-    if memo_key is not None and memo_key in _FINGERPRINT_MEMO:
-        return dict(_FINGERPRINT_MEMO[memo_key])
+    memo_key = (stat[0], id_col, content_col) if stat is not None else None
+    if memo_key is not None:
+        hit = _FINGERPRINT_MEMO.get(memo_key)
+        if hit is not None and hit[0] == stat:
+            return dict(hit[1])
     aggs = [
         F.count("*").alias("n"),
         F.min(id_col).alias("lo"),
@@ -144,7 +149,7 @@ def _corpus_fingerprint(
     if content_col is not None:
         fp["chars"] = int(row["chars"]) if row["chars"] is not None else 0
     if memo_key is not None:
-        _FINGERPRINT_MEMO[memo_key] = dict(fp)
+        _FINGERPRINT_MEMO[memo_key] = (stat, dict(fp))
     return fp
 
 

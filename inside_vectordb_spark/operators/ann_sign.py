@@ -101,8 +101,15 @@ def sign_bucket(vec_col: Column | str, planes=None) -> Column:
     hyperplanes — pure Catalyst (one left-assoc dot per plane,
     identical order to the SQL twin's left-assoc sum)."""
     planes = SIGN_PLANES if planes is None else planes
-    if isinstance(vec_col, str):
+    from ..functions.vector import _simple
+
+    # Only a simple identifier may be interpolated into the parsed-SQL
+    # fast path (advice r12); anything else goes through the Column
+    # builder, which handles any name.
+    if _simple(vec_col):
         return F.expr(spark_bucket_sql(vec_col, planes))
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
     v = F.transform(vec_col, lambda x: x.cast("double"))
     total = None
     for b, signs in enumerate(planes):

@@ -544,6 +544,14 @@ def connected_components(
     exponentially); a cluster run would use ``checkpoint`` to a
     reliable store instead. The per-round convergence probe is a
     LIMIT-1 count (a scalar to the driver, not data).
+
+    CONTRACT (advice r12): ``pairs`` should be DISTINCT (src, dst)
+    pairs — every in-repo caller feeds canonical deduplicated pairs.
+    Duplicated input pairs stay CORRECT (every aggregation here is a
+    duplicate-insensitive MIN; there is deliberately no up-front
+    ``.distinct()`` exchange) but pay their duplicated join/aggregate
+    volume on every round — callers with heavily duplicated pair
+    lists should dedup before calling.
     """
     # Symmetrize with one explode, not a self-union: the union form
     # evaluates the (expensive) pairs subtree twice inside the

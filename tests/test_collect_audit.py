@@ -28,13 +28,19 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # file (relative to package root) -> audited number of .collect() sites
 COLLECT_BUDGET = {
     "operators/ann.py": 1,            # k-row centroid table (bounded k)
-    "operators/ann_index.py": 7,      # meta fingerprints (1-row aggs), k-row centroids
-    "operators/ann_sign.py": 6,       # probed-cid lists (≤ |Q|·n_probe), 1-row
+    "operators/ann_index.py": 3,      # meta fingerprints (1-row aggs); the
+                                      # k-row centroid/codebook/SQ-stat reads
+                                      # moved to _meta_io.read_parquet_rows
+                                      # (pyarrow driver read of bounded
+                                      # artifacts — optimization r12)
+    "operators/ann_sign.py": 5,       # probed-cid lists (≤ |Q|·n_probe), 1-row
                                       # meta; two det-IVF copies folded into
-                                      # the shared pruned_lists (review r9-3)
+                                      # the shared pruned_lists (review r9-3);
+                                      # centroid read moved to
+                                      # _meta_io.read_parquet_rows (r12)
     "operators/bm25.py": 1,           # 1-row corpus stats literal (N, avgdl)
     "operators/compare.py": 2,        # per-method 1-row metric tables
-    "operators/hnsw_index.py": 7,     # |Q|-row query matrix (broadcast
+    "operators/hnsw_index.py": 6,     # |Q|-row query matrix (broadcast
                                       # contract, as topk.py); build's
                                       # and delta's per-part counts and
                                       # compact's live counts (each
@@ -45,7 +51,9 @@ COLLECT_BUDGET = {
                                       # set + routing (≤ deletes, the
                                       # mark_deleted contract); pre-r10
                                       # fallback per-part sizes
-                                      # (≤ n_parts rows)
+                                      # (≤ n_parts rows); tombstone read
+                                      # moved to _meta_io.read_parquet_rows
+                                      # (r12)
     "operators/ivfpq_det.py": 1,      # probed-cid list (≤ |Q|·n_probe)
     "operators/lexical_index.py": 4,  # 1-row stats + per-bucket offset rows
     "operators/partitioned_ann.py": 1,  # per-partition top-k merge (≤ parts·Q·k)
